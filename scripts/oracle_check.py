@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Loads each Verify output parquet, runs the matching oracle SQL in DuckDB over
+the sf tables, sorts columns by name and rows by all columns, and compares
+values exactly (with a parallel tolerant float compare to distinguish
+"float drift" from "wrong answer").
+
+Usage: scripts/oracle_check.py [sfDir] [verifyOut]
+"""
+import json, math, sys
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+def rows_of(df):
+    cols = sorted(df.columns)
+    recs = df[cols].values.tolist()
+    recs.sort(key=lambda r: [(x is None, str(x)) for x in r])
+    return cols, recs
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+def close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return eq(a, b)
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+        duck_df = con.sql(sql).df()
+        sc, srows = rows_of(spark_df)
+        dc, drows = rows_of(duck_df)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: row count spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+            continue
+        exact = all(all(eq(a, b) for a, b in zip(r1, r2))
+                    for r1, r2 in zip(srows, drows))
+        if exact:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            approx = all(all(close(a, b) for a, b in zip(r1, r2))
+                         for r1, r2 in zip(srows, drows))
+            bad = next((r1, r2) for r1, r2 in zip(srows, drows)
+                       if not all(eq(a, b) for a, b in zip(r1, r2)))
+            tag = "float-drift" if approx else "WRONG"
+            print(f"FAIL {name} [{tag}]: first diff\n  spark={bad[0]}\n  duck ={bad[1]}")
+            n_fail += 1
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        n_fail += 1
+
+missing = [n for n in oracle if False]
+print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)} oracled queries")
+sys.exit(1 if n_fail else 0)

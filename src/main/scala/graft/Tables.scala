@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+/** Parquet table loader for the driver testdata layout
+  * (`sfDir/NAME.parquet` under /root/testdata, see TESTDATA.md).
+  *
+  * At cluster scale the same call reads a partitioned directory tree; the
+  * vectorized parquet reader + Catalyst column pruning / predicate pushdown
+  * make `table(...).select(...).filter(...)` scan only the bytes needed.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read it as a long (nanos) and convert losslessly to a
+      // microsecond timestamp (the data is µs-granular; DuckDB surfaces the
+      // same column as µs TIMESTAMP, so both engines agree on the instant).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+}

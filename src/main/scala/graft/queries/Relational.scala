@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.table
+
+/** Relational query surface (SURVEY.md §2-B).
+  *
+  * The reference delegates all of this to Athena/Presto via a SQL
+  * pass-through (`/root/reference/ncd/athena.py:57-79`); here each capability
+  * is expressed Spark-first with the DataFrame API so Catalyst owns predicate
+  * pushdown, column pruning, join strategy selection and AQE. Dimension-side
+  * joins broadcast explicitly (codebook-sized tables — the `table_gs_*`
+  * lookups of the reference map to `nation`/`region` here); fact-fact joins
+  * shuffle on their keys and scale out with partition count.
+  */
+object Relational {
+
+  private val ts19980902 = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- scan / projection / filter (pushdown-visible) ------------------
+    "q01_scan_filter_project" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(col("l_discount") > 0.05 && col("l_quantity") < 10)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+             |FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- aggregation (TPC-H Q1 shape: partial+final hash agg) -----------
+    "q02_agg_pricing_summary" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit(ts19980902))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(sum(l_quantity), 2) AS sum_qty,
+             | round(sum(l_extendedprice), 2) AS sum_base_price,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             | round(avg(l_quantity), 4) AS avg_qty,
+             | round(avg(l_extendedprice), 4) AS avg_price,
+             | count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- broadcast-hash join over dimension tables ----------------------
+    "q03_join_broadcast_dims" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val n = broadcast(table(s, dir, "nation"))
+        val r = broadcast(table(s, dir, "region"))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"),
+               round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ---- fact-fact shuffle join -----------------------------------------
+    "q04_join_fact_fact" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             | count(*) AS n_items
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- left outer join -------------------------------------------------
+    "q05_join_left_outer" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("order_cnt"))
+          .groupBy("order_cnt")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("order_cnt")
+      },
+      Some("""SELECT order_cnt, count(*) AS n_customers
+             |FROM (SELECT c_custkey, count(o_orderkey) AS order_cnt
+             |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey)
+             |GROUP BY order_cnt ORDER BY order_cnt""".stripMargin)),
+
+    // ---- semi join (EXISTS) ----------------------------------------------
+    "q06_join_semi" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val big = table(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+             |FROM customer WHERE EXISTS
+             | (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- anti join (NOT EXISTS) ------------------------------------------
+    "q07_join_anti" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val urgent = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_customers
+             |FROM customer WHERE NOT EXISTS
+             | (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- non-equi (theta) self join --------------------------------------
+    "q08_join_nonequi" -> QueryDef(
+      (s, dir) => {
+        val n1 = table(s, dir, "nation").as("n1")
+        val n2 = table(s, dir, "nation").as("n2")
+        n1.join(n2,
+            col("n1.n_regionkey") === col("n2.n_regionkey") &&
+              col("n1.n_nationkey") < col("n2.n_nationkey"))
+          .groupBy(col("n1.n_regionkey").as("region_key"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("region_key")
+      },
+      Some("""SELECT n1.n_regionkey AS region_key, count(*) AS n_pairs
+             |FROM nation n1 JOIN nation n2
+             |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+             |GROUP BY n1.n_regionkey ORDER BY region_key""".stripMargin)),
+
+    // ---- distinct --------------------------------------------------------
+    "q09_distinct" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer")
+          .select("c_mktsegment", "c_nationkey").distinct()
+          .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ---- count distinct --------------------------------------------------
+    "q10_count_distinct" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(countDistinct("c_nationkey").as("n_nations"),
+               count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+             | count(*) AS n_customers
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- rollup ----------------------------------------------------------
+    "q11_rollup" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+               count(lit(1)).as("n"))
+          .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             | count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)),
+
+    // ---- cube ------------------------------------------------------------
+    "q12_cube" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer")
+          .cube("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("n"),
+               round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy(asc_nulls_last("c_mktsegment"), asc_nulls_last("c_nationkey")),
+      Some("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
+             | round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+             |ORDER BY c_mktsegment ASC NULLS LAST, c_nationkey ASC NULLS LAST""".stripMargin)),
+
+    // ---- window: ranking / top-n per group -------------------------------
+    "q13_window_topn" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
+             | (SELECT o_custkey, o_orderkey, o_totalprice,
+             |   CAST(row_number() OVER (PARTITION BY o_custkey
+             |     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- window: lag / analytic gap analysis -----------------------------
+    "q14_window_lag_gaps" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        table(s, dir, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+               round(avg("gap_us") / 1000000.0, 3).as("avg_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_gaps,
+             | round(avg(gap_us) / 1000000.0, 3) AS avg_gap_s
+             |FROM (SELECT event_type,
+             |        epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |          (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |      FROM events)
+             |WHERE gap_us IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- sort + limit (TakeOrderedAndProject) ----------------------------
+    "q15_topk_orders" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- set ops ---------------------------------------------------------
+    "q16_union_all" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sup = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.unionAll(sup).groupBy("nationkey")
+          .agg(count(lit(1)).as("n")).orderBy("nationkey")
+      },
+      Some("""SELECT nationkey, count(*) AS n FROM
+             | (SELECT c_nationkey AS nationkey FROM customer
+             |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+             |GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    "q17_intersect" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(
+            table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    "q18_except" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer").select(col("c_custkey").as("custkey"))
+          .except(
+            table(s, dir, "orders").filter(col("o_totalprice") > 250000)
+              .select(col("o_custkey").as("custkey")))
+          .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- scalar string functions -----------------------------------------
+    "q19_string_funcs" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            substring(col("p_name"), 1, 8).as("name_pfx"),
+            length(col("p_name")).cast("int").as("name_len"),
+            regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+            concat_ws("-", col("p_type"), col("p_brand")).as("type_brand"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+             | substring(p_name, 1, 8) AS name_pfx,
+             | CAST(length(p_name) AS INT) AS name_len,
+             | regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+             | concat_ws('-', p_type, p_brand) AS type_brand
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- scalar date functions -------------------------------------------
+    "q20_date_funcs" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+                   quarter(col("o_orderdate")).cast("int").as("qtr"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("yr", "qtr"),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             | CAST(quarter(o_orderdate) AS INT) AS qtr,
+             | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin)),
+
+    // ---- scalar math functions -------------------------------------------
+    "q21_math_funcs" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum(sqrt(col("l_extendedprice"))), 2).as("sum_sqrt"),
+            round(sum(log(col("l_extendedprice") + 1)), 2).as("sum_ln"),
+            round(sum(abs(col("l_discount") - 0.05)), 3).as("sum_absdev"),
+            round(sum(floor(col("l_quantity"))).cast("double"), 1).as("sum_floor"),
+            round(sum(pow(col("l_discount"), 2)), 4).as("sum_pow"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | round(sum(sqrt(l_extendedprice)), 2) AS sum_sqrt,
+             | round(sum(ln(l_extendedprice + 1)), 2) AS sum_ln,
+             | round(sum(abs(l_discount - 0.05)), 3) AS sum_absdev,
+             | round(CAST(sum(floor(l_quantity)) AS DOUBLE), 1) AS sum_floor,
+             | round(sum(pow(l_discount, 2)), 4) AS sum_pow
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- conditional expressions -----------------------------------------
+    "q22_conditional_agg" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint")
+              .as("n_highdisc"),
+            round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+              .otherwise(0.0)), 2).as("returned_value"),
+            count(lit(1)).as("n"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_highdisc,
+             | round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+             |   ELSE 0.0 END), 2) AS returned_value,
+             | count(*) AS n
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // ---- JSON extraction --------------------------------------------------
+    "q23_json_extract" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+          .groupBy("k_val")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_last("k_val")),
+      Some("""SELECT k_val, count(*) AS n FROM
+             | (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+             |  FROM events)
+             |GROUP BY k_val ORDER BY k_val ASC NULLS LAST""".stripMargin)),
+
+    // ---- correlated subquery (decorrelated to a join in the DF plan) -----
+    "q24_corr_subquery" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg(avg("c_acctbal").as("nation_avg"))
+        c.join(broadcast(natAvg), c("c_nationkey") === natAvg("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_above
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- having ----------------------------------------------------------
+    "q25_having" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 1).as("qty"))
+          .filter(col("n") >= 40)
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 1) AS qty
+             |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+             |ORDER BY l_partkey""".stripMargin)),
+  )
+}
