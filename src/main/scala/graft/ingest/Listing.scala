@@ -1,0 +1,56 @@
+package graft.ingest
+
+import java.io.File
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+
+import scala.util.matching.Regex
+
+/** A1-A2 + A23: DOJ listing scrape, archive download, multi-zip
+  * orchestration (import_all.py). Driver-side by nature — a zip must land
+  * whole (random-access format) before `NcdIngest.loadZip` fans work out to
+  * executors.
+  */
+object Listing {
+
+  private val ZipHref: Regex = """href\s*=\s*["']([^"']+\.zip)["']""".r
+
+  /** A1: extract `.zip` hrefs from an HTML listing page, resolved against
+    * the page URL with the scheme forced to https (import_all.py:38-68).
+    */
+  def zipUrls(pageHtml: String, pageUrl: String): Seq[String] = {
+    val base = URI.create(pageUrl)
+    ZipHref.findAllMatchIn(pageHtml).map(_.group(1)).toVector.distinct
+      .map(href => base.resolve(href))
+      .map { u =>
+        if (u.getScheme == "https") u.toString
+        else new URI("https", u.getAuthority, u.getPath, u.getQuery,
+          u.getFragment).toString
+      }
+  }
+
+  /** A2: streaming download to a temp file. */
+  def download(url: String, client: HttpClient =
+      HttpClient.newHttpClient()): Path = {
+    val dest = Files.createTempFile("ncd_download_", ".zip")
+    val request = HttpRequest.newBuilder(URI.create(url)).GET().build()
+    client.send(request, HttpResponse.BodyHandlers.ofFile(dest))
+    dest
+  }
+
+  /** A23: sequential download→load loop over every listed zip. The loop is
+    * a 2-deep pipeline candidate (overlap next download with current ingest
+    * — the improvement the reference explicitly wanted, README.md:83-87) but
+    * stays sequential-per-zip for deterministic load order.
+    */
+  def loadAll(ingest: NcdIngest, listingUrl: String,
+              fetchPage: String => String,
+              fetchZip: String => Path): Seq[String] = {
+    zipUrls(fetchPage(listingUrl), listingUrl).flatMap { url =>
+      val zipPath = fetchZip(url)
+      try ingest.loadZip(zipPath.toString)
+      finally Files.deleteIfExists(zipPath)
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A22: per-zip orchestration — the Spark-native analog of
+  * `DataZip.load()` (ncd/data_zip.py:40-52).
+  *
+  * Driver parses schemas/fragments (they're tiny and must exist before a
+  * plan can be declared); executors do all row work. Per-table processing
+  * follows the reference's deterministic sorted order. Each normal table's
+  * conversion is one narrow, shuffle-free Spark job (all district files
+  * unioned, then written with `partitionBy` so the Hive layout matches the
+  * reference byte-for-byte in structure).
+  *
+  * Every emitted DDL statement is recorded in `ddlLog` — the test seam the
+  * reference provides via AthenaMock's query log (ncd/athena_mock.py:42-51).
+  */
+final class NcdIngest(spark: SparkSession, warehouseDir: String,
+                      db: String = "ncd") {
+
+  val ddlLog: mutable.Buffer[String] = mutable.Buffer.empty
+  /** Tables loaded, in load order. */
+  val loaded: mutable.Buffer[String] = mutable.Buffer.empty
+
+  private def runDdl(sql: String): Unit = {
+    ddlLog += sql
+    spark.sql(sql)
+  }
+
+  private def tableLocation(table: String): String =
+    s"$warehouseDir/$db/$table"
+
+  def createDatabase(): Unit = runDdl(Sink.createDatabaseSql(db))
+
+  /** Load every table in the zip: normal (fixed-width) tables first, then
+    * global_LIONS.txt stacked tables, then table_gs_* lookups.
+    */
+  def loadZip(zipPath: String): Seq[String] = {
+    createDatabase()
+    val zip = new ZipSource(zipPath)
+    try {
+      val scratch = Files.createTempDirectory("ncd_zip_")
+      val schemas =
+        if (zip.hasMember("README.TXT"))
+          SchemaParser.parse(zip.readMember("README.TXT", "ISO-8859-1"))
+        else Map.empty[String, TableSpec]
+
+      schemas.keys.toSeq.sorted.foreach { name =>
+        loadNormalTable(zip, schemas(name), scratch)
+      }
+      loadGlobalTables(zip)
+      loadLookupTables(zip)
+      loaded.toSeq
+    } finally zip.close()
+  }
+
+  /** One normal table: discover district files, convert all of them in one
+    * unioned distributed job, write partitioned gzip JSON, register.
+    */
+  def loadNormalTable(zip: ZipSource, spec: TableSpec,
+                      scratch: Path): Unit = {
+    val files = zip.dataFilesFor(spec.name)
+    if (files.isEmpty) return
+    val isPartitioned = !files.keySet.contains(None)
+
+    val frames = files.toSeq.sortBy(_._1) .map { case (district, member) =>
+      val path = zip.extractMember(member, scratch)
+      val df = FixedWidth.read(spark, path.toString, spec)
+      district match {
+        case Some(d) if isPartitioned =>
+          df.withColumn("filename_district", lit(d))
+        case _ => df
+      }
+    }
+    val all = frames.reduce(_ unionByName _)
+
+    val location = tableLocation(spec.name)
+    Sink.writeJson(all, location, isPartitioned)
+    val ddl = Sink.normalTableDdl(db, spec, isPartitioned, location)
+    ddlLog += ddl
+    spark.sql(ddl)
+    if (isPartitioned) runDdl(s"MSCK REPAIR TABLE $db.${spec.name}")
+    loaded += spec.name
+  }
+
+  /** A13/A14: the stacked global file, if present. */
+  def loadGlobalTables(zip: ZipSource): Unit = {
+    if (!zip.hasMember("global_LIONS.txt")) return
+    val content = zip.readMember("global_LIONS.txt", "UTF-8")
+    val tables = GlobalSplitter.split(content)
+    tables.keys.toSeq.sorted.foreach { name =>
+      loadStringTable(name, RulerParser.parse(tables(name)))
+    }
+  }
+
+  /** A15: each table_gs_* codebook file. */
+  def loadLookupTables(zip: ZipSource): Unit = {
+    zip.memberNames.filter(_.startsWith("table_gs_")).sorted.foreach { m =>
+      val (name, table) = LookupParser.parseTable(zip.readMember(m, "ISO-8859-1"))
+      loadStringTable(name, table)
+    }
+  }
+
+  /** Codebooks are tiny (hundreds of rows): build driver-side, then write
+    * through the same distributed sink so layout/DDL stay uniform.
+    */
+  def loadStringTable(name: String, table: RulerParser.StringTable): Unit = {
+    val schema = StructType(
+      table.dataColumns.map(c => StructField(c, StringType)) ++
+        table.dataColumns.map(c => StructField(s"redacted_$c", BooleanType)))
+    val rows = table.rows.map { case (data, flags) =>
+      Row.fromSeq(data ++ flags)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+
+    val location = tableLocation(name)
+    Sink.writeJson(df, location, partitioned = false)
+    runDdl(Sink.stringTableDdl(db, name, table.allColumns, location))
+    loaded += name
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A10-A12 + A17-A20: gzipped JSON-lines sink with Hive-style district
+  * partitions, plus catalog DDL.
+  *
+  * The reference uploads one `.json.gz` object per table/district to S3 and
+  * points an Athena external table at it (ncd/athena.py:92-113,
+  * ncd/normal_table.py:137-198). Here `DataFrameWriter` produces the same
+  * layout (`<base>/<db>/<table>[/filename_district=XX]/part-*.json.gz`) —
+  * on a cluster the same call writes through the S3A committer — and the
+  * catalog entry is a Spark `CREATE TABLE ... USING json` (the drop-in for
+  * `CREATE EXTERNAL TABLE ... JsonSerDe`), with `MSCK REPAIR TABLE` mapped
+  * to `recoverPartitions`.
+  *
+  * Note gzip JSON is non-splittable: one task per file on read, exactly
+  * mirroring the reference's one-object-per-district parallelism. The
+  * idiomatic scale path is the parquet mirror (`writeParquetMirror`) — same
+  * schema, splittable, columnar, an order of magnitude faster to scan.
+  */
+object Sink {
+
+  /** A17. */
+  def createDatabaseSql(db: String): String =
+    s"CREATE DATABASE IF NOT EXISTS $db"
+
+  /** A18: normal-table DDL (2N columns, optional district partition). */
+  def normalTableDdl(db: String, spec: TableSpec, isPartitioned: Boolean,
+                     location: String): String = {
+    val dataCols = spec.fields.map(f => s"    ${f.name} ${f.oracleType.ddlType}")
+    val flagCols = spec.fields.map(f => s"    redacted_${f.name} BOOLEAN")
+    val partitionClause =
+      if (isPartitioned) "\nPARTITIONED BY (filename_district)" else ""
+    val partitionCol =
+      if (isPartitioned) ",\n    filename_district STRING" else ""
+    s"""CREATE TABLE IF NOT EXISTS $db.${spec.name} (
+       |${(dataCols ++ flagCols).mkString(",\n")}$partitionCol
+       |)
+       |USING json
+       |OPTIONS (compression 'gzip')$partitionClause
+       |LOCATION '$location'""".stripMargin
+  }
+
+  /** A19: global/lookup DDL — all STRING data columns + BOOLEAN flags. */
+  def stringTableDdl(db: String, name: String, columns: Seq[String],
+                     location: String): String = {
+    val cols = columns.map { c =>
+      val tpe = if (c.startsWith("redacted_")) "BOOLEAN" else "STRING"
+      s"    $c $tpe"
+    }
+    s"""CREATE TABLE IF NOT EXISTS $db.$name (
+       |${cols.mkString(",\n")}
+       |)
+       |USING json
+       |OPTIONS (compression 'gzip')
+       |LOCATION '$location'""".stripMargin
+  }
+
+  /** A12: write the converted rows as gzipped JSON-lines in the reference's
+    * partition layout. One file per district partition (`coalesce` per the
+    * reference's one-object-per-district upload would bottleneck at scale,
+    * so we let Spark keep its natural per-split parallelism).
+    */
+  def writeJson(df: DataFrame, location: String,
+                partitioned: Boolean): Unit = {
+    val writer = df.write.mode("overwrite").option("compression", "gzip")
+    if (partitioned) writer.partitionBy("filename_district").json(location)
+    else writer.json(location)
+  }
+
+  /** The 100-TB-scale mirror: identical rows, columnar + splittable. */
+  def writeParquetMirror(df: DataFrame, location: String,
+                         partitioned: Boolean): Unit = {
+    val writer = df.write.mode("overwrite")
+    if (partitioned) writer.partitionBy("filename_district").parquet(location)
+    else writer.parquet(location)
+  }
+
+  /** A18/A20: register in the session catalog + discover partitions. */
+  def registerTable(spark: SparkSession, ddl: String, db: String,
+                    table: String, isPartitioned: Boolean): Unit = {
+    spark.sql(ddl)
+    if (isPartitioned) spark.sql(s"MSCK REPAIR TABLE $db.$table")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end: fixture zip → distributed convert → partitioned gzip JSON →
+  * catalog registration → SQL over the loaded tables. The Spark analog of
+  * driving the reference's DataZip.load() against AthenaMock.
+  */
+class NcdIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val warehouse =
+    Files.createTempDirectory("ncd_out_").toString
+  private lazy val ingest = {
+    val ing = new NcdIngest(spark, warehouse, db = "ncd")
+    ing.loadZip(Fixtures.tempZip().toString)
+    ing
+  }
+
+  test("loads all tables in deterministic order") {
+    assert(ingest.loaded.toSeq === Seq(
+      "GS_CASE", "GS_COURT_HIST",          // normal, sorted
+      "GS_DISTRICT", "GS_OFFENSE",          // global, sorted
+      "GS_POSITION"))                       // lookups, sorted
+  }
+
+  test("partitioned table gets Hive district layout + MSCK") {
+    val dirs = new java.io.File(s"$warehouse/ncd/GS_CASE").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("filename_district=CT", "filename_district=FLM"))
+    assert(ingest.ddlLog.exists(_.startsWith("MSCK REPAIR TABLE ncd.GS_CASE")))
+    // gzip JSON files inside
+    val files = new java.io.File(s"$warehouse/ncd/GS_CASE/filename_district=FLM")
+      .listFiles().map(_.getName)
+    assert(files.exists(f => f.startsWith("part-") && f.endsWith(".json.gz")))
+  }
+
+  test("unpartitioned table (no district suffix) has no partition dirs") {
+    val dirs = new java.io.File(s"$warehouse/ncd/GS_COURT_HIST").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(!dirs.exists(_.startsWith("filename_district=")))
+    assert(!ingest.ddlLog.exists(
+      _.startsWith("MSCK REPAIR TABLE ncd.GS_COURT_HIST")))
+  }
+
+  test("normal table queryable with typed values and redaction flags") {
+    val df = spark.table("ncd.GS_CASE")
+    assert(df.count() === 5)
+    import spark.implicits._
+    val flm = df.filter($"filename_district" === "FLM")
+    assert(flm.count() === 4)
+    val redactedDates = df.filter($"redacted_FILE_DATE").count()
+    assert(redactedDates === 1)
+    val loss = df.filter($"CASEID" === 1L)
+      .select($"TOTAL_LOSS").as[Double].head()
+    assert(loss === 1234.50)
+  }
+
+  test("district filter prunes to one partition directory") {
+    import spark.implicits._
+    val plan = spark.table("ncd.GS_CASE")
+      .filter($"filename_district" === "FLM")
+      .queryExecution.executedPlan.toString
+    // partition pruning: only the FLM directory is scanned
+    assert(!plan.contains("filename_district=CT"))
+  }
+
+  test("global tables load all-string with boolean flags") {
+    val df = spark.table("ncd.GS_DISTRICT")
+    assert(df.columns.toSeq === Seq("CODE", "NAME", "redacted_CODE",
+      "redacted_NAME"))
+    import spark.implicits._
+    val name = df.filter($"CODE" === "FLM").select($"NAME").as[String].head()
+    assert(name === "Middle District of Florida")
+  }
+
+  test("lookup table loads with camelCase-normalized headers") {
+    val df = spark.table("ncd.GS_POSITION")
+    assert(df.columns.take(3).toSeq ===
+      Seq("POSITION_CODE", "DESCRIPTION", "ACTIVE_FLAG"))
+    import spark.implicits._
+    // redacted cell: empty-string value + flag true (global-table quirk)
+    val red = df.filter($"redacted_POSITION_CODE")
+    assert(red.count() === 1)
+    assert(red.select($"POSITION_CODE").as[String].head() === "")
+  }
+
+  test("join loaded case table to loaded codebook (the Athena use case)") {
+    val out = spark.sql(
+      """SELECT d.NAME, count(*) AS n
+        |FROM ncd.GS_CASE c JOIN ncd.GS_DISTRICT d
+        |  ON c.filename_district = d.CODE
+        |GROUP BY d.NAME ORDER BY d.NAME""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(
+      ("District of Connecticut", 1L),
+      ("Middle District of Florida", 4L)))
+  }
+
+  test("DDL log captures CREATE DATABASE / CREATE TABLE golden shapes") {
+    assert(ingest.ddlLog.head === "CREATE DATABASE IF NOT EXISTS ncd")
+    val caseDdl = ingest.ddlLog.find(_.contains("ncd.GS_CASE (")).get
+    assert(caseDdl.contains("CASEID BIGINT"))
+    assert(caseDdl.contains("FILE_DATE DATE"))
+    assert(caseDdl.contains("TOTAL_LOSS DOUBLE"))
+    assert(caseDdl.contains("redacted_TOTAL_LOSS BOOLEAN"))
+    assert(caseDdl.contains("PARTITIONED BY (filename_district)"))
+    val lookupDdl = ingest.ddlLog.find(_.contains("ncd.GS_POSITION (")).get
+    assert(lookupDdl.contains("POSITION_CODE STRING"))
+    assert(lookupDdl.contains("redacted_POSITION_CODE BOOLEAN"))
+  }
+}

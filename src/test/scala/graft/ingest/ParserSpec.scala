@@ -1,0 +1,111 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchemaParserSpec extends AnyFunSuite {
+
+  test("parses README fragments into per-table field specs") {
+    val specs = SchemaParser.parse(Fixtures.readme)
+    assert(specs.keySet === Set("GS_CASE", "GS_COURT_HIST"))
+
+    val gsCase = specs("GS_CASE")
+    assert(gsCase.fields.map(_.name) ===
+      Seq("CASEID", "DISTRICT", "FILE_DATE", "LEAD_CHARGE", "TOTAL_LOSS"))
+    assert(gsCase.fields.map(f => (f.start, f.length)) ===
+      Seq((1, 10), (11, 4), (15, 11), (26, 20), (46, 12)))
+    assert(gsCase.fields.map(_.oracleType) === Seq(
+      OracleType.Number, OracleType.Varchar, OracleType.OracleDate,
+      OracleType.Varchar, OracleType.OracleFloat))
+  }
+
+  test("schema yields 2N columns: typed data then boolean flags") {
+    val st = SchemaParser.parse(Fixtures.readme)("GS_COURT_HIST").structType
+    assert(st.fieldNames === Array(
+      "CASEID", "EVENT_DATE", "EVENT_TYPE",
+      "redacted_CASEID", "redacted_EVENT_DATE", "redacted_EVENT_TYPE"))
+  }
+
+  test("unknown oracle type fails fast like the reference") {
+    intercept[NotImplementedError](OracleType.parse("BLOB"))
+  }
+
+  test("empty README yields no specs") {
+    assert(SchemaParser.parse("no tables here") === Map.empty)
+  }
+}
+
+class RulerParserSpec extends AnyFunSuite {
+
+  test("camelCase header normalization") {
+    assert(RulerParser.normalizeFieldName("PositionCode") === "POSITION_CODE")
+    assert(RulerParser.normalizeFieldName("Code") === "CODE")
+    assert(RulerParser.normalizeFieldName("redacted_PositionCode") ===
+      "redacted_POSITION_CODE")
+  }
+
+  test("ruler spans slice header and rows; '*' redacts to empty string") {
+    val fragment =
+      """Code Name
+        |---- --------------------------
+        |FLM  Middle District of Florida
+        |*    Redacted""".stripMargin
+    val t = RulerParser.parse(fragment)
+    assert(t.dataColumns === Seq("CODE", "NAME"))
+    assert(t.allColumns === Seq("CODE", "NAME", "redacted_CODE", "redacted_NAME"))
+    assert(t.rows(0) === (Seq("FLM", "Middle District of Florida"),
+      Seq(false, false)))
+    assert(t.rows(1) === (Seq("", "Redacted"), Seq(true, false)))
+  }
+
+  test("short rows clamp instead of erroring") {
+    val t = RulerParser.parse("A    B\n---- ----\nxy")
+    assert(t.rows(0) === (Seq("xy", ""), Seq(false, false)))
+  }
+}
+
+class GlobalSplitterSpec extends AnyFunSuite {
+
+  test("splits stacked tables on bare name lines") {
+    val tables = GlobalSplitter.split(Fixtures.globalLions)
+    assert(tables.keySet === Set("GS_DISTRICT", "GS_OFFENSE"))
+    assert(tables("GS_DISTRICT").startsWith("Code Name"))
+    assert(tables("GS_DISTRICT").endsWith("District of Connecticut"))
+    assert(tables("GS_OFFENSE").endsWith("Narcotics"))
+  }
+
+  test("no name lines -> empty") {
+    assert(GlobalSplitter.split("nothing\nto see\n") === Map.empty)
+  }
+}
+
+class LookupParserSpec extends AnyFunSuite {
+
+  test("extracts name and table body between blank regions") {
+    val (name, table) = LookupParser.parseTable(Fixtures.lookupGsPosition)
+    assert(name === "GS_POSITION")
+    assert(table.dataColumns === Seq("POSITION_CODE", "DESCRIPTION", "ACTIVE_FLAG"))
+    assert(table.rows.size === 3)
+    assert(table.rows(0)._1 === Seq("AUSA", "Assistant U.S. Attorney", "Y"))
+    // redacted cell: empty-string value + true flag (global-table quirk)
+    assert(table.rows(2) === (Seq("", "Redacted position", "N"),
+      Seq(true, false, false)))
+  }
+}
+
+class ListingSpec extends AnyFunSuite {
+
+  test("extracts .zip hrefs, resolves relative urls, forces https") {
+    val html =
+      """<html><body>
+        |<a href="/foia/file1.zip">one</a>
+        |<a href='http://example.gov/abs/file2.zip'>two</a>
+        |<a href="not_a_zip.txt">nope</a>
+        |<a href="file3.zip">three</a>
+        |</body></html>""".stripMargin
+    val urls = Listing.zipUrls(html, "http://doj.example.gov/listing/page.html")
+    assert(urls === Seq(
+      "https://doj.example.gov/foia/file1.zip",
+      "https://example.gov/abs/file2.zip",
+      "https://doj.example.gov/listing/file3.zip"))
+  }
+}
