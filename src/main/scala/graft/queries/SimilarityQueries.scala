@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.table
+import graft.functions.VectorOps._
+
+/** Embedding similarity + sessionization operators (SURVEY.md §2-C).
+  *
+  * Scale notes:
+  *   - q44 is the *exact* pairwise baseline (quadratic — correct but only
+  *     for corpus-sized validation); q45 broadcasts a small query set
+  *     against the full corpus (linear scans, the realistic brute-force
+  *     shape); q46 is the IVF scale path: assign once, then probe a few
+  *     partitions — candidate set shrinks by ~nlist/nprobe.
+  *   - all cosine math is double-promoted sequential folds (VectorOps), so
+  *     DuckDB replays it exactly.
+  */
+object SimilarityQueries {
+
+  private val duckNormed =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- exact pairwise near-dup (baseline) -------------------------------
+    "q44_embed_neardup_cosine" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", norm(col("v")))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos_sim",
+            dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+                  round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH $duckNormed
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+              |FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ---- brute-force top-k ANN --------------------------------------------
+    "q45_ann_topk_bruteforce" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val q = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+                  col("nrm").as("qn")))
+        val sims = e.join(q, col("vec_id") =!= col("query_id"))
+          .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("sim"), asc("vec_id"))
+        sims.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                  round(col("sim"), 4).as("sim"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckNormed,
+              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+              |      FROM n WHERE vec_id < 5),
+              |sims AS (
+              |  SELECT q.query_id, c.vec_id AS neighbor_id,
+              |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS sim
+              |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, sim,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+              |  FROM sims)
+              |SELECT query_id, neighbor_id, round(sim, 4) AS sim, rnk
+              |FROM ranked WHERE rnk <= 10
+              |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- IVF-style ANN (the scale path) -----------------------------------
+    // "Centroids" are a deterministic sample (vec_id % 50 == 0) standing in
+    // for trained k-means centers; the structure (assign to nearest list,
+    // probe nprobe lists, exact re-rank within candidates) is the real IVF
+    // dataflow, all equi-joins + windows.
+    "q46_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+
+        def l2(a: String, b: String) =
+          dot(col(a), col(a)) - lit(2.0) * dot(col(a), col(b)) +
+            dot(col(b), col(b))
+
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(asc("d2"), asc("cid"))
+        val assign = e.join(cent)
+          .withColumn("d2", l2("v", "cv"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cid"))
+
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(asc("d2"), asc("cid"))
+        val probe = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .join(cent)
+          .withColumn("d2", l2("qv", "cv"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 3)
+          .select(col("query_id"), col("qv"), col("cid"))
+
+        val cands = probe.join(assign, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("sim",
+            dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(desc("sim"), asc("vec_id"))
+        cands.withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                  round(col("sim"), 4).as("sim"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+              |assign AS (
+              |  SELECT vec_id, v, cid FROM (
+              |    SELECT e.vec_id, e.v, cent.cid,
+              |      CAST(row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |        list_dot_product(e.v, e.v)
+              |          - 2.0 * list_dot_product(e.v, cent.cv)
+              |          + list_dot_product(cent.cv, cent.cv), cent.cid)
+              |        AS INT) AS rn
+              |    FROM e CROSS JOIN cent) WHERE rn = 1),
+              |probe AS (
+              |  SELECT query_id, qv, cid FROM (
+              |    SELECT q.vec_id AS query_id, q.v AS qv, cent.cid,
+              |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |        list_dot_product(q.v, q.v)
+              |          - 2.0 * list_dot_product(q.v, cent.cv)
+              |          + list_dot_product(cent.cv, cent.cv), cent.cid)
+              |        AS INT) AS rn
+              |    FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cent)
+              |  WHERE rn <= 3),
+              |cands AS (
+              |  SELECT p.query_id, a.vec_id,
+              |    list_dot_product(p.qv, a.v) /
+              |      (sqrt(list_dot_product(p.qv, p.qv)) *
+              |       sqrt(list_dot_product(a.v, a.v))) AS sim
+              |  FROM probe p JOIN assign a ON a.cid = p.cid
+              |  WHERE a.vec_id <> p.query_id)
+              |SELECT query_id, neighbor_id, sim, rnk FROM (
+              |  SELECT query_id, vec_id AS neighbor_id, round(sim, 4) AS sim,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY sim DESC, vec_id) AS INT) AS rnk
+              |  FROM cands)
+              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- sessionization (batch) -------------------------------------------
+    "q50_sessionize" -> QueryDef(
+      (s, dir) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = table(s, dir, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("new_session",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_seq",
+            sum("new_session").over(
+              wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        val sessions = ev.groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+               ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+                 / 1000000.0).as("duration_s"))
+        sessions.groupBy("n_events")
+          .agg(count(lit(1)).as("n_sessions"),
+               round(avg("duration_s"), 3).as("avg_duration_s"))
+          .orderBy("n_events")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM g),
+             |numbered AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_seq
+             |  FROM marked),
+             |sessions AS (
+             |  SELECT user_id, session_seq, count(*) AS n_events,
+             |    (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0
+             |      AS duration_s
+             |  FROM numbered GROUP BY user_id, session_seq)
+             |SELECT n_events, count(*) AS n_sessions,
+             |  round(avg(duration_s), 3) AS avg_duration_s
+             |FROM sessions GROUP BY n_events ORDER BY n_events""".stripMargin)),
+  )
+}

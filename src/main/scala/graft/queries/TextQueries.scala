@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.table
+import graft.functions.TextOps._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface (SURVEY.md §2-C).
+  *
+  * Design for 100 TB: every per-document computation (tokens, shingles,
+  * minhash signatures, simhash bit-sums, fingerprints) is a narrow
+  * projection built from codegen'd built-ins — embarrassingly parallel, no
+  * shuffle. The only shuffles are the ones the algorithms require:
+  * band-bucket joins (MinHash/LSH), shingle equi-joins (Jaccard), and final
+  * group-bys — all equi-shuffles on well-distributed keys, never a cross
+  * join on the corpus.
+  *
+  * The hash family is md5-derived (TextOps.hash32) specifically so DuckDB
+  * can replay every operator bit-identically as an oracle.
+  */
+object TextQueries {
+
+  // DuckDB-side shared fragments
+  private val duckToks =
+    "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val duckShingles =
+    s"""CASE WHEN len(ws) >= 3
+       | THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                     for i in range(1, len(ws) - 1)])
+       | ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- quality scoring --------------------------------------------------
+    "q30_text_quality" -> QueryDef(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("n_tokens", size(tokens(col("text"))))
+          .withColumn("punct_ratio",
+            length(regexp_replace(col("text"), "[^.,;:!?]", "")) * 1.0 /
+              length(col("text")))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s", "")) * 1.0 /
+              col("n_tokens"))
+          .withColumn("quality",
+            log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("punct_ratio")))
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg("n_tokens"), 2).as("avg_tokens"),
+               round(avg("avg_token_len"), 4).as("avg_tok_len"),
+               round(avg("quality"), 4).as("avg_quality"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              | round(avg(n_tokens), 2) AS avg_tokens,
+              | round(avg(avg_token_len), 4) AS avg_tok_len,
+              | round(avg(quality), 4) AS avg_quality
+              |FROM (
+              |  SELECT lang, n_tokens, punct_ratio,
+              |    length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / n_tokens
+              |      AS avg_token_len,
+              |    ln(1.0 + n_tokens) * (1.0 - punct_ratio) AS quality
+              |  FROM (
+              |    SELECT lang, text, len($duckToks) AS n_tokens,
+              |      length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+              |        length(text) AS punct_ratio
+              |    FROM documents))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- language-ID heuristic -------------------------------------------
+    "q31_lang_id" -> QueryDef(
+      (s, dir) => {
+        val pred =
+          when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+            .when(col("text").rlike("\\b(the|and|of)\\b"), "en")
+            .when(col("text").rlike("\\b(und|der|das)\\b"), "de")
+            .when(col("text").rlike("\\b(el|la|los)\\b"), "es")
+            .when(col("text").rlike("\\b(le|les|des)\\b"), "fr")
+            .otherwise("other")
+        table(s, dir, "documents")
+          .withColumn("lang_pred", pred)
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some("""SELECT lang,
+             | CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             |      WHEN regexp_matches(text, '\b(the|and|of)\b') THEN 'en'
+             |      WHEN regexp_matches(text, '\b(und|der|das)\b') THEN 'de'
+             |      WHEN regexp_matches(text, '\b(el|la|los)\b') THEN 'es'
+             |      WHEN regexp_matches(text, '\b(le|les|des)\b') THEN 'fr'
+             |      ELSE 'other' END AS lang_pred,
+             | count(*) AS n
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin)),
+
+    // ---- token counting ---------------------------------------------------
+    "q32_token_stats" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("total_tokens"),
+               countDistinct("tok").as("distinct_tokens"))
+          .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS total_tokens,
+              | count(DISTINCT tok) AS distinct_tokens
+              |FROM (SELECT source, unnest($duckToks) AS tok
+              |      FROM (SELECT source, text FROM documents))
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- fingerprinting ---------------------------------------------------
+    "q33_fingerprint" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+              .as("fp_md5"),
+            rollingFingerprint(tokens(col("text"))).as("fp_roll"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+              | list_reduce([CAST(0 AS BIGINT)] ||
+              |   list_transform($duckToks,
+              |     w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)),
+              |   (h, x) -> (h * 31 + x) % 1048576) AS fp_roll
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact dedup ------------------------------------------------------
+    "q40_dedup_exact" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(md5(col("text"))).as("n_unique"),
+               (count(lit(1)) - countDistinct(md5(col("text"))))
+                 .cast("bigint").as("n_dupes"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             | count(DISTINCT md5(text)) AS n_unique,
+             | CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- MinHash + LSH near-dup candidates --------------------------------
+    // 8 minhashes, 4 bands of 2: per-doc signatures are a narrow projection
+    // (no shuffle); candidates emerge from an equi-join on band keys —
+    // the canonical way to near-dedup 100 TB without a cross join.
+    "q41_dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sig = docs
+          .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id") +:
+            (0 until 8).map(i => minhash(col("sh"), i).as(s"m$i")): _*)
+        val bands = (0 until 4).map { b =>
+          sig.select(col("doc_id"), lit(b).as("band_id"),
+            concat(col(s"m${2 * b}").cast("string"), lit(","),
+                   col(s"m${2 * b + 1}").cast("string")).as("key"))
+        }.reduce(_ unionAll _)
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(shingles,
+             |   s -> CAST(('0x' || substr(md5('$i:' || s), 1, 8)) AS BIGINT)))
+             |   AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bands = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |sh AS (SELECT doc_id, $duckShingles AS shingles FROM ws),
+           |sig AS (SELECT doc_id, $minhashes
+           |        FROM sh WHERE len(shingles) > 0),
+           |bands AS ($bands)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band_id = b.band_id AND a.key = b.key
+           |  AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ---- SimHash near-dup -------------------------------------------------
+    // Features are 3-gram shingles, not unigrams: on corpora with heavily
+    // shared vocabulary, unigram simhashes collapse (every doc's token set
+    // is near-identical) while shingle sets still separate unrelated docs.
+    "q42_dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val th = docs.select(col("doc_id"),
+            explode(shingles3(tokens(col("text")))).as("tok"))
+          .withColumn("th", hash32(col("tok")))
+        val bitAggs = (0 until 32).map(i =>
+          sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"b$i"))
+        val bitSums = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val sim = bitSums.select(col("doc_id"),
+          (0 until 32).map(i =>
+            when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sh"))
+        sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming",
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int"))
+          .filter(col("hamming") <= 4)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                  col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sums = (0 until 32).map(i =>
+          s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val build = (0 until 32).map(i =>
+          s"CASE WHEN b$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |toks AS (
+           |  SELECT doc_id, unnest($duckShingles) AS tok
+           |  FROM (SELECT doc_id, ws FROM ws)),
+           |th AS (SELECT doc_id,
+           |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM toks),
+           |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+           |sh AS (SELECT doc_id, $build AS sh FROM bits)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 4
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ---- n-gram Jaccard verification --------------------------------------
+    // Relational jaccard: explode distinct shingles, equi-join on shingle,
+    // |A ∩ B| / (|A| + |B| - |A ∩ B|). Shuffle on shingle keys — scalable,
+    // unlike a pairwise cross join.
+    "q43_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sh = docs
+          .select(col("doc_id"),
+            explode(shingles3(tokens(col("text")))).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jaccard",
+            col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"),
+                  round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh AS (SELECT doc_id, unnest($duckShingles) AS sh
+              |       FROM (SELECT doc_id, ws FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b
+              |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+  )
+}
