@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{QueryDef, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{MultimodalQueries, QueryDef, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full catalog: name -> (Spark program, optional DuckDB oracle SQL). */
   def catalog: Seq[(String, QueryDef)] =
-    Relational.defs ++ TextQueries.defs ++ SimilarityQueries.defs
+    Relational.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

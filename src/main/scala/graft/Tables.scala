@@ -15,6 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Like [[table]], but spread across the session's full parallelism.
+    *
+    * Use for CPU-bound per-row pipelines (shingling, hashing, vector math):
+    * a small parquet file arrives as ONE input split, which would pin the
+    * whole map stage to a single core. The round-robin repartition costs
+    * one small shuffle and buys full-width execution — and at real scale it
+    * degrades gracefully into a near-no-op rebalance.
+    */
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    table(spark, sfDir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

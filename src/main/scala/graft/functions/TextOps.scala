@@ -31,12 +31,22 @@ object TextOps {
           element_at(toks, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash component i: min over shingles of hash32(i + ":" + shingle).
+  /** The minhash family: affine mixes of ONE base hash per shingle,
+    * h_i = (a_i * h + b_i) mod P. One md5 pass over the shingles, then 8
+    * cheap integer transforms — 8x less hashing than hashing per (shingle,
+    * i) pair, and the integer arithmetic replays exactly in DuckDB.
+    * a_i * h stays < 2^49, so no 64-bit overflow on either engine.
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 100003L + 7919L * i
+  def minhashB(i: Int): Long = 12345L + 1000003L * i
+
+  /** MinHash component i over a pre-hashed shingle array (array<long>).
     * Null when the shingle set is empty (short docs never band-join).
     */
-  def minhash(shingleCol: Column, i: Int): Column =
-    array_min(transform(shingleCol, s =>
-      hash32(concat(lit(i.toString), lit(":"), s))))
+  def minhash(hashesCol: Column, i: Int): Column =
+    array_min(transform(hashesCol, h =>
+      (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))
 
   /** Rolling polynomial fingerprint of the token sequence:
     * fold h -> (h * 31 + hash32(token)) mod 2^20, left-to-right from 0.

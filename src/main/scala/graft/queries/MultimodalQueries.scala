@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.multimodal.Multimodal
+
+/** Catalog entry for the multimodal pipeline's relational surface: binary
+  * payload + typed metadata columns, aggregated per format. The codec-side
+  * stages (decode/feature/resize) are exercised in MultimodalSpec; this
+  * query oracles the schema/metadata plumbing that is SQL-expressible.
+  */
+object MultimodalQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q51_multimodal_features" -> QueryDef(
+      (s, dir) =>
+        Multimodal.fakeMediaTable(table(s, dir, "documents"), "doc_id", "text")
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_media"),
+               round(avg(octet_length(col("payload"))), 2).as("avg_bytes"),
+               round(avg(col("width").cast("long") * col("height")), 1)
+                 .as("avg_pixels"))
+          .orderBy("format"),
+      Some("""SELECT
+             | CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |   ELSE 'webp' END AS format,
+             | count(*) AS n_media,
+             | round(avg(octet_length(encode(text))), 2) AS avg_bytes,
+             | round(avg(((doc_id % 64) * 16 + 16) *
+             |           ((doc_id % 48) * 16 + 16)), 1) AS avg_pixels
+             |FROM documents GROUP BY 1 ORDER BY format""".stripMargin)),
+  )
+}

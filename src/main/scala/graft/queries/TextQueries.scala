@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.Tables.table
+import graft.Tables.{table, tableParallel}
+import graft.functions.{ShingleHashes, TextOps}
 import graft.functions.TextOps._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -31,12 +32,24 @@ object TextQueries {
        |                     for i in range(1, len(ws) - 1)])
        | ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
+  /** Distinct md5-hashed 3-gram shingles — the SQL twin of the native
+    * [[ShingleHashes]] expression (distinct applied AFTER hashing on both
+    * sides so 32-bit collisions can never desynchronize the engines).
+    */
+  private val duckHs =
+    s"""CASE WHEN len(ws) >= 3
+       | THEN list_distinct(list_transform(
+       |   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |    for i in range(1, len(ws) - 1)],
+       |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
+       | ELSE CAST([] AS BIGINT[]) END""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- quality scoring --------------------------------------------------
     "q30_text_quality" -> QueryDef(
       (s, dir) => {
-        val d = table(s, dir, "documents")
+        val d = tableParallel(s, dir, "documents")
           .withColumn("n_tokens", size(tokens(col("text"))))
           .withColumn("punct_ratio",
             length(regexp_replace(col("text"), "[^.,;:!?]", "")) * 1.0 /
@@ -98,7 +111,7 @@ object TextQueries {
     // ---- token counting ---------------------------------------------------
     "q32_token_stats" -> QueryDef(
       (s, dir) =>
-        table(s, dir, "documents")
+        tableParallel(s, dir, "documents")
           .select(col("source"), explode(tokens(col("text"))).as("tok"))
           .groupBy("source")
           .agg(count(lit(1)).as("total_tokens"),
@@ -113,7 +126,7 @@ object TextQueries {
     // ---- fingerprinting ---------------------------------------------------
     "q33_fingerprint" -> QueryDef(
       (s, dir) =>
-        table(s, dir, "documents")
+        tableParallel(s, dir, "documents")
           .select(
             col("doc_id"),
             md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -149,17 +162,22 @@ object TextQueries {
     // the canonical way to near-dedup 100 TB without a cross join.
     "q41_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val sig = docs
-          .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id") +:
-            (0 until 8).map(i => minhash(col("sh"), i).as(s"m$i")): _*)
-        val bands = (0 until 4).map { b =>
-          sig.select(col("doc_id"), lit(b).as("band_id"),
-            concat(col(s"m${2 * b}").cast("string"), lit(","),
-                   col(s"m${2 * b + 1}").cast("string")).as("key"))
-        }.reduce(_ unionAll _)
+        val docs = tableParallel(s, dir, "documents")
+        ShingleHashes.register(s)
+        // ONE native pass per doc (tokens -> distinct hashed shingles),
+        // then 8 affine mixes; 4 band keys built in the same narrow
+        // projection and posexploded long-form, so the signature pipeline
+        // is never recomputed per band.
+        val hs = docs
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0)
+        def bandKey(b: Int) =
+          concat(minhash(col("hs"), 2 * b).cast("string"), lit(","),
+                 minhash(col("hs"), 2 * b + 1).cast("string"))
+        val bands = hs.select(col("doc_id"),
+            posexplode(array((0 until 4).map(bandKey): _*)))
+          .toDF("doc_id", "band_id", "key")
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_id") === col("b.band_id") &&
@@ -171,18 +189,18 @@ object TextQueries {
       },
       Some {
         val minhashes = (0 until 8).map { i =>
-          s"""list_min(list_transform(shingles,
-             |   s -> CAST(('0x' || substr(md5('$i:' || s), 1, 8)) AS BIGINT)))
-             |   AS m$i""".stripMargin
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
         }.mkString(",\n ")
         val bands = (0 until 4).map { b =>
           s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
             s"m${2 * b + 1}::VARCHAR AS key FROM sig"
         }.mkString("\n UNION ALL ")
         s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
-           |sh AS (SELECT doc_id, $duckShingles AS shingles FROM ws),
-           |sig AS (SELECT doc_id, $minhashes
-           |        FROM sh WHERE len(shingles) > 0),
+           |hss AS (SELECT * FROM
+           |          (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $minhashes FROM hss),
            |bands AS ($bands)
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b
@@ -197,10 +215,10 @@ object TextQueries {
     // is near-identical) while shingle sets still separate unrelated docs.
     "q42_dedup_simhash" -> QueryDef(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
+        val docs = tableParallel(s, dir, "documents")
+        ShingleHashes.register(s)
         val th = docs.select(col("doc_id"),
-            explode(shingles3(tokens(col("text")))).as("tok"))
-          .withColumn("th", hash32(col("tok")))
+            explode(ShingleHashes.of(tokens(col("text")))).as("th"))
         val bitAggs = (0 until 32).map(i =>
           sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1)
             .otherwise(-1)).as(s"b$i"))
@@ -225,11 +243,8 @@ object TextQueries {
           s"CASE WHEN b$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
           .mkString(" + ")
         s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
-           |toks AS (
-           |  SELECT doc_id, unnest($duckShingles) AS tok
-           |  FROM (SELECT doc_id, ws FROM ws)),
-           |th AS (SELECT doc_id,
-           |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th FROM toks),
+           |th AS (SELECT doc_id, unnest(hs) AS th
+           |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
            |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
            |sh AS (SELECT doc_id, $build AS sh FROM bits)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -245,10 +260,14 @@ object TextQueries {
     // unlike a pairwise cross join.
     "q43_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
+        val docs = tableParallel(s, dir, "documents")
+        // join on the 32-bit shingle hash, not the shingle string: long
+        // equality shuffles + compares far cheaper, and the oracle applies
+        // the identical hashing so results stay exact.
+        ShingleHashes.register(s)
         val sh = docs
           .select(col("doc_id"),
-            explode(shingles3(tokens(col("text")))).as("sh"))
+            explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a")
           .join(sh.as("b"),
@@ -266,8 +285,8 @@ object TextQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
-              |sh AS (SELECT doc_id, unnest($duckShingles) AS sh
-              |       FROM (SELECT doc_id, ws FROM ws)),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

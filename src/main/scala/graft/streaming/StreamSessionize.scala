@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extensions (SURVEY.md §2-C): the reference is
+  * batch-only (cumulative snapshots), but the `events` table motivates a
+  * streaming surface. Two sessionizers:
+  *
+  *   1. `sessionWindows` — declarative `session_window` aggregation with a
+  *      watermark: Spark merges windows whose events are within the gap,
+  *      state is evicted by the watermark. The right default.
+  *   2. `statefulSessionize` — `flatMapGroupsWithState` with explicit
+  *      per-user state + processing-time timeout, for session semantics the
+  *      built-in window can't express (e.g. emit-on-close with custom
+  *      session payloads).
+  *
+  * Both operate identically on a batch DataFrame vs a stream (same code
+  * path), which is how they're unit-tested with MemoryStream.
+  */
+object StreamSessionize {
+
+  /** Declarative gap-sessionization. `events` needs (user_id, ts, value). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long,
+                                total: Double)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                                 session_end: Timestamp, n_events: Long,
+                                 total_value: Double)
+
+  /** Custom state machine: accumulate per-user sessions, emit a
+    * ClosedSession whenever a gap exceeds `gapMs` (or on timeout, when a
+    * timeout mode is configured — production pipelines pass
+    * `ProcessingTimeTimeout` so idle users' sessions close without new
+    * data; tests use the `NoTimeout` default for deterministic batches).
+    */
+  def statefulSessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                         timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), timeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { s =>
+              ClosedSession(userId, new Timestamp(s.start),
+                new Timestamp(s.lastSeen), s.n, s.total)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toVector.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Vector.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Tumbling-window event counts with late-data handling — the windowed
+    * aggregation shape (`window` + watermark) for dashboard-style rollups.
+    */
+  def windowedCounts(events: DataFrame, width: String = "10 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+}

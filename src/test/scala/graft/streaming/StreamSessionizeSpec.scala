@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.concurrent.TimeLimits
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.time.{Seconds, Span}
+
+import graft.TestSpark
+import graft.streaming.StreamSessionize._
+
+class StreamSessionizeSpec extends AnyFunSuite with TimeLimits {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("session_window aggregation over a MemoryStream") {
+    failAfter(Span(180, Seconds)) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+
+    val query = sessionWindows(events, gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      input.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(35), 4.0),
+                    (2L, ts(0), 8.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(out === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally query.stop()
+    }
+  }
+
+  test("stateful sessionizer emits closed sessions on gap") {
+    failAfter(Span(180, Seconds)) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = statefulSessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(0), 1.0), Event(1, ts(5), 2.0))
+      query.processAllAvailable()
+      // second batch: 30-min gap closes the first session
+      input.addData(Event(1, ts(35), 4.0))
+      query.processAllAvailable()
+      val out = spark.table("closed_sessions")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((1L, 2L, 3.0)))
+    } finally query.stop()
+    }
+  }
+
+  test("batch and streaming sessionization agree (same code path)") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(35), 4.0), (2L, ts(0), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = sessionWindows(batch, gap = "10 minutes")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("windowed counts with watermark") {
+    import spark.implicits._
+    val batch = Seq(
+      (ts(1), "click"), (ts(2), "click"), (ts(11), "click"), (ts(3), "view"))
+      .toDF("ts", "event_type")
+    val out = windowedCounts(batch, width = "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out === Set(
+      (ts(0), "click", 2L), (ts(10), "click", 1L), (ts(0), "view", 1L)))
+  }
+}
