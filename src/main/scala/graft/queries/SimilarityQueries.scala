@@ -127,7 +127,7 @@ object SimilarityQueries {
           .filter(col("rn") <= 3)
           .select(col("query_id"), col("qv"), col("cid"))
 
-        val cands = probe.join(assign, "cid")
+        val cands = broadcast(probe).join(assign, "cid")
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("sim",
             dot(s)(col("qv"), col("v")) / (norm(s)(col("qv")) * norm(s)(col("v"))))

@@ -227,12 +227,29 @@ object TextQueries {
           (0 until 32).map(i =>
             when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
             .reduce(_ + _).as("sh"))
-        sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .withColumn("hamming",
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int"))
-          .filter(col("hamming") <= 4)
+        // multi-index blocking instead of an O(n^2) pair join: split the 32
+        // bits into 5 chunks — any pair within hamming distance 4 must agree
+        // on at least one whole chunk (pigeonhole), so candidates come from
+        // an equi-join on (chunk_id, chunk_value) and only candidates pay
+        // the exact hamming check. This is what makes simhash dedup linear-
+        // ish at corpus scale.
+        val chunks = sim.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 5).map { c =>
+            val width = if (c < 4) 7 else 4
+            shiftright(col("sh"), 7 * c)
+              .bitwiseAND(lit((1L << width) - 1))
+          }: _*)))
+          .toDF("doc_id", "sh", "chunk_id", "cv")
+        chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.chunk_id") === col("b.chunk_id") &&
+              col("a.cv") === col("b.cv") &&
+              col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                  col("hamming"))
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int")
+              .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 4)
           .orderBy("doc_a", "doc_b")
       },
       Some {
@@ -246,11 +263,20 @@ object TextQueries {
            |th AS (SELECT doc_id, unnest(hs) AS th
            |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
            |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
-           |sh AS (SELECT doc_id, $build AS sh FROM bits)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sh, b.sh)) <= 4
+           |sh AS (SELECT doc_id, $build AS sh FROM bits),
+           |chunks AS (${(0 until 5).map { c =>
+               val width = if (c < 4) 7 else 4
+               s"SELECT doc_id, sh, $c AS chunk_id, " +
+                 s"(sh >> ${7 * c}) & ${(1L << width) - 1} AS cv FROM sh"
+             }.mkString("\n  UNION ALL ")}),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_id = b.chunk_id AND a.cv = b.cv
+           |    AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM cand
+           |WHERE hamming <= 4
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
