@@ -410,5 +410,87 @@ object Relational {
       Some("""SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 1) AS qty
              |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
              |ORDER BY l_partkey""".stripMargin)),
+
+    // ---- grouping sets ----------------------------------------------------
+    "q26_grouping_sets" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+            col("c_mktsegment"), col("c_nationkey"))
+          .agg(grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+               grouping(col("c_nationkey")).cast("int").as("g_nat"),
+               count(lit(1)).as("n"),
+               round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy(asc_nulls_last("c_mktsegment"), asc_nulls_last("c_nationkey")),
+      Some("""SELECT c_mktsegment, c_nationkey,
+             | CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+             | CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+             | count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer
+             |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+             |ORDER BY c_mktsegment ASC NULLS LAST, c_nationkey ASC NULLS LAST""".stripMargin)),
+
+    // ---- window frames: interval range, lead, ntile -----------------------
+    "q27_window_frames" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                  col("o_totalprice"))
+          .withColumn("mv90",
+            expr("""round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   | ORDER BY o_orderdate RANGE BETWEEN INTERVAL 90 DAYS
+                   | PRECEDING AND CURRENT ROW), 2)""".stripMargin))
+          .withColumn("next_price",
+            lead(col("o_totalprice"), 1).over(
+              Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+          .withColumn("quartile",
+            ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+              .cast("int"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate RANGE BETWEEN INTERVAL 90 DAYS
+             |   PRECEDING AND CURRENT ROW), 2) AS mv90,
+             | lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey) AS next_price,
+             | CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+             |   AS quartile
+             |FROM orders WHERE o_custkey < 50
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // ---- statistical aggregates -------------------------------------------
+    "q28_agg_stats" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(round(median(col("c_acctbal")), 4).as("med_bal"),
+               round(stddev(col("c_acctbal")), 6).as("sd_bal"),
+               min("c_acctbal").as("min_bal"),
+               max("c_acctbal").as("max_bal"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+             | round(median(c_acctbal), 4) AS med_bal,
+             | round(stddev(c_acctbal), 6) AS sd_bal,
+             | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- structured JSON parse (from_json -> struct) ----------------------
+    "q29_json_struct" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+          .groupBy(floor(col("k") / 10.0).cast("int").as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+               min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy(asc_nulls_last("k_bucket")),
+      Some("""SELECT CAST(floor(k / 10.0) AS INT) AS k_bucket, count(*) AS n,
+             | min(k) AS min_k, max(k) AS max_k
+             |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |      FROM events)
+             |GROUP BY 1 ORDER BY k_bucket ASC NULLS LAST""".stripMargin)),
   )
 }

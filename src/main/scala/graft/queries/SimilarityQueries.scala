@@ -221,5 +221,44 @@ object SimilarityQueries {
              |SELECT n_events, count(*) AS n_sessions,
              |  round(avg(duration_s), 3) AS avg_duration_s
              |FROM sessions GROUP BY n_events ORDER BY n_events""".stripMargin)),
+
+    // ---- declarative session_window on batch data -------------------------
+    // Same gap semantics as q50 but through Spark's built-in session_window
+    // (the operator Structured Streaming uses); the oracle replays the
+    // merge rule relationally: new session iff gap > 30 min, window end =
+    // last event + gap.
+    "q52_session_window_batch" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+               round(sum("value"), 2).as("total_value"))
+          .select(col("user_id"),
+                  col("session_window.start").as("session_start"),
+                  col("session_window.end").as("session_end"),
+                  col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1
+             |        ELSE 0 END) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_seq
+             |  FROM g),
+             |sessions AS (
+             |  SELECT user_id,
+             |    min(ts) AS session_start,
+             |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |    count(*) AS n_events,
+             |    round(sum(value), 2) AS total_value
+             |  FROM numbered GROUP BY user_id, session_seq)
+             |SELECT user_id, session_start, session_end, n_events, total_value
+             |FROM sessions ORDER BY user_id, session_start""".stripMargin)),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.{table, tableParallel}
-import graft.functions.{ShingleHashes, TextOps}
+import graft.functions.{MinhashBandKeys, ShingleHashes, TextOps}
 import graft.functions.TextOps._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -164,6 +164,7 @@ object TextQueries {
       (s, dir) => {
         val docs = tableParallel(s, dir, "documents")
         ShingleHashes.register(s)
+        MinhashBandKeys.register(s)
         // ONE native pass per doc (tokens -> distinct hashed shingles),
         // then 8 affine mixes; 4 band keys built in the same narrow
         // projection and posexploded long-form, so the signature pipeline
@@ -172,11 +173,8 @@ object TextQueries {
           .select(col("doc_id"),
             ShingleHashes.of(tokens(col("text"))).as("hs"))
           .filter(size(col("hs")) > 0)
-        def bandKey(b: Int) =
-          concat(minhash(col("hs"), 2 * b).cast("string"), lit(","),
-                 minhash(col("hs"), 2 * b + 1).cast("string"))
         val bands = hs.select(col("doc_id"),
-            posexplode(array((0 until 4).map(bandKey): _*)))
+            posexplode(MinhashBandKeys.of(col("hs"))))
           .toDF("doc_id", "band_id", "key")
         bands.as("a")
           .join(bands.as("b"),
