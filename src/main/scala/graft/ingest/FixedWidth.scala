@@ -53,9 +53,11 @@ object FixedWidth {
   }
 
   /** Project one raw-line DataFrame (single `value` string column) into the
-    * 2N-column typed shape. `lineCol` must already be CR-scrubbed.
+    * 2N-column typed shape, carrying through any `keep` columns (e.g. a
+    * source-zip tag). `value` must already be CR-scrubbed.
     */
-  def project(lines: DataFrame, spec: TableSpec): DataFrame = {
+  def project(lines: DataFrame, spec: TableSpec,
+              keep: Seq[String] = Nil): DataFrame = {
     val value = col("value")
     val rawCells = spec.fields.map { f =>
       f.name -> trim(substring(value, f.start, f.length))
@@ -69,7 +71,7 @@ object FixedWidth {
     val flagCols = rawCells.map { case (name, raw) =>
       (raw === "*").as(s"redacted_$name")
     }
-    lines.select(dataCols ++ flagCols: _*)
+    lines.select(dataCols ++ flagCols ++ keep.map(col): _*)
   }
 
   /** Read one fixed-width member file end-to-end: latin-1 decode, CR scrub,

@@ -77,6 +77,20 @@ object Sink {
     else writer.parquet(location)
   }
 
+  /** Bucketed catalog table for shuffle-free equi-joins: co-locates rows of
+    * repeatedly-joined fact tables on the join key (e.g. CASEID between
+    * GS_CASE and GS_COURT_HIST) so the sort-merge join reads pre-shuffled,
+    * pre-sorted buckets. Bucketing requires `saveAsTable` (the bucket
+    * metadata lives in the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A18/A20: register in the session catalog + discover partitions. */
   def registerTable(spark: SparkSession, ddl: String, db: String,
                     table: String, isPartitioned: Boolean): Unit = {

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins and aggregations.
+  *
+  * AQE's skew-join split handles most runtime skew automatically; these are
+  * the explicit tools for the cases AQE can't see in advance — a hot key
+  * known at plan time (e.g. a null-heavy foreign key, one giant district),
+  * or a high-cardinality aggregation whose partial-combine ratio is poor.
+  */
+object SkewTools {
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a random salt
+    * in [0, buckets); the (small, replicable) right side is exploded once
+    * per salt value. The join key becomes (key, salt), spreading each hot
+    * key over `buckets` reducers. Result equals a plain inner join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      (rand(seed = 42) * buckets).cast("int"))
+    val exploded = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial-aggregate on
+    * (key, salt), then final-aggregate on key. `partial` and `merge` must
+    * form a decomposable aggregate (sum/sum, count/sum, min/min, ...).
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                buckets: Int): DataFrame =
+    df.withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").as(s"sum_$valueCol"))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ingest.{DistributedZip, Fixtures, SchemaParser, Sink}
+
+class SkewToolsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join equals plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1 to 1000).map(i => (if (i <= 900) 1 else i, s"v$i"))
+      .toDF("k", "payload")
+    val right = Seq((1, "hot"), (950, "cold"), (999, "cold2"))
+      .toDF("k", "label")
+    val plain = left.join(right, "k")
+      .select("k", "payload", "label").collect().toSet
+    val salted = SkewTools.saltedJoin(left, right, "k", buckets = 8)
+      .select("k", "payload", "label").collect().toSet
+    assert(salted === plain)
+    assert(salted.size === 902)
+  }
+
+  test("salted sum equals plain sum") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = SkewTools.saltedSum(df, "k", "v", buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted === plain)
+  }
+}
+
+class DistributedZipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("reads one table across many zips, one task per archive") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = Files.createTempDirectory("multi_zip_")
+    val base = Fixtures.writeZip(dir)
+    Files.copy(base, dir.resolve("dump_2017_01.zip"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(base, dir.resolve("dump_2017_02.zip"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.delete(base)
+    val spec = SchemaParser.parse(Fixtures.readme)("GS_CASE")
+
+    val df = DistributedZip.readTableAcrossZips(spark, s"$dir/*.zip", spec)
+    import spark.implicits._
+    // 5 GS_CASE rows per zip (4 FLM + 1 CT)
+    val perZip = df.groupBy("source_zip").count()
+      .as[(String, Long)].collect().toMap
+    assert(perZip === Map("dump_2017_01.zip" -> 5L, "dump_2017_02.zip" -> 5L))
+    // typed semantics identical to the single-zip path
+    assert(df.filter($"CASEID" === 1L).count() === 2)
+    assert(df.filter($"redacted_FILE_DATE").count() === 2)
+  }
+}
+
+class BucketedSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed write enables shuffle-free sort-merge join") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 5000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+      val b = (1 to 5000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+      Sink.writeBucketed(a, "bkt_a", "id", 4)
+      Sink.writeBucketed(b, "bkt_b", "id", 4)
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+      assert(joined.count() === 5000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
