@@ -39,16 +39,36 @@ object Listing {
     dest
   }
 
-  /** A23: sequential download→load loop over every listed zip. The loop is
-    * a 2-deep pipeline candidate (overlap next download with current ingest
-    * — the improvement the reference explicitly wanted, README.md:83-87) but
-    * stays sequential-per-zip for deterministic load order.
+  /** A23: sequential download→load loop over every listed zip (the
+    * reference's actual behavior, import_all.py:107-108).
     */
   def loadAll(ingest: NcdIngest, listingUrl: String,
               fetchPage: String => String,
               fetchZip: String => Path): Seq[String] = {
     zipUrls(fetchPage(listingUrl), listingUrl).flatMap { url =>
       val zipPath = fetchZip(url)
+      try ingest.loadZip(zipPath.toString)
+      finally Files.deleteIfExists(zipPath)
+    }
+  }
+
+  /** A23, pipelined: the 2-deep download/ingest overlap the reference
+    * wanted but never finished (README.md:83-87) — zip N+1 downloads while
+    * zip N ingests. Load order (and therefore catalog state) stays
+    * deterministic; only the fetches overlap.
+    */
+  def loadAllPipelined(ingest: NcdIngest, listingUrl: String,
+                       fetchPage: String => String,
+                       fetchZip: String => Path)(
+      implicit ec: scala.concurrent.ExecutionContext): Seq[String] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val urls = zipUrls(fetchPage(listingUrl), listingUrl)
+    if (urls.isEmpty) return Seq.empty
+    var next: Future[Path] = Future(fetchZip(urls.head))
+    urls.zipWithIndex.flatMap { case (_, i) =>
+      val zipPath = Await.result(next, Duration.Inf)
+      if (i + 1 < urls.size) next = Future(fetchZip(urls(i + 1)))
       try ingest.loadZip(zipPath.toString)
       finally Files.deleteIfExists(zipPath)
     }

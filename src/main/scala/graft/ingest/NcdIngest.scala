@@ -43,6 +43,7 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
     */
   def loadZip(zipPath: String): Seq[String] = {
     createDatabase()
+    val alreadyLoaded = loaded.size
     val zip = new ZipSource(zipPath)
     try {
       val scratch = Files.createTempDirectory("ncd_zip_")
@@ -56,7 +57,7 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
       }
       loadGlobalTables(zip)
       loadLookupTables(zip)
-      loaded.toSeq
+      loaded.drop(alreadyLoaded).toSeq
     } finally zip.close()
   }
 

@@ -492,5 +492,32 @@ object Relational {
              |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
              |      FROM events)
              |GROUP BY 1 ORDER BY k_bucket ASC NULLS LAST""".stripMargin)),
+
+    // ---- custom typed UDAF (Aggregator) -----------------------------------
+    "q54_custom_udaf_geomean" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(graft.functions.GeoMean.geoMean(col("l_extendedprice")), 4)
+            .as("geo_price"),
+               count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+             | count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- sketch aggregates (approximate — no SQL oracle by design) --------
+    // approx_count_distinct (HLL++) and percentile_approx (KLL-ish) have
+    // engine-specific sketches, so the driver's rows-only check applies.
+    "q55_approx_sketches" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+               percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+                 .as("approx_median_price"))
+          .orderBy("l_returnflag"),
+      None),
   )
 }

@@ -108,4 +108,25 @@ class ListingSpec extends AnyFunSuite {
       "https://example.gov/abs/file2.zip",
       "https://doj.example.gov/listing/file3.zip"))
   }
+
+  test("pipelined loadAll overlaps fetches but keeps deterministic order") {
+    import java.nio.file.Files
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val html = """<a href="a.zip">a</a> <a href="b.zip">b</a>"""
+    val fetched = scala.collection.mutable.Buffer.empty[String]
+    val ingest = new NcdIngest(graft.TestSpark.spark,
+      Files.createTempDirectory("pipe_wh_").toString, db = "pipe")
+    val loaded = Listing.loadAllPipelined(ingest, "https://x.example/ls",
+      fetchPage = _ => html,
+      fetchZip = { url =>
+        fetched.synchronized { fetched += url }
+        val dir = Files.createTempDirectory("pipe_zip_")
+        Fixtures.writeZip(dir)
+      })
+    // both zips load all 5 fixture tables, in order, twice
+    assert(loaded.size === 10)
+    assert(loaded.take(5) === loaded.drop(5))
+    assert(fetched.toSet === Set(
+      "https://x.example/a.zip", "https://x.example/b.zip"))
+  }
 }
