@@ -22,8 +22,11 @@ object Bench {
     "q04_join_fact_fact",
     "q13_window_topn",
     "q41_dedup_minhash_lsh",
+    "q42_dedup_simhash",
     "q43_dedup_ngram_jaccard",
     "q45_ann_topk_bruteforce",
+    "q46_ann_ivf",
+    "q47_embed_lsh_srp",
     "q50_sessionize")
 
   def main(args: Array[String]): Unit = {

@@ -174,6 +174,76 @@ object SimilarityQueries {
               |  FROM cands)
               |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- signed-random-projection LSH near-dup (the embedding scale path) --
+    // 16 deterministic hyperplanes (md5-derived pseudo-randoms, so DuckDB
+    // reconstructs the identical planes), banded 4x4 bits: candidate pairs
+    // come from an equi-join on (band, 4-bit key) instead of the O(n^2)
+    // pairwise scan of q44; survivors get the exact cosine check.
+    "q47_embed_lsh_srp" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.HashUtil
+        val planes: Array[Array[Double]] = Array.tabulate(16, 64)((p, d) =>
+          ((HashUtil.md5Head8(s"${p}_$d") % 2001) - 1000) / 1000.0)
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        def planeDot(p: Int) = aggregate(
+          zip_with(col("v"), typedLit(planes(p).toSeq),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x)
+        val bitCols = (0 until 16).map(p =>
+          when(planeDot(p) >= 0, 1).otherwise(0).as(s"bit$p"))
+        val sig = e.select(col("vec_id") +: col("v") +: bitCols: _*)
+        val bands = sig.select(col("vec_id"), col("v"),
+          posexplode(array((0 until 4).map { b =>
+            (0 until 4).map(r => col(s"bit${4 * b + r}") * lit(1 << r))
+              .reduce(_ + _)
+          }: _*))).toDF("vec_id", "v", "band_id", "bkey")
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.bkey") === col("b.bkey") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+                  col("a.v").as("va"), col("b.v").as("vb"))
+          .distinct()
+        cand
+          .withColumn("cos_sim", dot(s)(col("va"), col("vb")) /
+            (norm(s)(col("va")) * norm(s)(col("vb"))))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("vec_a"), col("vec_b"),
+                  round(col("cos_sim"), 4).as("cos_sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |planes AS (
+             |  SELECT p, list_transform(range(0, 64), d ->
+             |    ((CAST(('0x' || substr(md5(p || '_' || d), 1, 8)) AS BIGINT)
+             |      % 2001) - 1000) / 1000.0) AS w
+             |  FROM range(16) t(p)),
+             |sig AS (
+             |  SELECT e.vec_id, planes.p,
+             |    CASE WHEN list_sum(list_transform(range(1, 65),
+             |      d -> v[d] * w[d])) >= 0 THEN 1 ELSE 0 END AS bit
+             |  FROM e CROSS JOIN planes),
+             |bands AS (
+             |  SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+             |    CAST(sum(bit << (p % 4)) AS INT) AS bkey
+             |  FROM sig GROUP BY vec_id, p // 4),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+             |    AND a.vec_id < b.vec_id),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+             |SELECT vec_a, vec_b,
+             |  round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4)
+             |    AS cos_sim
+             |FROM cand
+             |JOIN n na ON na.vec_id = vec_a
+             |JOIN n nb ON nb.vec_id = vec_b
+             |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
       (s, dir) => {
