@@ -42,14 +42,12 @@ object FixedWidth {
     case OracleType.OracleFloat =>
       when(raw.rlike(FloatRe), raw.cast(DoubleType))
     case OracleType.OracleDate =>
-      // normalize "01-OCT-2017" → "01-Oct-2017" (Java patterns are
-      // case-sensitive where strptime %b is not), then parse leniently.
-      val day = regexp_extract(raw, DateRe, 1)
-      val mon = initcap(lower(regexp_extract(raw, DateRe, 2)))
-      val yr = regexp_extract(raw, DateRe, 3)
-      when(raw.rlike(DateRe),
-        try_to_timestamp(concat_ws("-", day, mon, yr), lit("d-MMM-y"))
-          .cast(DateType))
+      // native single-scan parser (graft.functions.OracleDateParse): the
+      // equivalent regex + try_to_timestamp formulation costs ~80x more
+      // per cell and dominated the ingest profile. Requires
+      // OracleDateParse.register on the session (done in [[read]]/callers).
+      org.apache.spark.sql.functions.call_function(
+        graft.functions.OracleDateParse.FunctionName, raw)
   }
 
   /** Project one raw-line DataFrame (single `value` string column) into the
@@ -58,6 +56,7 @@ object FixedWidth {
     */
   def project(lines: DataFrame, spec: TableSpec,
               keep: Seq[String] = Nil): DataFrame = {
+    graft.functions.OracleDateParse.register(lines.sparkSession)
     val value = col("value")
     val rawCells = spec.fields.map { f =>
       f.name -> trim(substring(value, f.start, f.length))
@@ -83,7 +82,9 @@ object FixedWidth {
       .option("lineSep", "\n")
       .option("encoding", encoding)
       .text(path)
-      .select(regexp_replace(col("value"), "\r", " ").as("value"))
+      // translate, not regexp_replace: same single-char mapping without
+      // regex-engine cost on every line of a 100 TB scan
+      .select(translate(col("value"), "\r", " ").as("value"))
     project(lines, spec)
   }
 }
