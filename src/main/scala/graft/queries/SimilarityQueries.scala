@@ -181,23 +181,16 @@ object SimilarityQueries {
     // pairwise scan of q44; survivors get the exact cosine check.
     "q47_embed_lsh_srp" -> QueryDef(
       (s, dir) => {
-        import graft.functions.HashUtil
-        val planes: Array[Array[Double]] = Array.tabulate(16, 64)((p, d) =>
-          ((HashUtil.md5Head8(s"${p}_$d") % 2001) - 1000) / 1000.0)
+        import graft.functions.SrpBandKeys
+        SrpBandKeys.register(s)
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        def planeDot(p: Int) = aggregate(
-          zip_with(col("v"), typedLit(planes(p).toSeq),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x)
-        val bitCols = (0 until 16).map(p =>
-          when(planeDot(p) >= 0, 1).otherwise(0).as(s"bit$p"))
-        val sig = e.select(col("vec_id") +: col("v") +: bitCols: _*)
-        val bands = sig.select(col("vec_id"), col("v"),
-          posexplode(array((0 until 4).map { b =>
-            (0 until 4).map(r => col(s"bit${4 * b + r}") * lit(1 << r))
-              .reduce(_ + _)
-          }: _*))).toDF("vec_id", "v", "band_id", "bkey")
+        // native signature: one loop over (plane, dim) per vector emits the
+        // 4 banded 4-bit keys — same md5-derived planes and fold order as
+        // the SQL oracle, ~16x fewer interpreted expression evaluations.
+        val bands = e.select(col("vec_id"), col("v"),
+            posexplode(SrpBandKeys.of(col("v"))))
+          .toDF("vec_id", "v", "band_id", "bkey")
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band_id") === col("b.band_id") &&
