@@ -41,10 +41,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: touch every table's footer + exercise codegen once
+    // warm-up: touch every table's footer, then run every headline query
+    // once at the smallest SF — the generated code is structurally
+    // identical across SFs, so the codegen cache is hot and timed runs
+    // measure execution, not janino compilation.
     Tables.names.foreach(t => Tables.table(spark, sfDir, t).count())
-
     val queries = SparkEntry.queries
+    headline.foreach { name =>
+      try queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       try queries(name)(spark, sfDir)
