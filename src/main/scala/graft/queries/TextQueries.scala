@@ -246,8 +246,10 @@ object TextQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int")
               .as("hamming"))
-          .distinct()
+          // filter BEFORE distinct: the hamming cut discards most candidate
+          // pairs, so the dedup exchange only shuffles survivors
           .filter(col("hamming") <= 4)
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some {
@@ -272,9 +274,9 @@ object TextQueries {
            |    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            |  FROM chunks a JOIN chunks b
            |    ON a.chunk_id = b.chunk_id AND a.cv = b.cv
-           |    AND a.doc_id < b.doc_id)
+           |    AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sh, b.sh)) <= 4)
            |SELECT doc_a, doc_b, hamming FROM cand
-           |WHERE hamming <= 4
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
