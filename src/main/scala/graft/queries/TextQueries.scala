@@ -280,6 +280,90 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // ---- dedup clustering: pairs -> connected components -> keep docs -----
+    // Verified near-dup pairs rarely form clean disjoint pairs at corpus
+    // scale — transitive chains (A~B, B~C) must dedup as one cluster. Min-
+    // label propagation over the candidate graph, each iteration a
+    // checkpointed equi-join (the Pregel pattern); converges in
+    // O(log diameter) rounds. The oracle computes the same fixpoint with a
+    // recursive CTE — the component minimum is algorithm-independent, so
+    // both engines agree exactly.
+    "q48_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        ShingleHashes.register(s)
+        val sh = docs
+          .select(col("doc_id"),
+            explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        val pairs = inter.join(sa, "doc_a").join(sb, "doc_b")
+          .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.8)
+          .select("doc_a", "doc_b")
+          .localCheckpoint(true)
+
+        val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        var labels = edges.select(col("a").as("doc")).distinct()
+          .withColumn("label", col("doc")).localCheckpoint(true)
+        var prevSum = -1L
+        var iter = 0
+        while (iter < 20 && {
+          val sumNow = labels.agg(sum("label")).head().getLong(0)
+          val changed = sumNow != prevSum
+          prevSum = sumNow
+          changed
+        }) {
+          val nbrMin = edges
+            .join(labels, edges("a") === labels("doc"))
+            .groupBy(col("b").as("doc2"))
+            .agg(min("label").as("nbr"))
+          labels = labels
+            .join(nbrMin, labels("doc") === nbrMin("doc2"), "left")
+            .select(col("doc"),
+              least(col("label"), coalesce(col("nbr"), col("label")))
+                .as("label"))
+            .localCheckpoint(true)
+          iter += 1
+        }
+        labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+               min("doc").cast("bigint").as("keep_doc"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+              |reach AS (
+              |  SELECT doc, doc AS r FROM nodes
+              |  UNION
+              |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e
+              |    ON e.a = reach.doc),
+              |comp AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+              |SELECT cluster_id, count(*) AS n_members,
+              |  CAST(min(doc) AS BIGINT) AS keep_doc
+              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
     // ---- n-gram Jaccard verification --------------------------------------
     // Relational jaccard: explode distinct shingles, equi-join on shingle,
     // |A ∩ B| / (|A| + |B| - |A ∩ B|). Shuffle on shingle keys — scalable,
