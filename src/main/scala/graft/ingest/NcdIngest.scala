@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   * reference provides via AthenaMock's query log (ncd/athena_mock.py:42-51).
   */
 final class NcdIngest(spark: SparkSession, warehouseDir: String,
-                      db: String = "ncd") {
+                      db: String = "ncd",
+                      parquetMirror: Boolean = false) {
 
   val ddlLog: mutable.Buffer[String] = mutable.Buffer.empty
   /** Tables loaded, in load order. */
@@ -87,7 +88,29 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
     ddlLog += ddl
     spark.sql(ddl)
     if (isPartitioned) runDdl(s"MSCK REPAIR TABLE $db.${spec.name}")
+    if (parquetMirror) mirror(all, spec.name, isPartitioned)
     loaded += spec.name
+  }
+
+  /** The splittable columnar twin of a loaded table, registered as
+    * `<table>_parquet` — the format analytical queries should scan at
+    * scale (gzip JSON-lines exists for reference layout fidelity; it is
+    * non-splittable and row-oriented).
+    */
+  private def mirror(df: org.apache.spark.sql.DataFrame, table: String,
+                     isPartitioned: Boolean): Unit = {
+    val location = s"${tableLocation(table)}__parquet"
+    Sink.writeParquetMirror(df, location, isPartitioned)
+    val cols = df.schema.map(f => s"    ${f.name} ${f.dataType.sql}")
+      .mkString(",\n")
+    val partitionClause =
+      if (isPartitioned) "\nPARTITIONED BY (filename_district)" else ""
+    runDdl(s"""CREATE TABLE IF NOT EXISTS $db.${table}_parquet (
+              |$cols
+              |)
+              |USING parquet$partitionClause
+              |LOCATION '$location'""".stripMargin)
+    if (isPartitioned) runDdl(s"MSCK REPAIR TABLE $db.${table}_parquet")
   }
 
   /** A13/A14: the stacked global file, if present. */

@@ -100,6 +100,23 @@ class NcdIngestSpec extends AnyFunSuite {
       ("Middle District of Florida", 4L)))
   }
 
+  test("parquet mirror registers a splittable columnar twin") {
+    val wh = Files.createTempDirectory("ncd_mirror_").toString
+    val ing = new NcdIngest(spark, wh, db = "ncdm", parquetMirror = true)
+    ing.loadZip(Fixtures.tempZip().toString)
+    import spark.implicits._
+    val mirror = spark.table("ncdm.GS_CASE_parquet")
+    assert(mirror.count() === 5)
+    // partition column survives the mirror and prunes
+    assert(mirror.filter($"filename_district" === "FLM").count() === 4)
+    // values identical to the JSON-backed table
+    val a = spark.table("ncdm.GS_CASE").select("CASEID", "TOTAL_LOSS")
+      .collect().map(_.toString).sorted
+    val b = mirror.select("CASEID", "TOTAL_LOSS")
+      .collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
   test("DDL log captures CREATE DATABASE / CREATE TABLE golden shapes") {
     assert(ingest.ddlLog.head === "CREATE DATABASE IF NOT EXISTS ncd")
     val caseDdl = ingest.ddlLog.find(_.contains("ncd.GS_CASE (")).get
