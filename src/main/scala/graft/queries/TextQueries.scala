@@ -57,23 +57,32 @@ object TextQueries {
           .withColumn("avg_token_len",
             length(regexp_replace(col("text"), "\\s", "")) * 1.0 /
               col("n_tokens"))
+          .withColumn("stopword_ratio",
+            size(filter(tokens(col("text")),
+              t => t.isInCollection(Seq("the", "a", "and", "of", "to"))))
+              * 1.0 / col("n_tokens"))
           .withColumn("quality",
             log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("punct_ratio")))
         d.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
                round(avg("n_tokens"), 2).as("avg_tokens"),
                round(avg("avg_token_len"), 4).as("avg_tok_len"),
+               round(avg("stopword_ratio"), 4).as("avg_stopword_ratio"),
                round(avg("quality"), 4).as("avg_quality"))
           .orderBy("lang")
       },
       Some(s"""SELECT lang, count(*) AS n_docs,
               | round(avg(n_tokens), 2) AS avg_tokens,
               | round(avg(avg_token_len), 4) AS avg_tok_len,
+              | round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
               | round(avg(quality), 4) AS avg_quality
               |FROM (
               |  SELECT lang, n_tokens, punct_ratio,
               |    length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / n_tokens
               |      AS avg_token_len,
+              |    len(list_filter($duckToks,
+              |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / n_tokens
+              |      AS stopword_ratio,
               |    ln(1.0 + n_tokens) * (1.0 - punct_ratio) AS quality
               |  FROM (
               |    SELECT lang, text, len($duckToks) AS n_tokens,
@@ -121,6 +130,39 @@ object TextQueries {
               | count(DISTINCT tok) AS distinct_tokens
               |FROM (SELECT source, unnest($duckToks) AS tok
               |      FROM (SELECT source, text FROM documents))
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- BPE-ish regex tokenization ---------------------------------------
+    // GPT-2-shaped token pattern (contractions, letter runs, digit runs,
+    // punctuation runs with leading-space attachment), lookahead-free so
+    // Java regex and RE2 agree. Compares subword-ish token counts against
+    // whitespace tokens per source.
+    "q34_bpe_token_count" -> QueryDef(
+      (s, dir) => {
+        val bpePattern =
+          "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+        tableParallel(s, dir, "documents")
+          .select(col("source"),
+            size(tokens(col("text"))).as("ws_tokens"),
+            size(regexp_extract_all(lower(col("text")), lit(bpePattern),
+              lit(0))).as("bpe_tokens"))
+          .groupBy("source")
+          .agg(sum("ws_tokens").as("total_ws_tokens"),
+               sum("bpe_tokens").as("total_bpe_tokens"),
+               round(sum("bpe_tokens") * 1.0 / sum("ws_tokens"), 4)
+                 .as("bpe_per_word"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source,
+              | CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+              | CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+              | round(sum(bpe_tokens) * 1.0 / sum(ws_tokens), 4) AS bpe_per_word
+              |FROM (
+              |  SELECT source, len($duckToks) AS ws_tokens,
+              |    len(regexp_extract_all(lower(text),
+              |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+              |      AS bpe_tokens
+              |  FROM documents)
               |GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- fingerprinting ---------------------------------------------------
