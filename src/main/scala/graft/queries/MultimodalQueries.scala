@@ -30,5 +30,37 @@ object MultimodalQueries {
              | round(avg(((doc_id % 64) * 16 + 16) *
              |           ((doc_id % 48) * 16 + 16)), 1) AS avg_pixels
              |FROM documents GROUP BY 1 ORDER BY format""".stripMargin)),
+
+    // ---- decode + feature extraction under the oracle ---------------------
+    // Drives the actual mapPartitions decode/feature stage (stub codec =
+    // payload bytes as pixels). The oracle recomputes the same features
+    // from the text's character codes — ASCII corpus, so byte == ascii().
+    "q53_multimodal_decode" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val media = Multimodal
+          .fakeMediaTable(table(s, dir, "documents"), "doc_id", "text")
+          .as(Encoders.product[Multimodal.MediaRecord])
+        Multimodal.extractFeatures(media).toDF()
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_media"),
+               round(avg("mean_intensity"), 4).as("avg_intensity"),
+               sum(element_at(col("histogram"), 4)).as("bucket3_px"))
+          .orderBy("format")
+      },
+      Some("""SELECT
+             | CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |   ELSE 'webp' END AS format,
+             | count(*) AS n_media,
+             | round(avg(mi), 4) AS avg_intensity,
+             | CAST(sum(b3) AS BIGINT) AS bucket3_px
+             |FROM (
+             |  SELECT doc_id,
+             |    list_avg(list_transform(range(1, length(text) + 1),
+             |      i -> ascii(substr(text, i, 1)))) AS mi,
+             |    len(list_filter(list_transform(range(1, length(text) + 1),
+             |      i -> ascii(substr(text, i, 1))), c -> c // 32 = 3)) AS b3
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY format""".stripMargin)),
   )
 }
