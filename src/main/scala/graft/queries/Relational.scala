@@ -507,6 +507,25 @@ object Relational {
              | count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- raw SQL-string surface (the Athena.execute_query replacement) ----
+    // The reference's whole query layer is "arbitrary SQL in, table out";
+    // this entry exercises that exact shape — `spark.sql` over registered
+    // views, with the oracle running the same dialect-shared text.
+    "q56_sql_surface" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                |  round(sum(o_totalprice), 2) AS rev, count(*) AS n
+                |FROM orders_v WHERE o_orderstatus = 'F'
+                |GROUP BY 1 HAVING count(*) > 100
+                |ORDER BY yr""".stripMargin)
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             |  round(sum(o_totalprice), 2) AS rev, count(*) AS n
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY 1 HAVING count(*) > 100
+             |ORDER BY yr""".stripMargin)),
+
     // ---- sketch aggregates (approximate — no SQL oracle by design) --------
     // approx_count_distinct (HLL++) and percentile_approx (KLL-ish) have
     // engine-specific sketches, so the driver's rows-only check applies.
