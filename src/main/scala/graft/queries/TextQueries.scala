@@ -218,6 +218,9 @@ object TextQueries {
         val bands = hs.select(col("doc_id"),
             posexplode(MinhashBandKeys.of(col("hs"))))
           .toDF("doc_id", "band_id", "key")
+          // materialize once: both self-join sides reuse the signature
+          // pipeline instead of recomputing it
+          .localCheckpoint(true)
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_id") === col("b.band_id") &&
@@ -280,6 +283,7 @@ object TextQueries {
               .bitwiseAND(lit((1L << width) - 1))
           }: _*)))
           .toDF("doc_id", "sh", "chunk_id", "cv")
+          .localCheckpoint(true)
         chunks.as("a")
           .join(chunks.as("b"),
             col("a.chunk_id") === col("b.chunk_id") &&
@@ -420,6 +424,8 @@ object TextQueries {
         val sh = docs
           .select(col("doc_id"),
             explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+          // reused by sizes and both join sides — materialize once
+          .localCheckpoint(true)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a")
           .join(sh.as("b"),
