@@ -93,6 +93,29 @@ object StreamSessionize {
       }
   }
 
+  final case class UserActivity(user_id: Long, n_events: Long,
+                                total_value: Double)
+
+  /** `mapGroupsWithState` variant: one updated state record per user per
+    * micro-batch (running totals) — the 1:1 state-output shape, vs the
+    * 0..n emission of the flatMap sessionizer above.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserActivity](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          it.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserActivity(userId, n, v)
+      }
+  }
+
   /** Tumbling-window event counts with late-data handling — the windowed
     * aggregation shape (`window` + watermark) for dashboard-style rollups.
     */

@@ -74,6 +74,31 @@ class StreamSessionizeSpec extends AnyFunSuite with TimeLimits {
     assert(out === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("mapGroupsWithState running totals accumulate across batches") {
+    failAfter(Span(180, Seconds)) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val query = runningUserTotals(input.toDS())
+        .writeStream.format("memory").queryName("user_totals")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(Event(1, ts(0), 1.0), Event(1, ts(5), 2.0))
+        query.processAllAvailable()
+        input.addData(Event(1, ts(10), 4.0), Event(2, ts(0), 8.0))
+        query.processAllAvailable()
+        // Update mode: latest row per user wins
+        val latest = spark.table("user_totals")
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+               org.apache.spark.sql.functions.max("total_value").as("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        assert(latest === Set((1L, 3L, 7.0), (2L, 1L, 8.0)))
+      } finally query.stop()
+    }
+  }
+
   test("windowed counts with watermark") {
     import spark.implicits._
     val batch = Seq(
