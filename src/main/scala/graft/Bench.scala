@@ -50,22 +50,31 @@ object Bench {
     headline.foreach { name =>
       try queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
     }
+    // A failed query is recorded as -1, never as its (near-zero) elapsed
+    // time — a broken query must make the bench look broken, not fast.
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
@@ -15,17 +17,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Like [[table]], but spread across the session's full parallelism.
-    *
-    * Use for CPU-bound per-row pipelines (shingling, hashing, vector math):
-    * a small parquet file arrives as ONE input split, which would pin the
-    * whole map stage to a single core. The round-robin repartition costs
-    * one small shuffle and buys full-width execution — and at real scale it
-    * degrades gracefully into a near-no-op rebalance.
+  /** Inputs below this size are repartitioned to full parallelism; anything
+    * larger relies on reader splits (see [[tableParallel]]).
     */
-  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    table(spark, sfDir, name)
-      .repartition(spark.sparkContext.defaultParallelism)
+  val SmallInputBytes: Long = 1L << 30
+
+  /** Like [[table]], but guaranteed to occupy the session's parallelism for
+    * CPU-bound per-row pipelines (shingling, hashing, vector math).
+    *
+    * The trap this solves is LOCAL-scale only: a tiny parquet table (one
+    * file, one row group) arrives as ONE input split, pinning the whole map
+    * stage to a single core, and no reader-split tuning can cut inside a
+    * row group. For such inputs a round-robin repartition costs one tiny
+    * shuffle and buys full-width execution.
+    *
+    * At cluster scale the opposite is true: `repartition(n)` is always a
+    * full shuffle — an extra pass over the corpus before any real work — so
+    * it must NOT run there. A 100 TB table has plenty of files/row groups
+    * and the reader already targets `defaultParallelism` splits
+    * (`spark.sql.files.minPartitionNum`); this helper therefore returns the
+    * plain scan untouched once the input has enough files or exceeds
+    * [[SmallInputBytes]]. Residual imbalance at scale is AQE's job
+    * (`spark.sql.adaptive.coalescePartitions` / skew handling), not an
+    * unconditional exchange.
+    */
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val width = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= width) df
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val bytes = files.map { f =>
+        val p = new Path(new java.net.URI(f))
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      if (bytes <= SmallInputBytes) df.repartition(width) else df
+    }
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {

@@ -23,17 +23,19 @@ object DateUtil {
     -1
   }
 
-  /** "1-OCT-2017" / "01-oct-99" → epoch days (java.lang.Integer), or null.
-    * Same accepts/rejects as the regex + `try_to_timestamp` formulation:
-    * 1-2 digit day, 3-letter month any case, 1-4 digit year; real calendar
-    * dates only (31-FEB → null). Matches CPython strptime semantics.
+  /** "1-OCT-2017" → epoch days (java.lang.Integer), or null. Matches
+    * CPython `strptime('%d-%b-%Y')` accepts/rejects exactly: 1-2 digit
+    * day, 3-letter month any case, EXACTLY 4 year digits (`%Y` compiles to
+    * `\d\d\d\d`, so "01-oct-99" raises ValueError → null here), year ≥ 1
+    * (Python datetime range is 1..9999 — "05-OCT-0000" → null), real
+    * calendar dates only (31-FEB → null).
     */
   def parseOracleDate(u: UTF8String): Integer = {
     val s = u.toString
     val p1 = s.indexOf('-')
     if (p1 < 1 || p1 > 2) return null
     val p2 = s.indexOf('-', p1 + 1)
-    if (p2 - p1 != 4 || s.length - p2 - 1 < 1 || s.length - p2 - 1 > 4)
+    if (p2 - p1 != 4 || s.length - p2 - 1 != 4)
       return null
     var day = 0
     var i = 0
@@ -51,6 +53,7 @@ object DateUtil {
       if (c < '0' || c > '9') return null
       year = year * 10 + (c - '0'); i += 1
     }
+    if (year == 0) return null
     try Integer.valueOf(LocalDate.of(year, mon, day).toEpochDay.toInt)
     catch { case _: java.time.DateTimeException => null }
   }

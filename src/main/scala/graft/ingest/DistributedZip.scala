@@ -45,8 +45,19 @@ object DistributedZip {
           if (!entry.isDirectory && re.findFirstIn(entry.getName).isDefined) {
             val text = new String(zin.readAllBytes(), charset)
               .replace('\r', ' ')
-            text.split("\n", -1).foreach { line =>
-              if (line.nonEmpty) out += ((path, entry.getName, line))
+            // emit every line INCLUDING blank ones (a blank line converts
+            // to an all-null row, same as the driver-side spark.read.text
+            // path and the reference's csvkit pipeline — the two ingest
+            // paths must agree on row counts). Only the phantom empty
+            // element after a trailing newline is dropped, because
+            // spark.read.text does not emit a row for it either.
+            val lines = text.split("\n", -1)
+            val last = lines.length -
+              (if (lines.nonEmpty && lines.last.isEmpty) 1 else 0)
+            var i = 0
+            while (i < last) {
+              out += ((path, entry.getName, lines(i)))
+              i += 1
             }
           }
           entry = zin.getNextEntry

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   *   - a cell of exactly `*` → null value + `redacted_<col> = true` (A9);
   *   - NUMBER: integer-regex guard then cast — "12.3" → null, matching
   *     Python `int()` raising (NOT truncating);
-  *   - DATE: `%d-%b-%Y` case-insensitive, 1-2 digit day, 1-4 digit year;
+  *   - DATE: `%d-%b-%Y` case-insensitive, 1-2 digit day, exactly 4 year
+  *     digits and year ≥ 1 (CPython strptime semantics);
   *   - FLOAT: Python `float()`-shaped literals only;
   *   - unparseable → null, never an error (works under ANSI mode because
   *     every cast is regex-guarded).
@@ -32,7 +33,6 @@ object FixedWidth {
 
   private val IntRe = "^[+-]?[0-9]+$"
   private val FloatRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-  private val DateRe = "^([0-9]{1,2})-([A-Za-z]{3})-([0-9]{1,4})$"
 
   /** Null-on-error typed conversion of a trimmed raw cell. */
   def convert(raw: Column, tpe: OracleType): Column = tpe match {

@@ -46,8 +46,8 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
     createDatabase()
     val alreadyLoaded = loaded.size
     val zip = new ZipSource(zipPath)
+    val scratch = Files.createTempDirectory("ncd_zip_")
     try {
-      val scratch = Files.createTempDirectory("ncd_zip_")
       val schemas =
         if (zip.hasMember("README.TXT"))
           SchemaParser.parse(zip.readMember("README.TXT", "ISO-8859-1"))
@@ -59,7 +59,22 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
       loadGlobalTables(zip)
       loadLookupTables(zip)
       loaded.drop(alreadyLoaded).toSeq
-    } finally zip.close()
+    } finally {
+      zip.close()
+      // writes are eager (each table lands before the next extraction), so
+      // the extracted members are dead weight the moment loadZip returns —
+      // without this, a 24-zip ImportAll accumulates GBs of scratch on the
+      // driver for the process lifetime.
+      deleteRecursively(scratch)
+    }
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      val paths = Files.walk(dir).iterator().asScala.toSeq
+      paths.reverseIterator.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** One normal table: discover district files, convert all of them in one

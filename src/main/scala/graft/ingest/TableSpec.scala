@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   *     Python `int(...)` and becomes null — NOT truncated to 12. We guard
   *     with an integer regex rather than a bare cast for that reason.
   *   - `DATE` parses `%d-%b-%Y` case-insensitively (Python strptime), with
-  *     1-2 digit days and 1-4 digit years accepted.
+  *     1-2 digit days and EXACTLY 4 year digits (strptime's `%Y` is
+  *     `\d\d\d\d`; year 0 is below `datetime.MINYEAR` and also rejected).
   *   - unknown tokens fail fast (reference raises NotImplementedError).
   */
 sealed trait OracleType {

@@ -37,11 +37,20 @@ final class ZipSource(zipPath: String) extends AutoCloseable {
 
   def hasMember(name: String): Boolean = zip.getEntry(name) != null
 
-  /** Extract a member to `destDir/name` and return the path. */
+  /** Extract a member to `destDir/name` and return the path.
+    *
+    * Entry names come from an untrusted archive (downloaded off a scraped
+    * listing page), so the resolved destination is confined to `destDir`:
+    * a zip-slip name like `../../etc/x` or an absolute entry name is
+    * rejected instead of writing outside the scratch dir.
+    */
   def extractMember(name: String, destDir: Path): Path = {
     val entry = zip.getEntry(name)
     require(entry != null, s"no member $name in $zipPath")
-    val dest = destDir.resolve(name)
+    val base = destDir.toAbsolutePath.normalize()
+    val dest = base.resolve(name).normalize()
+    require(dest.startsWith(base) && dest != base,
+      s"zip entry '$name' escapes the extraction directory")
     Files.createDirectories(dest.getParent)
     val in = zip.getInputStream(entry)
     try Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the clustering step
+  * that turns verified near-dup pairs into dedup groups (transitive chains
+  * A~B, B~C must dedup as one cluster).
+  *
+  * Min-label propagation, the Pregel pattern: every node repeatedly takes
+  * the minimum label among itself and its neighbors until a fixpoint. Each
+  * round is one equi-join + one aggregation, local-checkpointed (serialized)
+  * so the loop's lineage stays flat and the per-round state — one (node,
+  * label) row per node — stays compact. Labels only ever decrease, so
+  * `sum(label)` is a monotone convergence witness: an unchanged sum proves
+  * an unchanged labeling.
+  *
+  * Rounds needed = graph diameter (label information travels one hop per
+  * round). Near-dup graphs are overwhelmingly tiny dense clusters
+  * (diameter ≤ a few), but a pathological chain must FAIL LOUDLY, not
+  * return a silently-unconverged labeling — hence the cap raises
+  * IllegalStateException instead of truncating.
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected edges, two numeric columns (one row per edge;
+    *              either orientation)
+    * @return (node, label) — `label` is the minimum node id reachable from
+    *         `node`; isolated nodes (absent from `pairs`) are absent here
+    */
+  def minLabel(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
+    val edges = pairs.select(ca.as("a"), cb.as("b"))
+      .unionAll(pairs.select(cb.as("a"), ca.as("b")))
+
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    var prevSum = checksum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels, edges("a") === labels("doc"))
+        .groupBy(col("b").as("doc2"))
+        .agg(min("label").as("nbr"))
+      labels = labels
+        .join(nbrMin, labels("doc") === nbrMin("doc2"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val sumNow = checksum(labels)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds " +
+          "(graph diameter exceeds the cap); raise maxIters")
+    labels
+  }
+
+  private def checksum(labels: DataFrame): Long =
+    labels.agg(sum("label")).head().getLong(0)
+}

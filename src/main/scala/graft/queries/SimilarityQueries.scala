@@ -10,11 +10,12 @@ import graft.functions.FloatVectorDot
 /** Embedding similarity + sessionization operators (SURVEY.md §2-C).
   *
   * Scale notes:
-  *   - q44 is the *exact* pairwise baseline (quadratic — correct but only
-  *     for corpus-sized validation); q45 broadcasts a small query set
-  *     against the full corpus (linear scans, the realistic brute-force
-  *     shape); q46 is the IVF scale path: assign once, then probe a few
-  *     partitions — candidate set shrinks by ~nlist/nprobe.
+  *   - q44 is the *exact* pairwise baseline, capped to a constant-size
+  *     slice (quadratic cost must never reach the full corpus — q47 is the
+  *     whole-corpus path); q45 broadcasts a small query set against the
+  *     full corpus (linear scans, the realistic brute-force shape); q46 is
+  *     the IVF scale path: assign once, then probe a few partitions —
+  *     candidate set shrinks by ~nlist/nprobe.
   *   - all cosine math is double-promoted sequential folds (VectorOps), so
   *     DuckDB replays it exactly.
   */
@@ -37,10 +38,19 @@ object SimilarityQueries {
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
-    // ---- exact pairwise near-dup (baseline) -------------------------------
+    // ---- exact pairwise near-dup (bounded validation baseline) ------------
+    // Pairwise-exact cosine is inherently quadratic, so the shipped entry
+    // is EXPLICITLY CAPPED to the `vec_id < 300` slice: a constant-size
+    // validation set whatever the corpus size, so no full-corpus cartesian
+    // can ever appear in a catalog plan. The cap pushes down to both
+    // parquet scans (PushedFilters: LessThan(vec_id, 300)). Use this entry
+    // to validate recall of the scale path — q47 (SRP-LSH band join +
+    // exact re-check) is the production operator for whole-corpus
+    // embedding dedup.
     "q44_embed_neardup_cosine" -> QueryDef(
       (s, dir) => {
         val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
           .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", norm(s)(col("v")))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -51,7 +61,9 @@ object SimilarityQueries {
                   round(col("cos_sim"), 4).as("cos_sim"))
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""WITH $duckNormed
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |          FROM embeddings WHERE vec_id < 300),
+              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
               |FROM n a JOIN n b ON a.vec_id < b.vec_id

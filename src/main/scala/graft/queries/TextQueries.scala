@@ -1,11 +1,13 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.{table, tableParallel}
 import graft.functions.{MinhashBandKeys, ShingleHashes, TextOps}
 import graft.functions.TextOps._
+import graft.operators.{ConnectedComponents, Materialize, StopShingles}
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the LLM-training-data-pipeline surface (SURVEY.md §2-C).
@@ -43,6 +45,48 @@ object TextQueries {
        |    for i in range(1, len(ws) - 1)],
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
+
+  /** Exploded (doc_id, shingle_hash) table over `documents` — the shared
+    * input of the Jaccard/clustering family. `stopShingleDf` enables the
+    * document-frequency stop-shingle cut ([[StopShingles]]): the skew guard
+    * that bounds per-key fan-out in the shingle self-join. None = ∞ = keep
+    * everything (bit-identical to the unfiltered pipeline).
+    */
+  private[graft] def shingleTable(s: SparkSession, dir: String,
+                                  stopShingleDf: Option[Long]): DataFrame = {
+    ShingleHashes.register(s)
+    val sh = tableParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+    stopShingleDf.fold(sh)(t => StopShingles.filter(sh, "sh", t))
+  }
+
+  /** Relational pairwise Jaccard ≥ `minJ` over an exploded shingle table:
+    * equi-join on the shingle hash, |A ∩ B| / (|A| + |B| - |A ∩ B|).
+    * Shuffles on shingle keys — scalable, unlike a pairwise cross join.
+    * Callers should pass a [[Materialize]]d `sh`: it is consumed three
+    * times (sizes + both join sides).
+    */
+  private[graft] def jaccardPairs(sh: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        col("i") * 1.0 / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** DuckDB twin of [[shingleTable]]'s stop-shingle cut, as CTE suffix. */
+  private def duckStopShingles(maxDf: Long): String =
+    s"""sh AS (SELECT * FROM sh0 WHERE sh NOT IN (
+       |  SELECT sh FROM (SELECT sh, count(*) AS d FROM sh0 GROUP BY sh)
+       |  WHERE d > $maxDf))""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -215,12 +259,11 @@ object TextQueries {
           .select(col("doc_id"),
             ShingleHashes.of(tokens(col("text"))).as("hs"))
           .filter(size(col("hs")) > 0)
-        val bands = hs.select(col("doc_id"),
+        // materialize once (serialized, spill-safe): both self-join sides
+        // reuse the signature pipeline instead of recomputing it
+        val bands = Materialize(hs.select(col("doc_id"),
             posexplode(MinhashBandKeys.of(col("hs"))))
-          .toDF("doc_id", "band_id", "key")
-          // materialize once: both self-join sides reuse the signature
-          // pipeline instead of recomputing it
-          .localCheckpoint(true)
+          .toDF("doc_id", "band_id", "key"))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band_id") === col("b.band_id") &&
@@ -276,14 +319,13 @@ object TextQueries {
         // an equi-join on (chunk_id, chunk_value) and only candidates pay
         // the exact hamming check. This is what makes simhash dedup linear-
         // ish at corpus scale.
-        val chunks = sim.select(col("doc_id"), col("sh"),
+        val chunks = Materialize(sim.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 5).map { c =>
             val width = if (c < 4) 7 else 4
             shiftright(col("sh"), 7 * c)
               .bitwiseAND(lit((1L << width) - 1))
           }: _*)))
-          .toDF("doc_id", "sh", "chunk_id", "cv")
-          .localCheckpoint(true)
+          .toDF("doc_id", "sh", "chunk_id", "cv"))
         chunks.as("a")
           .join(chunks.as("b"),
             col("a.chunk_id") === col("b.chunk_id") &&
@@ -328,57 +370,20 @@ object TextQueries {
 
     // ---- dedup clustering: pairs -> connected components -> keep docs -----
     // Verified near-dup pairs rarely form clean disjoint pairs at corpus
-    // scale — transitive chains (A~B, B~C) must dedup as one cluster. Min-
-    // label propagation over the candidate graph, each iteration a
-    // checkpointed equi-join (the Pregel pattern); converges in
-    // O(log diameter) rounds. The oracle computes the same fixpoint with a
+    // scale — transitive chains (A~B, B~C) must dedup as one cluster.
+    // Min-label propagation over the candidate graph
+    // ([[ConnectedComponents.minLabel]]) — fails loudly if the graph's
+    // diameter exceeds the round cap instead of silently returning an
+    // unconverged labeling. The oracle computes the same fixpoint with a
     // recursive CTE — the component minimum is algorithm-independent, so
     // both engines agree exactly.
     "q48_dedup_clusters" -> QueryDef(
       (s, dir) => {
-        val docs = tableParallel(s, dir, "documents")
-        ShingleHashes.register(s)
-        val sh = docs
-          .select(col("doc_id"),
-            explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
-          .join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-        val pairs = inter.join(sa, "doc_a").join(sb, "doc_b")
-          .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.8)
-          .select("doc_a", "doc_b")
-          .localCheckpoint(true)
-
-        val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-          .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        var labels = edges.select(col("a").as("doc")).distinct()
-          .withColumn("label", col("doc")).localCheckpoint(true)
-        var prevSum = -1L
-        var iter = 0
-        while (iter < 20 && {
-          val sumNow = labels.agg(sum("label")).head().getLong(0)
-          val changed = sumNow != prevSum
-          prevSum = sumNow
-          changed
-        }) {
-          val nbrMin = edges
-            .join(labels, edges("a") === labels("doc"))
-            .groupBy(col("b").as("doc2"))
-            .agg(min("label").as("nbr"))
-          labels = labels
-            .join(nbrMin, labels("doc") === nbrMin("doc2"), "left")
-            .select(col("doc"),
-              least(col("label"), coalesce(col("nbr"), col("label")))
-                .as("label"))
-            .localCheckpoint(true)
-          iter += 1
-        }
-        labels.groupBy(col("label").as("cluster_id"))
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val pairs = Materialize(
+          jaccardPairs(sh, 0.8).select("doc_a", "doc_b"))
+        ConnectedComponents.minLabel(pairs)
+          .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"),
                min("doc").cast("bigint").as("keep_doc"))
           .orderBy("cluster_id")
@@ -416,28 +421,12 @@ object TextQueries {
     // unlike a pairwise cross join.
     "q43_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val docs = tableParallel(s, dir, "documents")
         // join on the 32-bit shingle hash, not the shingle string: long
         // equality shuffles + compares far cheaper, and the oracle applies
-        // the identical hashing so results stay exact.
-        ShingleHashes.register(s)
-        val sh = docs
-          .select(col("doc_id"),
-            explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
-          // reused by sizes and both join sides — materialize once
-          .localCheckpoint(true)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
-          .join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-        val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-          .withColumn("jaccard",
-            col("i") * 1.0 / (col("na") + col("nb") - col("i")))
-          .filter(col("jaccard") >= 0.8)
+        // the identical hashing so results stay exact. Materialized once
+        // (serialized persist) — reused by sizes and both join sides.
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        jaccardPairs(sh, 0.8)
           .select(col("doc_a"), col("doc_b"),
                   round(col("jaccard"), 4).as("jaccard"))
           .orderBy("doc_a", "doc_b")
@@ -445,6 +434,38 @@ object TextQueries {
       Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
               |sh AS (SELECT doc_id, unnest(hs) AS sh
               |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b
+              |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Jaccard with the stop-shingle skew guard --------------------------
+    // Same pipeline as q43 with the document-frequency cut engaged
+    // (df > 5 shingles dropped before the self-join): the production
+    // configuration for corpora with boilerplate, where one hot shingle
+    // would otherwise fan out quadratically. Oracle applies the identical
+    // cut, so results stay hash-exact.
+    "q49_dedup_jaccard_stopshingle" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = Some(5L)))
+        jaccardPairs(sh, 0.8)
+          .select(col("doc_a"), col("doc_b"),
+                  round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh0 AS (SELECT doc_id, unnest(hs) AS sh
+              |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |${duckStopShingles(5L)},
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

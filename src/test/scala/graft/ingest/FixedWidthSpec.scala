@@ -64,10 +64,17 @@ class FixedWidthSpec extends AnyFunSuite {
     assert(row.getAs[Double]("TOTAL_LOSS") === 12.9)
   }
 
-  test("two-digit year parses like strptime %Y (rjust quirk)") {
+  test("two-digit year is rejected like strptime %Y (exactly 4 digits)") {
+    // CPython %Y compiles to \d\d\d\d: '5-OCT-99' raises ValueError in the
+    // reference's converter and lands as null (the rjust quirk zero-pads
+    // strftime OUTPUT of year 99; it does not make short years parse).
     val row = projected(Fixtures.f("1", 10) + Fixtures.f("X", 4) +
       Fixtures.f("5-OCT-99", 11) + Fixtures.f("", 20) + Fixtures.f("", 12))
       .collect().head
-    assert(row.getAs[Date]("FILE_DATE") === Date.valueOf("0099-10-05"))
+    assert(row.getAs[Date]("FILE_DATE") === null)
+    val ok = projected(Fixtures.f("1", 10) + Fixtures.f("X", 4) +
+      Fixtures.f("5-OCT-0099", 11) + Fixtures.f("", 20) + Fixtures.f("", 12))
+      .collect().head
+    assert(ok.getAs[Date]("FILE_DATE") === Date.valueOf("0099-10-05"))
   }
 }
