@@ -31,5 +31,8 @@ object StopShingles {
       .filter(col("__df") > maxDf)
       .select(keyCol)
     exploded.join(broadcast(hot), Seq(keyCol), "left_anti")
+      // USING-join moves the key column first; restore the input order so
+      // the cut is schema-transparent to callers
+      .select(exploded.columns.map(col).toIndexedSeq: _*)
   }
 }

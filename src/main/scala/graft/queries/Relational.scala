@@ -526,17 +526,38 @@ object Relational {
              |GROUP BY 1 HAVING count(*) > 100
              |ORDER BY yr""".stripMargin)),
 
-    // ---- sketch aggregates (approximate — no SQL oracle by design) --------
-    // approx_count_distinct (HLL++) and percentile_approx (KLL-ish) have
-    // engine-specific sketches, so the driver's rows-only check applies.
+    // ---- sketch aggregates under a tolerance oracle -----------------------
+    // approx_count_distinct (HLL++, rsd 5%) and percentile_approx
+    // (accuracy 1000) use engine-specific sketches, so their raw values can
+    // never hash-match DuckDB. The tolerance check is therefore computed
+    // INSIDE the query: Spark emits the exact aggregates plus booleans
+    // asserting each sketch lands within its error bound; the oracle emits
+    // the same exact aggregates with literal TRUEs. A sketch drifting out
+    // of tolerance flips a boolean and fails the driver's hash compare —
+    // a real gate, not a rows-only waiver.
     "q55_approx_sketches" -> QueryDef(
       (s, dir) =>
         table(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          .agg(countDistinct("l_partkey").as("exact_parts"),
+               approx_count_distinct("l_partkey").as("ap"),
+               expr("percentile(l_extendedprice, 0.5)").as("em"),
                percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-                 .as("approx_median_price"))
+                 .as("am"))
+          .select(col("l_returnflag"),
+            col("exact_parts"),
+            (abs(col("ap") - col("exact_parts"))
+              <= col("exact_parts") * 0.05).as("hll_within_5pct"),
+            round(col("em"), 2).as("median_price"),
+            (abs(col("am") - col("em")) <= abs(col("em")) * 0.05)
+              .as("median_within_5pct"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             | count(DISTINCT l_partkey) AS exact_parts,
+             | TRUE AS hll_within_5pct,
+             | round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+             | TRUE AS median_within_5pct
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }

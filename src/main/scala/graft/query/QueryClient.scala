@@ -49,6 +49,29 @@ final class QueryClient(spark: SparkSession, resultsDir: String) {
     }
   }
 
+  /** Read back the rows a previous [[executeQuery]] materialized — the
+    * "results as rows from a location" half of the reference contract
+    * (`Athena._results_for_query` downloads the CSV and DictReader-parses
+    * it, ncd/athena.py:119-138; redacted_* flags come back as booleans,
+    * ncd/global_file.py:69-72). Header-aware; schema inference restores
+    * true/false booleans and numerics.
+    */
+  def readResults(location: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(location)
+
+  /** [[readResults]] with exact caller-supplied typing (no inference —
+    * the variant to use when the consumer knows the result schema).
+    */
+  def readResults(location: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(schema)
+      .csv(location)
+
   /** Async submit — the reference's start-then-poll shape without the poll
     * (completion is the Future's resolution).
     */

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-wide physical-plan invariants — the guard that no quadratic
+  * plan can silently ship.
+  *
+  * At 100 TB the only acceptable join shapes are equi-shuffles and
+  * broadcasts of provably bounded sides. A CartesianProduct (shuffle ×
+  * shuffle) is quadratic in the corpus and banned outright. A
+  * BroadcastNestedLoopJoin is linear ONLY when its broadcast side is small;
+  * here every BNLJ's build side must be a filtered input (the q44 cap
+  * slice, q45's query set, q46's centroid sample) — a BNLJ broadcasting an
+  * unfiltered corpus-sized table fails this spec.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def buildSide(j: BroadcastNestedLoopJoinExec): SparkPlan =
+    j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    }
+
+  private def isBounded(build: SparkPlan): Boolean =
+    build.collectWithSubqueries { case f: FilterExec => f }.nonEmpty ||
+      build.collectWithSubqueries {
+        case s: FileSourceScanExec if s.dataFilters.nonEmpty => s
+      }.nonEmpty
+
+  test("no catalog plan contains a cartesian or an unbounded nested-loop join") {
+    SparkEntry.catalog.foreach { case (name, qd) =>
+      val plan = qd.fn(spark, sf).queryExecution.sparkPlan
+      val carts = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+      assert(carts.isEmpty,
+        s"$name plans a CartesianProduct — quadratic in the corpus:\n$plan")
+      plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+        .foreach { j =>
+          assert(isBounded(buildSide(j)),
+            s"$name broadcasts an UNFILTERED side in a nested-loop join:\n$plan")
+        }
+    }
+  }
+
+  test("q44's cap filter pushes down to the parquet scan") {
+    val plan = SparkEntry.queries("q44_embed_neardup_cosine")(spark, sf)
+      .queryExecution.sparkPlan
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.metadata.get("PushedFilters").exists(_.contains("LessThan(vec_id,300")),
+        s"cap not pushed: ${s.metadata.get("PushedFilters")}")
+    }
+  }
+}

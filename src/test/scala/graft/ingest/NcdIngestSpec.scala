@@ -117,6 +117,24 @@ class NcdIngestSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("warehouse accepts an explicit Hadoop FS URI (the s3a:// code path)") {
+    // same code path a real bucket takes: the warehouse is an arbitrary
+    // Hadoop FS URI string (here file://, on a cluster s3a://) — writes,
+    // DDL LOCATION, and MSCK all go through the Hadoop FileSystem API
+    val dir = Files.createTempDirectory("ncd_uri_")
+    val wh = s"file://$dir"
+    val ing = new NcdIngest(spark, wh, db = "ncduri")
+    ing.loadZip(Fixtures.tempZip().toString)
+    assert(spark.table("ncduri.GS_CASE").count() === 5)
+    import spark.implicits._
+    assert(spark.table("ncduri.GS_CASE")
+      .filter($"filename_district" === "FLM").count() === 4)
+    // the registered location carries the scheme
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED ncduri.GS_CASE")
+      .filter($"col_name" === "Location").select("data_type").as[String].head()
+    assert(loc.startsWith("file:/"))
+  }
+
   test("DDL log captures CREATE DATABASE / CREATE TABLE golden shapes") {
     assert(ingest.ddlLog.head === "CREATE DATABASE IF NOT EXISTS ncd")
     val caseDdl = ingest.ddlLog.find(_.contains("ncd.GS_CASE (")).get

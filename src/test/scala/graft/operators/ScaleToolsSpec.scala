@@ -59,6 +59,33 @@ class DistributedZipSpec extends AnyFunSuite {
     assert(df.filter($"CASEID" === 1L).count() === 2)
     assert(df.filter($"redacted_FILE_DATE").count() === 2)
   }
+
+  test("blank lines produce rows, matching the driver-side ingest path") {
+    import java.io.FileOutputStream
+    import java.nio.file.Files
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("blank_zip_")
+    val zipPath = dir.resolve("blanks.zip")
+    val out = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    out.putNextEntry(new ZipEntry("gs_case_CT.txt"))
+    // row, blank line, row, trailing newline
+    out.write("AAA\n\nBBB\n".getBytes("ISO-8859-1"))
+    out.closeEntry()
+    out.close()
+
+    val lines = DistributedZip
+      .memberLines(spark, zipPath.toString, "gs_case.*\\.txt")
+      .select("value").collect().map(_.getString(0)).toSeq
+    // driver-side twin: spark.read.text emits ("AAA", "", "BBB") — a blank
+    // line is an (all-null once converted) row, and the phantom element
+    // after the trailing newline is NOT a row. Executor-side must agree.
+    val driverSide = spark.read.text(
+      Files.write(dir.resolve("plain.txt"),
+        "AAA\n\nBBB\n".getBytes("ISO-8859-1")).toString)
+      .collect().map(_.getString(0)).toSeq
+    assert(lines === driverSide)
+    assert(lines === Seq("AAA", "", "BBB"))
+  }
 }
 
 class BucketedSinkSpec extends AnyFunSuite {
