@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{table, tableParallel}
+import graft.functions.TextOps.{hash32, tokens}
+import graft.operators.Materialize
+
+/** Training-data-pipeline operators beyond the dedup/similarity families:
+  * reproducible sampling, corpus mixing, sequence packing, benchmark
+  * contamination checks, PII/term scrubbing, and as-of joins.
+  *
+  * Design rules shared by the family:
+  *   - sampling decisions are HASH-seeded (md5 of a salted key), never
+  *     `rand()` — reruns, retries, and the DuckDB oracle all agree on
+  *     exactly which rows were kept, and the sample is stable under
+  *     repartitioning (a rand() sample is none of those);
+  *   - everything is a narrow projection + equi-shuffle: the only shuffles
+  *     are the group-bys/joins the semantics require, so each operator's
+  *     cost is linear in the corpus at 100 TB;
+  *   - outputs are aggregates over the decision columns, so the oracle
+  *     hash-checks the full decision vector, not a summary statistic.
+  */
+object TrainingQueries {
+
+  private val duckToks =
+    "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val duckHs =
+    s"""CASE WHEN len(ws) >= 3
+       | THEN list_distinct(list_transform(
+       |   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |    for i in range(1, len(ws) - 1)],
+       |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
+       | ELSE CAST([] AS BIGINT[]) END""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---- reproducible stratified sampling ---------------------------------
+    // Per-stratum rates with a hash-seeded keep decision: at 100 TB the
+    // sample must be recomputable (spot instance dies, job reruns) and
+    // auditable (the oracle re-derives the identical keep set).
+    "q57_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        val rate = when(col("lang") === "en", 50)
+          .when(col("lang") === "de", 25)
+          .otherwise(10)
+        table(s, dir, "documents")
+          .withColumn("keep",
+            hash32(concat(lit("s57_"), col("doc_id"))) % 100 < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+          .withColumn("sample_ratio",
+            round(col("n_sampled") * 1.0 / col("n_docs"), 4))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_sampled,
+             | round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             |   AS sample_ratio
+             |FROM (
+             |  SELECT lang,
+             |    CAST(('0x' || substr(md5('s57_' || doc_id), 1, 8)) AS BIGINT)
+             |      % 100 <
+             |      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+             |      AS keep
+             |  FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- as-of join -------------------------------------------------------
+    // Each purchase matched to the user's most recent click at-or-before
+    // it. Spark has no ASOF JOIN operator; the scalable formulation is the
+    // union-and-carry pattern: union both event kinds, one shuffle on
+    // user_id, and a running last_value(click_ts) window — O(n log n) per
+    // user, no range-join explosion, no per-key collect. (The naive
+    // equi-join on user + filter ts<=ts + max() materializes every
+    // click×purchase pair first — quadratic per hot user.) The oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    "q58_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+          // clicks sort before purchases at equal ts => "at-or-before"
+          // (ASOF's p.ts >= c.ts), not "strictly before"
+          .withColumn("kind_ord",
+            when(col("event_type") === "click", 0).otherwise(1))
+          .withColumn("click_us",
+            when(col("event_type") === "click", unix_micros(col("ts"))))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kind_ord"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("prev_click_us",
+            last("click_us", ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy((col("user_id") % 10).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_purchases"),
+               count(col("prev_click_us")).as("n_matched"),
+               round(avg((unix_micros(col("ts")) - col("prev_click_us"))
+                 / 1000000.0), 3).as("avg_gap_s"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT user_id, ts FROM events
+             |          WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT CAST(p.user_id % 10 AS INT) AS bucket,
+             |  count(*) AS n_purchases,
+             |  count(c.ts) AS n_matched,
+             |  round(avg((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0), 3)
+             |    AS avg_gap_s
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- sequence packing (concat-then-chunk) -----------------------------
+    // The LLM-training batching step: documents are concatenated in a
+    // deterministic order and the token stream is cut into fixed context
+    // windows (2048 here). pack_id = tokens-before DIV window: one shuffle
+    // on source + a running-sum window — linear, and documents straddling
+    // a boundary land in the pack where their first token falls (standard
+    // concat-and-chunk semantics).
+    "q59_sequence_packing" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tableParallel(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("tok"))
+          .withColumn("cum_before", coalesce(sum("tok").over(w), lit(0L)))
+          .withColumn("pack_id", expr("CAST(cum_before DIV 2048 AS INT)"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("pack_tokens"))
+          .orderBy("source", "pack_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT source, doc_id, tok,
+              |    COALESCE(CAST(sum(tok) OVER (PARTITION BY source
+              |      ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS BIGINT), 0) AS cum_before
+              |  FROM t)
+              |SELECT source, CAST(cum_before // 2048 AS INT) AS pack_id,
+              |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens
+              |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin)),
+
+    // ---- benchmark contamination check ------------------------------------
+    // Held-out docs (doc_id % 20 = 0 stands in for an eval benchmark) are
+    // checked for n-gram overlap against the training split: per eval doc,
+    // the fraction of its shingles that appear ANYWHERE in training data.
+    // Distinct-train-shingles + equi-join — linear, the same shape the
+    // dedup family uses; no pairwise doc comparison.
+    "q60_contamination_check" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(TextQueries.shingleTable(s, dir, None))
+        val evalSh = sh.filter(col("doc_id") % 20 === 0)
+        val trainSh = sh.filter(col("doc_id") % 20 =!= 0)
+          .select("sh").distinct()
+        val sizes = evalSh.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"))
+        val overlap = evalSh.join(trainSh, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_ov"))
+        sizes.join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n_shingles"),
+            coalesce(col("n_ov"), lit(0L)).as("n_overlap"),
+            round(coalesce(col("n_ov"), lit(0L)) * 1.0 / col("n_shingles"), 4)
+              .as("contamination"),
+            (coalesce(col("n_ov"), lit(0L)) * 1.0 / col("n_shingles") >= 0.8)
+              .as("is_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh0 AS (SELECT doc_id, unnest(hs) AS sh
+              |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |ev AS (SELECT * FROM sh0 WHERE doc_id % 20 = 0),
+              |tr AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 20 <> 0),
+              |sizes AS (SELECT doc_id, count(*) AS n_shingles
+              |          FROM ev GROUP BY doc_id),
+              |ov AS (SELECT e.doc_id, count(*) AS n_ov
+              |       FROM ev e JOIN tr ON e.sh = tr.sh GROUP BY 1)
+              |SELECT s.doc_id, s.n_shingles,
+              |  COALESCE(o.n_ov, 0) AS n_overlap,
+              |  round(COALESCE(o.n_ov, 0) * 1.0 / s.n_shingles, 4)
+              |    AS contamination,
+              |  COALESCE(o.n_ov, 0) * 1.0 / s.n_shingles >= 0.8
+              |    AS is_contaminated
+              |FROM sizes s LEFT JOIN ov o ON o.doc_id = s.doc_id
+              |ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- PII / blocklist scrubbing ----------------------------------------
+    // Pattern-scrub with an audit trail: emails (regex; none in this
+    // synthetic corpus — the zero counts prove the plumbing) and a term
+    // blocklist, counted per doc before replacement. The per-source
+    // checksum sums a hash of every scrubbed text, so the oracle verifies
+    // the REPLACEMENT OUTPUT, not just the match counts. Narrow projection
+    // + one group-by; regexes are RE2-safe (no lookaround) so Java and
+    // DuckDB agree.
+    "q61_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val termRe = "\\b(key|table|spark)\\b"
+        tableParallel(s, dir, "documents")
+          .select(col("source"), lower(col("text")).as("lt"))
+          .withColumn("n_emails",
+            size(regexp_extract_all(col("lt"), lit(emailRe), lit(0)))
+              .cast("long"))
+          .withColumn("n_terms",
+            size(regexp_extract_all(col("lt"), lit(termRe), lit(0)))
+              .cast("long"))
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace(col("lt"), emailRe, "[EMAIL]"),
+              termRe, "[REDACTED]"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_emails").as("total_emails"),
+               sum("n_terms").as("total_terms"),
+               sum(when(col("n_terms") > 0, 1L).otherwise(0L))
+                 .as("docs_touched"),
+               sum(hash32(col("scrubbed"))).as("scrub_checksum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             | CAST(sum(n_emails) AS BIGINT) AS total_emails,
+             | CAST(sum(n_terms) AS BIGINT) AS total_terms,
+             | CAST(sum(CASE WHEN n_terms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS docs_touched,
+             | CAST(sum(CAST(('0x' || substr(md5(scrubbed), 1, 8)) AS BIGINT))
+             |   AS BIGINT) AS scrub_checksum
+             |FROM (
+             |  SELECT source,
+             |    len(regexp_extract_all(lt,
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+             |    len(regexp_extract_all(lt, '\b(key|table|spark)\b'))
+             |      AS n_terms,
+             |    regexp_replace(regexp_replace(lt,
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |      '\b(key|table|spark)\b', '[REDACTED]', 'g') AS scrubbed
+             |  FROM (SELECT source, lower(text) AS lt FROM documents))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- corpus mixing to a target distribution ---------------------------
+    // Rebalance the language mix by downsampling every language to the
+    // smallest one's share. Rates are DERIVED FROM DATA (a 5-row aggregate
+    // broadcast back onto the corpus — no driver round-trip, no collect),
+    // and the keep decision is hash-seeded like q57. One aggregation + one
+    // broadcast join + one aggregation: linear at any corpus size.
+    "q62_source_mixing" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val minDf = counts.agg(min("n").as("min_n"))
+        val rates = counts.crossJoin(broadcast(minDf))
+          .withColumn("rate_bp", expr("CAST(min_n * 10000 DIV n AS INT)"))
+          .select("lang", "n", "rate_bp")
+        docs.join(broadcast(rates), "lang")
+          .withColumn("keep",
+            hash32(concat(lit("s62_"), col("doc_id"))) % 10000 < col("rate_bp"))
+          .groupBy("lang")
+          .agg(max("n").as("n_docs"),
+               max("rate_bp").as("rate_bp"),
+               sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents
+             |               GROUP BY lang),
+             |m AS (SELECT min(n) AS min_n FROM counts),
+             |rates AS (SELECT lang, n,
+             |            CAST(min_n * 10000 // n AS INT) AS rate_bp
+             |          FROM counts CROSS JOIN m)
+             |SELECT d.lang,
+             |  CAST(max(r.n) AS BIGINT) AS n_docs,
+             |  max(r.rate_bp) AS rate_bp,
+             |  CAST(sum(CASE WHEN
+             |    CAST(('0x' || substr(md5('s62_' || d.doc_id), 1, 8)) AS BIGINT)
+             |      % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM documents d JOIN rates r ON d.lang = r.lang
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+  )
+}

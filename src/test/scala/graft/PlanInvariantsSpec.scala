@@ -30,6 +30,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     build.collectWithSubqueries { case f: FilterExec => f }.nonEmpty ||
       build.collectWithSubqueries {
         case s: FileSourceScanExec if s.dataFilters.nonEmpty => s
+      }.nonEmpty ||
+      // a grouping-free (global) aggregate emits exactly one row — the
+      // scalar-broadcast pattern (e.g. q62's min-count join)
+      build.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => a
       }.nonEmpty
 
   test("no catalog plan contains a cartesian or an unbounded nested-loop join") {
