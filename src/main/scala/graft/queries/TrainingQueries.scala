@@ -115,6 +115,39 @@ object TrainingQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- native as-of join operator ---------------------------------------
+    // Same semantics as q58's window formulation, through the custom
+    // whole-plan operator instead ([[graft.plans.AsofJoinExec]], installed
+    // by GraftExtensions): one shuffle per side + a streaming merge with
+    // O(1) state — no union, no window buffer. Inner form; the oracle is
+    // DuckDB's native ASOF JOIN.
+    "q63_asof_join_native" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        graft.plans.Asof.join(purchases, clicks,
+            Seq((col("p_user"), col("c_user"))), col("p_ts"), col("c_ts"))
+          .groupBy((col("p_user") % 10).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_matched"),
+               round(avg((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                 / 1000000.0), 3).as("avg_gap_s"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT user_id, ts FROM events
+             |          WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT CAST(p.user_id % 10 AS INT) AS bucket,
+             |  count(*) AS n_matched,
+             |  round(avg((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0), 3)
+             |    AS avg_gap_s
+             |FROM p ASOF JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- sequence packing (concat-then-chunk) -----------------------------
     // The LLM-training batching step: documents are concatenated in a
     // deterministic order and the token stream is cut into fixed context
