@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.{table, tableParallel}
-import graft.functions.{MinhashBandKeys, ShingleHashes, TextOps}
+import graft.functions.{MinhashBandKeys, ShingleHashes, SimhashSig, TextOps}
 import graft.functions.TextOps._
 import graft.operators.{ConnectedComponents, Materialize, StopShingles}
 
@@ -303,16 +303,16 @@ object TextQueries {
       (s, dir) => {
         val docs = tableParallel(s, dir, "documents")
         ShingleHashes.register(s)
-        val th = docs.select(col("doc_id"),
-            explode(ShingleHashes.of(tokens(col("text")))).as("th"))
-        val bitAggs = (0 until 32).map(i =>
-          sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)).as(s"b$i"))
-        val bitSums = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val sim = bitSums.select(col("doc_id"),
-          (0 until 32).map(i =>
-            when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sh"))
+        SimhashSig.register(s)
+        // signature is a NARROW per-doc projection (native SimhashSig):
+        // nothing shuffles until the chunk equi-join — the explode +
+        // 32-column conditional-sum aggregation this replaces shuffled
+        // every (doc, shingle) row corpus-wide
+        val sim = docs
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), SimhashSig.of(col("hs")).as("sh"))
         // multi-index blocking instead of an O(n^2) pair join: split the 32
         // bits into 5 chunks — any pair within hamming distance 4 must agree
         // on at least one whole chunk (pigeonhole), so candidates come from

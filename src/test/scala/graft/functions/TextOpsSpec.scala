@@ -53,6 +53,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimhashSig equals the 32-column conditional-sum formulation") {
+    import spark.implicits._
+    ShingleHashes.register(spark)
+    SimhashSig.register(spark)
+    val hs = texts.filter(_.split(" ").length >= 3).toDF("text")
+      .select(ShingleHashes.of(TextOps.tokens(col("text"))).as("hs"))
+    val rows = hs.select(
+      SimhashSig.of(col("hs")).as("native"),
+      // per-doc replay of the relational per-bit conditional sum
+      expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+             |  acc + IF(aggregate(hs, CAST(0 AS BIGINT),
+             |    (a, h) -> a + IF((shiftright(h, i) & 1) = 1,
+             |      CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,
+             |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+        .stripMargin).as("declarative")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("hash32 matches HashUtil.md5Head8") {
     import spark.implicits._
     val words = Seq("abc", "the quick", "ünïcode", "")
