@@ -14,14 +14,33 @@ import scala.util.matching.Regex
   */
 object Listing {
 
-  private val ZipHref: Regex = """href\s*=\s*["']([^"']+\.zip)["']""".r
+  private val Comment: Regex = "(?s)<!--.*?-->".r
+  private val AnchorTag: Regex = "(?is)<a\\b[^>]*>".r
+  private val HrefAttr: Regex =
+    "(?is)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))".r
 
   /** A1: extract `.zip` hrefs from an HTML listing page, resolved against
     * the page URL with the scheme forced to https (import_all.py:38-68).
+    *
+    * The reference uses a DOM parser with a CSS selector; this is a
+    * tolerant anchor-tag scan with the same observable behavior — it
+    * survives attribute reordering, unquoted/single-quoted hrefs, mixed
+    * case, `&amp;`-entity URLs, and commented-out markup, without pulling
+    * an HTML-parser dependency into the engine.
     */
   def zipUrls(pageHtml: String, pageUrl: String): Seq[String] = {
     val base = URI.create(pageUrl)
-    ZipHref.findAllMatchIn(pageHtml).map(_.group(1)).toVector.distinct
+    AnchorTag.findAllIn(Comment.replaceAllIn(pageHtml, "")).toVector
+      .flatMap { tag =>
+        HrefAttr.findFirstMatchIn(tag).map { m =>
+          Option(m.group(1)).orElse(Option(m.group(2))).getOrElse(m.group(3))
+        }
+      }
+      .map(_.trim.replace("&amp;", "&"))
+      // the reference's selector is a[href$=".zip"]: case-sensitive suffix
+      // over the WHOLE href (a ?query-suffixed zip URL does not match)
+      .filter(_.endsWith(".zip"))
+      .distinct
       .map(href => base.resolve(href))
       .map { u =>
         if (u.getScheme == "https") u.toString

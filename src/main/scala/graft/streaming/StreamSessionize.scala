@@ -127,4 +127,26 @@ object StreamSessionize {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
+
+  /** Streaming exact dedup — the ingest-time twin of the batch q40: drop
+    * re-deliveries of the same document (keyed by content fingerprint)
+    * as they arrive, with state bounded by the watermark.
+    *
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key only
+    * until the watermark passes its event time, so a 100 TB/day firehose
+    * holds hours of keys, not the full corpus — the unbounded-state trap
+    * of plain `dropDuplicates` on a stream. Exactly-once *within* the
+    * watermark horizon; duplicates farther apart than the horizon need the
+    * batch dedup family downstream.
+    *
+    * `docs` needs (ts, text) plus any payload columns; the fingerprint is
+    * the same md5 the batch exact-dedup uses, so the two stages agree on
+    * what "identical" means.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
 }

@@ -109,6 +109,23 @@ class ListingSpec extends AnyFunSuite {
       "https://doj.example.gov/listing/file3.zip"))
   }
 
+  test("survives exotic markup: attribute order, quoting, case, entities, comments") {
+    val html =
+      """<HTML><BODY>
+        |<A CLASS="dl" HREF="/foia/file1.zip" id=x>one</A>
+        |<a id="y" href=bare/file2.zip>two</a>
+        |<a href='q.zip?a=1&amp;b=2'>query-suffixed: not href$=".zip"</a>
+        |<!-- <a href="commented_out.zip">hidden</a> -->
+        |<img src="pic.zip.png"><a name="no-href">anchor sans href</a>
+        |</BODY></HTML>""".stripMargin
+    val urls = Listing.zipUrls(html, "https://doj.example.gov/listing/page.html")
+    // reference selector a[href$=".zip"]: suffix match on the whole href,
+    // so the ?query URL is excluded there and here
+    assert(urls === Seq(
+      "https://doj.example.gov/foia/file1.zip",
+      "https://doj.example.gov/listing/bare/file2.zip"))
+  }
+
   test("pipelined loadAll overlaps fetches but keeps deterministic order") {
     import java.nio.file.Files
     import scala.concurrent.ExecutionContext.Implicits.global

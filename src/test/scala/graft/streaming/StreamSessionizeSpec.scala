@@ -63,6 +63,34 @@ class StreamSessionizeSpec extends AnyFunSuite with TimeLimits {
     }
   }
 
+  test("streaming dedup drops re-delivered docs within the watermark") {
+    failAfter(Span(180, Seconds)) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val docs = input.toDF().toDF("ts", "text", "doc_id")
+
+    val query = dedupStream(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "alpha beta", 1L), (ts(1), "gamma", 2L))
+      query.processAllAvailable()
+      // batch 2: one exact re-delivery (dropped), one new doc (kept);
+      // the duplicate has a different doc_id — identity is the CONTENT
+      // fingerprint, as in the batch exact-dedup
+      input.addData((ts(2), "alpha beta", 3L), (ts(3), "delta", 4L))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+      // payload columns pass through, fingerprint column does not
+      assert(spark.table("dedup_out").columns.toSeq ===
+        Seq("ts", "text", "doc_id"))
+    } finally query.stop()
+    }
+  }
+
   test("batch and streaming sessionization agree (same code path)") {
     import spark.implicits._
     val batch = Seq(
