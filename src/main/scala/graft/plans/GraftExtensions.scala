@@ -13,13 +13,35 @@ import org.apache.spark.sql.functions.call_function
   * repo's mains (Verify/Bench) and the test session install it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import graft.functions._
+
+  private def fn(name: String, clazz: Class[_],
+                 builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(AsofLE.FunctionName),
-      new ExpressionInfo(classOf[AsofLE].getName, AsofLE.FunctionName),
-      (exprs: Seq[Expression]) => AsofLE(exprs.head, exprs(1))))
+    // the as-of join stack: marker function + rewrite + planning
+    ext.injectFunction(fn(AsofLE.FunctionName, classOf[AsofLE],
+      exprs => AsofLE(exprs.head, exprs(1))))
     ext.injectOptimizerRule(RewriteAsofJoin)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+
+    // every native expression, so the pure-SQL surface (spark.sql /
+    // QueryClient) can call the whole hash/vector family without any
+    // Scala-side register() call
+    ext.injectFunction(fn(ShingleHashes.FunctionName, classOf[ShingleHashes],
+      exprs => ShingleHashes(exprs.head)))
+    ext.injectFunction(fn(MinhashBandKeys.FunctionName, classOf[MinhashBandKeys],
+      exprs => MinhashBandKeys(exprs.head)))
+    ext.injectFunction(fn(SimhashSig.FunctionName, classOf[SimhashSig],
+      exprs => SimhashSig(exprs.head)))
+    ext.injectFunction(fn(SrpBandKeys.FunctionName, classOf[SrpBandKeys],
+      exprs => SrpBandKeys(exprs.head)))
+    ext.injectFunction(fn(FloatVectorDot.FunctionName, classOf[FloatVectorDot],
+      exprs => FloatVectorDot(exprs.head, exprs(1))))
+    ext.injectFunction(fn(OracleDateParse.FunctionName, classOf[OracleDateParse],
+      exprs => OracleDateParse(exprs.head)))
   }
 }
 

@@ -249,6 +249,90 @@ object SimilarityQueries {
              |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // ---- ANN index quality: LSH recall vs exact ground truth --------------
+    // The evaluation operator every approximate index needs: on the same
+    // bounded validation slice q44 uses, compute exact cosine pairs
+    // (ground truth) and the SRP-LSH pipeline's verified pairs, then
+    // measure recall = |LSH ∩ exact| / |exact|. Both pipelines are
+    // deterministic, so even this quality metric sits under the exact-hash
+    // oracle. The slice keeps the quadratic ground truth constant-size at
+    // any corpus scale.
+    "q64_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.SrpBandKeys
+        SrpBandKeys.register(s)
+        val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", norm(s)(col("v")))
+        val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .filter(dot(s)(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+            >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        val bands = e.select(col("vec_id"), col("v"), col("nrm"),
+            posexplode(SrpBandKeys.of(col("v"))))
+          .toDF("vec_id", "v", "nrm", "band_id", "bkey")
+        val lsh = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.bkey") === col("b.bkey") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.v").as("va"), col("b.v").as("vb"),
+            col("a.nrm").as("na"), col("b.nrm").as("nb"))
+          .distinct()
+          .filter(dot(s)(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+          .select("vec_a", "vec_b")
+        val hits = exact
+          .join(lsh.withColumn("hit", lit(1)), Seq("vec_a", "vec_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        val lshCount = lsh.agg(count(lit(1)).as("n_lsh"))
+        hits.crossJoin(broadcast(lshCount))
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |          FROM embeddings WHERE vec_id < 300),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |exact AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+             |planes AS (
+             |  SELECT p, list_transform(range(0, 64), d ->
+             |    ((CAST(('0x' || substr(md5(p || '_' || d), 1, 8)) AS BIGINT)
+             |      % 2001) - 1000) / 1000.0) AS w
+             |  FROM range(16) t(p)),
+             |sig AS (
+             |  SELECT e.vec_id, planes.p,
+             |    CASE WHEN list_sum(list_transform(range(1, 65),
+             |      d -> v[d] * w[d])) >= 0 THEN 1 ELSE 0 END AS bit
+             |  FROM e CROSS JOIN planes),
+             |bands AS (
+             |  SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+             |    CAST(sum(bit << (p % 4)) AS INT) AS bkey
+             |  FROM sig GROUP BY vec_id, p // 4),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+             |    AND a.vec_id < b.vec_id),
+             |lsh AS (
+             |  SELECT vec_a, vec_b FROM cand
+             |  JOIN n na ON na.vec_id = vec_a
+             |  JOIN n nb ON nb.vec_id = vec_b
+             |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4),
+             |j AS (
+             |  SELECT CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM exact e LEFT JOIN lsh l
+             |    ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b)
+             |SELECT count(*) AS n_exact,
+             |  (SELECT count(*) FROM lsh) AS n_lsh,
+             |  CAST(sum(hit) AS BIGINT) AS n_hit,
+             |  round(sum(hit) * 1.0 / count(*), 4) AS recall
+             |FROM j""".stripMargin)),
+
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
       (s, dir) => {
