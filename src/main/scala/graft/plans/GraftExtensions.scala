@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => FloatVectorDot(exprs.head, exprs(1))))
     ext.injectFunction(fn(OracleDateParse.FunctionName, classOf[OracleDateParse],
       exprs => OracleDateParse(exprs.head)))
+    ext.injectFunction(fn(NGrams.FunctionName, classOf[NGrams],
+      exprs => NGrams(exprs.head, exprs(1))))
   }
 }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.{table, tableParallel}
-import graft.functions.{MinhashBandKeys, ShingleHashes, SimhashSig, TextOps}
+import graft.functions.{MinhashBandKeys, NGrams, ShingleHashes, SimhashSig, TextOps}
 import graft.functions.TextOps._
 import graft.operators.{ConnectedComponents, Materialize, StopShingles}
 
@@ -447,6 +447,28 @@ object TextQueries {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
               |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- native UDTF: n-gram generator -------------------------------------
+    // Table-generating function surface: the native `ngrams` Generator
+    // fans each document out to its word bigrams inside the scan stage
+    // (a `Generate` node, like explode — no shuffle, no per-row array
+    // materialization), then a plain count/top-k. Deterministic total
+    // order (count desc, ngram asc) keeps the limit oracle-exact.
+    "q65_ngram_udtf" -> QueryDef(
+      (s, dir) => {
+        NGrams.register(s)
+        tableParallel(s, dir, "documents")
+          .select(col("doc_id"), NGrams.of(tokens(col("text")), lit(2)))
+          .groupBy("ngram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("ngram"))
+          .limit(20)
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |bg AS (SELECT unnest(CASE WHEN len(ws) >= 2
+              |        THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+              |        ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM ws)
+              |SELECT ngram, count(*) AS n FROM bg GROUP BY ngram
+              |ORDER BY n DESC, ngram LIMIT 20""".stripMargin)),
 
     // ---- Jaccard with the stop-shingle skew guard --------------------------
     // Same pipeline as q43 with the document-frequency cut engaged

@@ -71,6 +71,30 @@ class TextOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("NGrams generator equals the declarative transform formulation") {
+    import spark.implicits._
+    NGrams.register(spark)
+    val df = texts.toDF("text")
+    val native = df.select(
+        NGrams.of(TextOps.tokens(col("text")), lit(3)))
+      .select("ngram").collect().map(_.getString(0)).sorted
+    val declarative = df.select(explode(TextOps.shingles3(
+        TextOps.tokens(col("text")))).as("s"))
+      .collect().map(_.getString(0))
+    // shingles3 dedups per doc; the generator does not — compare as the
+    // generator's distinct-per-doc view
+    val nativeDistinct = df.select(col("text"),
+        NGrams.of(TextOps.tokens(col("text")), lit(3)))
+      .select("text", "ngram").distinct()
+      .collect().map(_.getString(1)).sorted
+    assert(nativeDistinct.toSeq.sorted === declarative.toSeq.sorted)
+    // positions are 0-based and contiguous
+    val pos = df.select(NGrams.of(TextOps.tokens(col("text")), lit(3)))
+      .select("pos").collect().map(_.getInt(0))
+    assert(pos.forall(_ >= 0))
+    assert(native.nonEmpty)
+  }
+
   test("hash32 matches HashUtil.md5Head8") {
     import spark.implicits._
     val words = Seq("abc", "the quick", "ünïcode", "")
