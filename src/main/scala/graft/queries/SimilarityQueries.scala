@@ -186,6 +186,78 @@ object SimilarityQueries {
               |  FROM cands)
               |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- trained IVF: one exact k-means (Lloyd) iteration -----------------
+    // q46's centroids are a deterministic sample; this entry TRAINS them:
+    // assign to nearest seed, recompute each centroid as its cluster mean,
+    // re-assign. All arithmetic runs in 1e6-scaled INTEGER space (floor
+    // once at input) because integer sums are order-independent — float
+    // centroid means would differ between Spark's partial aggregates and
+    // DuckDB's sequential fold in the last ulp and desync the oracle.
+    // Shapes: two broadcast-centroid assign passes (linear in n·nlist,
+    // the IVF cost), one (cid, dim) aggregation for the retrain — no
+    // driver-side math, no collect. Native LongVectorL2 keeps the 128k
+    // distance evaluations in codegen.
+    "q66_ivf_kmeans" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.LongVectorL2
+        LongVectorL2.register(s)
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000000).cast("long")).as("vq"))
+        val c0 = broadcast(e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("vq").as("cq")))
+
+        def assign(cent: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+          e.join(cent)
+            .withColumn("d2", LongVectorL2.l2(col("vq"), col("cq")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("vq"), col("cid"), col("d2"))
+        }
+
+        val a1 = assign(c0)
+        val comp = a1.select(col("cid"), posexplode(col("vq")))
+          .toDF("cid", "dim", "vval")
+          .groupBy("cid", "dim")
+          .agg(sum("vval").as("sv"), count(lit(1)).as("cnt"))
+          .select(col("cid"), col("dim"),
+            floor(col("sv") * 1.0 / col("cnt")).cast("long").as("cval"))
+        val c1 = broadcast(comp.groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cval")))),
+            s => s.getField("cval")).as("cq")))
+        assign(c1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"), sum("d2").as("total_d2"))
+          .orderBy("cid")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+             |            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq
+             |          FROM embeddings),
+             |c0 AS (SELECT vec_id AS cid, vq AS cq FROM e WHERE vec_id % 50 = 0),
+             |d1 AS (SELECT e.vec_id, e.vq, c0.cid,
+             |         list_sum(list_transform(range(1, 65),
+             |           d -> (e.vq[d] - c0.cq[d]) * (e.vq[d] - c0.cq[d]))) AS d2
+             |       FROM e CROSS JOIN c0),
+             |a1 AS (SELECT vec_id, vq, cid FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+             |comp AS (SELECT cid, d,
+             |           CAST(floor(sum(vq[d]) * 1.0 / count(*)) AS BIGINT) AS cval
+             |         FROM a1, range(1, 65) t(d) GROUP BY cid, d),
+             |c1 AS (SELECT cid, list(cval ORDER BY d) AS cq FROM comp GROUP BY cid),
+             |d2t AS (SELECT e.vec_id, c1.cid,
+             |          list_sum(list_transform(range(1, 65),
+             |            d -> (e.vq[d] - c1.cq[d]) * (e.vq[d] - c1.cq[d]))) AS d2
+             |        FROM e CROSS JOIN c1),
+             |a2 AS (SELECT vec_id, cid, d2 FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY d2, cid) AS rn FROM d2t) WHERE rn = 1)
+             |SELECT cid, count(*) AS n_members, CAST(sum(d2) AS BIGINT) AS total_d2
+             |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin)),
+
     // ---- signed-random-projection LSH near-dup (the embedding scale path) --
     // 16 deterministic hyperplanes (md5-derived pseudo-randoms, so DuckDB
     // reconstructs the identical planes), banded 4x4 bits: candidate pairs
