@@ -148,6 +148,53 @@ object TrainingQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- last-touch attribution within a horizon --------------------------
+    // The batch twin of `StreamSessionize.attributionStream`: each purchase
+    // attributed to the same user's LATEST click within the preceding
+    // 30 minutes (an as-of join with a lower bound). Equi-join on user +
+    // range filter + max per purchase: the horizon bounds per-purchase
+    // fan-out, so the pair materialization stays linear-ish at scale.
+    "q67_attribution_batch" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val horizonUs = 1800000000L // 30 min
+        purchases.join(clicks,
+            col("c_user") === col("p_user") &&
+              col("c_us") <= col("p_us") &&
+              col("c_us") >= col("p_us") - horizonUs)
+          .groupBy(col("p_id"), col("p_user"), col("p_us"))
+          .agg(max(col("c_us")).as("attributed_click_us"),
+               count(lit(1)).as("n_candidate_clicks"))
+          .groupBy((col("p_user") % 10).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_attributed"),
+               sum("n_candidate_clicks").as("total_candidates"),
+               round(avg((col("p_us") - col("attributed_click_us"))
+                 / 1000000.0), 3).as("avg_gap_s"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+             |          WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+             |      WHERE event_type = 'purchase'),
+             |att AS (
+             |  SELECT p.event_id, p.user_id, p.p_us,
+             |    max(c.c_us) AS attributed_click_us,
+             |    count(*) AS n_candidate_clicks
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 1800000000
+             |  GROUP BY 1, 2, 3)
+             |SELECT CAST(user_id % 10 AS INT) AS bucket,
+             |  count(*) AS n_attributed,
+             |  CAST(sum(n_candidate_clicks) AS BIGINT) AS total_candidates,
+             |  round(avg((p_us - attributed_click_us) / 1000000.0), 3)
+             |    AS avg_gap_s
+             |FROM att GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- sequence packing (concat-then-chunk) -----------------------------
     // The LLM-training batching step: documents are concatenated in a
     // deterministic order and the token stream is cut into fixed context

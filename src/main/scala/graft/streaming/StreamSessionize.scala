@@ -149,4 +149,32 @@ object StreamSessionize {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+
+  /** Stream-stream attribution join: each purchase joined to the same
+    * user's clicks in the preceding `horizon` — the streaming twin of the
+    * batch as-of family (q58/q63), built on Spark's watermarked
+    * stream-stream inner join.
+    *
+    * Both sides carry watermarks and the join condition bounds the time
+    * range on BOTH ends (`c_ts <= p_ts` and `c_ts >= p_ts - horizon`), so
+    * each side's join state is evicted once the other side's watermark
+    * passes — bounded state on an unbounded firehose. Emits one row per
+    * (click, purchase) pair in the horizon; downstream aggregation picks
+    * last-touch/first-touch attribution.
+    *
+    * `clicks` needs (user_id, ts, ...) and `purchases` (user_id, ts, ...);
+    * output columns are prefixed c_/p_.
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+                        horizon: String = "1 hour",
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+  }
 }

@@ -91,6 +91,35 @@ class StreamSessionizeSpec extends AnyFunSuite with TimeLimits {
     }
   }
 
+  test("stream-stream attribution join pairs purchases with in-horizon clicks") {
+    failAfter(Span(180, Seconds)) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+
+    val joined = attributionStream(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts"),
+      horizon = "30 minutes")
+    val query = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, ts(0)), (1L, ts(40)), (2L, ts(5)))
+      purchases.addData((1L, ts(50)), (2L, ts(60)))
+      query.processAllAvailable()
+      val out = spark.table("attrib")
+        .select("c_user", "c_ts", "p_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      // user 1: only the ts(40) click is within 30 min of the ts(50)
+      // purchase (ts(0) is outside the horizon); user 2's click at ts(5)
+      // is 55 min before the purchase -> no pair
+      assert(out === Set((1L, ts(40), ts(50))))
+    } finally query.stop()
+    }
+  }
+
   test("batch and streaming sessionization agree (same code path)") {
     import spark.implicits._
     val batch = Seq(
