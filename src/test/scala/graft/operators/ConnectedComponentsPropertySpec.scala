@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property test: min-label propagation against a driver-side union-find
+  * on random graphs (chains, cliques, isolated pairs all emerge from the
+  * generator).
+  */
+class ConnectedComponentsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(name: String, prop: Prop): Unit = {
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, s"$name: $result")
+  }
+
+  private val genEdge: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, 19L)
+    b <- Gen.choose(0L, 19L)
+  } yield (a, b)
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label convention: component id = min node id
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+  }
+
+  test("minLabel equals union-find on random graphs (self-loops included)") {
+    check("cc", Prop.forAll(Gen.nonEmptyListOf(genEdge)) { edges =>
+      import spark.implicits._
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = ConnectedComponents.minLabel(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    })
+  }
+}
