@@ -64,5 +64,7 @@ object ConnectedComponents {
   }
 
   private def checksum(labels: DataFrame): Long =
-    labels.agg(sum("label")).head().getLong(0)
+    // coalesce: sum over an empty label set is null (no near-dup pairs at
+    // all is a legal input — the loop then converges immediately)
+    labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ShingleHashes, TextOps}
+import graft.functions.TextOps.{hash32, tokens}
+
+/** End-to-end training-corpus preparation: the operator families composed
+  * the way a real pipeline runs them, as one library call.
+  *
+  *   quality filter → exact dedup → near-dup dedup (MinHash candidates →
+  *   Jaccard verify → connected components → keep one doc per cluster) →
+  *   reproducible stratified sample
+  *
+  * Every stage is the same scale shape the individual catalog operators
+  * use: narrow projections, equi-joins on hash keys, one bounded Pregel
+  * loop — no stage introduces a cross join or driver-side row handling.
+  * Counts are returned per stage so the funnel is observable (the
+  * monotone-decreasing invariant is what CorpusPipelineSpec asserts).
+  *
+  * @param minTokens    quality floor: docs with fewer tokens drop
+  * @param maxPunctRatio quality ceiling on punctuation density
+  * @param jaccard      near-dup verification threshold
+  * @param sampleBp     per-doc keep probability in basis points (of 10000),
+  *                     hash-seeded → reproducible and repartition-stable
+  */
+final case class PipelineConfig(minTokens: Int = 5,
+                                maxPunctRatio: Double = 0.3,
+                                jaccard: Double = 0.8,
+                                sampleBp: Int = 10000,
+                                stopShingleDf: Option[Long] = None)
+
+object CorpusPipeline {
+
+  /** Run the pipeline; returns (prepared corpus, stage → surviving docs). */
+  def prepare(spark: SparkSession, docs: DataFrame,
+              cfg: PipelineConfig = PipelineConfig())
+      : (DataFrame, Seq[(String, Long)]) = {
+    ShingleHashes.register(spark)
+    val funnel = Seq.newBuilder[(String, Long)]
+    funnel += "input" -> docs.count()
+
+    // 1. quality: cheap codegen'd per-row predicates, no shuffle
+    val quality = Materialize(docs
+      .withColumn("__tok", size(tokens(col("text"))))
+      .withColumn("__punct",
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")) * 1.0 /
+          greatest(length(col("text")), lit(1)))
+      .filter(col("__tok") >= cfg.minTokens &&
+        col("__punct") <= cfg.maxPunctRatio)
+      .drop("__tok", "__punct"))
+    funnel += "quality" -> quality.count()
+
+    // 2. exact dedup: keep the smallest doc_id per content fingerprint
+    val exact = Materialize {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      quality.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    funnel += "exact_dedup" -> exact.count()
+
+    // 3. near-dup: shingle → jaccard pairs → components → keep min doc
+    val sh = {
+      val base = exact.select(col("doc_id"),
+        explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+      Materialize(cfg.stopShingleDf.fold(base)(t =>
+        StopShingles.filter(base, "sh", t)))
+    }
+    val pairs = Materialize(
+      graft.queries.TextQueries.jaccardPairs(sh, cfg.jaccard)
+        .select("doc_a", "doc_b"))
+    val drop = ConnectedComponents.minLabel(pairs)
+      .filter(col("doc") =!= col("label"))   // keep each cluster's min doc
+      .select(col("doc").as("doc_id"))
+    val near = Materialize(exact.join(drop, Seq("doc_id"), "left_anti"))
+    funnel += "near_dedup" -> near.count()
+
+    // 4. reproducible sample (hash-seeded, like q57/q62)
+    val sampled =
+      if (cfg.sampleBp >= 10000) near
+      else near.filter(
+        hash32(concat(lit("pipeline_"), col("doc_id"))) % 10000
+          < cfg.sampleBp)
+    funnel += "sampled" -> sampled.count()
+
+    (sampled, funnel.result())
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stage funnel is monotone and deterministic across runs") {
+    val docs = Tables.table(spark, sf, "documents")
+    val cfg = PipelineConfig(minTokens = 5, maxPunctRatio = 0.5,
+      jaccard = 0.8, sampleBp = 8000)
+    val (corpus, funnel) = CorpusPipeline.prepare(spark, docs, cfg)
+    val counts = funnel.map(_._2)
+    assert(funnel.map(_._1) ===
+      Seq("input", "quality", "exact_dedup", "near_dedup", "sampled"))
+    // each stage only removes docs
+    assert(counts === counts.sorted.reverse, funnel.toString)
+    assert(counts.head === 500)
+    assert(counts.last > 0)
+    assert(corpus.count() === counts.last)
+
+    // hash-seeded decisions: a rerun keeps EXACTLY the same documents
+    val (corpus2, funnel2) = CorpusPipeline.prepare(spark, docs, cfg)
+    assert(funnel2 === funnel)
+    val a = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = corpus2.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a === b)
+  }
+
+  test("near-dup stage removes transitive duplicate chains") {
+    val docs = Tables.table(spark, sf, "documents")
+    val (_, funnel) = CorpusPipeline.prepare(spark, docs,
+      PipelineConfig(minTokens = 0, maxPunctRatio = 1.0, sampleBp = 10000))
+    val m = funnel.toMap
+    // the synthetic corpus contains injected near-dup groups: exact dedup
+    // alone must not reach the near-dup floor
+    assert(m("near_dedup") < m("exact_dedup"))
+    assert(m("sampled") === m("near_dedup")) // sampleBp=10000 keeps all
+  }
+
+  test("pipeline survives a corpus with no near-dup pairs") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red green blue cyan magenta yellow"))
+      .toDF("doc_id", "text")
+    val (out, funnel) = CorpusPipeline.prepare(spark, tiny, PipelineConfig())
+    assert(out.count() === 3)
+    assert(funnel.toMap.apply("near_dedup") === 3)
+  }
+}
