@@ -324,6 +324,41 @@ object TrainingQueries {
              |  FROM (SELECT source, lower(text) AS lt FROM documents))
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- Z-order layout statistics ----------------------------------------
+    // The data-layout tool observable as a query: z-interleave
+    // (user_id, second) and aggregate per curve bucket. The top 6 z-bits
+    // pin the top 3 bits of BOTH dimensions, so every bucket's user and
+    // time spreads are < 2^13 — the bounded-both-dims locality that makes
+    // a z-ordered 100 TB table min/max-prunable on either column
+    // (graft.operators.ZOrder is the write-side pass).
+    "q68_zorder_stats" -> QueryDef(
+      (s, dir) => {
+        graft.functions.ZValue.register(s)
+        table(s, dir, "events")
+          .select(pmod(col("user_id"), lit(65536L)).as("um"),
+            pmod(expr("unix_micros(ts) DIV 1000000"), lit(65536L)).as("sm"))
+          .withColumn("z", graft.functions.ZValue.of(col("um"), col("sm")))
+          .withColumn("zbucket", shiftright(col("z"), 26).cast("int"))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+               (max("um") - min("um")).as("user_spread"),
+               (max("sm") - min("sm")).as("sec_spread"))
+          .orderBy("zbucket")
+      },
+      Some("""WITH e AS (SELECT user_id % 65536 AS um,
+             |            (epoch_us(ts) // 1000000) % 65536 AS sm
+             |          FROM events),
+             |z AS (SELECT um, sm,
+             |        CAST(list_sum(list_transform(range(0, 16), i ->
+             |          ((um >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+             |          ((sm >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+             |          AS BIGINT) AS z
+             |      FROM e)
+             |SELECT CAST(z >> 26 AS INT) AS zbucket, count(*) AS n,
+             |  CAST(max(um) - min(um) AS BIGINT) AS user_spread,
+             |  CAST(max(sm) - min(sm) AS BIGINT) AS sec_spread
+             |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)),
+
     // ---- corpus mixing to a target distribution ---------------------------
     // Rebalance the language mix by downsampling every language to the
     // smallest one's share. Rates are DERIVED FROM DATA (a 5-row aggregate
