@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot comparison — the reference's actual analytic workload: DOJ
+  * publishes cumulative monthly dumps, and the question is always "what
+  * changed since the last one" (`DistributedZip.readTableAcrossZips` loads
+  * the snapshots; this classifies the delta).
+  *
+  * One full-outer equi-join on the key: rows only in the new snapshot are
+  * `added`, only in the old are `removed`, present in both with any
+  * payload difference are `changed`, else `unchanged`. Payload comparison
+  * is column-wise null-safe equality (`<=>`) — no hashing, so the
+  * classification replays exactly in any engine and needs no canonical
+  * serialization of the row. Cost: one shuffle per side on the key —
+  * linear in both snapshots.
+  */
+object SnapshotDiff {
+
+  /** @param keys join key columns (same names in both frames)
+    * @return the new-snapshot rows (old payload dropped) plus a
+    *         `change_type` column; `removed` rows carry the OLD payload
+    */
+  def diff(old: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = cur.columns.filterNot(keys.contains).toSeq
+    require(old.columns.sorted.sameElements(cur.columns.sorted),
+      "snapshots must share a schema")
+    val o = payload.foldLeft(old.withColumn("__in_old", lit(true))) {
+      (df, c) => df.withColumnRenamed(c, s"__old_$c")
+    }
+    val c = cur.withColumn("__in_cur", lit(true))
+    val samePayload = payload
+      .map(p => col(p) <=> col(s"__old_$p"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(c, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_cur").isNull, "removed")
+          .when(samePayload, "unchanged")
+          .otherwise("changed"))
+      // removed rows have no current payload; surface the old values.
+      // (keyed on __in_cur, not coalesce — a changed row whose NEW value
+      // is legitimately null must still show the new null)
+      .select(keys.map(col) ++ payload.map(p =>
+        when(col("__in_cur").isNull, col(s"__old_$p"))
+          .otherwise(col(p)).as(p)) :+ col("change_type"): _*)
+  }
+}

@@ -324,6 +324,55 @@ object TrainingQueries {
              |  FROM (SELECT source, lower(text) AS lt FROM documents))
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- snapshot diff (cumulative-dump comparison) -----------------------
+    // The reference's real analytic workload: DOJ dumps are cumulative
+    // monthly snapshots, and the standing question is what changed.
+    // Synthetic snapshots derived deterministically from orders: the "old
+    // month" misses every 3rd key (those read as added), shifts every 5th
+    // price (changed), and the "new month" drops every 11th key (removed);
+    // the rest are unchanged — all four classes exercised. SnapshotDiff
+    // classifies via one full-outer key join with null-safe payload
+    // comparison — no hashing, no serialization format to keep in sync
+    // across engines.
+    "q69_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val old = base.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+        graft.operators.SnapshotDiff.diff(old, cur, Seq("o_orderkey"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"),
+               round(sum("o_totalprice"), 2).as("total_price"))
+          .orderBy("change_type")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             |             FROM orders),
+             |old AS (SELECT o_orderkey, o_orderstatus,
+             |          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+             |               ELSE o_totalprice END AS o_totalprice
+             |        FROM base WHERE o_orderkey % 3 <> 0),
+             |cur AS (SELECT * FROM base WHERE o_orderkey % 11 <> 0),
+             |d AS (
+             |  SELECT COALESCE(c.o_orderkey, o.o_orderkey) AS o_orderkey,
+             |    CASE WHEN o.o_orderkey IS NULL THEN c.o_totalprice
+             |         WHEN c.o_orderkey IS NULL THEN o.o_totalprice
+             |         ELSE c.o_totalprice END AS o_totalprice,
+             |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             |         WHEN c.o_orderkey IS NULL THEN 'removed'
+             |         WHEN c.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+             |          AND c.o_totalprice IS NOT DISTINCT FROM o.o_totalprice
+             |           THEN 'unchanged'
+             |         ELSE 'changed' END AS change_type
+             |  FROM old o FULL OUTER JOIN cur c
+             |    ON o.o_orderkey = c.o_orderkey)
+             |SELECT change_type, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
     // ---- Z-order layout statistics ----------------------------------------
     // The data-layout tool observable as a query: z-interleave
     // (user_id, second) and aggregate per curve bucket. The top 6 z-bits

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SnapshotDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("classifies added/removed/changed/unchanged incl. null payloads") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(1.0)),   // unchanged
+      (2L, Some("b"), Some(2.0)),   // changed (price)
+      (3L, None, Some(3.0)),        // unchanged with null payload
+      (4L, Some("d"), Some(4.0)),   // removed
+      (6L, Some("f"), None))        // changed: new value becomes non-null
+      .toDF("k", "status", "price")
+    val cur = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.5)),
+      (3L, None, Some(3.0)),
+      (5L, Some("e"), Some(5.0)),   // added
+      (6L, Some("f"), Some(6.0)))
+      .toDF("k", "status", "price")
+
+    val got = SnapshotDiff.diff(old, cur, Seq("k"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(3), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(1L) === ("unchanged", Some(1.0)))
+    assert(got(2L) === ("changed", Some(2.5)))     // carries NEW payload
+    assert(got(3L) === ("unchanged", Some(3.0)))
+    assert(got(4L) === ("removed", Some(4.0)))     // carries OLD payload
+    assert(got(5L) === ("added", Some(5.0)))
+    assert(got(6L) === ("changed", Some(6.0)))
+  }
+
+  test("changed row whose new value is null keeps the null") {
+    import spark.implicits._
+    val old = Seq((1L, Some(9.0))).toDF("k", "price")
+    val cur = Seq((1L, Option.empty[Double])).toDF("k", "price")
+    val row = SnapshotDiff.diff(old, cur, Seq("k")).collect().head
+    assert(row.getString(2) === "changed")
+    assert(row.isNullAt(1))
+  }
+
+  test("mismatched schemas are rejected") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "x", 1.0)).toDF("k", "v", "extra")
+    intercept[IllegalArgumentException](SnapshotDiff.diff(a, b, Seq("k")))
+  }
+}
