@@ -55,6 +55,9 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
+    // warm-up-scale persists must not occupy the storage pool when the
+    // timed runs start
+    spark.sqlContext.clearCache()
     // A failed query is recorded as -1, never as its (near-zero) elapsed
     // time — a broken query must make the bench look broken, not fast.
     val results = headline.map { name =>
@@ -66,6 +69,10 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
+      } finally {
+        // release each query's Materialize persists so later queries are
+        // timed against a clean storage pool, not a shrinking one
+        spark.sqlContext.clearCache()
       }
     }
     val failed = results.collect { case (k, v) if v < 0 => k }

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist intermediates (Materialize) with no release
+      // handle; dropping the cache between queries bounds storage-memory
+      // growth across the 60+-query run
+      finally spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -45,7 +45,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      // null slots contribute nothing (getFloat on a null slot would
+      // silently read 0.0 — harmless for a dot product's value but kept
+      // explicit so all three vector expressions share one null policy)
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -60,7 +64,9 @@ case class FloatVectorDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -43,8 +43,12 @@ case class LongVectorL2(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      val d = x.getLong(i) - y.getLong(i)
-      acc += d * d
+      // null slots contribute nothing (getLong on a null slot would
+      // silently read 0 — a phantom coordinate)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+      }
       i += 1
     }
     acc
@@ -60,8 +64,10 @@ case class LongVectorL2(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -29,7 +29,11 @@ case class NGrams(child: Expression, n: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if n.foldable && n.dataType == IntegerType =>
-      TypeCheckResult.TypeCheckSuccess
+      n.eval() match {
+        case w: Int if w >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires n >= 1, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<string>, foldable int)")
   }
@@ -48,16 +52,26 @@ case class NGrams(child: Expression, n: Expression)
     val count = toks.numElements() - width + 1
     val sb = new java.lang.StringBuilder(32)
     Iterator.tabulate(count) { i =>
-      sb.setLength(0)
+      // windows containing a null token emit no row (SQL-surface input
+      // isn't guaranteed null-free the way TextOps.tokens output is)
       var j = 0
-      while (j < width) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
-        j += 1
+      var hasNull = false
+      while (j < width && !hasNull) {
+        hasNull = toks.isNullAt(i + j); j += 1
       }
-      new GenericInternalRow(
-        Array[Any](i, UTF8String.fromString(sb.toString)))
-    }
+      if (hasNull) null
+      else {
+        sb.setLength(0)
+        j = 0
+        while (j < width) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        new GenericInternalRow(
+          Array[Any](i, UTF8String.fromString(sb.toString)))
+      }
+    }.filter(_ != null)
   }
 
   override protected def withNewChildrenInternal(

@@ -22,11 +22,16 @@ object SimhashUtil {
     val counts = new Array[Int](32)
     var j = 0
     while (j < n) {
-      val h = hashes.getLong(j)
-      var i = 0
-      while (i < 32) {
-        if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-        i += 1
+      // null slots are skipped, matching the relational twin (SUM over a
+      // CASE on h ignores NULL h) — ArrayData.getLong on a null slot
+      // would silently read 0 and corrupt every bit counter
+      if (!hashes.isNullAt(j)) {
+        val h = hashes.getLong(j)
+        var i = 0
+        while (i < 32) {
+          if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }

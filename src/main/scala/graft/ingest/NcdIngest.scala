@@ -72,7 +72,10 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
   private def deleteRecursively(dir: Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(dir)) {
-      val paths = Files.walk(dir).iterator().asScala.toSeq
+      val walk = Files.walk(dir)
+      // the walk stream holds open directory handles — close it before
+      // deleting, or a 24-zip ImportAll leaks one fd per archive
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
       paths.reverseIterator.foreach(Files.deleteIfExists(_))
     }
   }

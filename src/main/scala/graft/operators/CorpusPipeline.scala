@@ -65,8 +65,13 @@ object CorpusPipeline {
     val sh = {
       val base = exact.select(col("doc_id"),
         explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
-      Materialize(cfg.stopShingleDf.fold(base)(t =>
-        StopShingles.filter(base, "sh", t)))
+      // materialize BEFORE the cut so the shingle explode runs once even
+      // though the df aggregation and anti-join both consume it
+      cfg.stopShingleDf match {
+        case None => Materialize(base)
+        case Some(t) =>
+          Materialize(StopShingles.filter(Materialize(base), "sh", t))
+      }
     }
     val pairs = Materialize(
       graft.queries.TextQueries.jaccardPairs(sh, cfg.jaccard)

@@ -19,6 +19,11 @@ import graft.functions.ZValue
   */
 object ZOrder {
 
+  /** Curve-value column. Requires `z_value16` to be resolvable in the
+    * session — true for any session built with
+    * [[graft.plans.GraftExtensions]]; otherwise call
+    * `ZValue.register(spark)` first ([[layout]] does).
+    */
   def zkey(dimA: Column, dimB: Column): Column =
     ZValue.of(pmod(dimA.cast("long"), lit(65536L)),
       pmod(dimB.cast("long"), lit(65536L)))

@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => OracleDateParse(exprs.head)))
     ext.injectFunction(fn(NGrams.FunctionName, classOf[NGrams],
       exprs => NGrams(exprs.head, exprs(1))))
+    ext.injectFunction(fn(LongVectorL2.FunctionName, classOf[LongVectorL2],
+      exprs => LongVectorL2(exprs.head, exprs(1))))
+    ext.injectFunction(fn(ZValue.FunctionName, classOf[ZValue],
+      exprs => ZValue(exprs.head, exprs(1))))
   }
 }
 

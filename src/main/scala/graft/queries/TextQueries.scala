@@ -58,7 +58,11 @@ object TextQueries {
     val sh = tableParallel(s, dir, "documents")
       .select(col("doc_id"),
         explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
-    stopShingleDf.fold(sh)(t => StopShingles.filter(sh, "sh", t))
+    // with the cut engaged, materialize the exploded table FIRST: the df
+    // aggregation and the anti-join probe side both consume it, and the
+    // tokenize+shingle+explode pass is the most expensive projection in
+    // the pipeline — it must run once, not twice
+    stopShingleDf.fold(sh)(t => StopShingles.filter(Materialize(sh), "sh", t))
   }
 
   /** Relational pairwise Jaccard ≥ `minJ` over an exploded shingle table:

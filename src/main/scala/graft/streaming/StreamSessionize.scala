@@ -162,18 +162,19 @@ object StreamSessionize {
     * (click, purchase) pair in the horizon; downstream aggregation picks
     * last-touch/first-touch attribution.
     *
-    * `clicks` needs (user_id, ts, ...) and `purchases` (user_id, ts, ...);
-    * output columns are prefixed c_/p_.
+    * `clicks` and `purchases` need (user_id, ts) plus any payload columns
+    * (event ids, campaign fields, ...); EVERY input column passes through,
+    * prefixed c_/p_, so the attributed click stays identifiable.
     */
   def attributionStream(clicks: DataFrame, purchases: DataFrame,
                         horizon: String = "1 hour",
                         watermark: String = "1 hour"): DataFrame = {
-    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", watermark)
-    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermark)
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val c = prefixed(clicks, "c_").withWatermark("c_ts", watermark)
+    val p = prefixed(purchases, "p_").withWatermark("p_ts", watermark)
     c.join(p,
-      col("c_user") === col("p_user") &&
+      col("c_user_id") === col("p_user_id") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
   }

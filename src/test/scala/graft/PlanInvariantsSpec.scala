@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -26,14 +27,27 @@ class PlanInvariantsSpec extends AnyFunSuite {
       case BuildRight => j.right
     }
 
+  /** collectWithSubqueries that ALSO descends into cached-plan fragments:
+    * queries persist intermediates (Materialize), and a quadratic join
+    * hidden inside an InMemoryRelation must not escape the invariant.
+    */
+  private def collectAll[T](plan: SparkPlan)(
+      pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = plan.collectWithSubqueries(pf)
+    val cached = plan.collectWithSubqueries {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    here ++ cached.flatMap(p => collectAll(p)(pf))
+  }
+
   private def isBounded(build: SparkPlan): Boolean =
-    build.collectWithSubqueries { case f: FilterExec => f }.nonEmpty ||
-      build.collectWithSubqueries {
+    collectAll(build) { case f: FilterExec => f }.nonEmpty ||
+      collectAll(build) {
         case s: FileSourceScanExec if s.dataFilters.nonEmpty => s
       }.nonEmpty ||
       // a grouping-free (global) aggregate emits exactly one row — the
       // scalar-broadcast pattern (e.g. q62's min-count join)
-      build.collectWithSubqueries {
+      collectAll(build) {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if a.groupingExpressions.isEmpty => a
       }.nonEmpty
@@ -41,14 +55,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("no catalog plan contains a cartesian or an unbounded nested-loop join") {
     SparkEntry.catalog.foreach { case (name, qd) =>
       val plan = qd.fn(spark, sf).queryExecution.sparkPlan
-      val carts = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+      val carts = collectAll(plan) { case c: CartesianProductExec => c }
       assert(carts.isEmpty,
         s"$name plans a CartesianProduct — quadratic in the corpus:\n$plan")
-      plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
         .foreach { j =>
           assert(isBounded(buildSide(j)),
             s"$name broadcasts an UNFILTERED side in a nested-loop join:\n$plan")
         }
+      spark.sqlContext.clearCache()
     }
   }
 

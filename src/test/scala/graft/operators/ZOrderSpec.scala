@@ -33,6 +33,7 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("every coarse z-bucket bounds BOTH dimension spreads (exact math)") {
     import spark.implicits._
+    ZValue.register(spark) // zkey needs the function resolvable standalone
     // adversarial data: dims anti-correlated, full 16-bit domain
     val rows = (0 until 5000)
       .map(i => ((i * 131L) % 65536, (65535 - (i * 257L) % 65536)))

@@ -95,27 +95,31 @@ class StreamSessionizeSpec extends AnyFunSuite with TimeLimits {
     failAfter(Span(180, Seconds)) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val clicks = MemoryStream[(Long, Timestamp)]
-    val purchases = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
 
     val joined = attributionStream(
-      clicks.toDF().toDF("user_id", "ts"),
-      purchases.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts", "campaign"),
+      purchases.toDF().toDF("user_id", "ts", "order_id"),
       horizon = "30 minutes")
     val query = joined.writeStream.format("memory").queryName("attrib")
       .outputMode(OutputMode.Append()).start()
     try {
-      clicks.addData((1L, ts(0)), (1L, ts(40)), (2L, ts(5)))
-      purchases.addData((1L, ts(50)), (2L, ts(60)))
+      clicks.addData((1L, ts(0), "ad_a"), (1L, ts(40), "ad_b"),
+        (2L, ts(5), "ad_c"))
+      purchases.addData((1L, ts(50), 900L), (2L, ts(60), 901L))
       query.processAllAvailable()
+      // payload columns pass through with their prefixes — the attributed
+      // click stays identifiable
       val out = spark.table("attrib")
-        .select("c_user", "c_ts", "p_ts")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .select("c_user_id", "c_ts", "c_campaign", "p_ts", "p_order_id")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getString(2), r.getTimestamp(3), r.getLong(4)))
         .toSet
       // user 1: only the ts(40) click is within 30 min of the ts(50)
       // purchase (ts(0) is outside the horizon); user 2's click at ts(5)
       // is 55 min before the purchase -> no pair
-      assert(out === Set((1L, ts(40), ts(50))))
+      assert(out === Set((1L, ts(40), "ad_b", ts(50), 900L)))
     } finally query.stop()
     }
   }
