@@ -526,6 +526,59 @@ object Relational {
              |GROUP BY 1 HAVING count(*) > 100
              |ORDER BY yr""".stripMargin)),
 
+    // ---- pivot ------------------------------------------------------------
+    // Wide-format reshaping: order counts per year pivoted on status. The
+    // explicit value list matters at scale — without it Spark runs an
+    // extra distinct pass over the corpus to discover the columns. The
+    // oracle is the conditional-aggregation twin (identical semantics,
+    // engine-neutral).
+    "q70_pivot" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "orders")
+          .select(expr("CAST(year(o_orderdate) AS INT)").as("yr"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .groupBy("yr")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("yr"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("yr"),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             | count(*) FILTER (o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    // ---- unpivot / melt ---------------------------------------------------
+    // The inverse reshaping: per-returnflag quantity/price/discount sums
+    // melted into (metric, value) long form via Dataset.unpivot (Spark's
+    // melt), with a UNION-based oracle.
+    "q71_unpivot" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(sum("l_quantity"), 2).as("qty"),
+               round(sum("l_extendedprice"), 2).as("price"),
+               round(sum("l_discount"), 2).as("disc"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("qty"), col("price"), col("disc")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric"),
+      Some("""WITH agg AS (
+             |  SELECT l_returnflag,
+             |    round(sum(l_quantity), 2) AS qty,
+             |    round(sum(l_extendedprice), 2) AS price,
+             |    round(sum(l_discount), 2) AS disc
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+             |UNION ALL
+             |SELECT l_returnflag, 'price', price FROM agg
+             |UNION ALL
+             |SELECT l_returnflag, 'disc', disc FROM agg
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
     // ---- sketch aggregates under a tolerance oracle -----------------------
     // approx_count_distinct (HLL++, rsd 5%) and percentile_approx
     // (accuracy 1000) use engine-specific sketches, so their raw values can
