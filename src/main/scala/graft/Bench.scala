@@ -2,20 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line.
+import graft.queries.{MultimodalQueries, Relational, SimilarityQueries, TextQueries, TrainingQueries}
+
+/** Benchmark main: the FULL catalog on SPARK_GRAFT_SF_DIR, one JSON line.
   *
   * Queries are forced with the no-op sink (full plan executes, nothing is
   * collected to the driver, no count() shortcut that would let Catalyst
-  * prune the aggregation away). A tiny warm-up query first-loads the
-  * parquet footers + codegen machinery so per-query times reflect plan
-  * cost, not JVM warm-up of the first query in the list.
+  * prune the aggregation away). A warm-up pass at the smallest SF
+  * first-loads parquet footers + codegen so timed runs reflect plan cost,
+  * not janino compilation.
+  *
+  * The catalog is timed `SPARK_GRAFT_BENCH_RUNS` times (default 2) and the
+  * reported per-query number is the MIN across runs — ambient contention
+  * (another JVM running Verify, a CPU burner) inflates individual runs but
+  * rarely all of them, so min-of-n is the stable estimate of plan cost.
+  * The JSON carries the per-run totals (`runs`) and `min_total` alongside
+  * per-query seconds and per-family subtotals.
   */
 object Bench {
 
-  /** Representative slice of the catalog: scan, agg, fact-fact join,
-    * window, minhash-LSH, shingle-join jaccard, ANN top-k, sessionization,
-    * multimodal metadata.
-    */
+  /** Catalog grouped by query family, in catalog order. */
+  def families: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Relational.defs.map(_._1),
+    "text" -> TextQueries.defs.map(_._1),
+    "similarity" -> SimilarityQueries.defs.map(_._1),
+    "multimodal" -> MultimodalQueries.defs.map(_._1),
+    "training" -> TrainingQueries.defs.map(_._1))
+
+  /** Kept for tooling compatibility: the round-2 headline slice. */
   val headline: Seq[String] = Seq(
     "q01_scan_filter_project",
     "q02_agg_pricing_summary",
@@ -32,6 +46,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,13 +57,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: touch every table's footer, then run every headline query
-    // once at the smallest SF — the generated code is structurally
-    // identical across SFs, so the codegen cache is hot and timed runs
-    // measure execution, not janino compilation.
-    Tables.names.foreach(t => Tables.table(spark, sfDir, t).count())
+    val names = families.flatMap(_._2)
     val queries = SparkEntry.queries
-    headline.foreach { name =>
+
+    // warm-up: touch every table's footer, then run the whole catalog once
+    // at the smallest SF — generated code is structurally identical across
+    // SFs, so the codegen cache is hot and timed runs measure execution.
+    Tables.names.foreach(t => Tables.table(spark, sfDir, t).count())
+    names.foreach { name =>
       try queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -58,30 +74,51 @@ object Bench {
     // warm-up-scale persists must not occupy the storage pool when the
     // timed runs start
     spark.sqlContext.clearCache()
+
     // A failed query is recorded as -1, never as its (near-zero) elapsed
     // time — a broken query must make the bench look broken, not fast.
-    val results = headline.map { name =>
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+        -1.0
       } finally {
         // release each query's Materialize persists so later queries are
         // timed against a clean storage pool, not a shrinking one
         spark.sqlContext.clearCache()
       }
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // runs(r)(i) = seconds for names(i) in pass r
+    val runs: Seq[Seq[Double]] = (1 to nRuns).map { r =>
+      val pass = names.map(timeOne)
+      System.err.println(f"[bench] run $r/$nRuns total ${pass.filter(_ >= 0).sum}%.1f s")
+      pass
+    }
+    // per-query best: min over the runs where the query succeeded
+    val best: Seq[(String, Double)] = names.zipWithIndex.map { case (name, i) =>
+      val ok = runs.map(_(i)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val bestMap = best.toMap
+    val failed = best.collect { case (k, v) if v < 0 => k }
+
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val fams = families.map { case (fam, qn) =>
+      "\"" + fam + "\":" + fmt(qn.map(bestMap).filter(_ >= 0).sum)
+    }.mkString("{", ",", "}")
+    val runTotals = runs.map(p => fmt(p.filter(_ >= 0).sum)).mkString("[", ",", "]")
+    val minTotal = runs.map(_.filter(_ >= 0).sum).min
+    val sumOfBest = best.map(_._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}""")
+      s"""{"metric":"total","value":${fmt(minTotal)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

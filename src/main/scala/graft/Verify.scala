@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration aid (unset in the driver): run only queries whose
+    // name starts with one of the comma-separated prefixes
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter { case (n, _) => selected(n) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,5 +1,11 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,18 +13,21 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus the decode → feature-extract →
   * resize / frame-sample stages a training-data pipeline needs.
   *
-  * The Spark-side plumbing is real and tested: schema, partition-preserving
-  * batch shape, and operator signatures are exactly what a production
-  * pipeline uses. The *codec* itself is STUBBED (this container has no
-  * image/audio libraries): `StubCodec.decode` produces a deterministic fake
-  * "decoded frame" from the bytes. Swap `StubCodec` for a real JNI/javacpp
-  * codec and nothing else changes.
+  * The codec is pluggable behind [[MediaCodec]]:
+  *   - [[JdkImageCodec]] is a REAL image codec — PNG/JPEG/BMP/GIF decode and
+  *     bilinear resize via `javax.imageio` + `java.awt`, which ship with the
+  *     JDK (no external dependency). Grayscale intensity comes from the
+  *     raster directly for 1-band images and from integer Rec.601 luma for
+  *     RGB.
+  *   - [[StubCodec]] remains as the deterministic test seam (payload bytes
+  *     as pixels) for specs that want codec-independent plumbing checks.
   *
   * Heavy per-record work runs in `mapPartitions` over a typed Dataset —
   * one iterator pass per partition (the Scala analog of a Pandas-batch UDF):
-  * codec state is initialized once per partition, not per row, and the
-  * operator composes with Catalyst on both sides (narrow transformation, no
-  * shuffle; column pruning still reaches the parquet scan below it).
+  * codec state is initialized once per partition via `MediaCodec.open()`,
+  * not per row, and the operator composes with Catalyst on both sides
+  * (narrow transformation, no shuffle; column pruning still reaches the
+  * parquet scan below it).
   */
 object Multimodal {
 
@@ -38,9 +47,126 @@ object Multimodal {
       mean_intensity: Double,
       histogram: Array[Long])
 
+  /** Codec seam: decode a payload to 0-255 intensity pixels; resize a
+    * payload to new dimensions. Implementations must be serializable (they
+    * ride in the `mapPartitions` closure) and may carry per-partition init
+    * in `open()`.
+    */
+  trait MediaCodec extends Serializable {
+    /** Called once per partition before any decode. */
+    def open(): Unit = ()
+    /** Payload → row-major 0-255 intensity pixels. Empty payload → empty. */
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Int]
+    /** Payload → payload re-encoded at dstW×dstH. */
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int,
+               dstW: Int, dstH: Int): Array[Byte]
+  }
+
+  /** STUB codec (test seam): treats the payload bytes as the "pixels" so
+    * downstream feature math is exercised deterministically with no real
+    * image involved; resize truncates/pads.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
+      payload.map(b => (b & 0xff)).toArray
+
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int,
+               dstW: Int, dstH: Int): Array[Byte] = {
+      val n = dstW * dstH
+      if (payload.length >= n) payload.take(n)
+      else payload ++ Array.fill[Byte](n - payload.length)(0)
+    }
+  }
+
+  /** REAL codec on the JDK's own imaging stack: `javax.imageio` decodes
+    * PNG/JPEG/BMP/GIF/WBMP out of the box; resize is a bilinear
+    * `Graphics2D` scale re-encoded as PNG (lossless, so resize chains don't
+    * accumulate codec error). No external library — safe on any executor.
+    */
+  object JdkImageCodec extends MediaCodec {
+    override def open(): Unit =
+      // keep ImageIO off executor-local disk: decode fully in memory
+      ImageIO.setUseCache(false)
+
+    private def read(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${payload.length} bytes)")
+      img
+    }
+
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] = {
+      if (payload.isEmpty) return Array.emptyIntArray
+      val img = read(payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      val raster = img.getRaster
+      if (raster.getNumBands == 1) {
+        // grayscale: raster samples ARE the intensities — exact roundtrip
+        raster.getSamples(0, 0, w, h, 0, out)
+      } else {
+        // RGB(A): integer Rec.601 luma, same formula as OpenCV's grayscale
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(i) = (299 * r + 587 * g + 114 * b) / 1000
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
+
+    def resize(payload: Array[Byte], srcW: Int, srcH: Int,
+               dstW: Int, dstH: Int): Array[Byte] = {
+      if (payload.isEmpty) return payload
+      val src = read(payload)
+      val dst = new BufferedImage(dstW, dstH, src.getType match {
+        case BufferedImage.TYPE_CUSTOM => BufferedImage.TYPE_INT_RGB
+        case t => t
+      })
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, dstW, dstH, null)
+      } finally g.dispose()
+      encodePng(dst)
+    }
+
+    /** Encode a BufferedImage as PNG bytes (lossless). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(img.getWidth * img.getHeight + 64)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Build a real grayscale PNG whose row-major pixels are `pixels`
+      * (0-255). Used by fixtures and [[Multimodal.pngMediaTable]]; PNG is
+      * lossless so `decode(grayPng(p)) == p` exactly.
+      */
+    def grayPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+      require(pixels.length == width * height,
+        s"${pixels.length} pixels for ${width}x$height")
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setSamples(0, 0, width, height, 0, pixels)
+      encodePng(img)
+    }
+  }
+
   /** Build a media table from any table with (id, text) — the text bytes
     * stand in for an encoded image payload; metadata is derived
-    * deterministically so tests are reproducible.
+    * deterministically so tests are reproducible. Pairs with [[StubCodec]].
     */
   def fakeMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -51,27 +177,43 @@ object Multimodal {
       (pmod(col(idCol), lit(64)) * 16 + 16).cast("int").as("width"),
       (pmod(col(idCol), lit(48)) * 16 + 16).cast("int").as("height"))
 
-  /** STUB decode: a real implementation hands `payload` to a codec and gets
-    * pixel rows back. The deterministic fake treats the payload bytes as
-    * the "pixels" so downstream feature math is exercised end-to-end.
+  /** Build a media table of GENUINE PNG images: each document's text bytes
+    * become the grayscale pixel row of a real width×1 PNG, encoded with the
+    * JDK codec executor-side. Decoding with [[JdkImageCodec]] roundtrips to
+    * exactly the text's byte values (PNG is lossless), so feature oracles
+    * stated over character codes remain hash-exact while the query runs a
+    * real image decode per record.
     */
-  object StubCodec {
-    def decode(payload: Array[Byte], width: Int, height: Int): Array[Int] =
-      payload.map(b => (b & 0xff)).toArray // ??? real codec goes here
-
-    /** STUB resize: real impl interpolates pixels; fake truncates/pads. */
-    def resize(pixels: Array[Int], newSize: Int): Array[Int] =
-      if (pixels.length >= newSize) pixels.take(newSize)
-      else pixels ++ Array.fill(newSize - pixels.length)(0)
+  def pngMediaTable(spark: SparkSession, df: DataFrame,
+                    idCol: String, textCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        JdkImageCodec.open()
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (bytes.isEmpty)
+            MediaRecord(id, Array.emptyByteArray, "png", 0, 0)
+          else {
+            val pixels = bytes.map(b => b & 0xff)
+            MediaRecord(id, JdkImageCodec.grayPng(pixels, bytes.length, 1),
+              "png", bytes.length, 1)
+          }
+        }
+      }
   }
 
   /** decode + feature-extract, one codec init per partition. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec/session init happens HERE (once), not per row
+      codec.open()
       it.map { m =>
-        val pixels = StubCodec.decode(m.payload, m.width, m.height)
+        val pixels = codec.decode(m.payload, m.width, m.height)
         val hist = new Array[Long](8)
         var sum = 0L
         var i = 0
@@ -99,13 +241,14 @@ object Multimodal {
   }
 
   /** Resize stage: payload → resized payload, metadata updated in lockstep. */
-  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int,
+                codec: MediaCodec = StubCodec): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      codec.open()
       it.map { m =>
-        val pixels = StubCodec.decode(m.payload, m.width, m.height)
-        val resized = StubCodec.resize(pixels, w * h)
-        m.copy(payload = resized.map(_.toByte), width = w, height = h)
+        val resized = codec.resize(m.payload, m.width, m.height, w, h)
+        m.copy(payload = resized, width = w, height = h)
       }
     }
   }

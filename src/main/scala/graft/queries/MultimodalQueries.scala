@@ -31,26 +31,27 @@ object MultimodalQueries {
              |           ((doc_id % 48) * 16 + 16)), 1) AS avg_pixels
              |FROM documents GROUP BY 1 ORDER BY format""".stripMargin)),
 
-    // ---- decode + feature extraction under the oracle ---------------------
-    // Drives the actual mapPartitions decode/feature stage (stub codec =
-    // payload bytes as pixels). The oracle recomputes the same features
-    // from the text's character codes — ASCII corpus, so byte == ascii().
+    // ---- REAL decode + feature extraction under the oracle ----------------
+    // Each document's text bytes are encoded executor-side as a genuine
+    // width×1 grayscale PNG, then decoded back through javax.imageio
+    // (JdkImageCodec) in the mapPartitions feature stage. PNG is lossless,
+    // so decoded pixel == text byte == ascii() — the oracle recomputes the
+    // same features from character codes and stays hash-exact while the
+    // query exercises a real image codec per record.
     "q53_multimodal_decode" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.Encoders
         val media = Multimodal
-          .fakeMediaTable(table(s, dir, "documents"), "doc_id", "text")
-          .as(Encoders.product[Multimodal.MediaRecord])
-        Multimodal.extractFeatures(media).toDF()
-          .groupBy("format")
+          .pngMediaTable(s, table(s, dir, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(media, Multimodal.JdkImageCodec).toDF()
+          .withColumn("grp", pmod(col("media_id"), lit(3)))
+          .groupBy("grp")
           .agg(count(lit(1)).as("n_media"),
                round(avg("mean_intensity"), 4).as("avg_intensity"),
                sum(element_at(col("histogram"), 4)).as("bucket3_px"))
-          .orderBy("format")
+          .orderBy("grp")
       },
       Some("""SELECT
-             | CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-             |   ELSE 'webp' END AS format,
+             | doc_id % 3 AS grp,
              | count(*) AS n_media,
              | round(avg(mi), 4) AS avg_intensity,
              | CAST(sum(b3) AS BIGINT) AS bucket3_px
@@ -61,6 +62,6 @@ object MultimodalQueries {
              |    len(list_filter(list_transform(range(1, length(text) + 1),
              |      i -> ascii(substr(text, i, 1))), c -> c // 32 = 3)) AS b3
              |  FROM documents)
-             |GROUP BY 1 ORDER BY format""".stripMargin)),
+             |GROUP BY 1 ORDER BY grp""".stripMargin)),
   )
 }
