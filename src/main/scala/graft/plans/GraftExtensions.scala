@@ -23,7 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // the as-of join stack: marker function + rewrite + planning
     ext.injectFunction(fn(AsofLE.FunctionName, classOf[AsofLE],
-      exprs => AsofLE(exprs.head, exprs(1))))
+      exprs => AsofLE(exprs.head, exprs(1), exprs.drop(2).headOption)))
     ext.injectOptimizerRule(RewriteAsofJoin)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
 
@@ -59,11 +59,35 @@ object Asof {
     * rows drop. Requires [[GraftExtensions]] on the session — without it
     * the marker function fails at planning with an "unevaluable" error
     * (never a silently different result).
+    *
+    * `tolerance` bounds the match gap: a candidate only matches when
+    * `leftTs - rightTs <= tolerance`, measured in the timestamp type's
+    * internal unit (µs for timestamps, days for dates, raw for integrals).
+    * Must be a literal.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(Column, Column)],
-           leftTs: Column, rightTs: Column): DataFrame = {
-    val cond = (keys.map { case (l, r) => l === r } :+
-      call_function(AsofLE.FunctionName, leftTs, rightTs)).reduce(_ && _)
-    left.join(right, cond, "inner")
+           leftTs: Column, rightTs: Column,
+           tolerance: Option[Column] = None): DataFrame =
+    joinWith(left, right, keys, leftTs, rightTs, "inner", tolerance)
+
+  /** Left-outer as-of join: like [[join]], but unmatched left rows (no
+    * key-equal right at-or-before, out-of-tolerance, or null key/ts) emit
+    * with a null right side — DuckDB's `ASOF LEFT JOIN`.
+    */
+  def leftJoin(left: DataFrame, right: DataFrame, keys: Seq[(Column, Column)],
+               leftTs: Column, rightTs: Column,
+               tolerance: Option[Column] = None): DataFrame =
+    joinWith(left, right, keys, leftTs, rightTs, "left", tolerance)
+
+  private def joinWith(left: DataFrame, right: DataFrame,
+                       keys: Seq[(Column, Column)],
+                       leftTs: Column, rightTs: Column, joinType: String,
+                       tolerance: Option[Column]): DataFrame = {
+    val marker = tolerance match {
+      case Some(t) => call_function(AsofLE.FunctionName, leftTs, rightTs, t)
+      case None => call_function(AsofLE.FunctionName, leftTs, rightTs)
+    }
+    val cond = (keys.map { case (l, r) => l === r } :+ marker).reduce(_ && _)
+    left.join(right, cond, joinType)
   }
 }

@@ -148,6 +148,47 @@ object TrainingQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- left-outer as-of join with max-gap tolerance (native) ------------
+    // Same native operator in its LEFT OUTER form with a 30-minute
+    // tolerance: purchases with no click, or whose latest click is older
+    // than the gap, still emit (null right side) — exactly DuckDB's
+    // ASOF LEFT JOIN with the out-of-tolerance match nulled after the
+    // fact (the as-of candidate is unique per left row, so post-filtering
+    // it equals native tolerance semantics).
+    "q72_asof_left_tolerance" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        graft.plans.Asof.leftJoin(purchases, clicks,
+            Seq((col("p_user"), col("c_user"))), col("p_ts"), col("c_ts"),
+            tolerance = Some(lit(1800000000L))) // 30 min, µs
+          .groupBy((col("p_user") % 10).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_purchases"),
+               count(col("c_ts")).as("n_matched"),
+               round(avg((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                 / 1000000.0), 3).as("avg_gap_s"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT user_id, ts FROM events
+             |          WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT p.user_id, p.ts AS p_ts,
+             |    CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+             |         THEN c.ts END AS c_ts
+             |  FROM p ASOF LEFT JOIN c
+             |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+             |SELECT CAST(user_id % 10 AS INT) AS bucket,
+             |  count(*) AS n_purchases,
+             |  count(c_ts) AS n_matched,
+             |  round(avg((epoch_us(p_ts) - epoch_us(c_ts)) / 1000000.0), 3)
+             |    AS avg_gap_s
+             |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- last-touch attribution within a horizon --------------------------
     // The batch twin of `StreamSessionize.attributionStream`: each purchase
     // attributed to the same user's LATEST click within the preceding

@@ -27,6 +27,38 @@ class AsofJoinPropertySpec extends AnyFunSuite {
     t <- Gen.frequency(9 -> Gen.choose(0L, 15L).map(Some(_)), 1 -> Gen.const(None))
   } yield (k, t)
 
+  test("left-outer + tolerance equals the driver-side reference on random data") {
+    check("asof-left-tol", Prop.forAll(
+      Gen.listOfN(25, genRow), Gen.listOfN(25, genRow),
+      Gen.choose(0L, 8L)) { (ls, rs, tol) =>
+      import spark.implicits._
+      val rightRows = rs.distinct
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("lk", "lts", "lid")
+      val right = rightRows.map { case (k, t) => (k, t) }.toDF("rk", "rts")
+
+      val got = Asof.leftJoin(left, right, Seq((col("lk"), col("rk"))),
+          col("lts"), col("rts"),
+          tolerance = Some(org.apache.spark.sql.functions.lit(tol)))
+        .select("lid", "rts")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cand = for {
+          lk <- k; lt <- t
+          rts = rightRows.collect {
+            case (Some(`lk`), Some(rt)) if rt <= lt && lt - rt <= tol => rt
+          }
+          if rts.nonEmpty
+        } yield rts.max
+        (i.toLong, cand.map(v => v: Any))
+      }.toSet
+
+      got == want
+    })
+  }
+
   test("native as-of equals the driver-side reference on random data") {
     check("asof", Prop.forAll(
       Gen.listOfN(25, genRow), Gen.listOfN(25, genRow)) { (ls, rs) =>

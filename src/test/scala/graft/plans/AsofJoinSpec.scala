@@ -76,6 +76,59 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("left-outer: unmatched, null-key, and null-ts left rows emit nulls") {
+    import spark.implicits._
+    val right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (2L, 7L, "r7"))
+      .toDF("rk", "rts", "rv")
+    val left = Seq((Some(1L), Some(4L)), (Some(1L), Some(9L)),
+      (Some(3L), Some(50L)), (None, Some(9L)), (Some(1L), None))
+      .toDF("lk", "lts")
+    val out = Asof.leftJoin(left, right, Seq((col("lk"), col("rk"))),
+        col("lts"), col("rts"))
+      .select("lk", "lts", "rts", "rv")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out === Set(
+      (Some(1L), Some(4L), None, None),          // no right at-or-before
+      (Some(1L), Some(9L), Some(5L), Some("r5")),
+      (Some(3L), Some(50L), None, None),         // key absent from right
+      (None, Some(9L), None, None),              // null key still emits
+      (Some(1L), None, None, None)))             // null ts still emits
+    // left-outer preserves left cardinality exactly
+    assert(Asof.leftJoin(left, right, Seq((col("lk"), col("rk"))),
+      col("lts"), col("rts")).count() === left.count())
+  }
+
+  test("tolerance bounds the gap; out-of-tolerance rows drop (inner) or null (outer)") {
+    import spark.implicits._
+    val right = Seq((1L, 5L, "r5"), (1L, 40L, "r40")).toDF("rk", "rts", "rv")
+    val left = Seq((1L, 7L), (1L, 42L), (1L, 90L)).toDF("lk", "lts")
+    val keys = Seq((col("lk"), col("rk")))
+    val inner = Asof.join(left, right, keys, col("lts"), col("rts"),
+        tolerance = Some(lit(10L)))
+      .select("lts", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // (1,7)->r5 gap 2 ok; (1,42)->r40 gap 2 ok; (1,90)->r40 gap 50 DROPPED
+    assert(inner === Set((7L, "r5"), (42L, "r40")))
+    val outer = Asof.leftJoin(left, right, keys, col("lts"), col("rts"),
+        tolerance = Some(lit(10L)))
+      .select("lts", "rv").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(outer === Set((7L, Some("r5")), (42L, Some("r40")), (90L, None)))
+  }
+
+  test("mismatched timestamp types fail at analysis, not silently") {
+    import spark.implicits._
+    val right = Seq(("1", "a")).toDF("rk", "rts")
+    val left = Seq((1L, 6L)).toDF("lk", "lts")
+    val e = intercept[Exception] {
+      Asof.join(left.withColumn("lk", col("lk").cast("string")), right,
+        Seq((col("lk"), col("rk"))), col("lts"), col("rts")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("same type") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+
   test("plans as AsofJoinExec with one exchange per side, no cartesian") {
     import spark.implicits._
     val right = Seq((1L, 5L)).toDF("rk", "rts")
