@@ -18,6 +18,43 @@ object Listing {
   private val AnchorTag: Regex = "(?is)<a\\b[^>]*>".r
   private val HrefAttr: Regex =
     "(?is)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))".r
+  private val EntityRef: Regex = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  /** Decode the minimal HTML entity set a DOM parser would (named
+    * `&amp; &lt; &gt; &quot; &apos;` plus decimal/hex numeric escapes) —
+    * attribute values arrive entity-encoded, and a URL with a literal `&`
+    * or quote in its query is otherwise corrupted. Unknown named entities
+    * pass through verbatim (matching browser leniency for bare `&`).
+    */
+  private[ingest] def decodeEntities(s: String): String =
+    EntityRef.replaceAllIn(s, m => Regex.quoteReplacement(m.group(1) match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case num if num.startsWith("#") =>
+        try {
+          val cp = if (num.startsWith("#x") || num.startsWith("#X"))
+            Integer.parseInt(num.drop(2), 16)
+          else Integer.parseInt(num.drop(1))
+          Character.toString(cp)
+        } catch { // out-of-range codepoint: leave verbatim, like browsers
+          case _: IllegalArgumentException => m.matched
+        }
+      case _ => m.matched // unknown named entity: leave as-is
+    }))
+
+  /** Percent-encode characters that are illegal in a URI — entity decoding
+    * can surface them (`&lt;` → `<`), and browsers encode them the same
+    * way when resolving; without this `URI.resolve` would throw and take
+    * the whole listing down.
+    */
+  private def escapeForUri(s: String): String = s.flatMap {
+    case c @ (' ' | '<' | '>' | '"' | '{' | '}' | '|' | '\\' | '^' | '`') =>
+      f"%%${c.toInt}%02X"
+    case c => c.toString
+  }
 
   /** A1: extract `.zip` hrefs from an HTML listing page, resolved against
     * the page URL with the scheme forced to https (import_all.py:38-68).
@@ -36,7 +73,7 @@ object Listing {
           Option(m.group(1)).orElse(Option(m.group(2))).getOrElse(m.group(3))
         }
       }
-      .map(_.trim.replace("&amp;", "&"))
+      .map(h => escapeForUri(decodeEntities(h.trim)))
       // the reference's selector is a[href$=".zip"]: case-sensitive suffix
       // over the WHOLE href (a ?query-suffixed zip URL does not match)
       .filter(_.endsWith(".zip"))

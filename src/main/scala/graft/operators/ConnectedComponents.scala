@@ -12,9 +12,11 @@ import org.apache.spark.storage.StorageLevel
   * the minimum label among itself and its neighbors until a fixpoint. Each
   * round is one equi-join + one aggregation, local-checkpointed (serialized)
   * so the loop's lineage stays flat and the per-round state — one (node,
-  * label) row per node — stays compact. Labels only ever decrease, so
-  * `sum(label)` is a monotone convergence witness: an unchanged sum proves
-  * an unchanged labeling.
+  * label) row per node — stays compact. Labels only ever decrease, so an
+  * unchanged label sum proves an unchanged labeling — PROVIDED the sum
+  * cannot wrap: it is taken as DECIMAL(38,0), which 64-bit labels over any
+  * realistic node count cannot overflow (BIGINT sums in non-ANSI mode wrap
+  * silently and would void the witness).
   *
   * Rounds needed = graph diameter (label information travels one hop per
   * round). Near-dup graphs are overwhelmingly tiny dense clusters
@@ -52,7 +54,7 @@ object ConnectedComponents {
             .as("label"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val sumNow = checksum(labels)
-      converged = sumNow == prevSum
+      converged = sumNow.compareTo(prevSum) == 0
       prevSum = sumNow
       iter += 1
     }
@@ -63,8 +65,15 @@ object ConnectedComponents {
     labels
   }
 
-  private def checksum(labels: DataFrame): Long =
+  private def checksum(labels: DataFrame): java.math.BigDecimal =
+    // DECIMAL(38,0): a BIGINT sum wraps silently in non-ANSI mode, which
+    // would let a wrapped sum masquerade as "unchanged" — the decimal sum
+    // raises on overflow instead, and 38 digits cannot overflow for any
+    // realistic (label ≤ 2^63) × (rows ≤ 10^19) input.
     // coalesce: sum over an empty label set is null (no near-dup pairs at
     // all is a legal input — the loop then converges immediately)
-    labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    labels
+      .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
 }

@@ -126,6 +126,28 @@ class ListingSpec extends AnyFunSuite {
       "https://doj.example.gov/listing/bare/file2.zip"))
   }
 
+  test("decodes the standard minimal entity set in hrefs, not just &amp;") {
+    val html =
+      """<html><body>
+        |<a href="a&amp;b.zip">amp</a>
+        |<a href="n&#38;m.zip">numeric dec</a>
+        |<a href="h&#x26;x.zip">numeric hex</a>
+        |<a href="gt&gt;lt&lt;q&quot;ap&apos;.zip">others</a>
+        |<a href="unknown&nope;.zip">unknown entity passes through</a>
+        |<a href="big&#99999999;.zip">bad codepoint passes through</a>
+        |</body></html>""".stripMargin
+    val urls = Listing.zipUrls(html, "https://doj.example.gov/")
+    assert(urls.contains("https://doj.example.gov/a&b.zip"))
+    assert(urls.contains("https://doj.example.gov/n&m.zip"))
+    assert(urls.contains("https://doj.example.gov/h&x.zip"))
+    assert(urls.exists(_.endsWith("gt%3Elt%3Cq%22ap'.zip")) ||
+      urls.exists(_.contains("gt>lt<q")), urls.toString)
+    assert(Listing.decodeEntities("unknown&nope;.zip") === "unknown&nope;.zip")
+    assert(Listing.decodeEntities("big&#99999999;.zip") === "big&#99999999;.zip")
+    assert(Listing.decodeEntities("&lt;&gt;&quot;&apos;&amp;") === "<>\"'&")
+    assert(Listing.decodeEntities("&#x41;&#66;") === "AB")
+  }
+
   test("pipelined loadAll overlaps fetches but keeps deterministic order") {
     import java.nio.file.Files
     import scala.concurrent.ExecutionContext.Implicits.global
