@@ -12,18 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
-  /** Salted equi-join for a skewed LEFT side: left rows get a random salt
-    * in [0, buckets); the (small, replicable) right side is exploded once
-    * per salt value. The join key becomes (key, salt), spreading each hot
-    * key over `buckets` reducers. Result equals a plain inner join.
+  /** Salted equi-join for a skewed LEFT side: left rows get a salt in
+    * [0, buckets); the right side is exploded once per salt value. The
+    * join key becomes (key, salt), spreading each hot key over `buckets`
+    * reducers. Result equals a plain inner join.
+    *
+    * @param saltExpr salt for the left rows — MUST distribute the rows of
+    *                 a single hot key across buckets, i.e. depend on
+    *                 something other than `key`. Pass
+    *                 `pmod(hash(col("other_col")), lit(buckets))` for a
+    *                 deterministic (retry- and rerun-stable) salt; the
+    *                 default is `rand`, which spreads perfectly but makes
+    *                 reruns non-reproducible row-for-row.
+    * @param extraCond additional join predicate over the two sides'
+    *                  (distinctly named) columns, e.g. `col("da") < col("db")`
+    *                  for a self-join's pair ordering.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 buckets: Int): DataFrame = {
-    val salted = left.withColumn("__salt",
-      (rand(seed = 42) * buckets).cast("int"))
+                 buckets: Int, saltExpr: Option[Column] = None,
+                 extraCond: Option[Column] = None): DataFrame = {
+    val salt = saltExpr.getOrElse((rand(seed = 42) * buckets).cast("int"))
+    val salted = left.withColumn("__salt", salt.cast("int"))
     val exploded = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
-    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+    val joined = salted.join(exploded, Seq(key, "__salt"))
+    // the filter folds into the join condition during optimization
+    extraCond.fold(joined)(joined.filter).drop("__salt")
   }
 
   /** Two-phase aggregation for skewed group keys: partial-aggregate on

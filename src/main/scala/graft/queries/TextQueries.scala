@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables.{table, tableParallel}
 import graft.functions.{MinhashBandKeys, NGrams, ShingleHashes, SimhashSig, TextOps}
 import graft.functions.TextOps._
-import graft.operators.{ConnectedComponents, Materialize, StopShingles}
+import graft.operators.{ConnectedComponents, Materialize, SkewTools, StopShingles}
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the LLM-training-data-pipeline surface (SURVEY.md §2-C).
@@ -70,14 +70,30 @@ object TextQueries {
     * Shuffles on shingle keys — scalable, unlike a pairwise cross join.
     * Callers should pass a [[Materialize]]d `sh`: it is consumed three
     * times (sizes + both join sides).
+    *
+    * `saltBuckets` engages [[SkewTools.saltedJoin]] on the shingle
+    * self-join: the probe side gets a deterministic doc-hash salt, the
+    * build side replicates `buckets`×, and each hot shingle's fan-out
+    * spreads over `buckets` reducers instead of landing on one. Use when
+    * boilerplate shingles survive (no [[StopShingles]] cut) but the
+    * per-key fan-out must still be bounded; results are identical to the
+    * unsalted join.
     */
-  private[graft] def jaccardPairs(sh: DataFrame, minJ: Double): DataFrame = {
+  private[graft] def jaccardPairs(sh: DataFrame, minJ: Double,
+                                  saltBuckets: Option[Int] = None): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val aSide = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val bSide = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val pairRows = saltBuckets match {
+      case Some(bk) =>
+        SkewTools.saltedJoin(aSide, bSide, "sh", bk,
+          saltExpr = Some(pmod(hash(col("doc_a")), lit(bk))),
+          extraCond = Some(col("doc_a") < col("doc_b")))
+      case None =>
+        aSide.join(bSide,
+          aSide("sh") === bSide("sh") && col("doc_a") < col("doc_b"))
+    }
+    val inter = pairRows.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val sb = sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))
     inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -492,6 +508,39 @@ object TextQueries {
               |sh0 AS (SELECT doc_id, unnest(hs) AS sh
               |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
               |${duckStopShingles(5L)},
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b
+              |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Jaccard with the SALTED self-join (plan-time skew guard) ----------
+    // Same pipeline and results as q43, with SkewTools.saltedJoin engaged
+    // on the shingle self-join: probe rows carry a deterministic
+    // doc-hash salt, the build side replicates 8×, and a hot shingle's
+    // fan-out spreads over 8 reducers instead of one. This is the
+    // explicit-salting alternative for when the hot keys must be KEPT
+    // (q49's stop-shingle cut drops them instead). Salting is
+    // result-preserving, so the oracle is q43's, verbatim.
+    "q73_dedup_jaccard_salted" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        jaccardPairs(sh, 0.8, saltBuckets = Some(8))
+          .select(col("doc_a"), col("doc_b"),
+                  round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

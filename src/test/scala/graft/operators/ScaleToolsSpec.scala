@@ -23,6 +23,75 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(salted.size === 902)
   }
 
+  test("deterministic salt + extra condition: salted self-join equals plain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // boilerplate fixture: one shingle shared by 400 docs (the hot key),
+    // plus unique shingles
+    val sh = ((1 to 400).map(d => (d.toLong, 7777L)) ++
+      (1 to 400).map(d => (d.toLong, 100000L + d)))
+      .toDF("doc_id", "sh")
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    val plain = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = SkewTools.saltedJoin(a, b, "sh", buckets = 8,
+        saltExpr = Some(pmod(hash(col("da")), lit(8))),
+        extraCond = Some(col("da") < col("db")))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+    assert(salted.size === 400 * 399 / 2)
+    // rerun-stable (deterministic salt, unlike rand): same set again
+    val again = SkewTools.saltedJoin(a, b, "sh", buckets = 8,
+        saltExpr = Some(pmod(hash(col("da")), lit(8))),
+        extraCond = Some(col("da") < col("db")))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === salted)
+  }
+
+  test("salting bounds per-reducer input: hot key spreads across buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val buckets = 8
+    val hot = (1 to 400).map(d => (d.toLong, 7777L)).toDF("doc_id", "sh")
+    // the shuffled join key after salting is (sh, salt): the biggest
+    // (key, salt) group is what a single reducer task must absorb
+    val groups = hot
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(buckets)))
+      .groupBy("sh", "salt").count()
+      .collect().map(_.getLong(2))
+    assert(groups.length === buckets, "hash salt must hit every bucket")
+    val ideal = 400.0 / buckets
+    assert(groups.max <= ideal * 2,
+      s"max per-reducer rows ${groups.max} exceeds 2x ideal $ideal")
+  }
+
+  test("salted jaccard equals unsalted jaccard on a boilerplate corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every doc shares boilerplate tokens => hot shingles survive with no
+    // stop-shingle cut; salted and unsalted must agree pair-for-pair
+    val docs = (1 to 40).map { i =>
+      val boiler = "terms of service apply to all"
+      val body = if (i % 2 == 0) s"$boiler unique body $i" else boiler
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val s = spark
+    graft.functions.ShingleHashes.register(s)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.of(
+        graft.functions.TextOps.tokens(col("text")))).as("sh"))
+    val unsalted = graft.queries.TextQueries.jaccardPairs(sh, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = graft.queries.TextQueries.jaccardPairs(sh, 0.5,
+        saltBuckets = Some(4))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === unsalted)
+    assert(salted.nonEmpty)
+  }
+
   test("salted sum equals plain sum") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
