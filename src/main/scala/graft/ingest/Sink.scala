@@ -69,10 +69,22 @@ object Sink {
     else writer.json(location)
   }
 
-  /** The 100-TB-scale mirror: identical rows, columnar + splittable. */
+  /** The 100-TB-scale mirror: identical rows, columnar + splittable.
+    *
+    * `zorder = Some((dimA, dimB, numFiles))` lays the mirror out along the
+    * Morton curve of the two dimensions ([[graft.operators.ZOrder.layout]])
+    * before writing: each file (and row group) then carries tight min/max
+    * ranges on BOTH dimensions, so a 2-D range predicate prunes most of
+    * the scan instead of reading every file. Row contents are unchanged —
+    * only their file placement.
+    */
   def writeParquetMirror(df: DataFrame, location: String,
-                         partitioned: Boolean): Unit = {
-    val writer = df.write.mode("overwrite")
+                         partitioned: Boolean,
+                         zorder: Option[(String, String, Int)] = None): Unit = {
+    val laid = zorder.fold(df) { case (dimA, dimB, numFiles) =>
+      graft.operators.ZOrder.layout(df, df.col(dimA), df.col(dimB), numFiles)
+    }
+    val writer = laid.write.mode("overwrite")
     if (partitioned) writer.partitionBy("filename_district").parquet(location)
     else writer.parquet(location)
   }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.concurrent.TimeLimits.failAfter
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.time.{Seconds, Span}
+
+import graft.{Tables, TestSpark}
+import graft.streaming.StreamSessionize._
+
+/** Stream ≡ batch equality gates: the streaming operators replay the SAME
+  * fixture the batch twins run on (file source, Trigger.AvailableNow) and
+  * must produce the batch answer — not merely a plausible streaming
+  * answer. This is the equality check MemoryStream unit tests can't give:
+  * a real file replay through checkpointed state.
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("file-replay dedupStream == q40 batch dedup on the same fixture") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("dedup_replay_").toString
+      val ckpt = Files.createTempDirectory("dedup_ckpt_").toString
+      // fixture: documents with a synthetic event time whose span (seconds)
+      // sits far inside the 1 h watermark, so stream dedup state covers the
+      // whole corpus and the semantics match the batch global dedup
+      val docs = Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("ts",
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      docs.repartition(3).write.mode("overwrite").parquet(dir) // 3-file replay
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1) // force a multi-batch replay
+        .parquet(dir)
+      val q = dedupStream(stream, watermark = "1 hour")
+        .writeStream.format("memory").queryName("dedup_replay")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      val streamed = spark.table("dedup_replay")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_unique_stream"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch twin: q40's n_unique per lang over the same documents
+      val batch = graft.SparkEntry.queries("q40_dedup_exact")(spark, sf)
+        .select("lang", "n_unique")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      assert(streamed.values.sum > 0)
+    }
+  }
+
+  test("file-replay attributionStream == q67 batch attribution on the same fixture") {
+    failAfter(Span(300, Seconds)) {
+      val cDir = Files.createTempDirectory("att_clicks_").toString
+      val pDir = Files.createTempDirectory("att_purch_").toString
+      val ckpt = Files.createTempDirectory("att_ckpt_").toString
+      val ev = Tables.table(spark, sf, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(cDir)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(pDir)
+
+      // single micro-batch replay: files are not time-ordered, so a
+      // multi-batch replay could advance the watermark past genuinely
+      // unseen (not late) rows; batch-1 has no prior watermark, emitting
+      // every in-horizon pair exactly like the batch join
+      def src(dir: String) = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = attributionStream(src(cDir), src(pDir), horizon = "30 minutes")
+        .writeStream.format("memory").queryName("att_replay")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // q67's aggregation applied to the streamed pairs...
+      val streamed = spark.table("att_replay")
+        .select(col("p_event_id").as("p_id"), col("p_user_id").as("p_user"),
+          unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("c_ts")).as("c_us"))
+        .groupBy("p_id", "p_user", "p_us")
+        .agg(max(col("c_us")).as("attributed_click_us"),
+          count(lit(1)).as("n_candidate_clicks"))
+        .groupBy((col("p_user") % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_attributed"),
+          sum("n_candidate_clicks").as("total_candidates"),
+          round(avg((col("p_us") - col("attributed_click_us"))
+            / 1000000.0), 3).as("avg_gap_s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // ...must equal the oracled batch q67 verbatim
+      val batch = graft.SparkEntry.queries("q67_attribution_batch")(spark, sf)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    }
+  }
+}
