@@ -230,6 +230,65 @@ object Multimodal {
     }
   }
 
+  /** Typed audio record: opaque PCM payload + metadata. */
+  final case class AudioRecord(
+      media_id: Long,
+      payload: Array[Byte],
+      sample_rate: Int,
+      n_samples: Int)
+
+  /** Per-frame energy (sum of squared samples — integer, so oracles over
+    * it are exact). */
+  final case class FrameEnergy(media_id: Long, frame: Int, energy: Long)
+
+  /** Build an audio table of deterministic synthetic 8-bit PCM: sample i of
+    * record `id` is `((id*31 + i*7) mod 256) - 128`, length
+    * `256 + id mod 64`. Pure integer math, so a SQL oracle reconstructs the
+    * identical waveform; the byte roundtrip (signed byte ∈ [-128, 127]) is
+    * exact.
+    */
+  def pcmMediaTable(spark: SparkSession, df: DataFrame,
+                    idCol: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (256 + id % 64).toInt
+          val bytes = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            bytes(i) = (((id * 31 + i * 7) % 256) - 128).toByte
+            i += 1
+          }
+          AudioRecord(id, bytes, 16000, n)
+        }
+      }
+  }
+
+  /** Frame-energy extraction: decode the PCM payload and emit one energy
+    * row per COMPLETE frame of `frameSize` samples (the trailing partial
+    * frame is dropped, as a real feature extractor does). Narrow flatMap —
+    * fan-out is n_samples/frameSize per record, no shuffle.
+    */
+  def frameEnergies(audio: Dataset[AudioRecord],
+                    frameSize: Int): Dataset[FrameEnergy] = {
+    import audio.sparkSession.implicits._
+    audio.flatMap { a =>
+      val nFrames = a.n_samples / frameSize
+      (0 until nFrames).iterator.map { f =>
+        var e = 0L
+        var i = f * frameSize
+        val end = i + frameSize
+        while (i < end) {
+          val sample = a.payload(i).toLong
+          e += sample * sample
+          i += 1
+        }
+        FrameEnergy(a.media_id, f, e)
+      }
+    }
+  }
+
   /** Frame sampling: keep every `stride`-th record per partition — the
     * batch shape (iterator in, iterator out) is what a video frame-sampler
     * uses; payload-level sampling happens inside the codec in a real

@@ -63,5 +63,36 @@ object MultimodalQueries {
              |      i -> ascii(substr(text, i, 1))), c -> c // 32 = 3)) AS b3
              |  FROM documents)
              |GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // ---- audio: PCM decode + frame energy ---------------------------------
+    // The audio half of the multimodal surface: synthetic-but-real 8-bit
+    // PCM payloads (integer waveform, so the oracle reconstructs the exact
+    // bytes), decoded executor-side and reduced to per-frame energies
+    // (sum of squared samples over complete 64-sample frames, trailing
+    // partial frame dropped). All-integer math -> hash-exact oracle.
+    "q78_audio_frame_energy" -> QueryDef(
+      (s, dir) => {
+        val audio = Multimodal.pcmMediaTable(
+          s, table(s, dir, "documents"), "doc_id")
+        Multimodal.frameEnergies(audio, 64).toDF()
+          .groupBy((col("media_id") % 8).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_frames"),
+               sum("energy").as("total_energy"),
+               max("energy").as("max_energy"))
+          .orderBy("bucket")
+      },
+      // n_samples = 256 + doc_id % 64 ∈ [256, 319] -> always exactly 4
+      // complete 64-sample frames
+      Some("""WITH f AS (
+             |  SELECT doc_id, fr,
+             |    list_sum(list_transform(range(fr*64, fr*64 + 64),
+             |      i -> ((doc_id*31 + i*7) % 256 - 128) *
+             |           ((doc_id*31 + i*7) % 256 - 128))) AS energy
+             |  FROM documents, range(0, 4) t(fr))
+             |SELECT CAST(doc_id % 8 AS INT) AS bucket,
+             |  count(*) AS n_frames,
+             |  CAST(sum(energy) AS BIGINT) AS total_energy,
+             |  CAST(max(energy) AS BIGINT) AS max_energy
+             |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
 }

@@ -612,5 +612,28 @@ object Relational {
              | TRUE AS median_within_5pct
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- exact grouped percentiles ----------------------------------------
+    // The distribution-profiling surface: p25/median/p90/p99 of document
+    // length per source. Spark's exact `percentile` and DuckDB's
+    // `quantile_cont` share the same definition (linear interpolation on
+    // the sorted values), so the oracle is exact up to rounding. One
+    // shuffle on the group key; the per-group sort is the aggregate's own.
+    "q77_group_percentiles" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               round(expr("percentile(n_chars, 0.25)"), 2).as("p25"),
+               round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+               round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+               round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             | round(quantile_cont(n_chars, 0.25), 2) AS p25,
+             | round(quantile_cont(n_chars, 0.5), 2) AS p50,
+             | round(quantile_cont(n_chars, 0.9), 2) AS p90,
+             | round(quantile_cont(n_chars, 0.99), 2) AS p99
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -554,5 +554,113 @@ object TextQueries {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
               |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- TF-IDF keyword extraction ----------------------------------------
+    // The classic corpus-statistics operator: per-source top-3 terms by
+    // summed TF-IDF. Two linear aggregations (term df corpus-wide, term tf
+    // per source) + a broadcast of the single-row N — no pairwise work.
+    // Ranks order by the ROUNDED score so a last-ulp ln() difference
+    // between libms can never flip a rank between the engines.
+    "q74_tfidf_topterms" -> QueryDef(
+      (s, dir) => {
+        val tok = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(tokens(col("text"))).as("term")))
+        val nDocs = tok.agg(countDistinct("doc_id").as("n_docs"))
+        val dfT = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("tfidf"), asc("term"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("source"), col("rank"), col("term"), col("tfidf"))
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH tok AS (SELECT source, doc_id, unnest($duckToks) AS term
+              |            FROM documents),
+              |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+              |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+              |        GROUP BY term),
+              |tf AS (SELECT source, term, count(*) AS tf FROM tok
+              |       GROUP BY source, term),
+              |scored AS (
+              |  SELECT source, tf.term,
+              |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+              |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n)
+              |SELECT source, rank, term, tfidf FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY source
+              |    ORDER BY tfidf DESC, term) AS rank FROM scored)
+              |WHERE rank <= 3 ORDER BY source, rank""".stripMargin)),
+
+    // ---- intra-document repetition ratio (C4/Gopher-style quality signal) --
+    // repetition = 1 - distinct_bigrams / total_bigrams per doc: the
+    // signal that catches boilerplate-stuffed and looping documents.
+    // Integer counts until the final division; docs with no bigram
+    // (< 2 tokens) count separately instead of polluting the average.
+    "q75_repetition_ratio" -> QueryDef(
+      (s, dir) => {
+        NGrams.register(s)
+        val bg = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            NGrams.of(tokens(col("text")), lit(2)))
+        val perDoc = bg.groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("total_bg"),
+               countDistinct(col("ngram")).as("distinct_bg"))
+          .withColumn("rep",
+            lit(1.0) - col("distinct_bg") * 1.0 / col("total_bg"))
+        perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg("rep"), 4).as("avg_repetition"),
+               sum(when(col("rep") > 0.2, 1L).otherwise(0L))
+                 .as("n_repetitive"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, lang, $duckToks AS ws FROM documents),
+              |bg AS (SELECT doc_id, lang, unnest(
+              |         CASE WHEN len(ws) >= 2
+              |           THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+              |           ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM ws),
+              |per_doc AS (
+              |  SELECT doc_id, lang,
+              |    1.0 - count(DISTINCT ngram) * 1.0 / count(*) AS rep
+              |  FROM bg GROUP BY doc_id, lang)
+              |SELECT lang, count(*) AS n_docs,
+              |  round(avg(rep), 4) AS avg_repetition,
+              |  CAST(sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_repetitive
+              |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- canonical-document selection (dedup keep-best) --------------------
+    // After grouping exact duplicates by content fingerprint, KEEP the
+    // best representative (longest text, doc_id tie-break) and drop the
+    // rest — the step that turns "duplicates found" into "corpus fixed".
+    // One window over fp — a single shuffle; integer outputs, hash-exact.
+    "q76_canonical_doc" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("fp")
+          .orderBy(desc("n_chars"), asc("doc_id"))
+        tableParallel(s, dir, "documents")
+          .withColumn("fp", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+               sum(when(col("rn") === 1, col("doc_id"))).as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY md5(text)
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             |    AS kept_id_sum
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -41,6 +41,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized(0).payload.drop(3).forall(_ == 0))
   }
 
+  test("PCM synthesis roundtrips bytes and frame energies drop partial frames") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 63L).toDF("doc_id")
+    val audio = pcmMediaTable(spark, df, "doc_id").collect().sortBy(_.media_id)
+    // length = 256 + id % 64
+    assert(audio.map(_.n_samples).toSeq === Seq(256, 257, 319))
+    // sample formula roundtrips through the signed-byte payload
+    val a1 = audio(1) // id = 1
+    (0 until a1.n_samples).foreach { i =>
+      assert(a1.payload(i).toInt === ((1 * 31 + i * 7) % 256) - 128)
+    }
+    val energies = frameEnergies(
+      pcmMediaTable(spark, df, "doc_id"), 64).collect()
+    // every record has exactly 4 complete 64-sample frames (partial dropped)
+    assert(energies.groupBy(_.media_id).view.mapValues(_.length).toMap ===
+      Map(0L -> 4, 1L -> 4, 63L -> 4))
+    // hand-computed energy of record 0, frame 0
+    val expected = (0 until 64).map { i =>
+      val v = ((0 * 31 + i * 7) % 256) - 128; (v * v).toLong
+    }.sum
+    assert(energies.find(e => e.media_id == 0L && e.frame == 0).get.energy
+      === expected)
+  }
+
   test("frame sampling keeps every Nth record") {
     val sampled = sampleFrames(mediaDs, 2).collect().map(_.media_id).sorted
     assert(sampled.toSeq === Seq(0L, 2L))
