@@ -46,4 +46,23 @@ object SnapshotDiff {
         when(col("__in_cur").isNull, col(s"__old_$p"))
           .otherwise(col(p)).as(p)) :+ col("change_type"): _*)
   }
+
+  /** The MERGE half of the CDC story: apply a SPARSE delta (only
+    * `added`/`changed`/`removed` rows — what a change feed ships; drop the
+    * `unchanged` rows from [[diff]]'s output to build one) onto a base
+    * snapshot, reconstructing the next snapshot exactly.
+    *
+    * base rows whose key appears in the delta are superseded (left-anti,
+    * one shuffle on the key); surviving delta rows (everything but
+    * `removed`) carry the new payload. `applyDelta(old, sparse(diff(old,
+    * cur)), keys) == cur` row-for-row — the invariant q79 oracles.
+    */
+  def applyDelta(base: DataFrame, delta: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    require(delta.columns.contains("change_type"),
+      "delta must carry diff's change_type column")
+    base.join(delta.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(
+        delta.filter(col("change_type") =!= "removed").drop("change_type"))
+  }
 }

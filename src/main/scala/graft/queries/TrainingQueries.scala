@@ -486,5 +486,43 @@ object TrainingQueries {
              |      % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM documents d JOIN rates r ON d.lang = r.lang
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // ---- CDC delta apply (merge + roundtrip proof) ------------------------
+    // The MERGE half of the snapshot story (q69 is the diff half): ship
+    // only the sparse added/changed/removed rows, apply them onto the old
+    // snapshot, and prove applyDelta(old, sparse(diff(old,cur))) == cur
+    // ROW-FOR-ROW inside the query — n_mismatch counts exceptAll both
+    // ways, and the oracle pins it to 0 while recomputing cur's aggregates
+    // independently. Cost: the diff's full-outer join + the apply's
+    // left-anti, all equi-shuffles on the key — linear at 100 TB.
+    "q79_cdc_apply_delta" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val old = base.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+        val sparse = graft.operators.SnapshotDiff
+          .diff(old, cur, Seq("o_orderkey"))
+          .filter(col("change_type") =!= "unchanged")
+        val rebuilt = graft.operators.SnapshotDiff
+          .applyDelta(old, sparse, Seq("o_orderkey"))
+        val mism = rebuilt.exceptAll(cur).unionByName(cur.exceptAll(rebuilt))
+          .agg(count(lit(1)).as("n_mismatch"))
+        rebuilt.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+               round(sum("o_totalprice"), 2).as("total_price"))
+          .crossJoin(broadcast(mism))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             |             FROM orders),
+             |cur AS (SELECT * FROM base WHERE o_orderkey % 11 <> 0)
+             |SELECT o_orderstatus, count(*) AS n_rows,
+             |  round(sum(o_totalprice), 2) AS total_price,
+             |  CAST(0 AS BIGINT) AS n_mismatch
+             |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -46,6 +46,36 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(row.isNullAt(1))
   }
 
+  test("applyDelta on a sparse delta reconstructs the next snapshot") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(1.0)),   // unchanged -> absent from sparse delta
+      (2L, Some("b"), Some(2.0)),   // changed
+      (4L, Some("d"), Some(4.0)),   // removed
+      (6L, Some("f"), Option.empty[Double]))  // changed from null
+      .toDF("k", "status", "price")
+    val cur = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.5)),
+      (5L, Some("e"), Some(5.0)),   // added
+      (6L, Some("f"), Some(6.0)))
+      .toDF("k", "status", "price")
+    val sparse = SnapshotDiff.diff(old, cur, Seq("k"))
+      .filter(col("change_type") =!= "unchanged")
+    assert(sparse.count() === 4)    // 1 changed-from-null + changed + removed + added
+    val rebuilt = SnapshotDiff.applyDelta(old, sparse, Seq("k"))
+    assert(rebuilt.exceptAll(cur).count() === 0)
+    assert(cur.exceptAll(rebuilt).count() === 0)
+  }
+
+  test("applyDelta rejects a delta without change_type") {
+    import spark.implicits._
+    val old = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      SnapshotDiff.applyDelta(old, old, Seq("k")))
+  }
+
   test("mismatched schemas are rejected") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("k", "v")
