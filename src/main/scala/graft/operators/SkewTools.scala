@@ -40,6 +40,32 @@ object SkewTools {
     extraCond.fold(joined)(joined.filter).drop("__salt")
   }
 
+  /** Key-distribution pre-flight for a planned join/aggregation: per-key
+    * counts reduced to the top-`topN` heavy hitters (each with its share
+    * of all rows in basis points) alongside corpus-wide stats — distinct
+    * key count and `skew_ratio` = max/avg = `max_n * n_keys / total`, the
+    * multiple by which the hottest reducer would exceed the mean if the
+    * key were shuffled unmitigated. This is the measurement that decides
+    * between a plain shuffle, [[saltedJoin]], and a broadcast.
+    *
+    * Two linear aggregations + a broadcast of the single-row stats;
+    * integer math until the two final divisions, so the profile replays
+    * exactly on any engine. Ties in the top-N break on the key value.
+    */
+  def profileKeys(df: DataFrame, key: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum("n").as("total"), max("n").as("max_n"))
+    counts.orderBy(desc("n"), asc(key)).limit(topN)
+      .crossJoin(broadcast(stats))
+      .select(col(key), col("n"),
+        round(col("n") * 10000.0 / col("total"), 2).as("share_bp"),
+        col("n_keys"),
+        round(col("max_n") * col("n_keys") * 1.0 / col("total"), 3)
+          .as("skew_ratio"))
+      .orderBy(desc("n"), asc(key))
+  }
+
   /** Two-phase aggregation for skewed group keys: partial-aggregate on
     * (key, salt), then final-aggregate on key. `partial` and `merge` must
     * form a decomposable aggregate (sum/sum, count/sum, min/min, ...).

@@ -524,5 +524,78 @@ object TrainingQueries {
              |  round(sum(o_totalprice), 2) AS total_price,
              |  CAST(0 AS BIGINT) AS n_mismatch
              |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- strict-order funnel conversion -----------------------------------
+    // view -> click -> purchase, each step strictly AFTER the user's
+    // earliest completion of the previous one. Three per-user conditional
+    // min-ts aggregations chained by equi-joins on user_id — after the
+    // first shuffle the key partitioning is reused, so the funnel costs
+    // one logical shuffle at 100 TB. Gap averages keep the sum in integer
+    // micros (exact) and divide once at the end, so the doubles match the
+    // oracle bit-for-bit.
+    "q80_funnel_conversion" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("t1"))
+          .groupBy("user_id")
+          .agg(min("us").as("t2"), min("t1").as("t1"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("t2"))
+          .groupBy("user_id")
+          .agg(min("us").as("t3"), min("t2").as("t2"))
+        val s1 = v.agg(count(lit(1)).as("n_users"))
+          .select(lit(1).as("step"), lit("view").as("stage"),
+            col("n_users"), lit(null).cast("double").as("avg_gap_s"))
+        val s2 = c.agg(count(lit(1)).as("n_users"),
+            round(avg(col("t2") - col("t1")) / 1000000.0, 3).as("avg_gap_s"))
+          .select(lit(2).as("step"), lit("click").as("stage"),
+            col("n_users"), col("avg_gap_s"))
+        val s3 = p.agg(count(lit(1)).as("n_users"),
+            round(avg(col("t3") - col("t2")) / 1000000.0, 3).as("avg_gap_s"))
+          .select(lit(3).as("step"), lit("purchase").as("stage"),
+            col("n_users"), col("avg_gap_s"))
+        s1.unionByName(s2).unionByName(s3).orderBy("step")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             |          FROM events),
+             |v AS (SELECT user_id, min(us) AS t1 FROM e
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(us) AS t2, min(t1) AS t1
+             |      FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(us) AS t3, min(t2) AS t2
+             |      FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+             |SELECT 1 AS step, 'view' AS stage, count(*) AS n_users,
+             |       CAST(NULL AS DOUBLE) AS avg_gap_s FROM v
+             |UNION ALL
+             |SELECT 2, 'click', count(*), round(avg(t2 - t1) / 1000000.0, 3)
+             |FROM c
+             |UNION ALL
+             |SELECT 3, 'purchase', count(*), round(avg(t3 - t2) / 1000000.0, 3)
+             |FROM p
+             |ORDER BY step""".stripMargin)),
+
+    // ---- heavy-hitter / skew profile --------------------------------------
+    // [[graft.operators.SkewTools.profileKeys]] as a query: the pre-flight
+    // measurement that decides plain-shuffle vs salted vs broadcast for a
+    // planned join key. Top-5 user_ids by event count with share (basis
+    // points) plus distinct-key count and max/avg skew ratio.
+    "q81_key_skew_profile" -> QueryDef(
+      (s, dir) => graft.operators.SkewTools.profileKeys(
+        table(s, dir, "events"), "user_id", 5),
+      Some("""WITH counts AS (SELECT user_id, count(*) AS n FROM events
+             |               GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT)
+             |            AS total, max(n) AS max_n FROM counts),
+             |top AS (SELECT * FROM counts ORDER BY n DESC, user_id LIMIT 5)
+             |SELECT user_id, n, round(n * 10000.0 / total, 2) AS share_bp,
+             |  n_keys, round(max_n * n_keys * 1.0 / total, 3) AS skew_ratio
+             |FROM top CROSS JOIN stats ORDER BY n DESC, user_id""".stripMargin)),
   )
 }

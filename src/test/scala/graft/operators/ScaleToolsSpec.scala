@@ -102,6 +102,18 @@ class SkewToolsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(salted === plain)
   }
+
+  test("profileKeys surfaces heavy hitters with exact shares and skew ratio") {
+    import spark.implicits._
+    // 100 rows: key 1 -> 60, key 2 -> 30, keys 3..12 -> 1 each
+    val df = (Seq.fill(60)(1) ++ Seq.fill(30)(2) ++ (3 to 12)).toDF("k")
+    val rows = SkewTools.profileKeys(df, "k", 3).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3)) // tie at n=1 -> key asc
+    assert(rows.map(_.getLong(1)).toSeq === Seq(60L, 30L, 1L))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(6000.0, 3000.0, 100.0))
+    assert(rows.head.getLong(3) === 12L)              // distinct keys
+    assert(rows.head.getDouble(4) === 7.2)            // max/avg = 60/(100/12)
+  }
 }
 
 class DistributedZipSpec extends AnyFunSuite {
