@@ -635,5 +635,34 @@ object Relational {
              | round(quantile_cont(n_chars, 0.9), 2) AS p90,
              | round(quantile_cont(n_chars, 0.99), 2) AS p99
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- hopping (sliding) time windows -----------------------------------
+    // Spark's `window(ts, size, slide)` in batch: 2-hour windows hopping
+    // hourly, so every event lands in exactly 2 windows. The oracle
+    // reconstructs the same assignment as a UNION ALL of the two shifted
+    // hour-truncations. Money stays in integer cents (floor BEFORE the
+    // sum — CAST rounds in DuckDB but truncates in Spark, floor agrees),
+    // so the totals are hash-exact however partitions reorder the sum.
+    "q84_hopping_window" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+               coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+                 .as("value_cents"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("n_events"), col("value_cents"))
+          .orderBy("window_start"),
+      Some("""WITH b AS (
+             |  SELECT date_trunc('hour', ts) AS ws, value FROM events
+             |  UNION ALL
+             |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value
+             |  FROM events)
+             |SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+             |  count(*) AS n_events,
+             |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+             |    AS BIGINT) AS value_cents
+             |FROM b GROUP BY ws ORDER BY window_start""".stripMargin)),
   )
 }

@@ -597,5 +597,52 @@ object TrainingQueries {
              |SELECT user_id, n, round(n * 10000.0 / total, 2) AS share_bp,
              |  n_keys, round(max_n * n_keys * 1.0 / total, 3) AS skew_ratio
              |FROM top CROSS JOIN stats ORDER BY n DESC, user_id""".stripMargin)),
+
+    // ---- data-quality validation suite ------------------------------------
+    // [[graft.operators.DataQuality]] as a query: declarative constraints
+    // (not-null, uniqueness, bounds, enum membership, referential
+    // integrity) each reduced to one exact violation count. The bounds /
+    // enum / FK rules are deliberately tightened so real violations show
+    // up — a validator that only ever reports zero proves nothing.
+    "q82_data_quality" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.DataQuality._
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val dimMissing = ord.filter(col("o_orderkey") % 7 =!= 0)
+        validate(li, Seq(
+            NotNull("l_orderkey"),
+            Unique(Seq("l_orderkey")),               // multi-line orders hit
+            Bounds("l_quantity", 1, 30),             // 31..50 hit
+            RefIntegrity("l_orderkey", dimMissing, "o_orderkey")))
+          .unionByName(validate(ord, Seq(
+            InSet("o_orderstatus", Seq("O", "F")),   // 'P' hits
+            Unique(Seq("o_orderkey")))))
+          .orderBy("rule")
+      },
+      Some("""SELECT 'not_null(l_orderkey)' AS rule,
+             |  count(*) FILTER (WHERE l_orderkey IS NULL) AS violations
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'unique(l_orderkey)',
+             |  count(*) - count(DISTINCT l_orderkey) FROM lineitem
+             |UNION ALL
+             |SELECT 'bounds(l_quantity,1.0,30.0)',
+             |  count(*) FILTER (WHERE l_quantity IS NOT NULL
+             |    AND (l_quantity < 1 OR l_quantity > 30)) FROM lineitem
+             |UNION ALL
+             |SELECT 'ref_integrity(l_orderkey)',
+             |  count(*) FILTER (WHERE l_orderkey IS NOT NULL
+             |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+             |                           WHERE o_orderkey % 7 <> 0))
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'in_set(o_orderstatus)',
+             |  count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+             |    AND o_orderstatus NOT IN ('O', 'F')) FROM orders
+             |UNION ALL
+             |SELECT 'unique(o_orderkey)',
+             |  count(*) - count(DISTINCT o_orderkey) FROM orders
+             |ORDER BY rule""".stripMargin)),
   )
 }
