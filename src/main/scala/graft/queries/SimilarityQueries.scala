@@ -44,70 +44,78 @@ object SimilarityQueries {
   val KmeansOracleUnroll = 20
 
   /** k-means (integer-space Lloyd) to convergence: iterate
-    * assign → retrain until the assignment is identical two rounds in a
-    * row, then return the converged per-centroid summary plus the number
-    * of retrain iterations executed. Raises if `maxIters` rounds pass
-    * without stabilizing — never returns a silently-unconverged model.
+    * assign → retrain until the centroids are identical two rounds in a
+    * row (deterministic argmin, so centroid fixed-point == assignment
+    * fixed-point), then return the converged per-centroid summary plus
+    * the number of retrain iterations executed. Raises if `maxIters`
+    * rounds pass without stabilizing — never returns a silently
+    * unconverged model.
+    *
+    * The k centroids (k*64 longs) live DRIVER-side between iterations —
+    * the same structure Spark MLlib's KMeans uses (collect centers, then
+    * broadcast into the next assignment pass). That keeps every
+    * iteration's plan flat (no lineage growth, no checkpointing) and
+    * costs exactly ONE Spark job per iteration: the retrain collect,
+    * whose upstream includes the map-side assign. Only the vectors stay
+    * distributed, so the shape is unchanged at 100 TB.
     */
   def ivfKmeans(s: SparkSession, dir: String, maxIters: Int = 40)
       : (org.apache.spark.sql.DataFrame, Int) = {
     import graft.functions.LongVectorL2
     import graft.operators.Materialize
     LongVectorL2.register(s)
+    import s.implicits._
     val e = Materialize(tableParallel(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long")).as("vq")))
-    val c0 = broadcast(e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("vq").as("cq")))
 
-    def assign(cent: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    def centDf(cents: Seq[(Long, Seq[Long])]) =
+      broadcast(cents.toDF("cid", "cq"))
+
+    // argmin as an AGGREGATE, not a window: the centroid side is a
+    // broadcast, so the n*k candidate rows exist only inside each map
+    // task and min(struct(d2, cid)) collapses them to one row per vector
+    // BEFORE any exchange — a window formulation would shuffle and sort
+    // all n*k rows per iteration just to pick row_number()=1. Tie-break
+    // (lowest cid) matches the struct's lexicographic order.
+    def assign(cent: org.apache.spark.sql.DataFrame) =
       e.join(cent)
         .withColumn("d2", LongVectorL2.l2(col("vq"), col("cq")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("vq"), col("cid"), col("d2"))
-    }
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"),
+             min_by(col("vq"), struct(col("d2"), col("cid"))).as("vq"))
+        .select(col("vec_id"), col("vq"),
+          col("m.cid").as("cid"), col("m.d2").as("d2"))
 
-    def retrain(a: org.apache.spark.sql.DataFrame) = {
-      val comp = a.select(col("cid"), posexplode(col("vq")))
+    def retrain(a: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Long])] =
+      a.select(col("cid"), posexplode(col("vq")))
         .toDF("cid", "dim", "vval")
         .groupBy("cid", "dim")
         .agg(sum("vval").as("sv"), count(lit(1)).as("cnt"))
         .select(col("cid"), col("dim"),
           floor(col("sv") * 1.0 / col("cnt")).cast("long").as("cval"))
-      broadcast(comp.groupBy("cid")
+        .groupBy("cid")
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cval")))),
-          f => f.getField("cval")).as("cq")))
-    }
+          f => f.getField("cval")).as("cq"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
 
-    // localCheckpoint (eager, serialized), NOT persist: persist leaves the
-    // full logical plan in place, so each iteration's plan would nest the
-    // previous one — exponential plan growth that stalls analysis long
-    // before execution. Checkpointing truncates lineage to the cached
-    // blocks; per-iteration plans stay constant-size.
-    import org.apache.spark.storage.StorageLevel
-    def snap(df: org.apache.spark.sql.DataFrame) =
-      df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    var a = snap(assign(c0))
+    var cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("vq").as("cq"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     var iters = 0
     var stable = false
     while (!stable && iters < maxIters) {
-      val aNext = snap(assign(retrain(a)))
-      // assignment unchanged for every vector => fixed point reached
-      stable = aNext.alias("n")
-        .join(a.alias("p"), col("n.vec_id") === col("p.vec_id"))
-        .filter(col("n.cid") =!= col("p.cid"))
-        .isEmpty
-      a = aNext
+      val next = retrain(assign(centDf(cents)))
+      stable = next == cents
+      cents = next
       iters += 1
     }
     if (!stable)
       throw new IllegalStateException(
         s"k-means did not converge within $maxIters Lloyd iterations")
-    val out = a
+    val out = assign(centDf(cents))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"), sum("d2").as("total_d2"))
       .orderBy("cid")
