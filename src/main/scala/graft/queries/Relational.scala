@@ -664,5 +664,35 @@ object Relational {
              |  CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
              |    AS BIGINT) AS value_cents
              |FROM b GROUP BY ws ORDER BY window_start""".stripMargin)),
+
+    // ---- band (range) join ------------------------------------------------
+    // [[graft.operators.BandJoin]] as a query: part pairs priced within
+    // $1 of each other. Spark would plan the raw |pa-pb|<=1 predicate as
+    // a nested-loop; the operator bins prices at the band width and
+    // equi-joins on the bin (left side exploded to its 3 candidate bins),
+    // re-checking the exact predicate — linear in rows + true matches.
+    // The oracle states the naive quadratic predicate directly.
+    "q85_band_join" -> QueryDef(
+      (s, dir) => {
+        val p = table(s, dir, "part")
+        val a = p.select(col("p_partkey").as("ka"),
+          col("p_retailprice").as("pa"))
+        val b = p.select(col("p_partkey").as("kb"),
+          col("p_retailprice").as("pb"))
+        graft.operators.BandJoin.join(a, b, "pa", "pb", 1.0,
+            extraCond = Some(col("ka") < col("kb")))
+          .groupBy(floor(col("pa") / 10).cast("long").as("price_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+               count(when(col("ka") % 2 === 0, 1)).as("n_even_left"))
+          .orderBy("price_bucket")
+      },
+      Some("""SELECT CAST(floor(a.p_retailprice / 10) AS BIGINT)
+             |    AS price_bucket,
+             |  count(*) AS n_pairs,
+             |  count(*) FILTER (WHERE a.p_partkey % 2 = 0) AS n_even_left
+             |FROM part a JOIN part b
+             |  ON abs(a.p_retailprice - b.p_retailprice) <= 1.0
+             | AND a.p_partkey < b.p_partkey
+             |GROUP BY 1 ORDER BY price_bucket""".stripMargin)),
   )
 }

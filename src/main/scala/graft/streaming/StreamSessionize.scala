@@ -128,6 +128,23 @@ object StreamSessionize {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Hopping-window totals — the streaming twin of batch q84: identical
+    * 2h/1h window assignment and integer-cents money (floor before sum),
+    * so a file replay's converged state equals the batch answer
+    * row-for-row however micro-batches split the input.
+    */
+  def hoppingTotalsStream(events: DataFrame, watermark: String = "1 hour")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+           coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+             .as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("value_cents"))
+
   /** Streaming exact dedup — the ingest-time twin of the batch q40: drop
     * re-deliveries of the same document (keyed by content fingerprint)
     * as they arrive, with state bounded by the watermark.

@@ -57,6 +57,38 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay hoppingTotalsStream == q84 batch hopping windows") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("hop_replay_").toString
+      val ckpt = Files.createTempDirectory("hop_ckpt_").toString
+      Tables.table(spark, sf, "events")
+        .select(col("ts"), col("value"))
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1) // state must survive micro-batches
+        .parquet(dir)
+      // complete mode: every window stays visible, so the final table is
+      // directly comparable to the batch result (append would withhold
+      // windows the final watermark hasn't passed)
+      val q = hoppingTotalsStream(stream)
+        .writeStream.format("memory").queryName("hop_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))
+      val streamed = spark.table("hop_replay").collect().map(key).toSet
+      val batch = graft.SparkEntry.queries("q84_hopping_window")(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("file-replay attributionStream == q67 batch attribution on the same fixture") {
     failAfter(Span(300, Seconds)) {
       val cDir = Files.createTempDirectory("att_clicks_").toString
