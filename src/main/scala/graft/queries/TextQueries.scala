@@ -703,5 +703,48 @@ object TextQueries {
              |        FROM pairs GROUP BY 1)
              |SELECT c.blk, n_parts, n_pairs, n_close, min_d
              |FROM cnt c JOIN agg a USING (blk) ORDER BY blk""".stripMargin)),
+
+    // ---- IQR outlier detection --------------------------------------------
+    // Tukey's rule per source: bounds = q1/q3 ± 1.5*IQR of document
+    // length, then count docs outside them — the outlier-filtering pass a
+    // corpus runs before training. Bounds are ROUNDED to 2 decimals on
+    // both engines before comparing (the interpolated percentiles agree
+    // to well under 0.005, and rounding pins the comparison exactly).
+    // One percentile aggregation + a broadcast join back — two linear
+    // passes, no pairwise work.
+    "q86_iqr_outliers" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+          .select("source", "doc_id", "n_chars")
+        val bounds = docs.groupBy("source")
+          .agg(expr("percentile(n_chars, 0.25)").as("q1"),
+               expr("percentile(n_chars, 0.75)").as("q3"))
+          .select(col("source"),
+            round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 2).as("lo"),
+            round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 2).as("hi"))
+        docs.join(broadcast(bounds), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               max("lo").as("lo"), max("hi").as("hi"),
+               sum(when(col("n_chars") < col("lo") ||
+                        col("n_chars") > col("hi"), 1L).otherwise(0L))
+                 .as("n_outliers"))
+          .orderBy("source")
+      },
+      Some("""WITH bounds AS (
+             |  SELECT source,
+             |    round(quantile_cont(n_chars, 0.25)
+             |      - 1.5 * (quantile_cont(n_chars, 0.75)
+             |               - quantile_cont(n_chars, 0.25)), 2) AS lo,
+             |    round(quantile_cont(n_chars, 0.75)
+             |      + 1.5 * (quantile_cont(n_chars, 0.75)
+             |               - quantile_cont(n_chars, 0.25)), 2) AS hi
+             |  FROM documents GROUP BY source)
+             |SELECT d.source, count(*) AS n_docs,
+             |  max(lo) AS lo, max(hi) AS hi,
+             |  CAST(sum(CASE WHEN n_chars < lo OR n_chars > hi
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM documents d JOIN bounds b ON d.source = b.source
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
   )
 }

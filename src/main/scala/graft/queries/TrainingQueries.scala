@@ -644,5 +644,40 @@ object TrainingQueries {
              |SELECT 'unique(o_orderkey)',
              |  count(*) - count(DISTINCT o_orderkey) FROM orders
              |ORDER BY rule""".stripMargin)),
+
+    // ---- weight-proportional reproducible sampling ------------------------
+    // Importance sampling: each document's keep probability is
+    // proportional to a per-row weight (length, capped — the "prefer
+    // substantial documents" policy), decided by the same hash-seeded
+    // coin as q57 so reruns, retries, and the oracle agree row-for-row.
+    // Pure integer comparison: hash % 1e6 < weight * 150 (cap 2000 →
+    // max probability 30%).
+    "q87_weighted_sample" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("w", least(col("n_chars"), lit(2000)))
+          .withColumn("keep",
+            hash32(concat(lit("s87_"), col("doc_id"))) % 1000000
+              < col("w") * 150)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+               sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+               round(avg(when(col("keep"), col("n_chars"))), 4)
+                 .as("avg_kept_chars"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |   AS n_kept,
+             | CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT)
+             |   AS kept_id_sum,
+             | round(avg(CASE WHEN keep THEN n_chars END), 4)
+             |   AS avg_kept_chars
+             |FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    CAST(('0x' || substr(md5('s87_' || doc_id), 1, 8)) AS BIGINT)
+             |      % 1000000 < least(n_chars, 2000) * 150 AS keep
+             |  FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -50,6 +50,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       collectAll(build) {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if a.groupingExpressions.isEmpty => a
+      }.nonEmpty ||
+      // a driver-side literal relation is bounded by construction — the
+      // broadcast-local-state pattern (q66's k centroids live on the
+      // driver between Lloyd iterations, MLlib-style)
+      collectAll(build) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
       }.nonEmpty
 
   test("no catalog plan contains a cartesian or an unbounded nested-loop join") {
