@@ -694,5 +694,81 @@ object Relational {
              |  ON abs(a.p_retailprice - b.p_retailprice) <= 1.0
              | AND a.p_partkey < b.p_partkey
              |GROUP BY 1 ORDER BY price_bucket""".stripMargin)),
+
+    // ---- TPC-H Q3 shape: shipping-priority top orders ---------------------
+    // The classic selective multi-join: filters on all three inputs reach
+    // their scans (PushedFilters), the customer side broadcasts after
+    // filtering, orders⋈lineitem shuffles on orderkey, and the top-10
+    // runs as TakeOrderedAndProject (no global sort). Tie-break on
+    // orderkey so the rounded-revenue ordering is total.
+    "q88_tpch_q3_shape" -> QueryDef(
+      (s, dir) => {
+        val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        val c = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = table(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        val l = table(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q5 shape: local-supplier volume per nation -----------------
+    // Six-table star: region→nation broadcast down to supplier, the
+    // customer-supplier same-nation predicate rides the join, fact-fact
+    // on orderkey. Exercises Catalyst's join-order and broadcast
+    // decisions across a realistic snowflake.
+    "q89_tpch_q5_shape" -> QueryDef(
+      (s, dir) => {
+        val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+        val r = broadcast(table(s, dir, "region")
+          .filter(col("r_name") === "ASIA"))
+        val n = broadcast(table(s, dir, "nation")
+          .join(r, col("n_regionkey") === col("r_regionkey")))
+        val su = broadcast(table(s, dir, "supplier")
+          .join(n, col("s_nationkey") === col("n_nationkey")))
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val l = table(s, dir, "lineitem")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |             AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
   )
 }
