@@ -559,5 +559,61 @@ object SimilarityQueries {
              |  FROM numbered GROUP BY user_id, session_seq)
              |SELECT user_id, session_start, session_end, n_events, total_value
              |FROM sessions ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- int8 embedding quantization quality ------------------------------
+    // The compression step an ANN index applies before sharding: per-vector
+    // symmetric int8 quantization (scale = max |x|), then measure what it
+    // costs — max element reconstruction error and worst cosine between
+    // original and reconstructed vector per bucket. Narrow per-row HOF
+    // math; the only aggregates are MIN/MAX, which are order-independent,
+    // so the doubles survive any partitioning bit-exactly (no avg-of-
+    // doubles drift).
+    "q90_int8_quantization" -> QueryDef(
+      (s, dir) => {
+        val x = transform(col("embedding"), _.cast("double"))
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), x.as("x"))
+          .withColumn("scale", array_max(transform(col("x"), a => abs(a))))
+          .withColumn("xr", transform(col("x"),
+            a => floor(a / col("scale") * 127) * col("scale") / 127))
+          .withColumn("err", array_max(zip_with(col("x"), col("xr"),
+            (a, b) => abs(a - b))))
+          .withColumn("cos",
+            aggregate(zip_with(col("x"), col("xr"), _ * _),
+              lit(0.0), _ + _) /
+            (sqrt(aggregate(transform(col("x"), a => a * a),
+              lit(0.0), _ + _)) *
+             sqrt(aggregate(transform(col("xr"), a => a * a),
+               lit(0.0), _ + _))))
+        e.groupBy((col("vec_id") % 8).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_vecs"),
+               round(max("err"), 6).as("max_err"),
+               round(min("cos"), 4).as("min_cos"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, x,
+             |    list_max(list_transform(x, a -> abs(a))) AS scale
+             |  FROM e),
+             |r AS (
+             |  SELECT vec_id, x,
+             |    list_transform(x,
+             |      a -> floor(a / scale * 127) * scale / 127) AS xr
+             |  FROM q),
+             |m AS (
+             |  SELECT vec_id,
+             |    list_max(list_transform(range(1, 65),
+             |      i -> abs(x[i] - xr[i]))) AS err,
+             |    list_dot_product(x, xr) /
+             |      (sqrt(list_dot_product(x, x)) *
+             |       sqrt(list_dot_product(xr, xr))) AS cos
+             |  FROM r)
+             |SELECT CAST(vec_id % 8 AS INT) AS bucket,
+             |  count(*) AS n_vecs,
+             |  round(max(err), 6) AS max_err,
+             |  round(min(cos), 4) AS min_cos
+             |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
 }

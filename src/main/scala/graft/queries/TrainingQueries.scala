@@ -679,5 +679,37 @@ object TrainingQueries {
              |      % 1000000 < least(n_chars, 2000) * 150 AS keep
              |  FROM documents)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- fixed-k per-group sampling ---------------------------------------
+    // "Exactly k per stratum" (the eval-set builder): rank rows inside
+    // each group by a hash-seeded order and keep the first k — without
+    // replacement, reproducible, and oracle-replayable, unlike
+    // rand()-based reservoir sampling. One shuffle on the group key; at
+    // 100 TB the rank prunes map-side via WindowGroupLimit before the
+    // exchange.
+    "q91_fixed_k_sample" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(hash32(concat(lit("s91_"), col("doc_id"))), col("doc_id"))
+        table(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_sampled"),
+               sum(when(col("rn") <= 50, col("doc_id"))).as("sample_id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY
+             |      CAST(('0x' || substr(md5('s91_' || doc_id), 1, 8)) AS BIGINT),
+             |      doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sampled,
+             |  CAST(sum(CASE WHEN rn <= 50 THEN doc_id END) AS BIGINT)
+             |    AS sample_id_sum
+             |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }
