@@ -289,6 +289,59 @@ object Multimodal {
     }
   }
 
+  /** One decoded video frame: owning video, temporal index, opaque pixel
+    * payload. */
+  final case class VideoFrame(
+      video_id: Long,
+      frame_idx: Int,
+      payload: Array[Byte])
+
+  /** Build a video-frame table of deterministic synthetic frames: source
+    * row `id` becomes frame `id / videos` of video `id % videos`. Pixel i
+    * of a NORMAL frame is `((id*13 + i*5) mod 128) - 64` (range
+    * [-64, 63], brightness ≤ 64·64²); every 7th source id is a SCENE CUT
+    * whose pixels are `100 + (id + i) mod 20` (range [100, 119],
+    * brightness ≥ 64·100²) — the statistic SEPARATES by construction, so
+    * a threshold detector is deterministic, and the pure integer math
+    * lets a SQL oracle reconstruct every byte.
+    */
+  def videoFrameTable(spark: SparkSession, df: DataFrame, idCol: String,
+                      videos: Int, frameBytes: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = new Array[Byte](frameBytes)
+          var i = 0
+          while (i < frameBytes) {
+            val v =
+              if (id % 7 == 0) 100 + (id + i) % 20
+              else (id * 13 + i * 5) % 128 - 64
+            bytes(i) = v.toByte
+            i += 1
+          }
+          VideoFrame(id % videos, (id / videos).toInt, bytes)
+        }
+      }
+  }
+
+  /** Per-frame brightness (sum of squared pixel bytes — integer, so
+    * oracles over it are exact), decoded executor-side from the payload.
+    * Narrow map — no shuffle; the temporal analysis downstream (scene
+    * cuts via lag) is the only exchange, on video_id.
+    */
+  def frameBrightness(frames: Dataset[VideoFrame]): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      var s = 0L
+      var i = 0
+      while (i < f.payload.length) {
+        val p = f.payload(i).toLong; s += p * p; i += 1
+      }
+      (f.video_id, f.frame_idx, s)
+    }.toDF("video_id", "frame_idx", "brightness")
+  }
+
   /** Frame sampling: keep every `stride`-th record per partition — the
     * batch shape (iterator in, iterator out) is what a video frame-sampler
     * uses; payload-level sampling happens inside the codec in a real

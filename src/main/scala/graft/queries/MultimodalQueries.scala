@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -94,5 +95,51 @@ object MultimodalQueries {
              |  CAST(sum(energy) AS BIGINT) AS total_energy,
              |  CAST(max(energy) AS BIGINT) AS max_energy
              |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- video: frame decode + scene-change detection ---------------------
+    // The video half of the multimodal surface: frames are opaque binary
+    // payloads decoded executor-side (narrow map, no shuffle) into a
+    // per-frame brightness statistic; scene cuts are rising edges of the
+    // lag-delta per video — the temporal-window half of a real
+    // shot-segmentation pipeline. Synthetic-but-real frames: cut frames'
+    // pixel range separates from normal frames by construction, so the
+    // detector is deterministic and the all-integer oracle reconstructs
+    // the identical brightness series from the generator formula.
+    "q92_video_scene_cuts" -> QueryDef(
+      (s, dir) => {
+        val frames = Multimodal.videoFrameTable(
+          s, table(s, dir, "documents"), "doc_id", 20, 64)
+        val br = Multimodal.frameBrightness(frames)
+        val w = Window.partitionBy("video_id").orderBy("frame_idx")
+        br.withColumn("delta",
+            col("brightness") - lag("brightness", 1).over(w))
+          .groupBy("video_id")
+          .agg(count(lit(1)).as("n_frames"),
+               sum(when(col("delta") > 300000, 1L).otherwise(0L))
+                 .as("n_cuts"),
+               min(when(col("delta") > 300000, col("frame_idx")))
+                 .as("first_cut"))
+          .orderBy("video_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id % 20 AS video_id,
+             |    CAST(doc_id // 20 AS INT) AS frame_idx,
+             |    list_sum(list_transform(range(0, 64), i ->
+             |      CASE WHEN doc_id % 7 = 0
+             |        THEN (100 + (doc_id + i) % 20)
+             |           * (100 + (doc_id + i) % 20)
+             |        ELSE ((doc_id*13 + i*5) % 128 - 64)
+             |           * ((doc_id*13 + i*5) % 128 - 64) END)) AS brightness
+             |  FROM documents),
+             |d AS (
+             |  SELECT video_id, frame_idx,
+             |    brightness - lag(brightness) OVER
+             |      (PARTITION BY video_id ORDER BY frame_idx) AS delta
+             |  FROM f)
+             |SELECT video_id, count(*) AS n_frames,
+             |  CAST(sum(CASE WHEN delta > 300000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_cuts,
+             |  min(CASE WHEN delta > 300000 THEN frame_idx END) AS first_cut
+             |FROM d GROUP BY video_id ORDER BY video_id""".stripMargin)),
   )
 }

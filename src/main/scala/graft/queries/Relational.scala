@@ -770,5 +770,39 @@ object Relational {
              |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
              |GROUP BY n_name
              |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ---- time-RANGE window frames -----------------------------------------
+    // The sliding-by-time window q27's ROWS frames can't express: each
+    // event's trailing 1-hour aggregate via RANGE BETWEEN on integer
+    // microseconds (peers at the same timestamp included — identical
+    // semantics in both engines), reduced to each user's peak 1-hour
+    // burst. One shuffle on user_id; money in integer cents.
+    "q93_time_range_frame" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3600000000L, 0)
+        ev.withColumn("roll_n", count(lit(1)).over(w))
+          .withColumn("roll_cents", sum("cents").over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               max("roll_n").as("peak_1h_events"),
+               max("roll_cents").as("peak_1h_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+             |            CAST(floor(value * 100) AS BIGINT) AS cents
+             |          FROM events),
+             |r AS (SELECT user_id,
+             |        count(*) OVER w AS roll_n,
+             |        sum(cents) OVER w AS roll_cents
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, count(*) AS n_events,
+             |  max(roll_n) AS peak_1h_events,
+             |  CAST(max(roll_cents) AS BIGINT) AS peak_1h_cents
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

@@ -65,6 +65,26 @@ class MultimodalSpec extends AnyFunSuite {
       === expected)
   }
 
+  test("video frames roundtrip bytes and cut brightness separates") {
+    import spark.implicits._
+    val df = Seq(1L, 7L, 21L, 22L).toDF("doc_id")  // 7,21 are cut frames
+    val frames = videoFrameTable(spark, df, "doc_id", 20, 64)
+    val br = frameBrightness(frames).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // id=7 -> video 7, frame 0; id=21 -> video 1, frame 1
+    // cut frames: every pixel in [100,119] -> brightness >= 64*100^2
+    assert(br((7L, 0)) >= 64L * 100 * 100)
+    assert(br((1L, 1)) >= 64L * 100 * 100)
+    // normal frames: every pixel in [-64,63] -> brightness <= 64*64^2
+    assert(br((1L, 0)) <= 64L * 64 * 64)
+    assert(br((2L, 1)) <= 64L * 64 * 64)
+    // byte formula roundtrip for a normal frame (id=1)
+    val f1 = frames.collect().find(f => f.video_id == 1L && f.frame_idx == 0).get
+    (0 until 64).foreach { i =>
+      assert(f1.payload(i).toInt === ((1 * 13 + i * 5) % 128) - 64)
+    }
+  }
+
   test("frame sampling keeps every Nth record") {
     val sampled = sampleFrames(mediaDs, 2).collect().map(_.media_id).sorted
     assert(sampled.toSeq === Seq(0L, 2L))
