@@ -24,12 +24,16 @@ import graft.functions.TextOps.{hash32, tokens}
   * @param jaccard      near-dup verification threshold
   * @param sampleBp     per-doc keep probability in basis points (of 10000),
   *                     hash-seeded → reproducible and repartition-stable
+  * @param iqrOutlierK  when set, drop documents whose text length falls
+  *                     outside `[q1 - k·IQR, q3 + k·IQR]` (Tukey's rule,
+  *                     the q86 operator as a pipeline stage); None = off
   */
 final case class PipelineConfig(minTokens: Int = 5,
                                 maxPunctRatio: Double = 0.3,
                                 jaccard: Double = 0.8,
                                 sampleBp: Int = 10000,
-                                stopShingleDf: Option[Long] = None)
+                                stopShingleDf: Option[Long] = None,
+                                iqrOutlierK: Option[Double] = None)
 
 object CorpusPipeline {
 
@@ -52,11 +56,28 @@ object CorpusPipeline {
       .drop("__tok", "__punct"))
     funnel += "quality" -> quality.count()
 
+    // 1b. optional length-outlier cut (Tukey bounds over the surviving
+    // corpus): one percentile aggregate broadcast back — two linear passes
+    val trimmed = cfg.iqrOutlierK match {
+      case None => quality
+      case Some(k) =>
+        val b = quality.agg(
+          expr("percentile(length(text), 0.25)").as("__q1"),
+          expr("percentile(length(text), 0.75)").as("__q3"))
+        val iqr = col("__q3") - col("__q1")
+        Materialize(quality.crossJoin(broadcast(b))
+          .filter(length(col("text")) >= col("__q1") - lit(k) * iqr &&
+            length(col("text")) <= col("__q3") + lit(k) * iqr)
+          .drop("__q1", "__q3"))
+    }
+    if (cfg.iqrOutlierK.isDefined)
+      funnel += "length_outliers" -> trimmed.count()
+
     // 2. exact dedup: keep the smallest doc_id per content fingerprint
     val exact = Materialize {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      quality.withColumn("__rn", row_number().over(w))
+      trimmed.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
     funnel += "exact_dedup" -> exact.count()
@@ -92,4 +113,15 @@ object CorpusPipeline {
 
     (sampled, funnel.result())
   }
+
+  /** Post-pipeline expectation check ([[DataQuality]] as the pipeline's
+    * exit gate): the prepared corpus must have a unique non-null doc_id
+    * and non-null text. Returns one row per rule with its exact violation
+    * count — all zeros on a healthy run.
+    */
+  def validate(prepared: DataFrame): DataFrame =
+    DataQuality.validate(prepared, Seq(
+      DataQuality.NotNull("doc_id"),
+      DataQuality.NotNull("text"),
+      DataQuality.Unique(Seq("doc_id"))))
 }

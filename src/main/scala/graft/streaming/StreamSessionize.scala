@@ -93,6 +93,52 @@ object StreamSessionize {
       }
   }
 
+  /** Per-user funnel progress: earliest strict-order completion time of
+    * each stage in micros, None while unreached. */
+  final case class FunnelProgress(user_id: Long, t1: Option[Long],
+                                  t2: Option[Long], t3: Option[Long])
+
+  /** Typed funnel input: (user, stage name, event-time micros). */
+  final case class StageEvent(user_id: Long, event_type: String, us: Long)
+
+  /** Stateful strict-order funnel (view -> click -> purchase), the
+    * streaming twin of batch q80: per-user state holds the earliest
+    * completion time of each stage; each micro-batch folds its events in
+    * event-time order, so a click counts only if it follows the user's
+    * earliest view seen so far, a purchase only after that click.
+    *
+    * Within one micro-batch arrival order is irrelevant (events sort
+    * before folding). ACROSS batches the fold is incremental: a view
+    * arriving after a later batch already consumed clicks can lower t1
+    * without reopening those clicks — exactly the watermark-lateness
+    * contract every streaming aggregate has. Replay fixtures single-batch
+    * (like the attribution gate) for exact batch parity.
+    */
+  def funnelStream(events: Dataset[StageEvent]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val U = Long.MaxValue
+    def opt(v: Long): Option[Long] = if (v == U) None else Some(v)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((U, U, U))
+          // ascending event time: by the time a click folds in, t1 is the
+          // min over all views at-or-before it — strict order by renaming
+          it.toVector.sortBy(e => (e.us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view"     => if (e.us < t1) t1 = e.us
+              case "click"    => if (e.us > t1 && e.us < t2) t2 = e.us
+              case "purchase" => if (e.us > t2 && e.us < t3) t3 = e.us
+              case _          =>
+            }
+          }
+          state.update((t1, t2, t3))
+          Iterator.single(FunnelProgress(userId, opt(t1), opt(t2), opt(t3)))
+      }
+  }
+
   final case class UserActivity(user_id: Long, n_events: Long,
                                 total_value: Double)
 

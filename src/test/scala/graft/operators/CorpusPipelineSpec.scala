@@ -41,6 +41,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(m("sampled") === m("near_dedup")) // sampleBp=10000 keeps all
   }
 
+  test("IQR outlier stage drops length extremes; output validates clean") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+        (i.toLong, s"doc number $i with some ordinary words here now"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "tiny doc x y z"),
+        (100L, ("gigantic " * 400) + "end of the enormous outlier"))
+        .toDF("doc_id", "text"))
+    val (out, funnel) = CorpusPipeline.prepare(spark, docs,
+      PipelineConfig(minTokens = 3, maxPunctRatio = 1.0,
+        iqrOutlierK = Some(1.5)))
+    val m = funnel.toMap
+    assert(funnel.map(_._1).contains("length_outliers"))
+    assert(m("length_outliers") < m("quality"))   // the giant doc dropped
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(100L))
+    // exit gate: unique non-null ids, non-null text -> zero violations
+    val v = CorpusPipeline.validate(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.size === 3 && v.values.forall(_ == 0L))
+  }
+
   test("pipeline survives a corpus with no near-dup pairs") {
     import spark.implicits._
     val tiny = Seq(

@@ -57,6 +57,39 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay funnelStream == q80 batch funnel step counts") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("funnel_replay_").toString
+      val ckpt = Files.createTempDirectory("funnel_ckpt_").toString
+      Tables.table(spark, sf, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .write.mode("overwrite").parquet(dir)
+      import spark.implicits._
+      // single-batch replay: cross-batch late views can't reopen clicks
+      // (see funnelStream scaladoc), so batch-1 semantics = batch q80
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StageEvent]
+      val q = funnelStream(stream)
+        .writeStream.format("memory").queryName("funnel_replay")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      val p = spark.table("funnel_replay")
+      val streamed = Seq(
+        p.filter(col("t1").isNotNull).count(),
+        p.filter(col("t2").isNotNull).count(),
+        p.filter(col("t3").isNotNull).count())
+      val batch = graft.SparkEntry.queries("q80_funnel_conversion")(spark, sf)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      assert(streamed === batch)
+      assert(streamed.head > 0)
+    }
+  }
+
   test("file-replay hoppingTotalsStream == q84 batch hopping windows") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("hop_replay_").toString
