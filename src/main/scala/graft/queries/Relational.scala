@@ -804,5 +804,66 @@ object Relational {
              |  max(roll_n) AS peak_1h_events,
              |  CAST(max(roll_cents) AS BIGINT) AS peak_1h_cents
              |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- try_* null-on-error functions ------------------------------------
+    // The SQL-surface twin of the ingest layer's null-on-error typed
+    // conversion (FixedWidth A8): try_cast swallows malformed input,
+    // try_divide swallows division by zero — both return null instead of
+    // failing the job, which is the only sane contract for dirty data at
+    // 100 TB. Inputs are derived deterministically so the oracle replays
+    // the identical failure set.
+    "q94_try_functions" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("str", when(col("doc_id") % 3 === 0,
+              concat(lit("x"), col("doc_id")))
+            .otherwise(col("doc_id").cast("string")))
+          .withColumn("parsed", expr("try_cast(str AS BIGINT)"))
+          .withColumn("ratio", expr("try_divide(100, doc_id % 5)"))
+          .agg(count(lit(1)).as("n_rows"),
+               count(col("parsed")).as("n_parsed"),
+               coalesce(sum("parsed"), lit(0L)).as("parsed_sum"),
+               count(col("ratio")).as("n_divided"),
+               round(sum("ratio"), 2).as("ratio_sum")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(p) AS n_parsed,
+             |  CAST(coalesce(sum(p), 0) AS BIGINT) AS parsed_sum,
+             |  count(r) AS n_divided,
+             |  round(sum(r), 2) AS ratio_sum
+             |FROM (
+             |  SELECT TRY_CAST(CASE WHEN doc_id % 3 = 0
+             |           THEN 'x' || doc_id ELSE CAST(doc_id AS VARCHAR) END
+             |         AS BIGINT) AS p,
+             |    CASE WHEN doc_id % 5 = 0 THEN NULL
+             |         ELSE 100.0 / (doc_id % 5) END AS r
+             |  FROM documents)""".stripMargin)),
+
+    // ---- map-typed columns ------------------------------------------------
+    // MapType end-to-end: JSON props parsed into map<string,bigint>,
+    // exploded to (key, value) pairs, aggregated per key — the dynamic-
+    // schema path (unknown key set) that struct-typed q23/q29 can't
+    // express. The oracle walks the same keys via json_keys.
+    "q95_map_explode" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(col("event_id"),
+            from_json(col("props"), lit("map<string,bigint>")).as("m"))
+          .select(col("event_id"), explode(col("m")))
+          .groupBy("key")
+          .agg(count(lit(1)).as("n"),
+               sum("value").as("value_sum"),
+               min("value").as("value_min"),
+               max("value").as("value_max"))
+          .orderBy("key"),
+      Some("""SELECT key, count(*) AS n,
+             |  CAST(sum(v) AS BIGINT) AS value_sum,
+             |  CAST(min(v) AS BIGINT) AS value_min,
+             |  CAST(max(v) AS BIGINT) AS value_max
+             |FROM (
+             |  SELECT key,
+             |    CAST(json_extract(props, '$.' || key) AS BIGINT) AS v
+             |  FROM events, unnest(json_keys(props)) t(key))
+             |GROUP BY key ORDER BY key""".stripMargin)),
   )
 }
