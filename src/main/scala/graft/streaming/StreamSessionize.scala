@@ -174,6 +174,17 @@ object StreamSessionize {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Stream-static enrichment: each micro-batch joined to a STATIC
+    * dimension frame (Structured Streaming re-resolves the static side
+    * per batch; broadcast keeps it a map-side hash join — the standard
+    * shape for enriching an event stream with a slowly-changing
+    * dimension snapshot). Left join: events without a dimension row
+    * survive with nulls rather than silently dropping.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Hopping-window totals — the streaming twin of batch q84: identical
     * 2h/1h window assignment and integer-cents money (floor before sum),
     * so a file replay's converged state equals the batch answer

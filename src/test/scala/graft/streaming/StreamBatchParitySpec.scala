@@ -57,6 +57,39 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay enrichStream == static batch join") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("enrich_replay_").toString
+      val ckpt = Files.createTempDirectory("enrich_ckpt_").toString
+      val ev = Tables.table(spark, sf, "events")
+        .select(col("event_id"), col("user_id"))
+      ev.repartition(2).write.mode("overwrite").parquet(dir)
+      // static dimension: a derived user tier (only for even user ids, so
+      // the LEFT join's null path is exercised)
+      val dim = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 2 === 0)
+        .withColumn("tier", (col("user_id") % 3).cast("int"))
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = enrichStream(stream, dim)
+        .writeStream.format("memory").queryName("enrich_replay")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+      val streamed = agg(spark.table("enrich_replay"))
+      val batch = agg(ev.join(broadcast(dim), Seq("user_id"), "left"))
+      assert(streamed === batch)
+      assert(streamed.contains(None))   // unmatched users kept with nulls
+    }
+  }
+
   test("file-replay funnelStream == q80 batch funnel step counts") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("funnel_replay_").toString
