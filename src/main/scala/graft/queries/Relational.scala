@@ -865,5 +865,55 @@ object Relational {
              |    CAST(json_extract(props, '$.' || key) AS BIGINT) AS v
              |  FROM events, unnest(json_keys(props)) t(key))
              |GROUP BY key ORDER BY key""".stripMargin)),
+
+    // ---- multiset set-operations (ALL variants) ---------------------------
+    // INTERSECT ALL / EXCEPT ALL keep multiplicities (min / subtract),
+    // unlike q17/q18's distinct forms — the semantics that matter when
+    // the rows ARE the count (e.g. order events per customer).
+    "q96_set_ops_all" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        def agg(df: org.apache.spark.sql.DataFrame, op: String) =
+          df.agg(count(lit(1)).as("n"),
+              coalesce(sum("o_custkey"), lit(0L)).as("key_sum"))
+            .select(lit(op).as("op"), col("n"), col("key_sum"))
+        agg(a.intersectAll(b), "intersect_all")
+          .unionByName(agg(a.exceptAll(b), "except_all"))
+          .orderBy("op")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders
+             |          WHERE o_orderstatus = 'O'),
+             |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+             |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+             |SELECT 'except_all' AS op, count(*) AS n,
+             |  CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS key_sum
+             |FROM ea
+             |UNION ALL
+             |SELECT 'intersect_all', count(*),
+             |  CAST(coalesce(sum(o_custkey), 0) AS BIGINT) FROM ia
+             |ORDER BY op""".stripMargin)),
+
+    // ---- null ordering semantics ------------------------------------------
+    // DESC NULLS FIRST made explicit: engines default differently (Spark
+    // DESC puts nulls last, DuckDB puts them first), so portable queries
+    // must spell the placement out. Deterministic null injection +
+    // event_id tie-break keep the top-20 hash-exact.
+    "q97_null_ordering" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(col("event_id"),
+            when(col("event_id") % 7 === 0, lit(null))
+              .otherwise(col("value")).cast("double").as("v"))
+          .orderBy(col("v").desc_nulls_first, col("event_id"))
+          .limit(20)
+          .select(col("event_id"), round(col("v"), 2).as("v")),
+      Some("""SELECT event_id, round(v, 2) AS v FROM (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+             |  FROM events
+             |  ORDER BY v DESC NULLS FIRST, event_id LIMIT 20)""".stripMargin)),
   )
 }
