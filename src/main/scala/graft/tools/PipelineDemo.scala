@@ -25,11 +25,14 @@ object PipelineDemo {
     val docs = Tables.table(spark, sfDir, "documents")
     val (corpus, funnel) = CorpusPipeline.prepare(spark, docs,
       PipelineConfig(minTokens = 5, maxPunctRatio = 0.3,
-        jaccard = 0.8, sampleBp = 8000))
+        jaccard = 0.8, sampleBp = 8000, iqrOutlierK = Some(3.0)))
     val out = corpus.count()
+    val violations = CorpusPipeline.validate(corpus)
+      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+      .mkString("{", ",", "}")
     val stages = funnel.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    println(s"""{"stages":$stages,"final":$out,"sf":"$sfDir"}""")
+    println(s"""{"stages":$stages,"final":$out,"validation":$violations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
