@@ -915,5 +915,90 @@ object Relational {
              |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
              |  FROM events
              |  ORDER BY v DESC NULLS FIRST, event_id LIMIT 20)""".stripMargin)),
+
+    // ---- HLL sketch build + MERGE (re-aggregation) ------------------------
+    // The distributed-cardinality pattern q55's flat approx count can't
+    // show: per-nation DataSketches HLL sketches built once, then MERGED
+    // (hll_union_agg) up to region level without touching the raw data
+    // again — how a 100 TB rollup reuses per-partition sketches. DuckDB
+    // has no compatible sketch, so (as in q55) the estimate is gated
+    // in-query: the oracle pins the exact counts and the within-5%
+    // boolean per region.
+    "q98_hll_union_rollup" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val n = broadcast(table(s, dir, "nation"))
+        val base = c.join(n, col("c_nationkey") === col("n_nationkey"))
+        val perNation = base.groupBy("n_regionkey", "n_nationkey")
+          .agg(expr("hll_sketch_agg(c_custkey)").as("sk"),
+               countDistinct("c_custkey").as("exact_n"))
+        perNation.groupBy("n_regionkey")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+               sum("exact_n").as("exact_customers"),
+               count(lit(1)).as("n_nations"))
+          .select(col("n_regionkey").as("region_key"),
+            col("n_nations"), col("exact_customers"),
+            (abs(col("est") - col("exact_customers"))
+              <= col("exact_customers") * 0.05).as("hll_within_5pct"))
+          .orderBy("region_key")
+      },
+      Some("""SELECT n_regionkey AS region_key,
+             |  count(DISTINCT n_nationkey) AS n_nations,
+             |  count(DISTINCT c_custkey) AS exact_customers,
+             |  TRUE AS hll_within_5pct
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_regionkey ORDER BY region_key""".stripMargin)),
+
+    // ---- date-spine gap filling -------------------------------------------
+    // Time-series prep: a generated per-nation month spine (sequence +
+    // explode — no table holds it) left-joined to order activity, gaps
+    // filled with zero so downstream windows see a dense series. The
+    // spine generator is the 100 TB-safe dimension: tiny, broadcast,
+    // never materialized to storage.
+    "q99_date_spine_gapfill" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("c_nationkey") < 3)
+          .select(col("c_nationkey").as("nation"),
+            date_trunc("month", col("o_orderdate")).as("mon"),
+            col("o_totalprice"))
+        val months = o.agg(min("mon").as("lo"), max("mon").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 month"))).as("mon"))
+        val nations = o.select("nation").distinct()
+        val spine = broadcast(nations.crossJoin(broadcast(months)))
+        val act = o.groupBy("nation", "mon")
+          .agg(count(lit(1)).as("n_orders"),
+               sum(floor(col("o_totalprice") * 100).cast("long"))
+                 .as("cents"))
+        spine.join(act, Seq("nation", "mon"), "left")
+          .select(col("nation"), col("mon"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("cents"), lit(0L)).as("cents"))
+          .orderBy("nation", "mon")
+      },
+      Some("""WITH o AS (
+             |  SELECT c_nationkey AS nation,
+             |    date_trunc('month', o_orderdate) AS mon, o_totalprice
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_nationkey < 3),
+             |bounds AS (SELECT min(mon) AS lo, max(mon) AS hi FROM o),
+             |months AS (SELECT unnest(generate_series(lo, hi,
+             |             INTERVAL 1 MONTH)) AS mon FROM bounds),
+             |spine AS (SELECT nation, mon
+             |          FROM (SELECT DISTINCT nation FROM o) CROSS JOIN months),
+             |act AS (SELECT nation, mon, count(*) AS n_orders,
+             |          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |            AS BIGINT) AS cents
+             |        FROM o GROUP BY 1, 2)
+             |SELECT s.nation, s.mon,
+             |  coalesce(a.n_orders, 0) AS n_orders,
+             |  coalesce(a.cents, 0) AS cents
+             |FROM spine s LEFT JOIN act a
+             |  ON s.nation = a.nation AND s.mon = a.mon
+             |ORDER BY s.nation, s.mon""".stripMargin)),
   )
 }
