@@ -1000,5 +1000,47 @@ object Relational {
              |FROM spine s LEFT JOIN act a
              |  ON s.nation = a.nation AND s.mon = a.mon
              |ORDER BY s.nation, s.mon""".stripMargin)),
+
+    // ---- first/last/nth_value window functions ----------------------------
+    // The navigation-function family q13/q14's rank/lag don't cover:
+    // each user's first, latest, and second event value over the full
+    // partition frame (explicit unbounded frame — last_value defaults to
+    // a running frame, the classic window gotcha). Event-id tie-break
+    // makes the ordering total, money in integer cents.
+    "q101_value_windows" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .withColumn("first_cents",
+            first("cents", ignoreNulls = false).over(w))
+          .withColumn("last_cents",
+            last("cents", ignoreNulls = false).over(w))
+          .withColumn("second_cents", nth_value(col("cents"), 2).over(w))
+          .groupBy("user_id")
+          .agg(max("first_cents").as("first_cents"),
+               max("last_cents").as("last_cents"),
+               max("second_cents").as("second_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |v AS (SELECT user_id,
+             |  first_value(cents) OVER w AS first_cents,
+             |  last_value(cents) OVER w AS last_cents,
+             |  nth_value(cents, 2) OVER w AS second_cents
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, max(first_cents) AS first_cents,
+             |  max(last_cents) AS last_cents,
+             |  max(second_cents) AS second_cents
+             |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

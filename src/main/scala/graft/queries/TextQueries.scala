@@ -758,5 +758,35 @@ object TextQueries {
              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM documents d JOIN bounds b ON d.source = b.source
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // ---- regex field extraction -------------------------------------------
+    // Structured-field scraping from free text: every ≥2-digit number in
+    // each document via regexp_extract_all — the narrow codegen'd
+    // projection a log/scrape pipeline runs before typed analysis.
+    // Integer counts and sums keep the oracle hash-exact.
+    "q100_regex_extract" -> QueryDef(
+      (s, dir) =>
+        tableParallel(s, dir, "documents")
+          .select(col("source"),
+            regexp_extract_all(col("text"), lit("\\d{2,}"), lit(0))
+              .as("nums"))
+          .select(col("source"), explode(col("nums")).as("num"))
+          .select(col("source"), col("num").cast("long").as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_matches"),
+               countDistinct("n").as("n_distinct"),
+               sum("n").as("num_sum"),
+               max("n").as("num_max"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_matches,
+             |  count(DISTINCT n) AS n_distinct,
+             |  CAST(sum(n) AS BIGINT) AS num_sum,
+             |  CAST(max(n) AS BIGINT) AS num_max
+             |FROM (
+             |  SELECT source,
+             |    CAST(unnest(regexp_extract_all(text, '\\d{2,}')) AS BIGINT)
+             |      AS n
+             |  FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
