@@ -589,14 +589,21 @@ object Relational {
     // of tolerance flips a boolean and fails the driver's hash compare —
     // a real gate, not a rows-only waiver.
     "q55_approx_sketches" -> QueryDef(
-      (s, dir) =>
-        table(s, dir, "lineitem")
-          .groupBy("l_returnflag")
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        // two aggregations joined on the 3-row group key: mixing a
+        // DISTINCT aggregate with the others makes Spark Expand the
+        // 600k-row input 2x and push the doubled rows through the
+        // sort-based exact-percentile buffer; split, each plan
+        // aggregates the original input once
+        val distincts = li.groupBy("l_returnflag")
           .agg(countDistinct("l_partkey").as("exact_parts"),
-               approx_count_distinct("l_partkey").as("ap"),
-               expr("percentile(l_extendedprice, 0.5)").as("em"),
+               approx_count_distinct("l_partkey").as("ap"))
+        val percentiles = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("em"),
                percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
                  .as("am"))
+        distincts.join(percentiles, "l_returnflag")
           .select(col("l_returnflag"),
             col("exact_parts"),
             (abs(col("ap") - col("exact_parts"))
@@ -604,7 +611,8 @@ object Relational {
             round(col("em"), 2).as("median_price"),
             (abs(col("am") - col("em")) <= abs(col("em")) * 0.05)
               .as("median_within_5pct"))
-          .orderBy("l_returnflag"),
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              | count(DISTINCT l_partkey) AS exact_parts,
              | TRUE AS hll_within_5pct,
