@@ -43,15 +43,16 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
+      // one join + one aggregation per round: each node's new label is
+      // the min over {its own label} ∪ {its neighbors' labels}, expressed
+      // as a union feeding a single min-aggregate — the join-back of a
+      // separate neighbor-min table would cost a second shuffle per round
+      val contrib = edges
         .join(labels, edges("a") === labels("doc"))
-        .groupBy(col("b").as("doc2"))
-        .agg(min("label").as("nbr"))
-      labels = labels
-        .join(nbrMin, labels("doc") === nbrMin("doc2"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
-            .as("label"))
+        .select(col("b").as("doc"), col("label"))
+        .unionAll(labels)
+      labels = contrib
+        .groupBy("doc").agg(min("label").as("label"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val sumNow = checksum(labels)
       converged = sumNow.compareTo(prevSum) == 0
