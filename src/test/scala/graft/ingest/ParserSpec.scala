@@ -76,6 +76,31 @@ class GlobalSplitterSpec extends AnyFunSuite {
   test("no name lines -> empty") {
     assert(GlobalSplitter.split("nothing\nto see\n") === Map.empty)
   }
+
+  test("executor-side splitDistributed equals the driver-side split") {
+    val spark = graft.TestSpark.spark
+    // the real fixture, plus a nastier synthetic one: duplicate name
+    // (first occurrence wins), a bare name line NOT followed by a blank
+    // (truncates the previous fragment but starts nothing), trailing
+    // blank lines (trimmed)
+    val nasty = Seq(
+      "preamble junk", "",
+      "GS_ALPHA", "",
+      "Code Name", "---- ----", "A1 First", "",
+      "EMBEDDED",
+      "GS_BETA", "",
+      "Code Desc", "---- ----", "B1 Second", "", "",
+      "GS_ALPHA", "",
+      "Code Name", "---- ----", "A2 Duplicate", "").mkString("\n")
+    for (content <- Seq(Fixtures.globalLions, nasty)) {
+      val f = java.nio.file.Files.createTempFile("global_", ".txt")
+      java.nio.file.Files.write(f, content.getBytes("ISO-8859-1"))
+      val driver = GlobalSplitter.split(content)
+      val distributed = GlobalSplitter.splitDistributed(spark, f.toString)
+      assert(distributed === driver)
+      java.nio.file.Files.delete(f)
+    }
+  }
 }
 
 class LookupParserSpec extends AnyFunSuite {
