@@ -1050,5 +1050,31 @@ object Relational {
              |  max(last_cents) AS last_cents,
              |  max(second_cents) AS second_cents
              |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- relative-rank windows (percent_rank, cume_dist) ------------------
+    // The remaining rank-family members: each order's price percentile
+    // within its priority class. Both functions are pure rational
+    // functions of integer ranks ((rank-1)/(n-1), cume/n), so rounding
+    // once at 6 digits is hash-exact; total order via the orderkey
+    // tie-break.
+    "q102_relative_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("o_orderkey") % 97 === 0)   // thin, deterministic slice
+          .select("o_orderkey", "o_orderpriority", "pr", "cd")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |QUALIFY o_orderkey % 97 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 }
