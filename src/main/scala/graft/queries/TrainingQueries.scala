@@ -711,5 +711,47 @@ object TrainingQueries {
              |  CAST(sum(CASE WHEN rn <= 50 THEN doc_id END) AS BIGINT)
              |    AS sample_id_sum
              |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- range-partitioned (curriculum-ordered) export --------------------
+    // The ordered-shard write path: repartitionByRange over a difficulty
+    // key lays shards out so shard i's hardest doc is no harder than
+    // shard i+1's easiest — curriculum readers then stream shards in
+    // order. The partition layout itself can't be oracled (DuckDB has no
+    // partitions), so the DISJOINTNESS is proven IN-QUERY: per-partition
+    // [min,max] ranges, each row carrying a boolean that its range does
+    // not overlap the next partition's — the oracle pins every boolean
+    // TRUE and recomputes the global totals independently.
+    "q103_range_partition_export" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val parts = docs.repartitionByRange(8, col("n_chars"), col("doc_id"))
+          .select(col("doc_id"), col("n_chars"),
+            spark_partition_id().as("pid"))
+          .groupBy("pid")
+          .agg(count(lit(1)).as("n_docs"),
+               min("n_chars").as("min_chars"),
+               max("n_chars").as("max_chars"))
+        val w = Window.orderBy("pid")
+        val wAll = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        parts
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+          .withColumn("next_min", lead("min_chars", 1).over(w))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("all_docs", sum("n_docs").over(wAll))
+          .select(col("rank"),
+            (col("next_min").isNull ||
+              col("max_chars") <= col("next_min")).as("disjoint"),
+            (col("all_docs") === col("total")).as("counts_complete"))
+          .orderBy("rank")
+      },
+      // partition boundaries come from Spark's range sampler, so the
+      // per-rank doc counts are engine-internal; the oracle pins the
+      // INVARIANTS — 8 ranked shards, every range disjoint from the
+      // next, shard counts summing to the corpus
+      Some("""SELECT CAST(unnest(range(1, 9)) AS INT) AS rank,
+             |  TRUE AS disjoint, TRUE AS counts_complete
+             |ORDER BY rank""".stripMargin)),
   )
 }
