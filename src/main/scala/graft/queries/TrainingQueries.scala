@@ -753,5 +753,69 @@ object TrainingQueries {
       Some("""SELECT CAST(unnest(range(1, 9)) AS INT) AS rank,
              |  TRUE AS disjoint, TRUE AS counts_complete
              |ORDER BY rank""".stripMargin)),
+
+    // ---- the whole corpus pipeline, oracled end-to-end --------------------
+    // CorpusPipeline.prepare (quality filter → exact dedup → MinHash/
+    // Jaccard near-dedup → connected-components cluster drop →
+    // hash-seeded sample) as ONE catalog entry whose stage funnel the
+    // oracle re-derives from scratch — including the transitive cluster
+    // closure, which DuckDB computes with a RECURSIVE CTE. Every stage is
+    // deterministic (hash-seeded decisions, min-doc-id keeps), so the
+    // five counts are hash-exact across engines.
+    "q104_corpus_pipeline_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (_, funnel) = graft.operators.CorpusPipeline.prepare(
+          s, table(s, dir, "documents"),
+          graft.operators.PipelineConfig(minTokens = 5,
+            maxPunctRatio = 0.3, jaccard = 0.8, sampleBp = 8000))
+        funnel.toDF("stage", "n_docs").orderBy("stage")
+      },
+      Some(s"""WITH RECURSIVE
+              |q AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE len($duckToks) >= 5
+              |    AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              |        * 1.0 / greatest(length(text), 1) <= 0.3),
+              |kept AS (
+              |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+              |  FROM q GROUP BY md5(text)),
+              |ws AS (SELECT doc_id, $duckToks AS ws FROM kept),
+              |sh0 AS (SELECT doc_id, unnest(hs) AS sh
+              |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh0 a JOIN sh0 b
+              |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |r(doc, reach) AS (
+              |  SELECT DISTINCT a, a FROM edges
+              |  UNION
+              |  SELECT r.doc, e.b FROM r JOIN edges e ON r.reach = e.a),
+              |dropped AS (
+              |  SELECT doc FROM (SELECT doc, min(reach) AS label FROM r
+              |                   GROUP BY doc) WHERE label <> doc),
+              |near AS (
+              |  SELECT k.doc_id FROM kept k LEFT JOIN dropped d
+              |    ON k.doc_id = d.doc WHERE d.doc IS NULL),
+              |samp AS (
+              |  SELECT doc_id FROM near
+              |  WHERE CAST(('0x' || substr(md5('pipeline_' || doc_id), 1, 8))
+              |          AS BIGINT) % 10000 < 8000)
+              |SELECT stage, n_docs FROM (
+              |  SELECT 'input' AS stage, count(*) AS n_docs FROM documents
+              |  UNION ALL SELECT 'quality', count(*) FROM q
+              |  UNION ALL SELECT 'exact_dedup', count(*) FROM kept
+              |  UNION ALL SELECT 'near_dedup', count(*) FROM near
+              |  UNION ALL SELECT 'sampled', count(*) FROM samp)
+              |ORDER BY stage""".stripMargin)),
   )
 }
