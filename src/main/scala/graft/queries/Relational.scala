@@ -1076,5 +1076,37 @@ object Relational {
              |             ORDER BY o_totalprice, o_orderkey)
              |QUALIFY o_orderkey % 97 = 0
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- bivariate statistics (corr, covariance, regression) --------------
+    // The two-column statistical aggregates q28's univariate stats don't
+    // cover: price-vs-quantity correlation, both covariances, and the
+    // least-squares line per return flag. Both engines use stable
+    // co-moment accumulation; rounding at 6 absorbs the last-ulp
+    // differences of the different merge orders.
+    "q105_bivariate_stats" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+                 .as("price_qty_corr"),
+               round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+                 .as("covar_p"),
+               round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+                 .as("covar_s"),
+               round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+                 .as("slope"),
+               round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+                 .as("intercept"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | round(corr(l_quantity, l_extendedprice), 6)
+             |   AS price_qty_corr,
+             | round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+             | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+             | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             | round(regr_intercept(l_extendedprice, l_quantity), 4)
+             |   AS intercept
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }
