@@ -16,8 +16,10 @@ import graft.queries.{MultimodalQueries, Relational, SimilarityQueries, TextQuer
   * reported per-query number is the MIN across runs — ambient contention
   * (another JVM running Verify, a CPU burner) inflates individual runs but
   * rarely all of them, so min-of-n is the stable estimate of plan cost.
-  * The JSON carries the per-run totals (`runs`) and `min_total` alongside
-  * per-query seconds and per-family subtotals.
+  * The JSON headline (`value`) is `sum_of_best`; `runs`/`min_total` count
+  * only queries that succeeded in every pass, so a run in which a query
+  * crashed early can never understate a total. Queries that failed in some
+  * but not all passes land in `partial_failures` and fail the bench.
   */
 object Bench {
 
@@ -106,6 +108,14 @@ object Bench {
     }
     val bestMap = best.toMap
     val failed = best.collect { case (k, v) if v < 0 => k }
+    // a query that crashed in SOME runs but not all is neither clean nor
+    // dead — run totals over it would make the crashing run look fast, so
+    // run totals only count queries that succeeded in EVERY run, and the
+    // flaky set is surfaced separately (and still fails the bench)
+    val partial = names.zipWithIndex.collect {
+      case (name, i) if runs.exists(_(i) < 0) && runs.exists(_(i) >= 0) => name
+    }
+    val stableIdx = names.indices.filter(i => runs.forall(_(i) >= 0))
 
     def fmt(d: Double): String = f"$d%.4f"
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -113,13 +123,17 @@ object Bench {
     val fams = families.map { case (fam, qn) =>
       "\"" + fam + "\":" + fmt(qn.map(bestMap).filter(_ >= 0).sum)
     }.mkString("{", ",", "}")
-    val runTotals = runs.map(p => fmt(p.filter(_ >= 0).sum)).mkString("[", ",", "]")
-    val minTotal = runs.map(_.filter(_ >= 0).sum).min
+    val runTotals = runs.map(p => fmt(stableIdx.map(p).sum)).mkString("[", ",", "]")
+    // headline = sum of per-query minima: comparable across rounds even
+    // when one pass of one query was hit by ambient contention, and never
+    // understated by a run in which a query crashed early
     val sumOfBest = best.map(_._2).filter(_ >= 0).sum
+    val minTotal = if (stableIdx.isEmpty) -1.0 else runs.map(p => stableIdx.map(p).sum).min
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partials = partial.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(minTotal)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs}""")
+      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs,"partial_failures":$partials}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || partial.nonEmpty) sys.exit(1)
   }
 }

@@ -46,14 +46,37 @@ object Listing {
     }))
 
   /** Percent-encode characters that are illegal in a URI — entity decoding
-    * can surface them (`&lt;` → `<`), and browsers encode them the same
-    * way when resolving; without this `URI.resolve` would throw and take
-    * the whole listing down.
+    * can surface them (`&lt;` → `<`, `&#233;` → `é`, `&#37;` → `%`), and
+    * browsers encode them the same way when resolving; without this
+    * `URI.resolve` would throw and take the whole listing down. Matching
+    * browser href resolution: a stray `%` not followed by two hex digits is
+    * encoded as `%25` (an existing valid escape passes through untouched),
+    * and anything outside printable ASCII is UTF-8 percent-encoded.
     */
-  private def escapeForUri(s: String): String = s.flatMap {
-    case c @ (' ' | '<' | '>' | '"' | '{' | '}' | '|' | '\\' | '^' | '`') =>
-      f"%%${c.toInt}%02X"
-    case c => c.toString
+  private def escapeForUri(s: String): String = {
+    def isHex(c: Char) = (c >= '0' && c <= '9') ||
+      (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c @ (' ' | '<' | '>' | '"' | '{' | '}' | '|' | '\\' | '^' | '`') =>
+          out.append(f"%%${c.toInt}%02X")
+        case '%' if i + 2 >= s.length ||
+            !isHex(s.charAt(i + 1)) || !isHex(s.charAt(i + 2)) =>
+          out.append("%25")
+        case c if c < 0x20 || c > 0x7E =>
+          // UTF-8 percent-encode; surrogate pairs consume two chars
+          val end = if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) i + 2 else i + 1
+          s.substring(i, end).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .foreach(b => out.append(f"%%${b & 0xFF}%02X"))
+          i = end - 1
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
   }
 
   /** A1: extract `.zip` hrefs from an HTML listing page, resolved against

@@ -66,15 +66,24 @@ object ConnectedComponents {
     labels
   }
 
-  private def checksum(labels: DataFrame): java.math.BigDecimal =
+  private def checksum(labels: DataFrame): java.math.BigDecimal = {
     // DECIMAL(38,0): a BIGINT sum wraps silently in non-ANSI mode, which
-    // would let a wrapped sum masquerade as "unchanged" — the decimal sum
-    // raises on overflow instead, and 38 digits cannot overflow for any
-    // realistic (label ≤ 2^63) × (rows ≤ 10^19) input.
-    // coalesce: sum over an empty label set is null (no near-dup pairs at
-    // all is a legal input — the loop then converges immediately)
-    labels
-      .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")))
-      .head().getDecimal(0)
+    // would let a wrapped sum masquerade as "unchanged". A decimal sum
+    // does NOT raise in non-ANSI mode either — overflow yields NULL — so
+    // the NULL cases must be told apart explicitly: sum is NULL over an
+    // empty label set (no near-dup pairs is legal input; treat as 0 and
+    // the loop converges immediately), while NULL with rows present means
+    // overflow and must fail loudly rather than alias a fake fixpoint.
+    // 38 digits cannot overflow for any realistic (label ≤ 2^63) ×
+    // (rows ≤ 10^19) input, so the throw is a tripwire, not a code path.
+    val row = labels
+      .agg(sum(col("label").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+      .head()
+    val (s, n) = (row.getDecimal(0), row.getLong(1))
+    if (s == null && n > 0)
+      throw new ArithmeticException(
+        s"label checksum overflowed DECIMAL(38,0) over $n rows — " +
+          "convergence witness void")
+    if (s == null) java.math.BigDecimal.ZERO else s
+  }
 }

@@ -173,6 +173,22 @@ class ListingSpec extends AnyFunSuite {
     assert(Listing.decodeEntities("&#x41;&#66;") === "AB")
   }
 
+  test("percent-encodes entity-decoded '%' and non-ASCII so resolve survives") {
+    val html =
+      """<html><body>
+        |<a href="pct&#37;file.zip">stray percent from &#37;</a>
+        |<a href="caf&#233;.zip">latin-1 from &#233;</a>
+        |<a href="emoji&#128512;.zip">astral codepoint</a>
+        |<a href="pre%2Fencoded.zip">existing escape untouched</a>
+        |</body></html>""".stripMargin
+    val urls = Listing.zipUrls(html, "https://doj.example.gov/")
+    // none of these may throw in URI.resolve — that is the whole point
+    assert(urls.contains("https://doj.example.gov/pct%25file.zip"))
+    assert(urls.contains("https://doj.example.gov/caf%C3%A9.zip"))
+    assert(urls.contains("https://doj.example.gov/emoji%F0%9F%98%80.zip"))
+    assert(urls.contains("https://doj.example.gov/pre%2Fencoded.zip"))
+  }
+
   test("pipelined loadAll overlaps fetches but keeps deterministic order") {
     import java.nio.file.Files
     import scala.concurrent.ExecutionContext.Implicits.global
