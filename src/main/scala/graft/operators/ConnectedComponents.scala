@@ -36,9 +36,14 @@ object ConnectedComponents {
     val edges = pairs.select(ca.as("a"), cb.as("b"))
       .unionAll(pairs.select(cb.as("a"), ca.as("b")))
 
+    // LAZY checkpoints: the per-round checksum is the action that
+    // materializes the round's labels, so each round costs ONE Spark job
+    // (an eager checkpoint followed by the checksum aggregate would pay
+    // two). Lineage is still cut at materialization, keeping the loop's
+    // plans flat.
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     var prevSum = checksum(labels)
     var converged = false
     var iter = 0
@@ -53,7 +58,7 @@ object ConnectedComponents {
         .unionAll(labels)
       labels = contrib
         .groupBy("doc").agg(min("label").as("label"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
       val sumNow = checksum(labels)
       converged = sumNow.compareTo(prevSum) == 0
       prevSum = sumNow

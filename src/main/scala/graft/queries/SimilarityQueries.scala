@@ -53,11 +53,12 @@ object SimilarityQueries {
     *
     * The k centroids (k*64 longs) live DRIVER-side between iterations —
     * the same structure Spark MLlib's KMeans uses (collect centers, then
-    * broadcast into the next assignment pass). That keeps every
-    * iteration's plan flat (no lineage growth, no checkpointing) and
-    * costs exactly ONE Spark job per iteration: the retrain collect,
-    * whose upstream includes the map-side assign. Only the vectors stay
-    * distributed, so the shape is unchanged at 100 TB.
+    * broadcast into the next assignment pass). Each training iteration is
+    * ONE shuffle-free treeAggregate job over a cached RDD of primitive
+    * vectors (assign + per-centroid partial sums fused in the seqOp;
+    * partials are k*dim longs regardless of row count), so per-iteration
+    * cost is a single stage, not a chain of AQE query stages. Only the
+    * vectors stay distributed, so the shape is unchanged at 100 TB.
     */
   def ivfKmeans(s: SparkSession, dir: String, maxIters: Int = 40)
       : (org.apache.spark.sql.DataFrame, Int) = {
@@ -88,18 +89,65 @@ object SimilarityQueries {
         .select(col("vec_id"), col("vq"),
           col("m.cid").as("cid"), col("m.d2").as("d2"))
 
-    def retrain(a: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Long])] =
-      a.select(col("cid"), posexplode(col("vq")))
-        .toDF("cid", "dim", "vval")
-        .groupBy("cid", "dim")
-        .agg(sum("vval").as("sv"), count(lit(1)).as("cnt"))
-        .select(col("cid"), col("dim"),
-          floor(col("sv") * 1.0 / col("cnt")).cast("long").as("cval"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cval")))),
-          f => f.getField("cval")).as("cq"))
-        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // Training iterations run as ONE shuffle-free treeAggregate job each
+    // over a cached RDD of primitive long arrays — the exact shape MLlib's
+    // KMeans uses. The earlier declarative loop paid 3 AQE query stages
+    // per iteration (broadcast join, per-vector argmin shuffle, per-
+    // centroid re-agg shuffle); at 16 iterations that fixed overhead — not
+    // the arithmetic — was the entire cost. All math is the same integer
+    // sequence (long squared-L2 over the common prefix, first-lowest-cid
+    // tie-break, per-member long sums, floor(sv * 1.0 / cnt)), so the
+    // centroid trajectory — and the oracle's statically-unrolled one — is
+    // bit-identical. treeAggregate keeps the reduction distributed at
+    // 100 TB: partials are k*dim longs regardless of row count.
+    val vecs = e.select(col("vq")).as[Seq[Long]].rdd.map(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    def retrainRdd(cents: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+      val k = cents.size
+      val cids = cents.map(_._1).toArray
+      val bcCents = s.sparkContext.broadcast(cents.map(_._2.toArray).toArray)
+      val (sums, counts) = vecs.treeAggregate(
+        (Array.ofDim[Long](k, 64), new Array[Long](k)))(
+        seqOp = { case (acc, v) =>
+          val cs = bcCents.value
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < k) {
+            val cq = cs(c)
+            val n = math.min(v.length, cq.length)
+            var d2 = 0L; var i = 0
+            while (i < n) { val d = v(i) - cq(i); d2 += d * d; i += 1 }
+            // strict < over ascending cids == min(struct(d2, cid))
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          val row = acc._1(best)
+          var i = 0
+          val m = math.min(v.length, 64)
+          while (i < m) { row(i) += v(i); i += 1 }
+          acc._2(best) += 1
+          acc
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < k) {
+            val (r1, r2) = (s1(c), s2(c))
+            var i = 0
+            while (i < 64) { r1(i) += r2(i); i += 1 }
+            n1(c) += n2(c)
+            c += 1
+          }
+          (s1, n1)
+        })
+      bcCents.destroy()
+      // a centroid that captured no members drops out, exactly as a
+      // groupBy(cid) over the assignment would omit it
+      cids.indices.iterator.filter(counts(_) > 0).map { c =>
+        cids(c) -> (0 until 64)
+          .map(i => math.floor(sums(c)(i) * 1.0 / counts(c)).toLong)
+      }.toSeq.sortBy(_._1)
+    }
 
     var cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("vq").as("cq"))
@@ -107,11 +155,12 @@ object SimilarityQueries {
     var iters = 0
     var stable = false
     while (!stable && iters < maxIters) {
-      val next = retrain(assign(centDf(cents)))
+      val next = retrainRdd(cents)
       stable = next == cents
       cents = next
       iters += 1
     }
+    vecs.unpersist(false)
     if (!stable)
       throw new IllegalStateException(
         s"k-means did not converge within $maxIters Lloyd iterations")
