@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.table
+import graft.operators.IntervalJoin
 
 /** Relational query surface (SURVEY.md §2-B).
   *
@@ -1108,5 +1109,138 @@ object Relational {
              |   AS intercept
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- salted two-stage aggregation (skew-safe agg pattern) -------------
+    // The aggregation twin of q73's salted join: a hot low-cardinality key
+    // (3 return flags over the whole fact table) first aggregates on
+    // (key, salt) so every reducer sees at most 1/16th of a hot key, then
+    // a second tiny aggregation combines the partials. The result is
+    // IDENTICAL to a plain GROUP BY — which is exactly what the oracle
+    // runs — because every aggregate here decomposes over partials (sums
+    // of longs, count, min/max). Quantities are integral doubles, floored
+    // to long BEFORE summing so partial-order can't drift the total.
+    // At 100 TB this is the pattern for any skewed-key aggregate whose
+    // map-side combine alone can't tame the hot reducer.
+    "q109_salted_twostage_agg" -> QueryDef(
+      (s, dir) => {
+        val stage1 = table(s, dir, "lineitem")
+          .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("__salt"))
+          .agg(sum(floor(col("l_quantity")).cast("long")).as("sq"),
+               count(lit(1)).as("cnt"),
+               min("l_extendedprice").as("mn"),
+               max("l_extendedprice").as("mx"))
+        stage1.groupBy("l_returnflag")
+          .agg(sum("sq").as("sum_qty"), sum("cnt").as("n_rows"),
+               min("mn").as("min_price"), max("mx").as("max_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             | CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             |   AS sum_qty,
+             | count(*) AS n_rows,
+             | min(l_extendedprice) AS min_price,
+             | max(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- weighted moving average (time-decay smoothing) -------------------
+    // Per-user decayed signal over the event stream: fixed power-of-two
+    // weights 8/4/2/1 over the last four observations, so every product is
+    // exact in double and the ONLY float op whose order could differ — the
+    // four-term sum — is written as one deterministic expression, not a
+    // window-frame SUM (frame iteration order is engine-internal). Missing
+    // history contributes 0, mirroring an EWMA warm-up. One shuffle on
+    // user_id; lag frames are O(1) state per row at any scale.
+    "q112_weighted_moving_avg" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        def lg(n: Int) = coalesce(lag(col("value"), n).over(w), lit(0.0))
+        table(s, dir, "events")
+          .filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("wma", round(
+            (col("value") * 8 + lg(1) * 4 + lg(2) * 2 + lg(3)) / 15, 4))
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 4).as("value"), col("wma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, event_id, value,
+             |    COALESCE(lag(value, 1) OVER w, 0.0) AS l1,
+             |    COALESCE(lag(value, 2) OVER w, 0.0) AS l2,
+             |    COALESCE(lag(value, 3) OVER w, 0.0) AS l3
+             |  FROM events WHERE user_id < 100
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+             |SELECT user_id, event_id, round(value, 4) AS value,
+             |  round((value * 8 + l1 * 4 + l2 * 2 + l3) / 15, 4) AS wma
+             |FROM l ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- market-basket co-occurrence --------------------------------------
+    // Item-item co-occurrence counts (the recsys/association primitive):
+    // parts appearing in the same order pair up via a SELF-EQUI-JOIN on
+    // the order key — never a cross join — so candidate volume is
+    // sum(k_i^2) over per-order basket sizes, which stays linear-ish when
+    // baskets are bounded (TPC-H: <= 7 items). distinct() first collapses
+    // repeated (order, part) line items so a pair counts once per order.
+    // Top-20 with a total tie-break keeps the output deterministic.
+    "q113_cooccurrence_topk" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(desc("n_orders"), col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem)
+             |SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_orders
+             |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |GROUP BY 1, 2
+             |ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // ---- interval-overlap join --------------------------------------------
+    // Which click windows (5 min) overlap which view windows (10 min) of
+    // the same user — the time-interval generalization of q85's scalar
+    // band join, via the binned-equi-join rewrite in [[IntervalJoin]]:
+    // the right row lands in its start's bin, the left row explodes to
+    // the bins its overlap window covers, so every qualifying pair meets
+    // in exactly one bin and only the exact predicate re-check runs on
+    // candidates. The oracle is the naive inequality join — identical
+    // results, quadratically different work.
+    "q111_interval_overlap_join" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("ea"),
+            unix_micros(col("ts")).as("sa"),
+            (unix_micros(col("ts")) + 600000000L).as("ae"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("eb"),
+            unix_micros(col("ts")).as("sb"),
+            (unix_micros(col("ts")) + 300000000L).as("be"))
+        IntervalJoin.overlap(views, clicks, "user_id",
+            "sa", "ae", "sb", "be",
+            binWidth = 600000000L, maxRightLen = 300000000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_overlaps"),
+               sum(col("ea") + col("eb")).as("id_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH a AS (SELECT user_id, event_id AS ea, epoch_us(ts) AS sa,
+             |             epoch_us(ts) + 600000000 AS ae
+             |           FROM events WHERE event_type = 'view'),
+             |b AS (SELECT user_id, event_id AS eb, epoch_us(ts) AS sb,
+             |        epoch_us(ts) + 300000000 AS be
+             |      FROM events WHERE event_type = 'click')
+             |SELECT user_id, count(*) AS n_overlaps,
+             |  CAST(sum(ea + eb) AS BIGINT) AS id_sum
+             |FROM a JOIN b USING (user_id)
+             |WHERE sa <= be AND sb <= ae
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

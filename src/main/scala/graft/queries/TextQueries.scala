@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.{table, tableParallel}
-import graft.functions.{MinhashBandKeys, NGrams, ShingleHashes, SimhashSig, TextOps}
+import graft.functions.{MinhashBandKeys, NGrams, NfcNormalize, ShingleHashes, SimhashSig, TextOps}
 import graft.functions.TextOps._
 import graft.operators.{ConnectedComponents, Materialize, SkewTools, StopShingles}
 
@@ -788,5 +788,83 @@ object TextQueries {
              |      AS n
              |  FROM documents)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- vocabulary build + token-id encoding -----------------------------
+    // The tokenizer-training primitive: rank the corpus's top-V tokens by
+    // frequency (count desc, token asc — total order, so the vocab
+    // BOUNDARY is deterministic), assign ids 1..V, then re-encode every
+    // document against the broadcast vocab (OOV -> 0). The row_number
+    // window runs AFTER the top-V limit, so the single-partition sort is
+    // O(V), never O(distinct tokens); the encode join broadcasts V rows.
+    // The position-weighted id checksum pins every token's id AND its
+    // position, so the oracle verifies the full encoded sequence.
+    "q107_vocab_encode" -> QueryDef(
+      (s, dir) => {
+        val tok = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .toDF("doc_id", "pos", "w")
+        val top = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("w")).limit(100)
+        val vid = top.withColumn("id",
+            row_number().over(Window.orderBy(desc("c"), asc("w"))).cast("long"))
+          .select("w", "id")
+        tok.join(broadcast(vid), Seq("w"), "left")
+          .withColumn("id", coalesce(col("id"), lit(0L)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+               sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+               sum(col("id") * (col("pos") + 1)).as("ids_checksum"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |tok AS (SELECT doc_id, unnest(ws) AS w,
+              |          generate_subscripts(ws, 1) AS pos FROM w),
+              |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+              |vocab AS (SELECT w,
+              |            CAST(row_number() OVER (ORDER BY c DESC, w)
+              |              AS BIGINT) AS id
+              |          FROM cnt ORDER BY c DESC, w LIMIT 100),
+              |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+              |        FROM tok t LEFT JOIN vocab v USING (w))
+              |SELECT doc_id, count(*) AS n_tok,
+              |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_oov,
+              |  CAST(sum(id * pos) AS BIGINT) AS ids_checksum
+              |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- unicode + whitespace normalization -------------------------------
+    // Canonical text cleanup, stage zero of every dedup pipeline (NFC
+    // makes visually-equal strings byte-equal, so fingerprints match):
+    // lowercase -> NFC (native [[NfcNormalize]] expression — Spark has no
+    // normalization built-in, and an Expression keeps it inside codegen)
+    // -> control chars to spaces -> whitespace collapse -> trim. Pure
+    // map-side projection; the per-source checksum hashes every CLEANED
+    // text, so the oracle verifies the normalization output itself. The
+    // synthetic corpus is ASCII (NFC = identity); NfcNormalizeSpec proves
+    // the composition behavior on real combining characters.
+    "q108_normalize_text" -> QueryDef(
+      (s, dir) => {
+        NfcNormalize.register(s)
+        tableParallel(s, dir, "documents")
+          .withColumn("ct", trim(regexp_replace(
+            regexp_replace(NfcNormalize.of(lower(col("text"))),
+              "[\\x00-\\x1f]", " "),
+            "\\s+", " ")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(length(col("ct"))).as("n_chars"),
+               sum(hash32(col("ct"))).as("text_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source,
+             |  trim(regexp_replace(regexp_replace(
+             |    nfc_normalize(lower(text)), '[\x00-\x1f]', ' ', 'g'),
+             |    '\s+', ' ', 'g')) AS ct
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(length(ct)) AS BIGINT) AS n_chars,
+             |  CAST(sum(CAST(('0x' || substr(md5(ct), 1, 8)) AS BIGINT))
+             |    AS BIGINT) AS text_checksum
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

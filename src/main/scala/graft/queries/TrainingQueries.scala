@@ -817,5 +817,86 @@ object TrainingQueries {
               |  UNION ALL SELECT 'near_dedup', count(*) FROM near
               |  UNION ALL SELECT 'sampled', count(*) FROM samp)
               |ORDER BY stage""".stripMargin)),
+
+    // ---- context-window chunking ------------------------------------------
+    // Split every document into fixed-size token chunks with overlap (the
+    // step that turns a cleaned corpus into training-context rows):
+    // 16-token chunks, 4-token overlap (stride 12). Pure map-side work —
+    // tokenize, compute the chunk count in INTEGER math, explode a
+    // per-doc index sequence, slice — no shuffle until the final sort.
+    // Each chunk row carries its token count and a content hash, so the
+    // oracle verifies every chunk's exact text, boundaries included.
+    "q106_doc_chunking" -> QueryDef(
+      (s, dir) => {
+        tableParallel(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .withColumn("n_chunks",
+            lit(1L) + expr("CAST((greatest(n - 16, 0) + 11) DIV 12 AS BIGINT)"))
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+          .withColumn("ctoks",
+            slice(col("ws"), (col("chunk_idx") * 12 + 1).cast("int"), lit(16)))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("ctoks")).cast("long").as("n_tok"),
+            hash32(concat_ws(" ", col("ctoks"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |c AS (SELECT doc_id, ws,
+              |        1 + (greatest(len(ws) - 16, 0) + 11) // 12 AS n_chunks
+              |      FROM w),
+              |x AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx
+              |      FROM c),
+              |ch AS (SELECT doc_id, chunk_idx,
+              |         list_slice(ws, chunk_idx * 12 + 1,
+              |                    chunk_idx * 12 + 16) AS ctoks
+              |       FROM x)
+              |SELECT doc_id, chunk_idx,
+              |  CAST(len(ctoks) AS BIGINT) AS n_tok,
+              |  CAST(('0x' || substr(md5(array_to_string(ctoks, ' ')), 1, 8))
+              |    AS BIGINT) AS chunk_hash
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- bloom-prefiltered incremental dedup ------------------------------
+    // Incremental corpus update: which docs in today's batch are NOT
+    // already in the ingested corpus (fingerprint anti-join)? The batch
+    // side is first split by a driver-held Bloom filter built over the
+    // corpus fingerprints (a fixed-size distributed aggregate, broadcast
+    // back): `mightContain == false` rows are PROVABLY new (no false
+    // negatives) and skip the join entirely; only the might-contain
+    // sliver pays the exact anti-join. The result is identical to the
+    // plain anti-join the oracle runs — the bloom only routes rows. At
+    // 100 TB this turns a full corpus-size shuffle into a broadcast test
+    // plus an anti-join over a few-percent false-positive band.
+    "q110_bloom_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+          .withColumn("fp", md5(col("text")))
+        val corpus = docs.filter(col("doc_id") % 3 === 0)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        val bloom = corpus.stat.bloomFilter("fp", 100000L, 0.03)
+        val bc = s.sparkContext.broadcast(bloom)
+        // a UDF (not an Expression) is the right tool here: the filter
+        // closes over a driver-built sketch, and the per-row test is one
+        // hash probe — nothing for codegen to win back
+        val might = udf((fp: String) => bc.value.mightContainString(fp))
+        val definitelyNew = batch.filter(!might(col("fp")))
+        val checkExact = batch.filter(might(col("fp")))
+          .join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+        definitelyNew.unionByName(checkExact)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_new"), sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (SELECT md5(text) AS fp FROM documents
+             |                WHERE doc_id % 3 = 0),
+             |batch AS (SELECT source, doc_id, md5(text) AS fp
+             |          FROM documents WHERE doc_id % 3 <> 0)
+             |SELECT source, count(*) AS n_new,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
