@@ -1242,5 +1242,118 @@ object Relational {
              |FROM a JOIN b USING (user_id)
              |WHERE sa <= be AND sb <= ae
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- retention cohort analysis ----------------------------------------
+    // The product-analytics staple: users cohorted by first-activity week,
+    // distinct actives per (cohort, week offset). Two shuffles (first-week
+    // agg, cohort-cell agg) + one equi-join back on user_id; offsets are
+    // INTEGER day-diffs DIV 7, and both engines truncate weeks to ISO
+    // Monday, so every cell is exact.
+    "q114_retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+        val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort_wk"),
+            expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)")
+              .as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |              CAST(date_trunc('week', ts) AS DATE) AS wk
+             |            FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+             |SELECT cohort_wk,
+             |  CAST(datediff('day', cohort_wk, wk) // 7 AS BIGINT)
+             |    AS week_offset,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM ev e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin)),
+
+    // ---- PageRank (fixed iterations, integer-scaled) ----------------------
+    // Graph centrality over the part co-occurrence graph (distinct q113
+    // pairs, symmetrized). Three power iterations with damping 0.85, all
+    // in SCALED-INTEGER math — contributions are `rank DIV degree`, the
+    // damping step is `150000 + (850000 * Σ) DIV 1000000` — so every
+    // iteration is exact and the oracle can replay the trajectory as
+    // three statically-unrolled CTEs. Each iteration is one equi-join +
+    // one aggregation over the edge list (the degree join is precomputed
+    // and reused), which is exactly how PageRank shuffles at 100 TB;
+    // symmetrized edges mean no dangling-mass term.
+    "q115_pagerank_cooccur" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pr = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+        val edges = graft.operators.Materialize(
+          pr.select(col("pa").as("src"), col("pb").as("dst"))
+            .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst"))))
+        // Node state (rank, degree) is dimension-sized — parts, not line
+        // items — so it lives in dense driver-side arrays and each power
+        // iteration is ONE shuffle-free treeAggregate over the
+        // distributed edge list, the same state/data split the k-means
+        // operator uses (partials are |V| longs regardless of |E|). This
+        // holds to ~100M nodes; past that, switch the iteration to the
+        // rank-join + dst-aggregation formulation (GraphX's Pregel plan).
+        val nodeDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .orderBy("src").as[(Long, Long)].collect()
+        val pks = nodeDeg.map(_._1)
+        val degs = nodeDeg.map(_._2)
+        val nV = pks.length
+        val bcPk = s.sparkContext.broadcast(pks)
+        val eRdd = edges.as[(Long, Long)].rdd
+          .map { case (src, dst) =>
+            (java.util.Arrays.binarySearch(bcPk.value, src),
+              java.util.Arrays.binarySearch(bcPk.value, dst))
+          }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        var r = Array.fill(nV)(1000000L)
+        for (_ <- 1 to 3) {
+          val bcR = s.sparkContext.broadcast(r)
+          val bcDeg = s.sparkContext.broadcast(degs)
+          val sums = eRdd.treeAggregate(new Array[Long](nV))(
+            { case (acc, (si, di)) =>
+              acc(di) += bcR.value(si) / bcDeg.value(si); acc },
+            { (a, b) =>
+              var i = 0; while (i < nV) { a(i) += b(i); i += 1 }; a })
+          r = sums.map(c => 150000L + (850000L * c) / 1000000L)
+          bcR.destroy(); bcDeg.destroy()
+        }
+        eRdd.unpersist(false)
+        pks.indices.map(i => (pks(i), r(i))).toDF("pk", "rank_scaled")
+          .orderBy(desc("rank_scaled"), asc("pk")).limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem),
+             |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |e AS (SELECT pa AS src, pb AS dst FROM pr
+             |      UNION ALL SELECT pb, pa FROM pr),
+             |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+             |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+             |r1 AS (SELECT e.dst AS node,
+             |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
+             |           AS BIGINT) AS r
+             |       FROM e JOIN r0 r ON e.src = r.node
+             |       JOIN d ON d.src = e.src GROUP BY 1),
+             |r2 AS (SELECT e.dst AS node,
+             |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
+             |           AS BIGINT) AS r
+             |       FROM e JOIN r1 r ON e.src = r.node
+             |       JOIN d ON d.src = e.src GROUP BY 1),
+             |r3 AS (SELECT e.dst AS node,
+             |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
+             |           AS BIGINT) AS r
+             |       FROM e JOIN r2 r ON e.src = r.node
+             |       JOIN d ON d.src = e.src GROUP BY 1)
+             |SELECT node AS pk, r AS rank_scaled FROM r3
+             |ORDER BY rank_scaled DESC, pk LIMIT 20""".stripMargin)),
   )
 }
