@@ -89,6 +89,19 @@ object Sink {
     else writer.parquet(location)
   }
 
+  /** ORC mirror — the same analytical-mirror contract as
+    * [[writeParquetMirror]] for deployments standardized on ORC (both are
+    * splittable columnar formats with predicate pushdown and column
+    * pruning; OrcMirrorSpec proves the roundtrip and that filters reach
+    * the ORC scan).
+    */
+  def writeOrcMirror(df: DataFrame, location: String,
+                     partitioned: Boolean = false): Unit = {
+    val writer = df.write.mode("overwrite")
+    if (partitioned) writer.partitionBy("filename_district").orc(location)
+    else writer.orc(location)
+  }
+
   /** Bucketed catalog table for shuffle-free equi-joins: co-locates rows of
     * repeatedly-joined fact tables on the join key (e.g. CASEID between
     * GS_CASE and GS_COURT_HIST) so the sort-merge join reads pre-shuffled,

@@ -240,6 +240,30 @@ object StreamSessionize {
     * (event ids, campaign fields, ...); EVERY input column passes through,
     * prefixed c_/p_, so the attributed click stays identifiable.
     */
+  /** Streaming twin of q111's interval-overlap join: a view opens a
+    * `leftLen` window, a click opens a `rightLen` window, and a pair is
+    * emitted when the two windows of the same user overlap. The overlap
+    * predicate `v_start <= c_end && c_start <= v_end` rewrites to the
+    * bounded time-range condition `c_ts ∈ [v_ts - rightLen, v_ts +
+    * leftLen]`, which is exactly the shape Structured Streaming's
+    * stream-stream join can bound state with: each side's watermark plus
+    * the range condition lets expired rows be dropped, so state is
+    * O(events in the overlap horizon), not O(stream).
+    */
+  def overlapStream(views: DataFrame, clicks: DataFrame,
+                    leftLen: String = "10 minutes",
+                    rightLen: String = "5 minutes",
+                    watermark: String = "1 hour"): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val v = prefixed(views, "v_").withWatermark("v_ts", watermark)
+    val c = prefixed(clicks, "c_").withWatermark("c_ts", watermark)
+    v.join(c,
+      col("v_user_id") === col("c_user_id") &&
+        col("c_ts") >= col("v_ts") - expr(s"INTERVAL $rightLen") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $leftLen"))
+  }
+
   def attributionStream(clicks: DataFrame, purchases: DataFrame,
                         horizon: String = "1 hour",
                         watermark: String = "1 hour"): DataFrame = {

@@ -155,6 +155,46 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay overlapStream == q111 batch interval-overlap join") {
+    failAfter(Span(300, Seconds)) {
+      val vDir = Files.createTempDirectory("ovl_views_").toString
+      val cDir = Files.createTempDirectory("ovl_clicks_").toString
+      val ckpt = Files.createTempDirectory("ovl_ckpt_").toString
+      val ev = Tables.table(spark, sf, "events")
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .write.mode("overwrite").parquet(vDir)
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .write.mode("overwrite").parquet(cDir)
+
+      // single micro-batch replay (see attribution gate for why)
+      def src(dir: String) = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = overlapStream(src(vDir), src(cDir))
+        .writeStream.format("memory").queryName("ovl_replay")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // q111's per-user aggregation over the streamed pairs...
+      val streamed = spark.table("ovl_replay")
+        .groupBy(col("v_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("v_event_id") + col("c_event_id")).as("id_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // ...must equal the oracled batch q111 verbatim
+      val batch = graft.SparkEntry
+        .queries("q111_interval_overlap_join")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("file-replay attributionStream == q67 batch attribution on the same fixture") {
     failAfter(Span(300, Seconds)) {
       val cDir = Files.createTempDirectory("att_clicks_").toString
