@@ -1355,5 +1355,46 @@ object Relational {
              |       JOIN d ON d.src = e.src GROUP BY 1)
              |SELECT node AS pk, r AS rank_scaled FROM r3
              |ORDER BY rank_scaled DESC, pk LIMIT 20""".stripMargin)),
+
+    // ---- ordered string aggregation (listagg) -----------------------------
+    // Concatenated group members — the classic report/export helper.
+    // Deterministic by construction: collect the DISTINCT set, sort it,
+    // then join — never `collect_list` of an unordered shuffle (its order
+    // is partition-arrival nondeterminism, the listagg footgun).
+    "q116_string_agg" -> QueryDef(
+      (s, dir) => {
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(countDistinct("n_name").as("n_nations"),
+               array_join(array_sort(collect_set(col("n_name"))), ",")
+                 .as("nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(DISTINCT n_name) AS n_nations,
+             |  array_to_string(list_sort(list(DISTINCT n_name)), ',')
+             |    AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ---- equi-width histogram ---------------------------------------------
+    // Distribution profiling as one linear aggregation: fixed-width price
+    // bins (floor of a double division is the same IEEE op in both
+    // engines, so bin ids are exact), count + integral mass per bin.
+    // Fixed widths beat data-driven bounds at scale — no min/max
+    // pre-pass, and bins are stable across partitions, days, and reruns.
+    "q117_equiwidth_histogram" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+               sum(floor(col("l_quantity")).cast("long")).as("qty_mass"))
+          .orderBy("bin"),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+             |    AS qty_mass
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
   )
 }
