@@ -205,6 +205,51 @@ object Multimodal {
       }
   }
 
+  /** (media_id, 8-bit perceptual hash, decoded pixel count). */
+  final case class MediaHash(media_id: Long, phash: Long, n_px: Int)
+
+  /** 8-bit block-average perceptual hash of a decoded grayscale image:
+    * the pixel sequence is cut into 8 equal-share blocks
+    * (`[n*b/8, n*(b+1)/8)` in integer math) and bit `b` is set iff block
+    * `b`'s mean is >= the global mean — compared by CROSS-MULTIPLICATION
+    * (`sum_b * n >= total * n_b`), so the hash is pure integer arithmetic
+    * end-to-end and an oracle can replay it exactly. The aHash family's
+    * defining property holds: images equal up to small local perturbation
+    * land in the same bucket, and bucketing is a plain groupBy — image
+    * near-dup dedup becomes the exact-dedup shape.
+    */
+  def blockAvgHash(pixels: Array[Int]): Long = {
+    val n = pixels.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += pixels(i); i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 8) {
+      val from = (n.toLong * b / 8).toInt
+      val until = (n.toLong * (b + 1) / 8).toInt
+      var s = 0L
+      i = from
+      while (i < until) { s += pixels(i); i += 1 }
+      if (s * n >= total * (until - from)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** decode + perceptual-hash, one codec init per partition. */
+  def perceptualHashes(media: Dataset[MediaRecord],
+                       codec: MediaCodec = StubCodec): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      codec.open()
+      it.map { m =>
+        val px = codec.decode(m.payload, m.width, m.height)
+        MediaHash(m.media_id, blockAvgHash(px), px.length)
+      }
+    }
+  }
+
   /** decode + feature-extract, one codec init per partition. */
   def extractFeatures(media: Dataset[MediaRecord],
                       codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {

@@ -141,5 +141,48 @@ object MultimodalQueries {
              |    AS BIGINT) AS n_cuts,
              |  min(CASE WHEN delta > 300000 THEN frame_idx END) AS first_cut
              |FROM d GROUP BY video_id ORDER BY video_id""".stripMargin)),
+
+    // ---- image perceptual-hash dedup --------------------------------------
+    // Near-dup detection for IMAGES, fused from the multimodal and dedup
+    // families: every document's genuine width×1 PNG is decoded
+    // executor-side ([[Multimodal.JdkImageCodec]]) and reduced to an
+    // 8-bit block-average perceptual hash (aHash family) whose bits are
+    // pure integer cross-multiplications — so the oracle replays the
+    // SAME hash from the text's character codes while Spark computes it
+    // from real decoded pixels. Bucketing by hash is a plain groupBy:
+    // image near-dup at 100 TB has the exact-dedup shuffle shape, with
+    // the decode cost map-side.
+    "q118_image_phash_dedup" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal
+          .pngMediaTable(s, table(s, dir, "documents"), "doc_id", "text")
+        Multimodal.perceptualHashes(media, Multimodal.JdkImageCodec).toDF()
+          .filter(col("n_px") >= 8)
+          .groupBy("phash")
+          .agg(count(lit(1)).as("n_images"),
+               min("media_id").as("keep_id"),
+               sum("media_id").as("id_sum"))
+          .orderBy("phash")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |      i -> ascii(substr(text, i, 1))) AS codes
+             |  FROM documents WHERE length(text) >= 8),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(0, 8), b ->
+             |      CASE WHEN
+             |        list_sum(list_slice(codes, (len(codes) * b) // 8 + 1,
+             |                            (len(codes) * (b + 1)) // 8))
+             |          * len(codes)
+             |        >= list_sum(codes) *
+             |           ((len(codes) * (b + 1)) // 8 - (len(codes) * b) // 8)
+             |      THEN 1 << b ELSE 0 END)) AS BIGINT) AS phash
+             |  FROM px)
+             |SELECT phash, count(*) AS n_images,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM h GROUP BY phash ORDER BY phash""".stripMargin)),
   )
 }

@@ -85,6 +85,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("block-average phash: perturbation-tolerant, structure-sensitive") {
+    // a dark->bright ramp and the same ramp with small local noise must
+    // collide; the reversed ramp (different structure) must not
+    val ramp = Array.tabulate(64)(i => i * 4)
+    val noisy = ramp.zipWithIndex.map { case (p, i) =>
+      (p + (if (i % 7 == 0) 2 else -1)).max(0) }
+    val reversed = ramp.reverse
+    assert(blockAvgHash(ramp) === blockAvgHash(noisy))
+    assert(blockAvgHash(ramp) !== blockAvgHash(reversed))
+    // flat image: every block mean equals the global mean -> all bits set
+    assert(blockAvgHash(Array.fill(16)(7)) === 0xffL)
+    assert(blockAvgHash(Array.emptyIntArray) === 0xffL) // vacuous >= holds
+  }
+
+  test("perceptualHashes decodes real PNGs and matches the pure-array hash") {
+    import spark.implicits._
+    val docs = Seq((10L, "aaaaAAAAaaaaZZZZ"), (11L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val got = perceptualHashes(
+        pngMediaTable(spark, docs, "doc_id", "text"), JdkImageCodec)
+      .collect().map(h => h.media_id -> h.phash).toMap
+    def expected(s: String) = blockAvgHash(s.getBytes("UTF-8").map(_ & 0xff))
+    assert(got === Map(10L -> expected("aaaaAAAAaaaaZZZZ"),
+      11L -> expected("the quick brown fox")))
+  }
+
   test("frame sampling keeps every Nth record") {
     val sampled = sampleFrames(mediaDs, 2).collect().map(_.media_id).sorted
     assert(sampled.toSeq === Seq(0L, 2L))
