@@ -41,31 +41,51 @@ object Tables {
     * (`spark.sql.adaptive.coalescePartitions` / skew handling), not an
     * unconditional exchange.
     */
-  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = table(spark, sfDir, name)
-    val width = spark.sparkContext.defaultParallelism
-    val files = df.inputFiles
-    if (files.length >= width) df
-    else {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val bytes = files.map { f =>
-        val p = new Path(new java.net.URI(f))
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
-      if (bytes <= SmallInputBytes) df.repartition(width) else df
-    }
-  }
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // cached like table(): the file-count/size probe re-lists the input
+    // per call otherwise, and its answer cannot change for a read-only dir
+    parCache.computeIfAbsent((spark, sfDir, name), { _ =>
+      val df = table(spark, sfDir, name)
+      val width = spark.sparkContext.defaultParallelism
+      val files = df.inputFiles
+      if (files.length >= width) df
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val bytes = files.map { f =>
+          val p = new Path(new java.net.URI(f))
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        if (bytes <= SmallInputBytes) df.repartition(width) else df
+      }
+    })
+
+  private val parCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  // Constructing a parquet DataFrame costs ~100 ms (file listing + footer
+  // schema read) — paid per table() call, i.e. hundreds of times per
+  // catalog pass. DataFrames are immutable logical plans, so one per
+  // (session, dir, table) is safe to share across queries: this caches
+  // the CONSTRUCTION only — no data is cached, `clearCache()` between
+  // timed queries is unaffected, and the testdata dirs are read-only so
+  // the cached file listing cannot go stale. Keyed by session so tests
+  // with their own sessions don't cross-wire.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as a long (nanos) and convert losslessly to a
-      // microsecond timestamp (the data is µs-granular; DuckDB surfaces the
-      // same column as µs TIMESTAMP, so both engines agree on the instant).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    dfCache.computeIfAbsent((spark, sfDir, name), { _ =>
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        // reader rejects. Read it as a long (nanos) and convert losslessly
+        // to a microsecond timestamp (the data is µs-granular; DuckDB
+        // surfaces the same column as µs TIMESTAMP, so both engines agree
+        // on the instant).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        spark.read.parquet(s"$sfDir/$name.parquet")
+      }
+    })
 }
