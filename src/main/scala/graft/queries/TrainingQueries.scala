@@ -898,5 +898,79 @@ object TrainingQueries {
              |FROM batch b
              |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- behavioral sequence extraction -----------------------------------
+    // Event streams -> per-user ORDERED action sequences (the input shape
+    // for behavioral/sequence models): first 20 event types by time,
+    // joined to a string. Order must be imposed, never inherited —
+    // `sort_array(collect_list(struct(ts, id, type)))` makes the sequence
+    // deterministic under any shuffle (a bare collect_list is
+    // partition-arrival order, the same footgun q116 avoids); event_id
+    // breaks ts ties identically in both engines. One shuffle on user_id.
+    "q119_user_event_sequences" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               concat_ws(">", slice(transform(
+                   sort_array(collect_list(struct(col("ts"),
+                     col("event_id"), col("event_type")))),
+                   e => e.getField("event_type")), 1, 20)).as("seq"))
+          .select(col("user_id"), col("n_events"),
+            hash32(col("seq")).as("seq_hash"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(('0x' || substr(md5(array_to_string(
+             |    (list(event_type ORDER BY ts, event_id))[:20], '>')),
+             |    1, 8)) AS BIGINT) AS seq_hash
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- corpus distribution statistics (entropy / divergence) ------------
+    // Per-source token-distribution Shannon entropy plus KL divergence
+    // from the whole-corpus distribution — the drift/diversity signal a
+    // mixing pipeline monitors. Two linear aggregations (per-source
+    // token counts; corpus totals broadcast back); probabilities divide
+    // ONCE at the end, logs run on identical operands in both engines,
+    // and the result is rounded before comparison.
+    "q120_source_token_entropy" -> QueryDef(
+      (s, dir) => {
+        val tok = tableParallel(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+        val bySrc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val srcTot = bySrc.groupBy("source").agg(sum("c").as("n"))
+        val corpus = bySrc.groupBy("w").agg(sum("c").as("cc"))
+        val corpusTot = corpus.agg(sum("cc").as("nn"))
+        bySrc.join(srcTot, "source")
+          .join(broadcast(corpus), "w")
+          .crossJoin(broadcast(corpusTot))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_distinct_tokens"),
+            round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 4)
+              .as("entropy"),
+            round(sum((col("c") / col("n")) *
+              log((col("c") / col("n")) / (col("cc") / col("nn")))), 4)
+              .as("kl_vs_corpus"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(regexp_split_to_array(
+             |    lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |by_src AS (SELECT source, w, count(*) AS c
+             |           FROM tok GROUP BY 1, 2),
+             |src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+             |            FROM by_src GROUP BY 1),
+             |corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc
+             |           FROM by_src GROUP BY 1),
+             |corpus_tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM corpus)
+             |SELECT source, count(*) AS n_distinct_tokens,
+             |  round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy,
+             |  round(sum((c * 1.0 / n) *
+             |    ln((c * 1.0 / n) / (cc * 1.0 / nn))), 4) AS kl_vs_corpus
+             |FROM by_src JOIN src_tot USING (source)
+             |  JOIN corpus USING (w), corpus_tot
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
