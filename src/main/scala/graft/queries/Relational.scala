@@ -1396,5 +1396,101 @@ object Relational {
              |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
              |    AS qty_mass
              |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // ---- triangle counting ------------------------------------------------
+    // Clustering-coefficient input over the part co-occurrence graph
+    // (bounded to pk < 800 — the filter pushes to both scan sides). The
+    // id-ordered edge orientation (pa < pb everywhere) IS the classic
+    // triangle optimization: wedges come out a < b < c, so each triangle
+    // is found EXACTLY once and the wedge fan-out is bounded by
+    // out-degree, not total degree (at 100 TB, orient by degree instead
+    // of id for the same effect on skewed graphs). Two equi-joins — one
+    // on the wedge pivot, one closing (a, c) against the edge list — and
+    // four scalar counts; no cross join anywhere.
+    "q124_triangle_count" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_partkey") < 800)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = graft.operators.Materialize(
+          li.as("a").join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+            .distinct())
+        val wedges = graft.operators.Materialize(
+          edges.as("e1").join(edges.as("e2"),
+              col("e1.pb") === col("e2.pa"))
+            .select(col("e1.pa").as("a"), col("e1.pb").as("b"),
+              col("e2.pb").as("c")))
+        val tris = wedges.join(edges,
+          col("a") === col("pa") && col("c") === col("pb"))
+        val nNodes = edges.select(col("pa").as("x"))
+          .unionAll(edges.select(col("pb").as("x")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+        nNodes
+          .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+          .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+          .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem WHERE l_partkey < 800),
+             |e AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |wedge AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+             |          FROM e e1 JOIN e e2 ON e1.pb = e2.pa),
+             |tri AS (SELECT w.a FROM wedge w
+             |        JOIN e ON e.pa = w.a AND e.pb = w.c)
+             |SELECT
+             |  (SELECT count(*) FROM (SELECT DISTINCT x FROM
+             |     (SELECT pa AS x FROM e UNION ALL SELECT pb FROM e)))
+             |    AS n_nodes,
+             |  (SELECT count(*) FROM e) AS n_edges,
+             |  (SELECT count(*) FROM wedge) AS n_wedges,
+             |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin)),
+
+    // ---- robust outlier detection (median / MAD) --------------------------
+    // The robust z-score: flag values further than 3 scaled-MADs from
+    // their group median (median/MAD shrug off the very outliers that
+    // poison mean/stddev fences). Two exact-percentile aggregations and
+    // two broadcast joins back onto the stream — the group statistics
+    // table is dimension-sized. The median and MAD are rounded to 4
+    // places BEFORE the deviation/threshold math so both engines compare
+    // literally identical doubles (exact-percentile interpolation is the
+    // one place engine ulp could otherwise creep in).
+    "q125_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+                 .otherwise(0L)).as("n_outliers"),
+               max("med").as("median_value"),
+               max("mad").as("mad_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |    round(quantile_cont(value, 0.5), 4) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, m.med,
+             |          abs(e.value - m.med) AS adev
+             |        FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type,
+             |          round(quantile_cont(adev, 0.5), 4) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  max(med) AS median_value, max(mad) AS mad_value
+             |FROM dev JOIN mad USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

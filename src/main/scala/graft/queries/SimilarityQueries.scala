@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.{table, tableParallel}
 import graft.functions.FloatVectorDot
+import graft.operators.Materialize
 
 /** Embedding similarity + sessionization operators (SURVEY.md §2-C).
   *
@@ -664,5 +665,71 @@ object SimilarityQueries {
              |  round(max(err), 6) AS max_err,
              |  round(min(cos), 4) AS min_cos
              |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- semantic dedup (cluster-blocked cosine, SemDeDup-style) ----------
+    // Embedding-space near-duplicate REMOVAL at corpus scale: assign every
+    // vector to its nearest coarse centroid (q46's IVF assignment — one
+    // broadcast join, linear in n·nlist), then search for duplicates ONLY
+    // within a cluster (the SemDeDup blocking: pairwise cost drops from
+    // n^2 to ~n^2/nlist, and each cluster's pair join is an equi-join on
+    // cid). A vector is dropped when a lower-id cluster-mate sits above
+    // the cosine threshold; keep-the-earliest makes the dedup decision
+    // deterministic and replayable. Output is per-cluster: size, drops,
+    // and the exact id-sum of the survivors.
+    "q122_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        def l2(a: String, b: String) =
+          dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
+            dot(s)(col(b), col(b))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(asc("d2"), asc("cid"))
+        val assigned = Materialize(e.join(cent)
+          .withColumn("d2", l2("v", "cv"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), norm(s)(col("v")).as("nrm"),
+            col("cid")))
+        val dropped = assigned.as("a").join(assigned.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter(dot(s)(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")) >= 0.4)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        assigned.join(dropped, Seq("vec_id"), "left")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_vecs"),
+               sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+               sum(when(col("is_dup").isNull, col("vec_id"))).as("kept_id_sum"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH $duckNormed,
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+              |         WHERE vec_id % 50 = 0),
+              |assign AS (
+              |  SELECT vec_id, v, nrm, cid FROM (
+              |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
+              |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              |        list_dot_product(n.v, n.v)
+              |          - 2.0 * list_dot_product(n.v, cent.cv)
+              |          + list_dot_product(cent.cv, cent.cv), cent.cid)
+              |        AS INT) AS rn
+              |    FROM n CROSS JOIN cent) WHERE rn = 1),
+              |dropped AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM assign a JOIN assign b
+              |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+              |SELECT cid, count(*) AS n_vecs,
+              |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_dropped,
+              |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END)
+              |    AS BIGINT) AS kept_id_sum
+              |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+              |GROUP BY cid ORDER BY cid""".stripMargin)),
   )
 }

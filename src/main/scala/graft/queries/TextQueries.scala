@@ -866,5 +866,159 @@ object TextQueries {
              |  CAST(sum(CAST(('0x' || substr(md5(ct), 1, 8)) AS BIGINT))
              |    AS BIGINT) AS text_checksum
              |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- exact substring-span dedup ---------------------------------------
+    // Duplicated SPANS, not duplicated documents: fixed-width 8-token
+    // windows (stride 1) fingerprinted per position, a span is duplicated
+    // when its fingerprint occurs in >= 2 distinct documents. This is the
+    // fixed-width-fingerprint reformulation of suffix-array substring
+    // dedup (a suffix array is a driver-side structure; positional
+    // shingles are a narrow projection + one equi-shuffle, the shape that
+    // scales): the window explode is map-side, the duplicate set comes
+    // from a groupBy on 32-bit span hashes (well-distributed keys), and
+    // the flagging join is a semi-join on the same keys. Both engines
+    // hash identically, so even 32-bit collisions cannot desynchronize
+    // the oracle.
+    "q121_span_dedup" -> QueryDef(
+      (s, dir) => {
+        val spans = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(col("doc_id"), tokens(col("text")).as("ws"))
+            .filter(size(col("ws")) >= 8)
+            .select(col("doc_id"), col("ws"),
+              explode(sequence(lit(0L), (size(col("ws")) - 8).cast("long")))
+                .as("pos"))
+            .select(col("doc_id"), col("pos"),
+              hash32(concat_ws(" ",
+                slice(col("ws"), (col("pos") + 1).cast("int"), lit(8))))
+                .as("fp")))
+        val dupFps = spans.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select("fp")
+        spans.join(dupFps, Seq("fp"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+               countDistinct("fp").as("n_dup_fps"),
+               sum("pos").as("dup_pos_sum"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents
+              |          WHERE len($duckToks) >= 8),
+              |x AS (SELECT doc_id, ws,
+              |        unnest(range(0, len(ws) - 7)) AS pos FROM w),
+              |sp AS (SELECT doc_id, pos,
+              |         CAST(('0x' || substr(md5(array_to_string(
+              |           list_slice(ws, pos + 1, pos + 8), ' ')), 1, 8))
+              |           AS BIGINT) AS fp
+              |       FROM x),
+              |dup AS (SELECT fp FROM sp GROUP BY fp
+              |        HAVING count(DISTINCT doc_id) >= 2)
+              |SELECT doc_id, count(*) AS n_dup_spans,
+              |  count(DISTINCT fp) AS n_dup_fps,
+              |  CAST(sum(pos) AS BIGINT) AS dup_pos_sum
+              |FROM sp WHERE fp IN (SELECT fp FROM dup)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- cross-source shingle-overlap matrix ------------------------------
+    // Corpus-mixing diagnostic: pairwise Jaccard similarity BETWEEN
+    // SOURCES over their distinct shingle sets (how much of source A's
+    // content space does source B share?). One distinct projection per
+    // (source, shingle), sizes from a groupBy, intersections from a
+    // self-equi-join on the shingle hash — the per-key fan-out is bounded
+    // by the number of sources, so the join cannot skew no matter how
+    // common a shingle is. The |sources|^2 output is dimension-sized.
+    "q123_source_overlap" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        val srcSh = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(col("source"),
+              explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+            .distinct())
+        val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+        srcSh.as("a").join(srcSh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("src_a"),
+            col("n").as("na"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"),
+            col("n").as("nb"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            round(col("n_shared") * 1.0 /
+              (col("na") + col("nb") - col("n_shared")), 4).as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH w AS (SELECT source, $duckToks AS ws FROM documents),
+              |hs AS (SELECT source, unnest($duckHs) AS sh FROM w),
+              |s0 AS (SELECT DISTINCT source, sh FROM hs),
+              |sizes AS (SELECT source, count(*) AS n FROM s0 GROUP BY 1),
+              |inter AS (
+              |  SELECT a.source AS src_a, b.source AS src_b,
+              |    count(*) AS n_shared
+              |  FROM s0 a JOIN s0 b ON a.sh = b.sh AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT src_a, src_b, n_shared,
+              |  round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 4)
+              |    AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.source = src_a
+              |JOIN sizes sb ON sb.source = src_b
+              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- character-bigram LM scoring (perplexity proxy) -------------------
+    // A corpus-trained character-bigram language model scoring its own
+    // corpus — the classic cheap fluency/quality signal when no external
+    // LM is available (gibberish and non-text score far below fluent
+    // prose). The model is a corpus-level MLE (bigram count / context
+    // count): two linear aggregations produce a vocabulary-sized table
+    // that BROADCASTS back onto the exploded bigram stream. Per-bigram
+    // log-probabilities are floored into 1e-6-scaled integers BEFORE
+    // summation, so the per-source totals are order-independent exact
+    // integers — the one double op (ln of an exact rational) runs on
+    // identical operands in both engines.
+    "q127_char_bigram_lm" -> QueryDef(
+      (s, dir) => {
+        val bg = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(col("source"), lower(trim(col("text"))).as("t"))
+            .filter(length(col("t")) >= 2)
+            .select(col("source"), explode(expr(
+              "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+              .as("bg")))
+        val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+        val ctx = cnt.groupBy(substring(col("bg"), 1, 1).as("c1"))
+          .agg(sum("c").as("n"))
+        val model = broadcast(
+          cnt.withColumn("c1", substring(col("bg"), 1, 1))
+            .join(ctx, "c1")
+            .select(col("bg"),
+              floor(log(col("c") * 1.0 / col("n")) * 1e6).cast("long")
+                .as("lp")))
+        bg.join(model, "bg")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum("lp").as("logp_sum_scaled"))
+          .withColumn("avg_logp",
+            round(col("logp_sum_scaled") * 1.0 / col("n_bigrams") / 1e6, 4))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, lower(trim(text)) AS t
+             |           FROM documents WHERE length(lower(trim(text))) >= 2),
+             |bg AS (SELECT source, unnest(list_transform(range(1, length(t)),
+             |         i -> substr(t, i, 2))) AS bg FROM d),
+             |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+             |ctx AS (SELECT substr(bg, 1, 1) AS c1,
+             |          CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+             |model AS (SELECT bg,
+             |            CAST(floor(ln(c * 1.0 / n) * 1e6) AS BIGINT) AS lp
+             |          FROM cnt JOIN ctx ON substr(cnt.bg, 1, 1) = ctx.c1)
+             |SELECT source, count(*) AS n_bigrams,
+             |  CAST(sum(lp) AS BIGINT) AS logp_sum_scaled,
+             |  round(CAST(sum(lp) AS BIGINT) * 1.0 / count(*) / 1e6, 4)
+             |    AS avg_logp
+             |FROM bg JOIN model USING (bg)
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -972,5 +972,79 @@ object TrainingQueries {
              |FROM by_src JOIN src_tot USING (source)
              |  JOIN corpus USING (w), corpus_tot
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- snapshot profile drift -------------------------------------------
+    // Data-quality monitoring between two corpus snapshots: per-column
+    // profiles (row count, distinct counts, exact integer value mass)
+    // computed for both halves in ONE conditional aggregation pass — no
+    // second scan, no join of two profile jobs — then unpivoted to one
+    // row per metric with a relative-drift flag. Value mass sums
+    // floor-scaled integer cents, not doubles, so the profile is exact
+    // and order-independent at any corpus size.
+    "q126_profile_drift" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .withColumn("snap_b", col("o_orderkey") % 2 === 1)
+        val prof = o.agg(
+          sum(when(!col("snap_b"), 1L).otherwise(0L)).as("rows_a"),
+          sum(when(col("snap_b"), 1L).otherwise(0L)).as("rows_b"),
+          countDistinct(when(!col("snap_b"), col("o_custkey"))).as("cust_a"),
+          countDistinct(when(col("snap_b"), col("o_custkey"))).as("cust_b"),
+          countDistinct(when(!col("snap_b"), col("o_orderstatus")))
+            .as("status_a"),
+          countDistinct(when(col("snap_b"), col("o_orderstatus")))
+            .as("status_b"),
+          sum(when(!col("snap_b"),
+            floor(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("cents_a"),
+          sum(when(col("snap_b"),
+            floor(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("cents_b"))
+        prof.select(expr(
+            """stack(4,
+              |  'n_rows', CAST(rows_a AS DOUBLE), CAST(rows_b AS DOUBLE),
+              |  'n_distinct_cust', CAST(cust_a AS DOUBLE),
+              |    CAST(cust_b AS DOUBLE),
+              |  'n_distinct_status', CAST(status_a AS DOUBLE),
+              |    CAST(status_b AS DOUBLE),
+              |  'price_cents_sum', CAST(cents_a AS DOUBLE),
+              |    CAST(cents_b AS DOUBLE)) AS (metric, snap_a, snap_b)
+              |""".stripMargin))
+          .withColumn("rel_diff",
+            round(abs(col("snap_a") - col("snap_b")) / col("snap_a"), 4))
+          .withColumn("drifted", col("rel_diff") > 0.05)
+          .orderBy("metric")
+      },
+      Some("""WITH p AS (SELECT
+             |  sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS rows_a,
+             |  sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS rows_b,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 0
+             |    THEN o_custkey END) AS cust_a,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+             |    THEN o_custkey END) AS cust_b,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 0
+             |    THEN o_orderstatus END) AS status_a,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+             |    THEN o_orderstatus END) AS status_b,
+             |  sum(CASE WHEN o_orderkey % 2 = 0
+             |    THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+             |    ELSE 0 END) AS cents_a,
+             |  sum(CASE WHEN o_orderkey % 2 = 1
+             |    THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+             |    ELSE 0 END) AS cents_b
+             |  FROM orders),
+             |u AS (
+             |  SELECT 'n_rows' AS metric, CAST(rows_a AS DOUBLE) AS snap_a,
+             |    CAST(rows_b AS DOUBLE) AS snap_b FROM p
+             |  UNION ALL SELECT 'n_distinct_cust', CAST(cust_a AS DOUBLE),
+             |    CAST(cust_b AS DOUBLE) FROM p
+             |  UNION ALL SELECT 'n_distinct_status',
+             |    CAST(status_a AS DOUBLE), CAST(status_b AS DOUBLE) FROM p
+             |  UNION ALL SELECT 'price_cents_sum', CAST(cents_a AS DOUBLE),
+             |    CAST(cents_b AS DOUBLE) FROM p)
+             |SELECT metric, snap_a, snap_b,
+             |  round(abs(snap_a - snap_b) / snap_a, 4) AS rel_diff,
+             |  round(abs(snap_a - snap_b) / snap_a, 4) > 0.05 AS drifted
+             |FROM u ORDER BY metric""".stripMargin)),
   )
 }
