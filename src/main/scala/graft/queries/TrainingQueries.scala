@@ -1046,5 +1046,41 @@ object TrainingQueries {
              |  round(abs(snap_a - snap_b) / snap_a, 4) AS rel_diff,
              |  round(abs(snap_a - snap_b) / snap_a, 4) > 0.05 AS drifted
              |FROM u ORDER BY metric""".stripMargin)),
+
+    // ---- latest-per-key compaction ----------------------------------------
+    // The upsert-view / log-compaction operator: collapse an event log to
+    // each key's newest record (by event time, id-tie-broken) plus how
+    // many versions it superseded. ONE aggregation with a struct-max —
+    // max(struct(ts, id, payload)) compares lexicographically, so the
+    // winner is the argmax without a window sort over the whole log
+    // (map-side partial maxes do most of the work; the shuffle carries
+    // one candidate per key per partition). The streaming twin
+    // (StreamSessionize.latestStream) holds the same (ts, id, payload)
+    // state per key under mapGroupsWithState and is parity-gated against
+    // this query's output.
+    "q128_latest_per_key" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_versions"),
+               max(struct(unix_micros(col("ts")).as("us"), col("event_id"),
+                 col("event_type"), col("value"))).as("m"))
+          .select(col("user_id"), col("n_versions"),
+            col("m.event_id").as("latest_event_id"),
+            col("m.us").as("latest_ts_us"),
+            col("m.event_type").as("latest_type"),
+            col("m.value").as("latest_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_versions
+             |  FROM events)
+             |SELECT user_id, n_versions, event_id AS latest_event_id,
+             |  us AS latest_ts_us, event_type AS latest_type,
+             |  value AS latest_value
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
   )
 }

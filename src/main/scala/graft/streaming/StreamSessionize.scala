@@ -276,4 +276,44 @@ object StreamSessionize {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
   }
+
+  /** Versioned event for latest-per-key compaction (ts in micros). */
+  final case class VersionedEvent(user_id: Long, event_id: Long, us: Long,
+                                  event_type: String, value: Double)
+  final case class LatestState(event_id: Long, us: Long, event_type: String,
+                               value: Double, n: Long)
+  final case class LatestRow(user_id: Long, n_versions: Long,
+                             latest_event_id: Long, latest_ts_us: Long,
+                             latest_type: String, latest_value: Double)
+
+  /** Latest-per-key compaction — the streaming upsert view, twin of batch
+    * q128: per-key state is one (ts, id, payload) record plus a version
+    * counter; each micro-batch folds its events with the same (us,
+    * event_id) lexicographic max the batch struct-max uses. The fold is a
+    * commutative max, so arrival order — within a batch or across
+    * batches — cannot change the converged answer; the emitted row per
+    * key per batch is the current compacted view (OutputMode.Update).
+    * State is O(keys), never O(events).
+    */
+  def latestStream(events: Dataset[VersionedEvent]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestRow](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[LatestState]) =>
+          var s = state.getOption
+            .getOrElse(LatestState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+          it.foreach { e =>
+            val newer = e.us > s.us ||
+              (e.us == s.us && e.event_id > s.event_id)
+            s =
+              if (newer)
+                LatestState(e.event_id, e.us, e.event_type, e.value, s.n + 1)
+              else s.copy(n = s.n + 1)
+          }
+          state.update(s)
+          LatestRow(uid, s.n, s.event_id, s.us, s.event_type, s.value)
+      }
+  }
 }

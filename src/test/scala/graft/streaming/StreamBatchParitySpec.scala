@@ -244,4 +244,46 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     }
   }
+
+  test("file-replay latestStream == q128 batch latest-per-key compaction") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("latest_replay_").toString
+      val ckpt = Files.createTempDirectory("latest_ckpt_").toString
+      Tables.table(spark, sf, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        .repartition(3).write.mode("overwrite").parquet(dir) // 3-file replay
+      import spark.implicits._
+      // multi-batch replay is SAFE here (unlike the join gates): the
+      // per-key fold is a commutative (us, event_id) max, so any split of
+      // events across micro-batches converges to the same compacted view
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[VersionedEvent]
+      val q = latestStream(stream)
+        .writeStream.format("memory").queryName("latest_replay")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // update mode appends one row per touched key per micro-batch; the
+      // converged view per key is the row with the highest version count
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("n_versions"))
+      val streamed = spark.table("latest_replay")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getDouble(5))).toSet
+      val batch = graft.SparkEntry.queries("q128_latest_per_key")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getDouble(5))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    }
+  }
 }
