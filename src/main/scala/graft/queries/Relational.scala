@@ -1492,5 +1492,46 @@ object Relational {
              |  max(med) AS median_value, max(mad) AS mad_value
              |FROM dev JOIN mad USING (event_type)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- deterministic mergeable quantile sketch --------------------------
+    // Approximate grouped quantiles from a REPRODUCIBLE sketch: the
+    // custom typed Aggregator [[graft.functions.QuantileSketch]] counts
+    // values into fixed log-spaced bins (state = one Long[128] vector),
+    // so partial aggregation is exact, merges commute, and the estimate
+    // is identical on any partition layout — which is exactly what
+    // percentile_approx's order-sensitive GK buffer can't promise, and
+    // why this one can be hash-oracled while q55 needs a tolerance gate.
+    // Error is bounded by one bin width (~13% relative); n is exact.
+    "q129_quantile_sketch" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+               graft.functions.QuantileSketch.sketch(col("l_extendedprice"))
+                 .as("sk"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("sk.p50"), 4).as("p50_est"),
+            round(col("sk.p95"), 4).as("p95_est"))
+          .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    least(127, greatest(0,
+             |      CAST(floor(ln(l_extendedprice) * 8) AS INT))) AS bin
+             |  FROM lineitem WHERE l_extendedprice > 0),
+             |c AS (SELECT l_returnflag, bin, count(*) AS cnt
+             |      FROM b GROUP BY 1, 2),
+             |t AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n
+             |      FROM c GROUP BY 1),
+             |cum AS (SELECT l_returnflag, bin,
+             |          sum(cnt) OVER (PARTITION BY l_returnflag
+             |            ORDER BY bin) AS cum
+             |        FROM c)
+             |SELECT cum.l_returnflag, t.n,
+             |  round(exp(min(CASE WHEN cum >= (t.n + 1) // 2
+             |    THEN bin END) / 8.0), 4) AS p50_est,
+             |  round(exp(min(CASE WHEN cum >= (19 * t.n + 19) // 20
+             |    THEN bin END) / 8.0), 4) AS p95_est
+             |FROM cum JOIN t USING (l_returnflag)
+             |GROUP BY cum.l_returnflag, t.n
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }

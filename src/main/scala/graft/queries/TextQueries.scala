@@ -1020,5 +1020,37 @@ object TextQueries {
              |    AS avg_logp
              |FROM bg JOIN model USING (bg)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- shingle novelty rate ---------------------------------------------
+    // Incremental-corpus signal: how much of each document's content is
+    // NEW versus already present in earlier documents (by ingest order =
+    // doc_id)? First occurrence per shingle is a min-aggregation on the
+    // shingle hash; a shingle is novel for the doc that introduced it.
+    // Same two-shuffle shape as the span-dedup family — groupBy + join
+    // back on well-distributed hash keys — so a trickle-ingest pipeline
+    // can compute novelty on every batch at corpus scale.
+    "q131_novelty_rate" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, None))
+        val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+        sh.join(firstSeen, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+               sum(when(col("first_doc") === col("doc_id"), 1L)
+                 .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_rate",
+            round(col("n_novel") * 1.0 / col("n_shingles"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |hs AS (SELECT doc_id, unnest($duckHs) AS sh FROM w),
+              |f AS (SELECT sh, min(doc_id) AS first_doc FROM hs GROUP BY 1)
+              |SELECT doc_id, count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_novel,
+              |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              |    * 1.0 / count(*), 4) AS novelty_rate
+              |FROM hs JOIN f USING (sh)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1082,5 +1082,51 @@ object TrainingQueries {
              |  us AS latest_ts_us, event_type AS latest_type,
              |  value AS latest_value
              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- hash-seeded negative sampling ------------------------------------
+    // Contrastive-training pairs: per customer, candidate "negative"
+    // items drawn DETERMINISTICALLY (md5 of customer+draw index over a
+    // fixed item domain — rerun-stable, oracle-replayable, like every
+    // sampler in this family), minus anything the customer actually
+    // bought (the positives) via an anti-join on (customer, item). Both
+    // sides of the anti-join are distinct projections shuffling on the
+    // customer key — linear at corpus scale, and the candidate set is
+    // k·|users| rows, never |users|×|items|.
+    "q130_negative_sampling" -> QueryDef(
+      (s, dir) => {
+        val users = table(s, dir, "orders")
+          .select(col("o_custkey").as("cust")).distinct()
+        val cand = users
+          .select(col("cust"), explode(sequence(lit(0), lit(7))).as("j"))
+          .select(col("cust"),
+            (hash32(concat(lit("neg_"), col("cust"), lit("_"), col("j")))
+              % 200 + 1).as("item"))
+          .distinct()
+        val pos = table(s, dir, "orders")
+          .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"))
+          .join(table(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")),
+            "ok")
+          .filter(col("item") <= 200)
+          .select("cust", "item").distinct()
+        cand.join(pos, Seq("cust", "item"), "left_anti")
+          .groupBy("cust")
+          .agg(count(lit(1)).as("n_neg"), sum("item").as("neg_item_sum"))
+          .orderBy("cust")
+      },
+      Some("""WITH users AS (SELECT DISTINCT o_custkey AS cust FROM orders),
+             |cand AS (SELECT DISTINCT cust,
+             |    CAST(('0x' || substr(md5('neg_' || cust || '_' || j), 1, 8))
+             |      AS BIGINT) % 200 + 1 AS item
+             |  FROM users CROSS JOIN range(0, 8) t(j)),
+             |pos AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+             |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |        WHERE l_partkey <= 200)
+             |SELECT cust, count(*) AS n_neg,
+             |  CAST(sum(item) AS BIGINT) AS neg_item_sum
+             |FROM cand c
+             |WHERE NOT EXISTS (SELECT 1 FROM pos p
+             |                  WHERE p.cust = c.cust AND p.item = c.item)
+             |GROUP BY cust ORDER BY cust""".stripMargin)),
   )
 }
