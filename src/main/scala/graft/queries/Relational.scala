@@ -21,6 +21,27 @@ object Relational {
 
   private val ts19980902 = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
 
+  /** Distinct co-occurring part pairs per order (pa < pb), generated
+    * MAP-SIDE from one groupBy on the order key: sort each order's part
+    * set, emit every i<j combination. One shuffle total — the self-join
+    * formulation pays the same distinct shuffle and then TWO more
+    * re-exchanges (the (ok, pk)-partitioned distinct output must be
+    * repartitioned to ok for both join sides). Per-order fan-out is
+    * bounded by order size (TPC-H ≤ 7 lines), so the explode cannot skew;
+    * at 100 TB this is the standard pair-enumeration shape for
+    * market-basket / co-occurrence work.
+    */
+  private def coPairs(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok")
+      .agg(array_sort(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+          |  transform(slice(pks, i + 2, size(pks)),
+          |    y -> named_struct('pa', x, 'pb', y))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- scan / projection / filter (pushdown-visible) ------------------
@@ -1186,12 +1207,8 @@ object Relational {
     // Top-20 with a total tie-break keeps the output deterministic.
     "q113_cooccurrence_topk" -> QueryDef(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        coPairs(table(s, dir, "lineitem"))
+          .groupBy("pa", "pb")
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(desc("n_orders"), col("pa"), col("pb"))
           .limit(20)
@@ -1286,12 +1303,7 @@ object Relational {
     "q115_pagerank_cooccur" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pr = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("pa"), col("b.pk").as("pb")).distinct()
+        val pr = coPairs(table(s, dir, "lineitem")).distinct()
         val edges = graft.operators.Materialize(
           pr.select(col("pa").as("src"), col("pb").as("dst"))
             .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst"))))

@@ -677,7 +677,11 @@ object TextQueries {
     "q83_fuzzy_entity_match" -> QueryDef(
       (s, dir) => {
         val w = split(col("p_name"), " ")
-        val p = table(s, dir, "part")
+        // tableParallel, not table: the block join broadcasts the build
+        // side, so the probe side's split count IS the parallelism of the
+        // ~6M pair evaluations — a single-file local scan would pin them
+        // to one core
+        val p = tableParallel(s, dir, "part")
           .select(col("p_partkey"), col("p_name"),
             concat_ws("|", w.getItem(0), w.getItem(1)).as("blk"))
         val cnt = p.groupBy("blk").agg(count(lit(1)).as("n_parts"))
