@@ -1545,5 +1545,100 @@ object Relational {
              |FROM cum JOIN t USING (l_returnflag)
              |GROUP BY cum.l_returnflag, t.n
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- BFS levels (bounded multi-hop traversal) -------------------------
+    // Three-hop breadth-first expansion from the smallest node of the
+    // bounded co-occurrence graph (q124's subgraph): each hop is one
+    // equi-join frontier → neighbors, one distinct, one anti-join against
+    // the visited set — the exact per-superstep shuffle pattern a Pregel
+    // BFS runs at scale, unrolled to a fixed depth so the oracle can
+    // replay it as three CTEs. Frontiers are Materialized: each is
+    // consumed by the next hop AND the final level report.
+    "q132_bfs_levels" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").filter(col("l_partkey") < 800)
+        val pr = coPairs(li).distinct()
+        val edges = graft.operators.Materialize(
+          pr.select(col("pa").as("src"), col("pb").as("dst"))
+            .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst"))))
+        var levels = graft.operators.Materialize(
+          edges.agg(min("src").as("node")).withColumn("level", lit(0)))
+        for (i <- 1 to 3) {
+          val next = edges
+            .join(levels.filter(col("level") === i - 1)
+              .select(col("node").as("src")), "src")
+            .select(col("dst").as("node")).distinct()
+            .join(levels.select("node"), Seq("node"), "left_anti")
+            .withColumn("level", lit(i))
+          levels = graft.operators.Materialize(levels.unionByName(next))
+        }
+        levels.groupBy("level")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_id_sum"))
+          .orderBy("level")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem WHERE l_partkey < 800),
+             |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |e AS (SELECT pa AS src, pb AS dst FROM pr
+             |      UNION ALL SELECT pb, pa FROM pr),
+             |l0 AS (SELECT min(src) AS node FROM e),
+             |l1 AS (SELECT DISTINCT e.dst AS node FROM e
+             |       JOIN l0 ON e.src = l0.node
+             |       WHERE e.dst NOT IN (SELECT node FROM l0)),
+             |l2 AS (SELECT DISTINCT e.dst AS node FROM e
+             |       JOIN l1 ON e.src = l1.node
+             |       WHERE e.dst NOT IN (SELECT node FROM l0)
+             |         AND e.dst NOT IN (SELECT node FROM l1)),
+             |l3 AS (SELECT DISTINCT e.dst AS node FROM e
+             |       JOIN l2 ON e.src = l2.node
+             |       WHERE e.dst NOT IN (SELECT node FROM l0)
+             |         AND e.dst NOT IN (SELECT node FROM l1)
+             |         AND e.dst NOT IN (SELECT node FROM l2)),
+             |lv AS (SELECT 0 AS level, node FROM l0
+             |  UNION ALL SELECT 1, node FROM l1
+             |  UNION ALL SELECT 2, node FROM l2
+             |  UNION ALL SELECT 3, node FROM l3)
+             |SELECT CAST(level AS INT) AS level, count(*) AS n_nodes,
+             |  CAST(sum(node) AS BIGINT) AS node_id_sum
+             |FROM lv GROUP BY level ORDER BY level""".stripMargin)),
+
+    // ---- item-item similarity (collaborative filtering) -------------------
+    // The classic recommender signal: cosine similarity between items
+    // over the orders that contain them — co-occurrence count normalized
+    // by per-item order counts. Both inputs come from the same one-shuffle
+    // pair/count pipeline (coPairs); the cosine is sqrt/division of exact
+    // integers, so both engines produce bit-identical doubles and the
+    // global top-20 ordering cannot diverge.
+    "q133_item_similarity" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val pairCnt = coPairs(li).groupBy("pa", "pb")
+          .agg(count(lit(1)).as("n_ab"))
+        val itemCnt = li
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .groupBy("pk").agg(count(lit(1)).as("n"))
+        pairCnt
+          .join(itemCnt.select(col("pk").as("pa"), col("n").as("na")), "pa")
+          .join(itemCnt.select(col("pk").as("pb"), col("n").as("nb")), "pb")
+          .withColumn("cosine",
+            col("n_ab") / sqrt(col("na") * col("nb")))
+          .orderBy(desc("cosine"), col("pa"), col("pb"))
+          .limit(20)
+          .select(col("pa"), col("pb"), col("n_ab"),
+            round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |            FROM lineitem),
+             |pc AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+             |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |       GROUP BY 1, 2),
+             |ic AS (SELECT pk, count(*) AS n FROM li GROUP BY 1)
+             |SELECT pa, pb, n_ab,
+             |  round(n_ab / sqrt(ia.n * ib.n), 4) AS cosine
+             |FROM pc JOIN ic ia ON ia.pk = pa JOIN ic ib ON ib.pk = pb
+             |ORDER BY n_ab / sqrt(ia.n * ib.n) DESC, pa, pb
+             |LIMIT 20""".stripMargin)),
   )
 }

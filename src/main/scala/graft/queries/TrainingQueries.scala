@@ -1128,5 +1128,74 @@ object TrainingQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM pos p
              |                  WHERE p.cust = c.cust AND p.item = c.item)
              |GROUP BY cust ORDER BY cust""".stripMargin)),
+
+    // ---- k-anonymity audit ------------------------------------------------
+    // Privacy gate before a dataset release: group by the quasi-identifier
+    // tuple (nation, market segment), flag groups smaller than k=10 —
+    // every row in such a group is re-identifiable to within k
+    // candidates. One aggregation to group sizes, one to the per-segment
+    // report: linear, and the report is dimension-sized. The rows_at_risk
+    // column is the actionable number (how many records need suppression
+    // or generalization before release).
+    "q134_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        val groups = table(s, dir, "customer")
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("gsize"))
+        groups.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_groups"),
+               sum(when(col("gsize") < 10, 1L).otherwise(0L))
+                 .as("n_small_groups"),
+               sum(when(col("gsize") < 10, col("gsize")).otherwise(0L))
+                 .as("rows_at_risk"),
+               min("gsize").as("min_group_size"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH g AS (SELECT c_mktsegment, c_nationkey,
+             |    count(*) AS gsize
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_mktsegment, count(*) AS n_groups,
+             |  CAST(sum(CASE WHEN gsize < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_small_groups,
+             |  CAST(sum(CASE WHEN gsize < 10 THEN gsize ELSE 0 END)
+             |    AS BIGINT) AS rows_at_risk,
+             |  min(gsize) AS min_group_size
+             |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- differentially-private noisy counts ------------------------------
+    // The release-side twin of the k-anonymity audit: per-group counts
+    // with Laplace noise — but the noise is HASH-SEEDED (inverse-CDF over
+    // an md5-derived uniform, b = 1/ε = 2), like every random decision in
+    // this family, so reruns and the oracle reproduce the identical
+    // release. The uniform is an exact rational, ln runs on identical
+    // operands in both engines, and the result is rounded before
+    // comparison. (A production release would draw fresh randomness per
+    // publication; the pipeline mechanics — one aggregation, one noise
+    // projection — are exactly these.)
+    "q135_dp_noisy_counts" -> QueryDef(
+      (s, dir) => {
+        val u = ((hash32(concat(lit("dp_"), col("lang"), lit("_"),
+          col("source"))) % 1000000 + 0.5) / 1000000.0) - 0.5
+        table(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_true"))
+          .withColumn("u", u)
+          .withColumn("noise",
+            -lit(2.0) * signum(col("u")) *
+              log(lit(1.0) - lit(2.0) * abs(col("u"))))
+          .select(col("lang"), col("source"), col("n_true"),
+            round(col("n_true") + col("noise"), 4).as("n_released"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH c AS (SELECT lang, source, count(*) AS n_true
+             |           FROM documents GROUP BY 1, 2),
+             |n AS (SELECT lang, source, n_true,
+             |    ((CAST(('0x' || substr(md5('dp_' || lang || '_' || source),
+             |      1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0) - 0.5 AS u
+             |  FROM c)
+             |SELECT lang, source, n_true,
+             |  round(n_true + (-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u))), 4)
+             |    AS n_released
+             |FROM n ORDER BY lang, source""".stripMargin)),
   )
 }
