@@ -1548,31 +1548,51 @@ object Relational {
 
     // ---- BFS levels (bounded multi-hop traversal) -------------------------
     // Three-hop breadth-first expansion from the smallest node of the
-    // bounded co-occurrence graph (q124's subgraph): each hop is one
-    // equi-join frontier → neighbors, one distinct, one anti-join against
-    // the visited set — the exact per-superstep shuffle pattern a Pregel
-    // BFS runs at scale, unrolled to a fixed depth so the oracle can
-    // replay it as three CTEs. Frontiers are Materialized: each is
-    // consumed by the next hop AND the final level report.
+    // bounded co-occurrence graph (q124's subgraph), with the q115
+    // state/data split: the edge list stays DISTRIBUTED (one groupBy
+    // shuffle builds it), while the frontier/visited sets — bounded to
+    // < 800 nodes by the subgraph cap — live in driver-side bitsets
+    // broadcast into ONE shuffle-free treeAggregate per hop (partials are
+    // |V| booleans regardless of |E|). A join-per-superstep formulation
+    // pays ~6 exchanges of near-empty data per hop in fixed overhead;
+    // this shape is how Pregel engines actually iterate. The oracle
+    // unrolls the three supersteps as CTEs.
     "q132_bfs_levels" -> QueryDef(
       (s, dir) => {
+        import s.implicits._
         val li = table(s, dir, "lineitem").filter(col("l_partkey") < 800)
-        val pr = coPairs(li).distinct()
-        val edges = graft.operators.Materialize(
-          pr.select(col("pa").as("src"), col("pb").as("dst"))
-            .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst"))))
-        var levels = graft.operators.Materialize(
-          edges.agg(min("src").as("node")).withColumn("level", lit(0)))
-        for (i <- 1 to 3) {
-          val next = edges
-            .join(levels.filter(col("level") === i - 1)
-              .select(col("node").as("src")), "src")
-            .select(col("dst").as("node")).distinct()
-            .join(levels.select("node"), Seq("node"), "left_anti")
-            .withColumn("level", lit(i))
-          levels = graft.operators.Materialize(levels.unionByName(next))
+        val eRdd = coPairs(li).distinct().as[(Long, Long)].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val nodes = eRdd.flatMap(e => Seq(e._1, e._2)).distinct().collect()
+          .sorted
+        val idx = nodes.zipWithIndex.toMap
+        val bcIdx = s.sparkContext.broadcast(idx)
+        val level = Array.fill(nodes.length)(-1)
+        level(0) = 0 // nodes is sorted, so index 0 is the min-id seed
+        for (hop <- 1 to 3) {
+          val bcLevel = s.sparkContext.broadcast(level)
+          // a pair (a, b) reaches b when a is on the current frontier (and
+          // vice versa — the graph is undirected); treeAggregate ORs the
+          // per-partition reach masks
+          val reached = eRdd.treeAggregate(new Array[Boolean](nodes.length))(
+            { case (acc, (a, b)) =>
+              val (ia, ib) = (bcIdx.value(a), bcIdx.value(b))
+              if (bcLevel.value(ia) == hop - 1) acc(ib) = true
+              if (bcLevel.value(ib) == hop - 1) acc(ia) = true
+              acc },
+            { (x, y) =>
+              var i = 0
+              while (i < x.length) { x(i) = x(i) || y(i); i += 1 }; x })
+          reached.indices.foreach { i =>
+            if (reached(i) && level(i) < 0) level(i) = hop
+          }
+          bcLevel.destroy()
         }
-        levels.groupBy("level")
+        eRdd.unpersist(false)
+        nodes.indices.collect { case i if level(i) >= 0 =>
+          (level(i), nodes(i))
+        }.toSeq.toDF("level", "node")
+          .groupBy("level")
           .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_id_sum"))
           .orderBy("level")
       },

@@ -1056,5 +1056,60 @@ object TextQueries {
               |    * 1.0 / count(*), 4) AS novelty_rate
               |FROM hs JOIN f USING (sh)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- count-min sketch heavy hitters -----------------------------------
+    // The streaming-friendly frequency sketch, deterministic edition: a
+    // 4×256 count-min sketch over the token stream (cell = md5-derived
+    // hash per row), built as ONE tiny aggregation — the sketch is 1 024
+    // counters regardless of corpus size, partials merge by addition, so
+    // at 100 TB each executor ships 8 KB upward. Estimates (min over the
+    // token's 4 cells) are compared against true counts for the true
+    // top-10: CMS never undercounts, and both engines replay the same
+    // hash placement, so even the OVERCOUNTS match exactly.
+    "q136_cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val tok = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(explode(tokens(col("text"))).as("w")))
+        val cnt = Materialize(tok.groupBy("w").agg(count(lit(1)).as("c")))
+        val top = cnt.orderBy(desc("c"), col("w")).limit(10)
+        val cells = tok
+          .select(col("w"), explode(sequence(lit(0), lit(3))).as("r"))
+          .select(col("r"),
+            (hash32(concat(lit("cms"), col("r"), lit("_"), col("w")))
+              % 256).as("cell"))
+          .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+        broadcast(top)
+          .select(col("w"), col("c"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("cell",
+            hash32(concat(lit("cms"), col("r"), lit("_"), col("w"))) % 256)
+          .join(cells, Seq("r", "cell"))
+          .groupBy("w", "c")
+          .agg(min("cnt").as("est"))
+          .select(col("w"), col("c").as("true_count"),
+            col("est").as("cms_estimate"),
+            (col("est") - col("c")).as("overcount"))
+          .orderBy(desc("true_count"), col("w"))
+      },
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(
+             |    lower(trim(text)), '\s+')) AS w FROM documents),
+             |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+             |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 10),
+             |cells AS (
+             |  SELECT r, CAST(('0x' || substr(md5('cms' || r || '_' || w),
+             |      1, 8)) AS BIGINT) % 256 AS cell, count(*) AS cnt
+             |  FROM tok CROSS JOIN range(0, 4) t(r)
+             |  GROUP BY 1, 2),
+             |est AS (
+             |  SELECT top.w, top.c, min(cells.cnt) AS est
+             |  FROM top CROSS JOIN range(0, 4) t(r)
+             |  JOIN cells ON cells.r = t.r
+             |    AND cells.cell = CAST(('0x' || substr(md5('cms' || t.r
+             |      || '_' || top.w), 1, 8)) AS BIGINT) % 256
+             |  GROUP BY 1, 2)
+             |SELECT w, c AS true_count, est AS cms_estimate,
+             |  CAST(est - c AS BIGINT) AS overcount
+             |FROM est ORDER BY true_count DESC, w""".stripMargin)),
   )
 }

@@ -1197,5 +1197,111 @@ object TrainingQueries {
              |  round(n_true + (-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u))), 4)
              |    AS n_released
              |FROM n ORDER BY lang, source""".stripMargin)),
+
+    // ---- A/B test evaluation (two-proportion z-test) ----------------------
+    // Experiment readout: users hash-split into two arms (the same
+    // deterministic assignment a real experiment framework pins per
+    // user), conversion = any purchase event; the two-proportion z-score
+    // under the pooled estimate decides significance. One per-user
+    // aggregation, one global conditional aggregation — all counts are
+    // exact integers, the z arithmetic runs on identical operands in both
+    // engines, and |z| > 1.96 is compared on the rounded score.
+    "q137_ab_test_ztest" -> QueryDef(
+      (s, dir) => {
+        // conversion = total purchase value above $600 (the synthetic
+        // stream gives every user every event TYPE, so the predicate must
+        // discriminate on value); cents are floored to exact integers
+        // BEFORE summation so the threshold compare is order-independent
+        val perUser = table(s, dir, "events")
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L))
+            > 60000L).cast("long").as("converted"))
+          .withColumn("arm",
+            hash32(concat(lit("ab_"), col("user_id"))) % 2)
+        perUser.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+              .as("conv_a"),
+            sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+              .as("conv_b"))
+          .withColumn("p_a", col("conv_a") * 1.0 / col("n_a"))
+          .withColumn("p_b", col("conv_b") * 1.0 / col("n_b"))
+          .withColumn("p_pool",
+            (col("conv_a") + col("conv_b")) * 1.0 / (col("n_a") + col("n_b")))
+          .withColumn("z", round(
+            (col("p_a") - col("p_b")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+          .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+            round(col("p_a"), 4).as("p_a"), round(col("p_b"), 4).as("p_b"),
+            col("z"), (abs(col("z")) > 1.96).as("significant"))
+      },
+      Some("""WITH pu AS (SELECT user_id,
+             |    CAST(sum(CASE WHEN event_type = 'purchase'
+             |        THEN CAST(floor(value * 100) AS BIGINT)
+             |        ELSE 0 END) > 60000 AS BIGINT) AS converted,
+             |    CAST(('0x' || substr(md5('ab_' || user_id), 1, 8))
+             |      AS BIGINT) % 2 AS arm
+             |  FROM events GROUP BY user_id),
+             |agg AS (SELECT
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b,
+             |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+             |      AS BIGINT) AS conv_a,
+             |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+             |      AS BIGINT) AS conv_b
+             |  FROM pu),
+             |z AS (SELECT *,
+             |    round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+             |      sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+             |        (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+             |        (1.0 / n_a + 1.0 / n_b)), 4) AS zs
+             |  FROM agg)
+             |SELECT n_a, n_b, conv_a, conv_b,
+             |  round(conv_a * 1.0 / n_a, 4) AS p_a,
+             |  round(conv_b * 1.0 / n_b, 4) AS p_b,
+             |  zs AS z, abs(zs) > 1.96 AS significant
+             |FROM z""".stripMargin)),
+
+    // ---- behavioral Markov transition matrix ------------------------------
+    // First-order transition model over each user's time-ordered event
+    // stream: consecutive (prev, next) type pairs via a lag window inside
+    // the user partition (the one shuffle), then row-normalized
+    // probabilities. The |types|^2 output is the input a sequence model's
+    // sanity checks and simulators consume; counts are exact, and the
+    // probability is a single division of exact integers rounded on both
+    // sides.
+    "q138_markov_transitions" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+        val pairs = table(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+        pairs.join(broadcast(totals), "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            round(col("n") * 1.0 / col("tot"), 4).as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |pairs AS (SELECT prev_type, event_type AS next_type,
+             |    count(*) AS n
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+             |        FROM pairs GROUP BY 1)
+             |SELECT prev_type, next_type, n,
+             |  round(n * 1.0 / tot, 4) AS p
+             |FROM pairs JOIN tot USING (prev_type)
+             |ORDER BY prev_type, next_type""".stripMargin)),
   )
 }
