@@ -1111,5 +1111,104 @@ object TextQueries {
              |SELECT w, c AS true_count, est AS cms_estimate,
              |  CAST(est - c AS BIGINT) AS overcount
              |FROM est ORDER BY true_count DESC, w""".stripMargin)),
+
+    // ---- BM25 keyword retrieval -------------------------------------------
+    // Full-text ranking, the retrieval half of a RAG pipeline: BM25
+    // (k1 = 1.2, b = 0.75) for a fixed 3-term query. Shapes: one narrow
+    // tokenize pass; term frequencies only for MATCHING terms (the isin
+    // filter drops the rest before the shuffle); document frequencies and
+    // corpus stats are dimension-sized broadcasts. Per-term scores are
+    // floored into 1e-6-scaled integers BEFORE the per-doc sum, so the
+    // ranking is order-independent and the top-20 hash-exact — every
+    // double op (idf's ln, the tf saturation) runs on identical operands
+    // in both engines, written in the same association order.
+    "q139_bm25_retrieval" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(col("doc_id"), tokens(col("text")).as("ws"))
+            .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+              col("ws")))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("total_len"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+          .filter(col("w").isin("hash", "join", "vector"))
+          .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(countDistinct("doc_id").as("df"))
+        tf.join(broadcast(dfreq), "w")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          .withColumn("avgdl", col("total_len") * 1.0 / col("n_docs"))
+          .withColumn("ts", floor(
+            (col("idf") * (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * col("dl") / col("avgdl")))) * 1e6).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum("ts").as("score_scaled"), count(lit(1)).as("n_terms"))
+          .orderBy(desc("score_scaled"), col("doc_id")).limit(20)
+          .select(col("doc_id"), col("n_terms"),
+            round(col("score_scaled") / 1e6, 4).as("bm25"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws
+             |         FROM d),
+             |stats AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(dl) AS BIGINT) AS total_len FROM docs),
+             |tf AS (SELECT doc_id, dl, w, count(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM docs)
+             |  WHERE w IN ('hash', 'join', 'vector')
+             |  GROUP BY 1, 2, 3),
+             |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df
+             |          FROM tf GROUP BY 1),
+             |scored AS (SELECT doc_id,
+             |    CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) /
+             |      (tf + 1.2 * (0.25 + 0.75 * dl /
+             |        (total_len * 1.0 / n_docs)))) * 1e6) AS BIGINT) AS ts
+             |  FROM tf JOIN dfreq USING (w), stats)
+             |SELECT doc_id, count(*) AS n_terms,
+             |  round(CAST(sum(ts) AS BIGINT) / 1e6, 4) AS bm25
+             |FROM scored GROUP BY doc_id
+             |ORDER BY CAST(sum(ts) AS BIGINT) DESC, doc_id
+             |LIMIT 20""".stripMargin)),
+
+    // ---- inverted index construction --------------------------------------
+    // The index ARTIFACT itself: per-term document frequency, total term
+    // frequency, and a checksum over the doc-id-ordered posting list
+    // (`doc:tf` entries) — order imposed by sort, never inherited from
+    // shuffle arrival, the same rule as every ordered aggregation here.
+    // Two aggregations, both on well-distributed keys; posting lists are
+    // per-term and bounded by document frequency. Terms below df 50 are
+    // cut (an index's stopword/min-df knob, and it bounds the output).
+    "q140_inverted_index" -> QueryDef(
+      (s, dir) => {
+        val postings = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+        postings.groupBy("w")
+          .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+            hash32(concat_ws(",", transform(
+              sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+              x => concat(x.getField("doc_id").cast("string"), lit(":"),
+                x.getField("tf").cast("string"))))).as("postings_hash"))
+          .filter(col("df") >= 50)
+          .select(col("w").as("term"), col("df"), col("total_tf"),
+            col("postings_hash"))
+          .orderBy("term")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+             |    lower(trim(text)), '\s+')) AS w FROM documents),
+             |p AS (SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+             |SELECT w AS term, count(*) AS df,
+             |  CAST(sum(tf) AS BIGINT) AS total_tf,
+             |  CAST(('0x' || substr(md5(array_to_string(
+             |    list(doc_id || ':' || tf ORDER BY doc_id), ',')), 1, 8))
+             |    AS BIGINT) AS postings_hash
+             |FROM p GROUP BY w HAVING count(*) >= 50
+             |ORDER BY term""".stripMargin)),
   )
 }
