@@ -1660,5 +1660,132 @@ object Relational {
              |FROM pc JOIN ic ia ON ia.pk = pa JOIN ic ib ON ib.pk = pb
              |ORDER BY n_ab / sqrt(ia.n * ib.n) DESC, pa, pb
              |LIMIT 20""".stripMargin)),
+
+    // ---- time-series linear interpolation ---------------------------------
+    // Gap REPAIR, not gap zero-fill (q99's job): daily integer-cents
+    // totals with a simulated sensor outage (every day-of-month % 5 == 0
+    // masked), missing points linearly interpolated between their nearest
+    // observed neighbors. The neighbor lookup uses the running-count
+    // SEGMENT trick — a cumulative count of observed rows keys each gap
+    // row to its preceding (and, reversed, following) observation — which
+    // needs only plain sum/first windows, no IGNORE NULLS support, and
+    // runs as two window passes over the daily series. Interpolation is
+    // exact integer math (floor division), so every filled value is
+    // hash-comparable. The daily series is one groupBy from the raw
+    // events; windows run on the dimension-sized spine.
+    "q141_linear_interpolation" -> QueryDef(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val spine = daily.agg(min("d").as("lo"), max("d").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        val obs = spine.join(daily, Seq("d"), "left")
+          .withColumn("observed",
+            when(dayofmonth(col("d")) % 5 =!= 0, col("cents")))
+        val wAsc = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDesc = Window.orderBy(desc("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = obs
+          .withColumn("g1", sum(when(col("observed").isNotNull, 1L)
+            .otherwise(0L)).over(wAsc))
+          .withColumn("g2", sum(when(col("observed").isNotNull, 1L)
+            .otherwise(0L)).over(wDesc))
+        val wPrev = Window.partitionBy("g1").orderBy("d")
+        val wNext = Window.partitionBy("g2").orderBy(desc("d"))
+        seg
+          .withColumn("pv", first("observed").over(wPrev))
+          .withColumn("pd", first("d").over(wPrev))
+          .withColumn("nv", first("observed").over(wNext))
+          .withColumn("nd", first("d").over(wNext))
+          .withColumn("filled",
+            when(col("observed").isNotNull, col("observed"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                datediff(col("d"), col("pd")) /
+                datediff(col("nd"), col("pd"))))
+          .select(col("d"), col("observed").isNull.as("was_missing"),
+            floor(col("filled")).cast("long").as("cents_filled"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+             |    sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series(
+             |    (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
+             |    INTERVAL 1 DAY))::DATE AS d),
+             |obs AS (SELECT spine.d,
+             |    CASE WHEN day(spine.d) % 5 <> 0 THEN daily.cents END
+             |      AS observed
+             |  FROM spine LEFT JOIN daily ON spine.d = daily.d),
+             |seg AS (SELECT *,
+             |    sum(CASE WHEN observed IS NOT NULL THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY d) AS g1,
+             |    sum(CASE WHEN observed IS NOT NULL THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY d DESC) AS g2
+             |  FROM obs),
+             |nb AS (SELECT *,
+             |    first_value(observed) OVER (PARTITION BY g1 ORDER BY d)
+             |      AS pv,
+             |    first_value(d) OVER (PARTITION BY g1 ORDER BY d) AS pd,
+             |    first_value(observed) OVER (PARTITION BY g2
+             |      ORDER BY d DESC) AS nv,
+             |    first_value(d) OVER (PARTITION BY g2 ORDER BY d DESC)
+             |      AS nd
+             |  FROM seg)
+             |SELECT d, observed IS NULL AS was_missing,
+             |  CAST(floor(CASE WHEN observed IS NOT NULL THEN observed
+             |    ELSE pv + (nv - pv) * datediff('day', pd, d)
+             |           * 1.0 / datediff('day', pd, nd) END) AS BIGINT)
+             |    AS cents_filled
+             |FROM nb ORDER BY d""".stripMargin)),
+
+    // ---- mutual information (feature-dependence audit) --------------------
+    // How much does discount tell you about quantity? Joint/marginal
+    // histogram over fixed integer bins (no data-driven bounds — stable
+    // across partitions and days, the q117 rule), then
+    // MI = Σ p(x,y) · ln(p(x,y)/(p(x)p(y))) plus the marginal entropies,
+    // all evaluated on the ≤ dozens-of-cells aggregate — one linear scan
+    // feeds a dimension-sized frame, and every log argument is an exact
+    // integer ratio, identical in both engines.
+    "q142_mutual_information" -> QueryDef(
+      (s, dir) => {
+        val binned = table(s, dir, "lineitem")
+          .select(floor(col("l_quantity") / 10).cast("long").as("qb"),
+            floor(col("l_discount") * 100 / 2).cast("long").as("db"))
+        val joint = graft.operators.Materialize(binned.groupBy("qb", "db")
+          .agg(count(lit(1)).as("nxy")))
+        val mx = joint.groupBy("qb").agg(sum("nxy").as("nx"))
+        val my = joint.groupBy("db").agg(sum("nxy").as("ny"))
+        val tot = joint.agg(sum("nxy").as("n"))
+        joint.join(broadcast(mx), "qb").join(broadcast(my), "db")
+          .crossJoin(broadcast(tot))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            round(sum((col("nxy") * 1.0 / col("n")) *
+              log((col("nxy") * 1.0 * col("n")) /
+                (col("nx") * 1.0 * col("ny")))), 4).as("mi"),
+            round(-sum((col("nxy") * 1.0 / col("n")) *
+              log(col("nx") * 1.0 / col("n"))), 4).as("h_x"),
+            round(-sum((col("nxy") * 1.0 / col("n")) *
+              log(col("ny") * 1.0 / col("n"))), 4).as("h_y"))
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(floor(l_quantity / 10) AS BIGINT) AS qb,
+             |    CAST(floor(l_discount * 100 / 2) AS BIGINT) AS db
+             |  FROM lineitem),
+             |j AS (SELECT qb, db, count(*) AS nxy FROM b GROUP BY 1, 2),
+             |mx AS (SELECT qb, CAST(sum(nxy) AS BIGINT) AS nx
+             |       FROM j GROUP BY 1),
+             |my AS (SELECT db, CAST(sum(nxy) AS BIGINT) AS ny
+             |       FROM j GROUP BY 1),
+             |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j)
+             |SELECT count(*) AS n_cells,
+             |  round(sum((nxy * 1.0 / n) *
+             |    ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 4) AS mi,
+             |  round(-sum((nxy * 1.0 / n) * ln(nx * 1.0 / n)), 4) AS h_x,
+             |  round(-sum((nxy * 1.0 / n) * ln(ny * 1.0 / n)), 4) AS h_y
+             |FROM j JOIN mx USING (qb) JOIN my USING (db), tot""".stripMargin)),
   )
 }
