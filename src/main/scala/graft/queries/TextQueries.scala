@@ -1210,5 +1210,52 @@ object TextQueries {
              |    AS BIGINT) AS postings_hash
              |FROM p GROUP BY w HAVING count(*) >= 50
              |ORDER BY term""".stripMargin)),
+
+    // ---- vocabulary growth / type-token ratio -----------------------------
+    // Lexical-diversity curve per source: vocabulary size after the first
+    // 1k and 5k tokens in INGEST ORDER (doc_id, position) — the
+    // Heaps'-law signal that distinguishes template-generated text (flat
+    // curve) from diverse prose. Order is imposed by a per-source
+    // row_number window (the one per-source sort the semantics require);
+    // each token type contributes its FIRST global position, and the
+    // checkpoint counts are exact integer comparisons against it.
+    "q144_vocab_growth" -> QueryDef(
+      (s, dir) => {
+        val tok = tableParallel(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            posexplode(tokens(col("text"))))
+          .toDF("source", "doc_id", "pos", "w")
+        val win = Window.partitionBy("source").orderBy("doc_id", "pos")
+        val firsts = tok.withColumn("rn", row_number().over(win))
+          .groupBy("source", "w").agg(min("rn").as("first_rn"))
+        firsts.groupBy("source")
+          .agg(sum(when(col("first_rn") <= 1000, 1L).otherwise(0L))
+            .as("vocab_1k"),
+            sum(when(col("first_rn") <= 5000, 1L).otherwise(0L))
+              .as("vocab_5k"),
+            count(lit(1)).as("vocab_total"))
+          .withColumn("ttr_1k", round(col("vocab_1k") / 1000.0, 4))
+          .withColumn("ttr_5k", round(col("vocab_5k") / 5000.0, 4))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, doc_id, regexp_split_to_array(
+             |    lower(trim(text)), '\s+') AS ws FROM documents),
+             |t AS (SELECT source, doc_id, unnest(ws) AS w,
+             |        generate_subscripts(ws, 1) AS pos FROM d),
+             |r AS (SELECT source, w, row_number() OVER (
+             |    PARTITION BY source ORDER BY doc_id, pos) AS rn FROM t),
+             |f AS (SELECT source, w, min(rn) AS first_rn
+             |      FROM r GROUP BY 1, 2)
+             |SELECT source,
+             |  CAST(sum(CASE WHEN first_rn <= 1000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS vocab_1k,
+             |  CAST(sum(CASE WHEN first_rn <= 5000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS vocab_5k,
+             |  count(*) AS vocab_total,
+             |  round(sum(CASE WHEN first_rn <= 1000 THEN 1 ELSE 0 END)
+             |    / 1000.0, 4) AS ttr_1k,
+             |  round(sum(CASE WHEN first_rn <= 5000 THEN 1 ELSE 0 END)
+             |    / 5000.0, 4) AS ttr_5k
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

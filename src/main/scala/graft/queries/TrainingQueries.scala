@@ -1303,5 +1303,43 @@ object TrainingQueries {
              |  round(n * 1.0 / tot, 4) AS p
              |FROM pairs JOIN tot USING (prev_type)
              |ORDER BY prev_type, next_type""".stripMargin)),
+
+    // ---- winsorization (percentile clamping) ------------------------------
+    // Outlier TAMING, the gentler sibling of the q86/q125 outlier DROPs:
+    // clamp event values into their group's [p05, p95] band and report
+    // how much mass moved. Bounds are exact percentiles ROUNDED before
+    // the clamp (the q125 rule — both engines then compare identical
+    // doubles); the clamped values are floored to integer cents before
+    // summation so the before/after mass comparison is exact at any
+    // scale. One percentile aggregation broadcast back, one linear pass.
+    "q143_winsorize" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+        val bounds = ev.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.05)"), 4).as("lo"),
+               round(expr("percentile(value, 0.95)"), 4).as("hi"))
+        ev.join(broadcast(bounds), "event_type")
+          .withColumn("w", greatest(col("lo"), least(col("hi"), col("value"))))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("value") < col("lo") ||
+                 col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped"),
+               sum(floor(col("value") * 100).cast("long")).as("cents_raw"),
+               sum(floor(col("w") * 100).cast("long")).as("cents_winsorized"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    round(quantile_cont(value, 0.05), 4) AS lo,
+             |    round(quantile_cont(value, 0.95), 4) AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clamped,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents_raw,
+             |  CAST(sum(CAST(floor(greatest(lo, least(hi, value)) * 100)
+             |    AS BIGINT)) AS BIGINT) AS cents_winsorized
+             |FROM events JOIN b USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }
