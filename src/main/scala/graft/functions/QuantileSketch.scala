@@ -5,14 +5,21 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Deterministic mergeable quantile sketch (typed `Aggregator` with array
-  * state). Values land in fixed log-spaced bins — `bin(x) = floor(ln(x)*8)`
-  * clamped to [0,127] — so the sketch state is a pure counting vector:
-  * `reduce`/`merge` commute, partial (map-side) aggregation is exact, and
-  * the estimate is REPRODUCIBLE — same data, same answer, on any partition
-  * layout, any cluster size, or any other engine that replays the bin
-  * math. That portability is what `percentile_approx` (GK sketch,
-  * order-sensitive buffer) cannot give; the price is a fixed ~13% relative
-  * error bound (one bin width, e^(1/8)) instead of an adaptive one.
+  * state). Values land in fixed log-spaced bins —
+  * `bin(x) = floor(ln(x)*8) + 64` clamped to [0,255] — so the sketch state
+  * is a pure counting vector: `reduce`/`merge` commute, partial (map-side)
+  * aggregation is exact, and the estimate is REPRODUCIBLE — same data,
+  * same answer, on any partition layout, any cluster size, or any other
+  * engine that replays the bin math. That portability is what
+  * `percentile_approx` (GK sketch, order-sensitive buffer) cannot give;
+  * the price is a fixed ~13% relative error bound (one bin width,
+  * e^(1/8)) instead of an adaptive one.
+  *
+  * The bound holds on the bin domain [e^-8, e^24) ≈ [3.4e-4, 2.6e10);
+  * values outside clamp to the edge bins and their error is unbounded —
+  * callers with wider dynamic range should rescale or widen `Bins`
+  * (state cost is one Long per bin). Non-positive values are ignored
+  * (log-spaced bins are a positive-domain structure).
   *
   * Quantile estimate = lower edge of the first bin whose cumulative count
   * reaches ceil(q*n), computed in integer arithmetic.
@@ -22,9 +29,11 @@ object QuantileSketch {
   final case class Buf(var bins: Array[Long], var n: Long)
   final case class Quantiles(p50: Double, p95: Double)
 
-  private val Bins = 128
+  private val Bins = 256
+  private val Offset = 64
   private def binOf(x: Double): Int =
-    math.min(Bins - 1, math.max(0, math.floor(math.log(x) * 8).toInt))
+    math.min(Bins - 1,
+      math.max(0, math.floor(math.log(x) * 8).toInt + Offset))
 
   val aggregator: Aggregator[Double, Buf, Quantiles] =
     new Aggregator[Double, Buf, Quantiles] {
@@ -42,7 +51,7 @@ object QuantileSketch {
         def est(thr: Long): Double = {
           var cum = 0L; var i = 0
           while (i < Bins && cum + b.bins(i) < thr) { cum += b.bins(i); i += 1 }
-          math.exp(i / 8.0)
+          math.exp((i - Offset) / 8.0)
         }
         if (b.n == 0) Quantiles(Double.NaN, Double.NaN)
         else Quantiles(est((b.n + 1) / 2), est((19 * b.n + 19) / 20))

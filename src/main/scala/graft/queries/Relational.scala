@@ -32,10 +32,18 @@ object Relational {
     * market-basket / co-occurrence work.
     */
   private def coPairs(li: DataFrame): DataFrame =
+    pairsFromSets(coSets(li))
+
+  /** Per-order sorted distinct part sets — the single-shuffle base both
+    * the pair enumeration and per-item order counts derive from.
+    */
+  private def coSets(li: DataFrame): DataFrame =
     li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")
       .agg(array_sort(collect_set(col("pk"))).as("pks"))
-      .select(explode(expr(
+
+  private def pairsFromSets(sets: DataFrame): DataFrame =
+    sets.select(explode(expr(
         """flatten(transform(pks, (x, i) ->
           |  transform(slice(pks, i + 2, size(pks)),
           |    y -> named_struct('pa', x, 'pb', y))))""".stripMargin))
@@ -1421,14 +1429,8 @@ object Relational {
     // four scalar counts; no cross join anywhere.
     "q124_triangle_count" -> QueryDef(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .filter(col("l_partkey") < 800)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
         val edges = graft.operators.Materialize(
-          li.as("a").join(li.as("b"),
-              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-            .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          coPairs(table(s, dir, "lineitem").filter(col("l_partkey") < 800))
             .distinct())
         val wedges = graft.operators.Materialize(
           edges.as("e1").join(edges.as("e2"),
@@ -1515,8 +1517,12 @@ object Relational {
     // why this one can be hash-oracled while q55 needs a tolerance gate.
     // Error is bounded by one bin width (~13% relative); n is exact.
     "q129_quantile_sketch" -> QueryDef(
+      // the > 0 filter matches the sketch's own domain (non-positive
+      // values are ignored by reduce), so `n` and the oracle's row set
+      // agree even on data with zero/negative prices
       (s, dir) =>
         table(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
                graft.functions.QuantileSketch.sketch(col("l_extendedprice"))
@@ -1526,8 +1532,8 @@ object Relational {
             round(col("sk.p95"), 4).as("p95_est"))
           .orderBy("l_returnflag"),
       Some("""WITH b AS (SELECT l_returnflag,
-             |    least(127, greatest(0,
-             |      CAST(floor(ln(l_extendedprice) * 8) AS INT))) AS bin
+             |    least(255, greatest(0,
+             |      CAST(floor(ln(l_extendedprice) * 8) AS INT) + 64)) AS bin
              |  FROM lineitem WHERE l_extendedprice > 0),
              |c AS (SELECT l_returnflag, bin, count(*) AS cnt
              |      FROM b GROUP BY 1, 2),
@@ -1538,10 +1544,10 @@ object Relational {
              |            ORDER BY bin) AS cum
              |        FROM c)
              |SELECT cum.l_returnflag, t.n,
-             |  round(exp(min(CASE WHEN cum >= (t.n + 1) // 2
-             |    THEN bin END) / 8.0), 4) AS p50_est,
-             |  round(exp(min(CASE WHEN cum >= (19 * t.n + 19) // 20
-             |    THEN bin END) / 8.0), 4) AS p95_est
+             |  round(exp((min(CASE WHEN cum >= (t.n + 1) // 2
+             |    THEN bin END) - 64) / 8.0), 4) AS p50_est,
+             |  round(exp((min(CASE WHEN cum >= (19 * t.n + 19) // 20
+             |    THEN bin END) - 64) / 8.0), 4) AS p95_est
              |FROM cum JOIN t USING (l_returnflag)
              |GROUP BY cum.l_returnflag, t.n
              |ORDER BY l_returnflag""".stripMargin)),
@@ -1568,7 +1574,10 @@ object Relational {
         val idx = nodes.zipWithIndex.toMap
         val bcIdx = s.sparkContext.broadcast(idx)
         val level = Array.fill(nodes.length)(-1)
-        level(0) = 0 // nodes is sorted, so index 0 is the min-id seed
+        // nodes is sorted, so index 0 is the min-id seed; an edgeless
+        // subgraph yields an empty result (matching the oracle), not an
+        // out-of-bounds write
+        if (nodes.nonEmpty) level(0) = 0
         for (hop <- 1 to 3) {
           val bcLevel = s.sparkContext.broadcast(level)
           // a pair (a, b) reaches b when a is on the current frontier (and
@@ -1632,12 +1641,13 @@ object Relational {
     // global top-20 ordering cannot diverge.
     "q133_item_similarity" -> QueryDef(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-        val pairCnt = coPairs(li).groupBy("pa", "pb")
+        // one scan, one shuffle: pair counts AND per-item order counts
+        // both derive from the same materialized per-order part sets
+        val sets = graft.operators.Materialize(
+          coSets(table(s, dir, "lineitem")))
+        val pairCnt = pairsFromSets(sets).groupBy("pa", "pb")
           .agg(count(lit(1)).as("n_ab"))
-        val itemCnt = li
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+        val itemCnt = sets.select(explode(col("pks")).as("pk"))
           .groupBy("pk").agg(count(lit(1)).as("n"))
         pairCnt
           .join(itemCnt.select(col("pk").as("pa"), col("n").as("na")), "pa")

@@ -2,7 +2,6 @@ package graft.sources
 
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -88,15 +87,21 @@ final class FixedWidthScanBuilder(fullSchema: StructType,
 final class FixedWidthScan(requiredSchema: StructType, path: String,
                            fields: Seq[(String, Int, Int)])
     extends Scan with Batch {
+  // the SESSION's Hadoop configuration, not `new Configuration()`: the
+  // user's fs settings (credentials, fs.defaultFS, custom schemes set via
+  // spark.hadoop.*) must reach both the driver-side listing and the
+  // executor-side open — SerializableConfiguration ships it into tasks
+  private val serConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"FixedWidthScan(path=$path, fields=${fields.map(_._1).mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(serConf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath)
@@ -106,18 +111,19 @@ final class FixedWidthScan(requiredSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(fields.toArray)
+    new FixedWidthReaderFactory(fields.toArray, serConf)
 }
 
 final case class FixedWidthPartition(file: String) extends InputPartition
 
-final class FixedWidthReaderFactory(fields: Array[(String, Int, Int)])
+final class FixedWidthReaderFactory(fields: Array[(String, Int, Int)],
+    serConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[FixedWidthPartition].file
     new PartitionReader[InternalRow] {
       private val path = new Path(file)
-      private val in = path.getFileSystem(new Configuration()).open(path)
+      private val in = path.getFileSystem(serConf.value).open(path)
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       private var line: String = _

@@ -28,12 +28,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamSink {
 
-  /** Apply one micro-batch as a keyed upsert into `path` (parquet). */
+  /** Apply one micro-batch as a keyed upsert into `path` (parquet).
+    *
+    * Swap protocol and its crash windows: the previous generation is
+    * renamed to `.__old` BEFORE the new one is renamed in, so there is an
+    * instant where the table path does not exist — a crash there leaves
+    * `.__old` as the authoritative generation, and the read side below
+    * RECOVERS from it (rename back, then proceed). Every rename is
+    * checked: Hadoop's `rename` reports failure as `false`, not an
+    * exception, and silently continuing after a failed rename is how a
+    * sink corrupts a table.
+    */
   def applyBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
                  orderCols: Seq[String], path: String): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = new Path(path)
+    val old = new Path(path + ".__old")
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"sink swap rename failed: $from -> $to")
+    // crash recovery: a previous applyBatch died between its two renames,
+    // leaving only the retired generation — restore it as current
+    if (!fs.exists(cur) && fs.exists(old)) renameOrThrow(old, cur)
     val existing =
       if (fs.exists(cur)) spark.read.parquet(path)
       else batch.limit(0)
@@ -51,10 +68,9 @@ object StreamSink {
     val tmp = new Path(path + ".__tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     compacted.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(path + ".__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur)) fs.rename(cur, old) // keep one generation back
-    fs.rename(tmp, cur)                     // the atomic commit point
+    if (fs.exists(old)) fs.delete(old, true) // stale backup from a crash
+    if (fs.exists(cur)) renameOrThrow(cur, old)
+    renameOrThrow(tmp, cur) // commit; .__old is recoverable until here
     fs.delete(old, true)
   }
 

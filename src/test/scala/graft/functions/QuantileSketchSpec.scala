@@ -33,8 +33,10 @@ class QuantileSketchSpec extends AnyFunSuite {
 
   test("estimate is the lower bin edge of the target order statistic") {
     import spark.implicits._
+    // range spans sub-1 ratios through large magnitudes — inside the
+    // sketch's [e^-8, e^24) bin domain where the bound is guaranteed
     check("bin-edge", Prop.forAll(
-      Gen.nonEmptyListOf(Gen.choose(1.0, 1e6))) { xs =>
+      Gen.nonEmptyListOf(Gen.choose(1e-3, 1e6))) { xs =>
       val row = xs.toDF("x")
         .agg(QuantileSketch.sketch(col("x")).as("sk"))
         .select(col("sk.p50"), col("sk.p95"))

@@ -67,4 +67,31 @@ class StreamSinkSpec extends AnyFunSuite {
       assert(after.size === batch.size) // upsert, not append
     }
   }
+
+  test("recovers the table from a crash between the two swap renames") {
+    failAfter(Span(300, Seconds)) {
+      import spark.implicits._
+      val table = Files.createTempDirectory("sink_crash_").toString + "/t"
+      def row(uid: Long, eid: Long, us: Long) =
+        (uid, eid, us, "t", 1.0)
+      def apply(rows: (Long, Long, Long, String, Double)*): Unit =
+        StreamSink.applyBatch(spark,
+          rows.toDF("user_id", "event_id", "us", "event_type", "value"),
+          "user_id", Seq("us", "event_id"), table)
+      apply(row(1L, 10L, 100L), row(2L, 20L, 200L))
+      // simulate the crash window: the old generation was renamed away
+      // but the new one never arrived — the table path does not exist
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+        new org.apache.hadoop.fs.Path(table + ".__old")))
+      // next batch must restore the retired generation, not restart from
+      // empty — user 1's row survives, user 2's is upserted
+      apply(row(2L, 21L, 300L))
+      val got = spark.read.parquet(table)
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 10L), (2L, 21L)))
+    }
+  }
 }
