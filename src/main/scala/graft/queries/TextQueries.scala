@@ -1257,5 +1257,91 @@ object TextQueries {
              |  round(sum(CASE WHEN first_rn <= 5000 THEN 1 ELSE 0 END)
              |    / 5000.0, 4) AS ttr_5k
              |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- leakage-safe train/val/test split --------------------------------
+    // The split step done RIGHT for deduplicated corpora: a plain per-doc
+    // hash split leaks near-duplicates across train and test (the model
+    // memorizes the train twin, the test twin scores it) — so the split
+    // key is the near-dup CLUSTER label (q48's connected components),
+    // putting every member of a duplicate cluster in the same split by
+    // construction. The query PROVES it: n_leaks counts verified near-dup
+    // pairs whose endpoints landed in different splits — pinned 0 by the
+    // oracle. Same pipeline shapes as q48 plus one broadcast-back of the
+    // dimension-sized label table.
+    "q145_leakage_safe_split" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val pairs = Materialize(
+          jaccardPairs(sh, 0.8).select("doc_a", "doc_b"))
+        val labels = ConnectedComponents.minLabel(pairs)
+        val bucket = hash32(concat(lit("split_"), col("cluster"))) % 10
+        val clustered = Materialize(
+          tableParallel(s, dir, "documents").select(col("doc_id"))
+            .join(labels.select(col("doc").as("doc_id"), col("label")),
+              Seq("doc_id"), "left")
+            .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+            .withColumn("split",
+              when(bucket <= 7, "train")
+                .when(bucket === 8, "valid")
+                .otherwise("test")))
+        val leaks = pairs
+          .join(clustered.select(col("doc_id").as("doc_a"),
+            col("split").as("sa")), "doc_a")
+          .join(clustered.select(col("doc_id").as("doc_b"),
+            col("split").as("sb")), "doc_b")
+          .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("l"))
+          .select(coalesce(col("l"), lit(0L)).as("n_leaks"))
+        clustered.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct("cluster").as("n_clusters"),
+               sum("doc_id").as("id_sum"))
+          .crossJoin(broadcast(leaks))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE
+              |ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+              |reach AS (
+              |  SELECT doc, doc AS r FROM nodes
+              |  UNION
+              |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e
+              |    ON e.a = reach.doc),
+              |comp AS (SELECT doc, min(r) AS cluster_id
+              |         FROM reach GROUP BY doc),
+              |sp AS (SELECT d.doc_id,
+              |    coalesce(c.cluster_id, d.doc_id) AS cluster,
+              |    CASE WHEN CAST(('0x' || substr(md5('split_' ||
+              |        coalesce(c.cluster_id, d.doc_id)), 1, 8)) AS BIGINT)
+              |        % 10 <= 7 THEN 'train'
+              |      WHEN CAST(('0x' || substr(md5('split_' ||
+              |        coalesce(c.cluster_id, d.doc_id)), 1, 8)) AS BIGINT)
+              |        % 10 = 8 THEN 'valid'
+              |      ELSE 'test' END AS split
+              |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+              |leaks AS (SELECT coalesce(CAST(sum(CASE WHEN a.split <> b.split
+              |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_leaks
+              |  FROM pairs p
+              |  JOIN sp a ON a.doc_id = p.doc_a
+              |  JOIN sp b ON b.doc_id = p.doc_b)
+              |SELECT split, count(*) AS n_docs,
+              |  count(DISTINCT cluster) AS n_clusters,
+              |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              |  (SELECT n_leaks FROM leaks) AS n_leaks
+              |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
   )
 }
