@@ -44,7 +44,7 @@ object Tables {
   def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
     // cached like table(): the file-count/size probe re-lists the input
     // per call otherwise, and its answer cannot change for a read-only dir
-    parCache.computeIfAbsent((spark, sfDir, name), { _ =>
+    perSession(parCache, spark).computeIfAbsent((sfDir, name), { _ =>
       val df = table(spark, sfDir, name)
       val width = spark.sparkContext.defaultParallelism
       val files = df.inputFiles
@@ -59,8 +59,21 @@ object Tables {
       }
     })
 
-  private val parCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // Both caches key their OUTER map weakly by session: logical plans may
+  // only outlive the session that built them via these maps, and a
+  // long-lived JVM that churns sessions (one per test suite / tenant)
+  // must not accumulate dead sessions' plans. Collections.synchronizedMap
+  // wraps computeIfAbsent in the map's lock, so the per-session inner
+  // map is created race-free; the inner map is a plain ConcurrentHashMap.
+  private type Inner = java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+  private def perSession(
+      outer: java.util.Map[SparkSession, Inner],
+      spark: SparkSession): Inner =
+    outer.computeIfAbsent(spark, _ => new Inner)
+
+  private val parCache: java.util.Map[SparkSession, Inner] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Inner]())
 
   // Constructing a parquet DataFrame costs ~100 ms (file listing + footer
   // schema read) — paid per table() call, i.e. hundreds of times per
@@ -70,11 +83,12 @@ object Tables {
   // timed queries is unaffected, and the testdata dirs are read-only so
   // the cached file listing cannot go stale. Keyed by session so tests
   // with their own sessions don't cross-wire.
-  private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val dfCache: java.util.Map[SparkSession, Inner] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Inner]())
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    dfCache.computeIfAbsent((spark, sfDir, name), { _ =>
+    perSession(dfCache, spark).computeIfAbsent((sfDir, name), { _ =>
       if (name == "events") {
         // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         // reader rejects. Read it as a long (nanos) and convert losslessly

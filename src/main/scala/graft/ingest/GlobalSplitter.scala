@@ -66,14 +66,25 @@ object GlobalSplitter {
     * followed by a blank line (first occurrence per name wins) and runs
     * until the next bare name line.
     */
-  def tableLineRdds(spark: SparkSession, path: String)
-      : Seq[(String, RDD[String])] = {
+  def tableLineRdds(spark: SparkSession, path: String): TableLines = {
     val (ranges, tagged) = taggedTableLines(spark, path)
-    ranges.map { case (_, _, name) =>
-      // narrow filter over the persisted tagged pass — no file re-read,
-      // no shuffle: zipWithIndex order is stable and filter preserves it
-      name -> tagged.filter(_._1 == name).map(_._3)
-    }
+    TableLines(
+      ranges.map { case (_, _, name) =>
+        // narrow filter over the persisted tagged pass — no file re-read,
+        // no shuffle: zipWithIndex order is stable and filter preserves it
+        name -> tagged.filter(_._1 == name).map(_._3)
+      },
+      tagged)
+  }
+
+  /** Per-table fragment RDDs plus the persisted tagged pass they derive
+    * from — the handle callers need to release the cached pass once
+    * done (returning only the derived RDDs would strand the persisted
+    * parent in the block manager with no way to unpersist it).
+    */
+  final case class TableLines(tables: Seq[(String, RDD[String])],
+                              source: RDD[(String, Long, String)]) {
+    def unpersist(): Unit = { source.unpersist(false); () }
   }
 
   /** The single tagged pass behind [[tableLineRdds]]: one row per content

@@ -53,14 +53,22 @@ object Listing {
     * encoded as `%25` (an existing valid escape passes through untouched),
     * and anything outside printable ASCII is UTF-8 percent-encoded.
     */
+  private val Ipv6Authority = "^[a-zA-Z][a-zA-Z0-9+.-]*://\\[[^\\]]*\\]".r
+
   private def escapeForUri(s: String): String = {
     def isHex(c: Char) = (c >= '0' && c <= '9') ||
       (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val out = new StringBuilder(s.length)
-    var i = 0
+    // brackets are legal ONLY in an IPv6 authority (`http://[::1]/x.zip`)
+    // — pass that prefix through verbatim, then escape bracket characters
+    // anywhere else (`data[2020].zip`), where URI.create would throw
+    var i = Ipv6Authority.findPrefixOf(s).map { p =>
+      out.append(p); p.length
+    }.getOrElse(0)
     while (i < s.length) {
       s.charAt(i) match {
-        case c @ (' ' | '<' | '>' | '"' | '{' | '}' | '|' | '\\' | '^' | '`') =>
+        case c @ (' ' | '<' | '>' | '"' | '{' | '}' | '|' | '\\' | '^' |
+                  '`' | '[' | ']') =>
           out.append(f"%%${c.toInt}%02X")
         case '%' if i + 2 >= s.length ||
             !isHex(s.charAt(i + 1)) || !isHex(s.charAt(i + 2)) =>

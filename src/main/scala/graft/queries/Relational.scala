@@ -1183,7 +1183,9 @@ object Relational {
     // user_id; lag frames are O(1) state per row at any scale.
     "q112_weighted_moving_avg" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts")
+        // event_id tie-break: same-ts events would otherwise order by
+        // shuffle arrival and desync the lags between engines and runs
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         def lg(n: Int) = coalesce(lag(col("value"), n).over(w), lit(0.0))
         table(s, dir, "events")
           .filter(col("user_id") < 100)
@@ -1200,7 +1202,7 @@ object Relational {
              |    COALESCE(lag(value, 2) OVER w, 0.0) AS l2,
              |    COALESCE(lag(value, 3) OVER w, 0.0) AS l3
              |  FROM events WHERE user_id < 100
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT user_id, event_id, round(value, 4) AS value,
              |  round((value * 8 + l1 * 4 + l2 * 2 + l3) / 15, 4) AS wma
              |FROM l ORDER BY user_id, event_id""".stripMargin)),
@@ -1611,7 +1613,7 @@ object Relational {
              |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
              |e AS (SELECT pa AS src, pb AS dst FROM pr
              |      UNION ALL SELECT pb, pa FROM pr),
-             |l0 AS (SELECT min(src) AS node FROM e),
+             |l0 AS (SELECT src AS node FROM e ORDER BY src LIMIT 1),
              |l1 AS (SELECT DISTINCT e.dst AS node FROM e
              |       JOIN l0 ON e.src = l0.node
              |       WHERE e.dst NOT IN (SELECT node FROM l0)),

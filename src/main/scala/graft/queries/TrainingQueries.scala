@@ -941,7 +941,7 @@ object TrainingQueries {
         val srcTot = bySrc.groupBy("source").agg(sum("c").as("n"))
         val corpus = bySrc.groupBy("w").agg(sum("c").as("cc"))
         val corpusTot = corpus.agg(sum("cc").as("nn"))
-        bySrc.join(srcTot, "source")
+        bySrc.join(broadcast(srcTot), "source")
           .join(broadcast(corpus), "w")
           .crossJoin(broadcast(corpusTot))
           .groupBy("source")

@@ -22,7 +22,12 @@ object ProbeOverhead {
       (1 to reps).foreach(_ => body)
       println(f"$name: ${(System.nanoTime() - t0) / 1e6 / reps}%.1f ms/op")
     }
+    // bypass Tables.dfCache — the probe exists to measure the raw
+    // construction cost the cache was added to avoid
     time("construct df (read.parquet)", 20) {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+    }
+    time("construct df (Tables.table, cached)", 20) {
       graft.Tables.table(spark, sfDir, "lineitem")
     }
     time("analyze+optimize only", 20) {
