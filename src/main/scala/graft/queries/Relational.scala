@@ -31,18 +31,18 @@ object Relational {
     * at 100 TB this is the standard pair-enumeration shape for
     * market-basket / co-occurrence work.
     */
-  private def coPairs(li: DataFrame): DataFrame =
+  private[graft] def coPairs(li: DataFrame): DataFrame =
     pairsFromSets(coSets(li))
 
   /** Per-order sorted distinct part sets — the single-shuffle base both
     * the pair enumeration and per-item order counts derive from.
     */
-  private def coSets(li: DataFrame): DataFrame =
+  private[graft] def coSets(li: DataFrame): DataFrame =
     li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")
       .agg(array_sort(collect_set(col("pk"))).as("pks"))
 
-  private def pairsFromSets(sets: DataFrame): DataFrame =
+  private[graft] def pairsFromSets(sets: DataFrame): DataFrame =
     sets.select(explode(expr(
         """flatten(transform(pks, (x, i) ->
           |  transform(slice(pks, i + 2, size(pks)),
