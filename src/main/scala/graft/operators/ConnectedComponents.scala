@@ -26,15 +26,45 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Edge-count bound below which the whole graph is labeled driver-side:
+    * one collect + union-find instead of diameter-many distributed rounds.
+    * Near-dup edge sets are verified-pair survivors — usually a tiny
+    * fraction of the corpus — so in practice most runs take this path;
+    * the distributed loop remains the path for genuinely large edge sets.
+    * The two implementations are proven equal by
+    * ConnectedComponentsPropertySpec (min-label == union-find).
+    */
+  val DriverEdgeLimit = 100000L
+
   /** @param pairs undirected edges, two numeric columns (one row per edge;
     *              either orientation)
     * @return (node, label) — `label` is the minimum node id reachable from
     *         `node`; isolated nodes (absent from `pairs`) are absent here
     */
   def minLabel(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    val longPairs = castLong(pairs)
+    // cheap job over the (typically Materialized) pairs; a bounded edge
+    // set never needs the iterative machinery. Both paths label over
+    // long ids so the output schema cannot depend on which path ran.
+    if (longPairs.limit((DriverEdgeLimit + 1).toInt).count() <= DriverEdgeLimit)
+      driverUnionFind(longPairs)
+    else minLabelDistributed(pairs, maxIters)
+  }
+
+  private def castLong(pairs: DataFrame): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
-    val edges = pairs.select(ca.as("a"), cb.as("b"))
-      .unionAll(pairs.select(cb.as("a"), ca.as("b")))
+    pairs.select(ca.cast("long").as("a"), cb.cast("long").as("b"))
+  }
+
+  /** The Pregel loop, dispatch-free — spec'd directly so the bounded-graph
+    * fast path cannot shadow it from the tests that prove loop ==
+    * union-find and the converge-or-raise contract.
+    */
+  private[graft] def minLabelDistributed(pairs: DataFrame,
+                                         maxIters: Int = 64): DataFrame = {
+    val longPairs = castLong(pairs)
+    val edges = longPairs
+      .unionAll(longPairs.select(col("b").as("a"), col("a").as("b")))
 
     // LAZY checkpoints: the per-round checksum is the action that
     // materializes the round's labels, so each round costs ONE Spark job
@@ -69,6 +99,32 @@ object ConnectedComponents {
         s"connected components did not converge within $maxIters rounds " +
           "(graph diameter exceeds the cap); raise maxIters")
     labels
+  }
+
+  /** Bounded-graph path: collect the edge list, label with an iterative
+    * union-find whose union rule (larger root points at smaller) makes
+    * every root the minimum id of its component — exactly the min-label
+    * fixpoint the distributed loop converges to.
+    */
+  private def driverUnionFind(longPairs: DataFrame): DataFrame = {
+    val spark = longPairs.sparkSession
+    import spark.implicits._
+    val edges = longPairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x // path compression, iteratively (deep chains, no stack)
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      .map(n => (n, find(n)))
+      .toDF("doc", "label")
   }
 
   private def checksum(labels: DataFrame): java.math.BigDecimal = {

@@ -40,7 +40,17 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
   }
 
   test("minLabel equals union-find on random graphs (self-loops included)") {
-    check("cc", Prop.forAll(Gen.nonEmptyListOf(genEdge)) { edges =>
+    // both implementations behind the dispatch: the distributed loop AND
+    // the public entry (which takes the bounded-graph union-find path for
+    // these sizes) must match the driver-side reference
+    check("cc-loop", Prop.forAll(Gen.nonEmptyListOf(genEdge)) { edges =>
+      import spark.implicits._
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = ConnectedComponents.minLabelDistributed(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    })
+    check("cc-fast", Prop.forAll(Gen.nonEmptyListOf(genEdge)) { edges =>
       import spark.implicits._
       val pairs = edges.toDF("doc_a", "doc_b")
       val got = ConnectedComponents.minLabel(pairs)

@@ -14,7 +14,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // 20-round cap that silently truncated
     val chain = (0 until 29).map(i => (i.toLong, i + 1L))
       .toDF("doc_a", "doc_b")
-    val labels = ConnectedComponents.minLabel(chain)
+    // target the LOOP explicitly: a 30-edge graph would otherwise take
+    // the bounded-graph union-find fast path and never exercise it
+    val labels = ConnectedComponents.minLabelDistributed(chain)
     assert(labels.count() === 30)
     assert(labels.select("label").distinct()
       .collect().map(_.getLong(0)).toSeq === Seq(0L))
@@ -35,7 +37,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = (0 until 29).map(i => (i.toLong, i + 1L))
       .toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException](
-      ConnectedComponents.minLabel(chain, maxIters = 5))
+      ConnectedComponents.minLabelDistributed(chain, maxIters = 5))
     assert(e.getMessage.contains("did not converge"))
   }
 }
