@@ -44,7 +44,7 @@ object Tables {
   def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
     // cached like table(): the file-count/size probe re-lists the input
     // per call otherwise, and its answer cannot change for a read-only dir
-    perSession(parCache, spark).computeIfAbsent((sfDir, name), { _ =>
+    cached(parCache, spark, (sfDir, name)) {
       val df = table(spark, sfDir, name)
       val width = spark.sparkContext.defaultParallelism
       val files = df.inputFiles
@@ -57,19 +57,35 @@ object Tables {
         }.sum
         if (bytes <= SmallInputBytes) df.repartition(width) else df
       }
-    })
+    }
 
-  // Both caches key their OUTER map weakly by session: logical plans may
-  // only outlive the session that built them via these maps, and a
-  // long-lived JVM that churns sessions (one per test suite / tenant)
-  // must not accumulate dead sessions' plans. Collections.synchronizedMap
-  // wraps computeIfAbsent in the map's lock, so the per-session inner
-  // map is created race-free; the inner map is a plain ConcurrentHashMap.
-  private type Inner = java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
-  private def perSession(
-      outer: java.util.Map[SparkSession, Inner],
-      spark: SparkSession): Inner =
-    outer.computeIfAbsent(spark, _ => new Inner)
+  // Cache lifetime: the outer map is weakly keyed by session AND the
+  // cached DataFrames are held through SoftReferences — a Dataset holds
+  // its SparkSession strongly, so a strong value would chain back to the
+  // weak key and (per WeakHashMap's own javadoc) pin the entry forever.
+  // Soft values break that chain: under memory pressure the JVM clears
+  // them, after which a dead session's key is collectable; a cleared
+  // entry in a LIVE session just rebuilds (~100 ms, the cost the cache
+  // amortizes). Collections.synchronizedMap wraps computeIfAbsent in the
+  // map's lock, so the per-session inner map is created race-free.
+  private type Inner = java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.lang.ref.SoftReference[DataFrame]]
+
+  private def cached(outer: java.util.Map[SparkSession, Inner],
+                     spark: SparkSession, key: (String, String))
+                    (build: => DataFrame): DataFrame = {
+    val inner = outer.computeIfAbsent(spark, _ => new Inner)
+    val ref = inner.get(key)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit
+    else {
+      // benign race: concurrent builders produce equivalent immutable
+      // plans; last write wins
+      val df = build
+      inner.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
+  }
 
   private val parCache: java.util.Map[SparkSession, Inner] =
     java.util.Collections.synchronizedMap(
@@ -88,7 +104,7 @@ object Tables {
       new java.util.WeakHashMap[SparkSession, Inner]())
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    perSession(dfCache, spark).computeIfAbsent((sfDir, name), { _ =>
+    cached(dfCache, spark, (sfDir, name)) {
       if (name == "events") {
         // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         // reader rejects. Read it as a long (nanos) and convert losslessly
@@ -101,5 +117,5 @@ object Tables {
       } else {
         spark.read.parquet(s"$sfDir/$name.parquet")
       }
-    })
+    }
 }

@@ -31,9 +31,12 @@ object QuantileSketch {
 
   private val Bins = 256
   private val Offset = 64
-  private def binOf(x: Double): Int =
-    math.min(Bins - 1,
-      math.max(0, math.floor(math.log(x) * 8).toInt + Offset))
+  private def binOf(x: Double): Int = {
+    // clamp in DOUBLE space: floor(log(+Inf)).toInt would wrap through
+    // Int.MaxValue + Offset and land Infinity in the BOTTOM bin
+    val b = math.floor(math.log(x) * 8) + Offset
+    if (b < 0) 0 else if (b >= Bins) Bins - 1 else b.toInt
+  }
 
   val aggregator: Aggregator[Double, Buf, Quantiles] =
     new Aggregator[Double, Buf, Quantiles] {

@@ -53,7 +53,11 @@ object Listing {
     * encoded as `%25` (an existing valid escape passes through untouched),
     * and anything outside printable ASCII is UTF-8 percent-encoded.
     */
-  private val Ipv6Authority = "^[a-zA-Z][a-zA-Z0-9+.-]*://\\[[^\\]]*\\]".r
+  // a STRICT IPv6 literal only (hex, colons, dots for v4-mapped tails) —
+  // a permissive [^]]* window would pass raw '%'/spaces/non-ASCII through
+  // unescaped, reintroducing the URI-throws failure this function prevents
+  private val Ipv6Authority =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://\\[[0-9a-fA-F:.]+\\]".r
 
   private def escapeForUri(s: String): String = {
     def isHex(c: Char) = (c >= '0' && c <= '9') ||
@@ -109,7 +113,9 @@ object Listing {
       // over the WHOLE href (a ?query-suffixed zip URL does not match)
       .filter(_.endsWith(".zip"))
       .distinct
-      .map(href => base.resolve(href))
+      // one unresolvable href (malformed beyond what escapeForUri covers)
+      // drops THAT link, never the whole listing
+      .flatMap(href => scala.util.Try(base.resolve(href)).toOption)
       .map { u =>
         if (u.getScheme == "https") u.toString
         else new URI("https", u.getAuthority, u.getPath, u.getQuery,

@@ -36,7 +36,7 @@ object ConnectedComponents {
     */
   val DriverEdgeLimit = 100000L
 
-  /** @param pairs undirected edges, two numeric columns (one row per edge;
+  /** @param pairs undirected edges, two integral id columns (one row per edge;
     *              either orientation)
     * @return (node, label) — `label` is the minimum node id reachable from
     *         `node`; isolated nodes (absent from `pairs`) are absent here
@@ -52,6 +52,15 @@ object ConnectedComponents {
   }
 
   private def castLong(pairs: DataFrame): DataFrame = {
+    // integral ids only: a silent cast("long") over double/decimal ids
+    // would TRUNCATE distinct nodes onto each other and fabricate merges
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    pairs.schema.fields.take(2).foreach { f =>
+      require(integral.contains(f.dataType),
+        s"node id column '${f.name}' must be integral, got ${f.dataType}")
+    }
     val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
     pairs.select(ca.cast("long").as("a"), cb.cast("long").as("b"))
   }
