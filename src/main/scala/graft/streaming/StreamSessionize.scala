@@ -277,6 +277,26 @@ object StreamSessionize {
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
   }
 
+  /** Windowed quantile estimates over the stream via the MERGEABLE
+    * [[graft.functions.QuantileSketch]] — the sketch's counting-vector
+    * state is exactly what a streaming aggregation needs: micro-batch
+    * partials merge by addition in the state store, so the converged
+    * per-window estimate is identical to the batch computation on the
+    * same data regardless of how the stream was micro-batched (the
+    * parity gate replays a multi-batch file source to prove it).
+    * `percentile_approx`'s order-sensitive buffer can promise no such
+    * thing.
+    */
+  def windowedQuantilesStream(events: DataFrame, width: String = "1 day",
+                              watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(graft.functions.QuantileSketch.sketch(col("value")).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"),
+        round(col("sk.p50"), 4).as("p50"), round(col("sk.p95"), 4).as("p95"))
+
   /** Versioned event for latest-per-key compaction (ts in micros). */
   final case class VersionedEvent(user_id: Long, event_id: Long, us: Long,
                                   event_type: String, value: Double)

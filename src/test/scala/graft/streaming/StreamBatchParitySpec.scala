@@ -245,6 +245,41 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay windowedQuantilesStream == batch sketch (mergeable state)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("wq_replay_").toString
+      val ckpt = Files.createTempDirectory("wq_ckpt_").toString
+      val ev = Tables.table(spark, sf, "events").select(col("ts"), col("value"))
+      ev.repartition(3).write.mode("overwrite").parquet(dir) // 3-file replay
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1) // sketch state must MERGE across batches
+        .parquet(dir)
+      val q = windowedQuantilesStream(stream)
+        .writeStream.format("memory").queryName("wq_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val streamed = spark.table("wq_replay").collect().map(key).toSet
+      // batch twin: identical sketch aggregation over the same fixture —
+      // equality holds BECAUSE the sketch is partition/batch-order
+      // independent (QuantileSketchSpec proves layout independence)
+      val batch = ev.groupBy(window(col("ts"), "1 day"))
+        .agg(graft.functions.QuantileSketch.sketch(col("value")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("window.start"), col("n"),
+          round(col("sk.p50"), 4), round(col("sk.p95"), 4))
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("file-replay latestStream == q128 batch latest-per-key compaction") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("latest_replay_").toString
