@@ -51,6 +51,24 @@ class FixedWidthSourceSpec extends AnyFunSuite {
       Set(None, Some("1234"), Some("5678"), Some("9")))
   }
 
+  test("slicing is by CHARACTER offsets, not bytes (multi-byte UTF-8)") {
+    val dir = Files.createTempDirectory("fw_utf8_")
+    // 'é' is 2 bytes in UTF-8, 'あ' is 3 — byte-offset slicing would
+    // shear both rows; the fixed-width contract counts characters
+    Files.write(dir.resolve("d.txt"),
+      "ééé  1234 north\nあaあ  5678 south\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val rows = spark.read.format("fixedwidth")
+      .option("names", "code,qty,region")
+      .option("widths", "5,5,5")
+      .load(dir.toString)
+      .orderBy("qty").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows === Array(
+      ("ééé", "1234", "north"),
+      ("あaあ", "5678", "south")))
+  }
+
   test("typed conversion composes downstream via FixedWidth.convert") {
     import graft.ingest.{FixedWidth, OracleType}
     val df = spark.read.format("fixedwidth")
