@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(RewriteAsofJoin)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
 
+    // free length-difference guard in front of thresholded levenshtein
+    // filters (the fuzzy-match prefilter, applied automatically)
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+
     // every native expression, so the pure-SQL surface (spark.sql /
     // QueryClient) can call the whole hash/vector family without any
     // Scala-side register() call
