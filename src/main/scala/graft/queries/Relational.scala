@@ -1324,8 +1324,10 @@ object Relational {
         // operator uses (partials are |V| longs regardless of |E|). This
         // holds to ~100M nodes; past that, switch the iteration to the
         // rank-join + dst-aggregation formulation (GraphX's Pregel plan).
+        // sort driver-side: the node table is dimension-sized, and a DF
+        // orderBy before collect would pay a range-partition exchange
         val nodeDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .orderBy("src").as[(Long, Long)].collect()
+          .as[(Long, Long)].collect().sortBy(_._1)
         val pks = nodeDeg.map(_._1)
         val degs = nodeDeg.map(_._2)
         val nV = pks.length
