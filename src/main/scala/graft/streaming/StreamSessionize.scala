@@ -290,6 +290,11 @@ object StreamSessionize {
   def windowedQuantilesStream(events: DataFrame, width: String = "1 day",
                               watermark: String = "1 hour"): DataFrame =
     events
+      // the sketch's log-bins ignore non-positive values (q129 pairs the
+      // same filter with it) — filtering FIRST keeps `n` consistent with
+      // the population the quantiles describe, and an all-non-positive
+      // window emits nothing instead of (n>0, NaN, NaN)
+      .filter(col("value") > 0)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width))
       .agg(graft.functions.QuantileSketch.sketch(col("value")).as("sk"),

@@ -269,7 +269,8 @@ class StreamBatchParitySpec extends AnyFunSuite {
       // batch twin: identical sketch aggregation over the same fixture —
       // equality holds BECAUSE the sketch is partition/batch-order
       // independent (QuantileSketchSpec proves layout independence)
-      val batch = ev.groupBy(window(col("ts"), "1 day"))
+      val batch = ev.filter(col("value") > 0)
+        .groupBy(window(col("ts"), "1 day"))
         .agg(graft.functions.QuantileSketch.sketch(col("value")).as("sk"),
           count(lit(1)).as("n"))
         .select(col("window.start"), col("n"),
