@@ -1801,5 +1801,67 @@ object Relational {
              |  round(-sum((nxy * 1.0 / n) * ln(nx * 1.0 / n)), 4) AS h_x,
              |  round(-sum((nxy * 1.0 / n) * ln(ny * 1.0 / n)), 4) AS h_y
              |FROM j JOIN mx USING (qb) JOIN my USING (db), tot""".stripMargin)),
+
+    // ---- Poisson bootstrap (distributed resampling) ------------------------
+    // Confidence intervals at corpus scale: classic bootstrap resampling
+    // needs n draws per replica from the WHOLE dataset — impossible to
+    // coordinate distributed — so the scalable form gives every row an
+    // independent Poisson(1) weight per replica (the "Poisson bootstrap",
+    // the resampling scheme large-scale pipelines actually run). Weights
+    // here are HASH-seeded (inverse Poisson CDF over an md5 uniform, like
+    // every sampler in this catalog), so all 20 replicas are rerun- and
+    // oracle-reproducible; each replica is one conditional aggregation —
+    // the whole bootstrap is a single linear pass with a 20-way explode,
+    // no shuffling of the data per replica. The CDF thresholds are
+    // decimal literals, which both engines parse to identical doubles;
+    // the replica means are ratios of exact integer sums. A CI is a
+    // percentile over this output's replica means.
+    "q146_poisson_bootstrap" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextOps.hash32
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .select(col("ok"), col("ln"), col("cents"),
+            explode(sequence(lit(0), lit(19))).as("b"))
+          .withColumn("u", (hash32(concat(lit("bs_"), col("b"), lit("_"),
+            col("ok"), lit("_"), col("ln"))) % 1000000 + 0.5) / 1000000.0)
+          .withColumn("w",
+            when(col("u") < 0.3678794411714423, 0L)
+              .when(col("u") < 0.7357588823428846, 1L)
+              .when(col("u") < 0.9196986029286058, 2L)
+              .when(col("u") < 0.9810118431238462, 3L)
+              .when(col("u") < 0.9963401531726563, 4L)
+              .otherwise(5L))
+          .groupBy("b")
+          .agg(sum("w").as("n_drawn"),
+               sum(col("w") * col("cents")).as("mass"))
+          .select(col("b"), col("n_drawn"),
+            round(col("mass") * 1.0 / col("n_drawn") / 100.0, 2)
+              .as("mean_price"))
+          .orderBy("b")
+      },
+      Some("""WITH x AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+             |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    b
+             |  FROM lineitem CROSS JOIN range(0, 20) t(b)),
+             |u AS (SELECT b, cents,
+             |    (CAST(('0x' || substr(md5('bs_' || b || '_' || ok || '_'
+             |      || ln), 1, 8)) AS BIGINT) % 1000000 + 0.5)
+             |      / 1000000.0 AS u
+             |  FROM x),
+             |w AS (SELECT b, cents,
+             |    CASE WHEN u < 0.3678794411714423 THEN 0
+             |         WHEN u < 0.7357588823428846 THEN 1
+             |         WHEN u < 0.9196986029286058 THEN 2
+             |         WHEN u < 0.9810118431238462 THEN 3
+             |         WHEN u < 0.9963401531726563 THEN 4
+             |         ELSE 5 END AS w
+             |  FROM u)
+             |SELECT CAST(b AS INT) AS b,
+             |  CAST(sum(w) AS BIGINT) AS n_drawn,
+             |  round(CAST(sum(w * cents) AS BIGINT) * 1.0
+             |    / CAST(sum(w) AS BIGINT) / 100.0, 2) AS mean_price
+             |FROM w GROUP BY b ORDER BY b""".stripMargin)),
   )
 }
