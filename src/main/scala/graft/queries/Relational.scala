@@ -1808,24 +1808,28 @@ object Relational {
     // coordinate distributed — so the scalable form gives every row an
     // independent Poisson(1) weight per replica (the "Poisson bootstrap",
     // the resampling scheme large-scale pipelines actually run). Weights
-    // here are HASH-seeded (inverse Poisson CDF over an md5 uniform, like
-    // every sampler in this catalog), so all 20 replicas are rerun- and
-    // oracle-reproducible; each replica is one conditional aggregation —
-    // the whole bootstrap is a single linear pass with a 20-way explode,
-    // no shuffling of the data per replica. The CDF thresholds are
-    // decimal literals, which both engines parse to identical doubles;
-    // the replica means are ratios of exact integer sums. A CI is a
-    // percentile over this output's replica means.
+    // are HASH-seeded (inverse Poisson CDF over md5-derived uniforms,
+    // like every sampler in this catalog), so all 8 replicas are rerun-
+    // and oracle-reproducible — and ONE md5 per row funds all of them:
+    // each replica reads its own 4-hex chunk of the digest (16-bit
+    // uniforms, ample for a 6-step CDF), so the whole bootstrap is a
+    // single linear pass whose per-row cost is one hash, not one per
+    // (row, replica). The CDF thresholds are decimal literals, which
+    // both engines parse to identical doubles; the replica means are
+    // ratios of exact integer sums. A CI is a percentile over this
+    // output's replica means.
     "q146_poisson_bootstrap" -> QueryDef(
       (s, dir) => {
-        import graft.functions.TextOps.hash32
         table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-            floor(col("l_extendedprice") * 100).cast("long").as("cents"))
-          .select(col("ok"), col("ln"), col("cents"),
-            explode(sequence(lit(0), lit(19))).as("b"))
-          .withColumn("u", (hash32(concat(lit("bs_"), col("b"), lit("_"),
-            col("ok"), lit("_"), col("ln"))) % 1000000 + 0.5) / 1000000.0)
+          .select(floor(col("l_extendedprice") * 100).cast("long")
+              .as("cents"),
+            md5(concat(lit("bs_"), col("l_orderkey"), lit("_"),
+              col("l_linenumber"))).as("h"))
+          .select(col("cents"), col("h"),
+            explode(sequence(lit(0), lit(7))).as("b"))
+          .withColumn("u",
+            (conv(substring(col("h"), col("b") * 4 + 1, lit(4)), 16, 10)
+              .cast("long") + 0.5) / 65536.0)
           .withColumn("w",
             when(col("u") < 0.3678794411714423, 0L)
               .when(col("u") < 0.7357588823428846, 1L)
@@ -1841,15 +1845,14 @@ object Relational {
               .as("mean_price"))
           .orderBy("b")
       },
-      Some("""WITH x AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+      Some("""WITH r AS (SELECT
              |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
-             |    b
-             |  FROM lineitem CROSS JOIN range(0, 20) t(b)),
-             |u AS (SELECT b, cents,
-             |    (CAST(('0x' || substr(md5('bs_' || b || '_' || ok || '_'
-             |      || ln), 1, 8)) AS BIGINT) % 1000000 + 0.5)
-             |      / 1000000.0 AS u
-             |  FROM x),
+             |    md5('bs_' || l_orderkey || '_' || l_linenumber) AS h
+             |  FROM lineitem),
+             |x AS (SELECT cents, b,
+             |    (CAST(('0x' || substr(h, CAST(b * 4 + 1 AS INT), 4))
+             |       AS BIGINT) + 0.5) / 65536.0 AS u
+             |  FROM r CROSS JOIN range(0, 8) t(b)),
              |w AS (SELECT b, cents,
              |    CASE WHEN u < 0.3678794411714423 THEN 0
              |         WHEN u < 0.7357588823428846 THEN 1
@@ -1857,7 +1860,7 @@ object Relational {
              |         WHEN u < 0.9810118431238462 THEN 3
              |         WHEN u < 0.9963401531726563 THEN 4
              |         ELSE 5 END AS w
-             |  FROM u)
+             |  FROM x)
              |SELECT CAST(b AS INT) AS b,
              |  CAST(sum(w) AS BIGINT) AS n_drawn,
              |  round(CAST(sum(w * cents) AS BIGINT) * 1.0
