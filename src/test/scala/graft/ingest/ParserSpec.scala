@@ -101,6 +101,24 @@ class GlobalSplitterSpec extends AnyFunSuite {
       java.nio.file.Files.delete(f)
     }
   }
+
+  test("tableLineRdds exposes the persisted pass and can release it") {
+    val spark = graft.TestSpark.spark
+    val f = java.nio.file.Files.createTempFile("global_unp_", ".txt")
+    java.nio.file.Files.write(f, Fixtures.globalLions.getBytes("ISO-8859-1"))
+    val handle = GlobalSplitter.tableLineRdds(spark, f.toString)
+    assert(handle.tables.map(_._1).toSet === Set("GS_DISTRICT", "GS_OFFENSE"))
+    // consuming a derived RDD materializes the persisted tagged pass
+    assert(handle.tables.head._2.count() > 0)
+    assert(handle.source.getStorageLevel.useMemory ||
+      handle.source.getStorageLevel.useDisk)
+    handle.unpersist()
+    // the block-manager copy is released — the leak the handle exists
+    // to make releasable
+    assert(handle.source.getStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    java.nio.file.Files.delete(f)
+  }
 }
 
 class LookupParserSpec extends AnyFunSuite {
@@ -187,6 +205,23 @@ class ListingSpec extends AnyFunSuite {
     assert(urls.contains("https://doj.example.gov/caf%C3%A9.zip"))
     assert(urls.contains("https://doj.example.gov/emoji%F0%9F%98%80.zip"))
     assert(urls.contains("https://doj.example.gov/pre%2Fencoded.zip"))
+  }
+
+  test("escapes path brackets, keeps IPv6 authorities, drops only bad hrefs") {
+    val html =
+      """<html><body>
+        |<a href="data[2020].zip">brackets in a filename</a>
+        |<a href="http://[::1]/v6.zip">IPv6 literal authority</a>
+        |<a href="good.zip">fine</a>
+        |</body></html>""".stripMargin
+    val urls = Listing.zipUrls(html, "https://doj.example.gov/")
+    // bracket filename resolves percent-encoded instead of throwing
+    assert(urls.contains("https://doj.example.gov/data%5B2020%5D.zip"),
+      urls.toString)
+    // a real IPv6 authority passes through verbatim (brackets are legal
+    // there), scheme forced to https like every other URL
+    assert(urls.contains("https://[::1]/v6.zip"), urls.toString)
+    assert(urls.exists(_.endsWith("/good.zip")))
   }
 
   test("pipelined loadAll overlaps fetches but keeps deterministic order") {
