@@ -1341,5 +1341,40 @@ object TrainingQueries {
              |    AS BIGINT)) AS BIGINT) AS cents_winsorized
              |FROM events JOIN b USING (event_type)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- rolling 7-day active users ---------------------------------------
+    // The WAU curve: distinct users active in the 7 days ending on each
+    // day. A RANGE-frame count-distinct window doesn't exist in either
+    // engine, so the scalable formulation CONTRIBUTES each (user, day)
+    // to the 7 report days it supports — a bounded 7-way explode of the
+    // deduplicated user-day table, then an exact distinct count per
+    // report day. Fan-out is a constant 7x on data already collapsed to
+    // user-days; days outside the observed range are trimmed so both
+    // engines report the same spine.
+    "q147_rolling_active_users" -> QueryDef(
+      (s, dir) => {
+        val ud = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val bounds = ud.agg(min("d").as("lo"), max("d").as("hi"))
+        ud.select(col("user_id"),
+            explode(sequence(col("d"), date_add(col("d"), 6),
+              expr("interval 1 day"))).as("report_d"))
+          .crossJoin(broadcast(bounds))
+          .filter(col("report_d") <= col("hi"))
+          .groupBy("report_d")
+          .agg(countDistinct("user_id").as("wau"))
+          .orderBy("report_d")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             |            FROM events),
+             |b AS (SELECT max(d) AS hi FROM ud),
+             |x AS (SELECT user_id,
+             |        CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+             |          INTERVAL 1 DAY)) AS DATE) AS report_d
+             |      FROM ud)
+             |SELECT report_d, count(DISTINCT user_id) AS wau
+             |FROM x, b WHERE report_d <= b.hi
+             |GROUP BY report_d ORDER BY report_d""".stripMargin)),
   )
 }
