@@ -1343,5 +1343,48 @@ object TextQueries {
               |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
               |  (SELECT n_leaks FROM leaks) AS n_leaks
               |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- Zipf slope of the token distribution -----------------------------
+    // Corpus-health fingerprint: natural text follows a power law
+    // (log-frequency ≈ slope · log-rank + c with slope near -1);
+    // template-generated or heavily-duplicated corpora bend away from
+    // it. One count aggregation, a global top-100 rank (dimension-sized
+    // by construction), then ordinary-least-squares on the log-log
+    // points — the regression runs on 100 rows with the slope formula
+    // written in the identical association order in both engines.
+    "q148_zipf_slope" -> QueryDef(
+      (s, dir) => {
+        val pts = tableParallel(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(desc("c"), col("w"))))
+          .filter(col("rnk") <= 100)
+          .select(log(col("rnk").cast("double")).as("x"),
+            log(col("c").cast("double")).as("y"))
+        pts.agg(count(lit(1)).as("n_terms"),
+            ((avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+              (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))
+              .as("m"),
+            avg(col("x")).as("mx"), avg(col("y")).as("my"))
+          .select(col("n_terms"), round(col("m"), 4).as("zipf_slope"),
+            round(col("my") - col("m") * col("mx"), 4).as("intercept"))
+      },
+      Some("""WITH cnt AS (SELECT w, count(*) AS c FROM (
+             |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+             |      '\s+')) AS w FROM documents) GROUP BY w),
+             |pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+             |          ln(CAST(c AS DOUBLE)) AS y
+             |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w)
+             |          AS rnk FROM cnt)
+             |  WHERE rnk <= 100),
+             |f AS (SELECT count(*) AS n_terms,
+             |    (avg(x * y) - avg(x) * avg(y)) /
+             |      (avg(x * x) - avg(x) * avg(x)) AS m,
+             |    avg(x) AS mx, avg(y) AS my
+             |  FROM pts)
+             |SELECT n_terms, round(m, 4) AS zipf_slope,
+             |  round(my - m * mx, 4) AS intercept
+             |FROM f""".stripMargin)),
   )
 }
