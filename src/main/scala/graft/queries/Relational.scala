@@ -1866,5 +1866,80 @@ object Relational {
              |  round(CAST(sum(w * cents) AS BIGINT) * 1.0
              |    / CAST(sum(w) AS BIGINT) / 100.0, 2) AS mean_price
              |FROM w GROUP BY b ORDER BY b""".stripMargin)),
+
+    // ---- Gini coefficient (spend concentration) ---------------------------
+    // Inequality of customer spend — the Lorenz-curve summary, computed
+    // from the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    // ascending-ranked totals. Everything before the final division is
+    // EXACT integer arithmetic (cents totals, a global rank with an
+    // id tie-break, i·xᵢ sums), so the only doubles are two exact
+    // integers dividing once — per-source output stays dimension-sized.
+    "q149_gini_spend" -> QueryDef(
+      (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        val w = Window.orderBy("cents", "o_custkey")
+        spend.withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n_customers"),
+               sum(col("i") * col("cents")).as("ranked_mass"),
+               sum("cents").as("total_cents"))
+          .select(col("n_customers"),
+            round(lit(2.0) * col("ranked_mass") /
+              (col("n_customers") * col("total_cents")) -
+              (col("n_customers") + 1.0) / col("n_customers"), 4)
+              .as("gini"))
+      },
+      Some("""WITH s AS (SELECT o_custkey,
+             |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents, CAST(row_number() OVER (
+             |    ORDER BY cents, o_custkey) AS BIGINT) AS i FROM s)
+             |SELECT count(*) AS n_customers,
+             |  round(2.0 * CAST(sum(i * cents) AS BIGINT) /
+             |    (count(*) * CAST(sum(cents) AS BIGINT)) -
+             |    (count(*) + 1.0) / count(*), 4) AS gini
+             |FROM r""".stripMargin)),
+
+    // ---- Herfindahl index (market concentration) --------------------------
+    // Concentration of order volume per market segment: HHI = Σ shareᵢ²
+    // over each segment's customers. Shares divide exact integer cents
+    // once; the squared-share sum runs over dimension-sized per-customer
+    // rows within each segment, rounded before comparison.
+    "q150_hhi_concentration" -> QueryDef(
+      (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        val totals = spend.groupBy("c_mktsegment")
+          .agg(sum("cents").as("seg_cents"),
+               count(lit(1)).as("n_customers"))
+        spend.join(broadcast(totals), "c_mktsegment")
+          .groupBy("c_mktsegment")
+          .agg(max("n_customers").as("n_customers"),
+               round(sum((col("cents") * 1.0 / col("seg_cents")) *
+                 (col("cents") * 1.0 / col("seg_cents"))), 6).as("hhi"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH s AS (SELECT c_mktsegment, o_custkey,
+             |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |t AS (SELECT c_mktsegment,
+             |    CAST(sum(cents) AS BIGINT) AS seg_cents,
+             |    count(*) AS n_customers
+             |  FROM s GROUP BY 1)
+             |SELECT c_mktsegment, max(n_customers) AS n_customers,
+             |  round(sum((cents * 1.0 / seg_cents) *
+             |    (cents * 1.0 / seg_cents)), 6) AS hhi
+             |FROM s JOIN t USING (c_mktsegment)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
   )
 }
