@@ -1376,5 +1376,43 @@ object TrainingQueries {
              |SELECT report_d, count(DISTINCT user_id) AS wau
              |FROM x, b WHERE report_d <= b.hi
              |GROUP BY report_d ORDER BY report_d""".stripMargin)),
+
+    // ---- time-to-convert distribution -------------------------------------
+    // How long from first exposure to first purchase? One conditional
+    // min-aggregation per user (first view, first purchase, both in
+    // exact micros), then the latency distribution over users who
+    // converted AFTER exposure. The gaps are exact integers; only the
+    // final percentile interpolation is double, rounded on both sides.
+    "q151_time_to_convert" -> QueryDef(
+      (s, dir) => {
+        val firsts = table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "view",
+              unix_micros(col("ts")))).as("first_view_us"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("first_purchase_us"))
+        firsts
+          .filter(col("first_view_us").isNotNull &&
+            col("first_purchase_us") >= col("first_view_us"))
+          .withColumn("gap_s",
+            (col("first_purchase_us") - col("first_view_us")) / 1000000L)
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(gap_s, 0.5)"), 2).as("median_gap_s"),
+            round(expr("percentile(gap_s, 0.9)"), 2).as("p90_gap_s"),
+            round(avg("gap_s"), 2).as("mean_gap_s"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view'
+             |      THEN epoch_us(ts) END) AS v,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN epoch_us(ts) END) AS p
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT (p - v) / 1000000 AS gap_s FROM f
+             |      WHERE v IS NOT NULL AND p >= v)
+             |SELECT count(*) AS n_converted,
+             |  round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s,
+             |  round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
+             |  round(avg(gap_s), 2) AS mean_gap_s
+             |FROM g""".stripMargin)),
   )
 }
