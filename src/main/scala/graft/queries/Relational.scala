@@ -1941,5 +1941,52 @@ object Relational {
              |    (cents * 1.0 / seg_cents)), 6) AS hhi
              |FROM s JOIN t USING (c_mktsegment)
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- cohort LTV curve -------------------------------------------------
+    // Cumulative value per acquisition cohort: users cohorted by first
+    // event week (q114's cohorting), per-cell purchase cents, then the
+    // RUNNING total along each cohort's week offsets — the
+    // lifetime-value curve growth teams read. Cents are exact integers
+    // end to end (the cumulative window sums longs), offsets are
+    // integer week diffs; one shuffle for the cohort join, one for the
+    // cells, a dimension-sized window for the running sum.
+    "q152_cohort_ltv" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"),
+            when(col("event_type") === "purchase",
+              floor(col("value") * 100).cast("long")).otherwise(0L)
+              .as("cents"))
+        val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val cells = ev.join(first, "user_id")
+          .groupBy(col("cohort_wk"),
+            expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)")
+              .as("week_offset"))
+          .agg(sum("cents").as("cents"))
+        val w = Window.partitionBy("cohort_wk").orderBy("week_offset")
+        cells.withColumn("cum_cents", sum("cents").over(w))
+          .select(col("cohort_wk"), col("week_offset"), col("cents"),
+            col("cum_cents"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+             |    CASE WHEN event_type = 'purchase'
+             |      THEN CAST(floor(value * 100) AS BIGINT)
+             |      ELSE 0 END AS cents
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort_wk
+             |      FROM ev GROUP BY 1),
+             |cells AS (SELECT cohort_wk,
+             |    CAST(datediff('day', cohort_wk, wk) // 7 AS BIGINT)
+             |      AS week_offset,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM ev JOIN f USING (user_id)
+             |  GROUP BY 1, 2)
+             |SELECT cohort_wk, week_offset, cents,
+             |  CAST(sum(cents) OVER (PARTITION BY cohort_wk
+             |    ORDER BY week_offset) AS BIGINT) AS cum_cents
+             |FROM cells ORDER BY cohort_wk, week_offset""".stripMargin)),
   )
 }
