@@ -1386,5 +1386,52 @@ object TextQueries {
              |SELECT n_terms, round(m, 4) AS zipf_slope,
              |  round(my - m * mx, 4) AS intercept
              |FROM f""".stripMargin)),
+
+    // ---- readability scoring (Automated Readability Index) ----------------
+    // The grade-level proxy quality filters threshold on: ARI =
+    // 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, from exact
+    // integer counts (letters = non-space chars, words = tokens,
+    // sentences = terminator runs, floored at 1). Pure map-side
+    // per-document math; the per-source aggregate averages the DOUBLE
+    // scores of exact-integer ratios, rounded on both sides.
+    "q153_readability_ari" -> QueryDef(
+      (s, dir) => {
+        val d = tableParallel(s, dir, "documents")
+          .select(col("source"),
+            length(regexp_replace(col("text"), "\\s", "")).cast("long")
+              .as("chars"),
+            size(tokens(col("text"))).cast("long").as("words"),
+            greatest(lit(1L),
+              size(expr("filter(split(text, '[.!?]+'), s -> trim(s) != '')"))
+                .cast("long")).as("sentences"))
+          .withColumn("ari",
+            lit(4.71) * (col("chars") * 1.0 / col("words")) +
+              lit(0.5) * (col("words") * 1.0 / col("sentences")) -
+              lit(21.43))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("chars").as("total_chars"),
+               sum("sentences").as("total_sentences"),
+               round(avg("ari"), 3).as("avg_ari"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CAST(length(regexp_replace(text, '\s', '', 'g'))
+             |      AS BIGINT) AS chars,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+             |      AS BIGINT) AS words,
+             |    greatest(1, CAST(len(list_filter(
+             |      regexp_split_to_array(text, '[.!?]+'),
+             |      s -> trim(s) <> '')) AS BIGINT)) AS sentences
+             |  FROM documents),
+             |a AS (SELECT source, chars, words, sentences,
+             |    4.71 * (chars * 1.0 / words) +
+             |      0.5 * (words * 1.0 / sentences) - 21.43 AS ari
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(sentences) AS BIGINT) AS total_sentences,
+             |  round(avg(ari), 3) AS avg_ari
+             |FROM a GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
