@@ -1414,5 +1414,48 @@ object TrainingQueries {
              |  round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
              |  round(avg(gap_s), 2) AS mean_gap_s
              |FROM g""".stripMargin)),
+
+    // ---- error-rate control chart (p-chart) -------------------------------
+    // Statistical process control over the event stream: daily error
+    // proportion against 3-sigma limits from the pooled rate —
+    // p̄ ± 3·sqrt(p̄(1−p̄)/nᵢ) — flagging out-of-control days. Counts are
+    // exact integers; the pooled rate is one division broadcast back;
+    // limits and the flag compare doubles computed from identical
+    // operands in identical association order on both engines.
+    "q154_error_pchart" -> QueryDef(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("event_type") === "error", 1L).otherwise(0L))
+                 .as("errs"))
+        val pooled = daily.agg(
+          (sum("errs") * 1.0 / sum("n")).as("pbar"))
+        daily.crossJoin(broadcast(pooled))
+          .withColumn("sigma",
+            sqrt(col("pbar") * (lit(1.0) - col("pbar")) / col("n")))
+          .withColumn("p", col("errs") * 1.0 / col("n"))
+          .select(col("d"), col("n"), col("errs"),
+            round(col("p"), 4).as("p"),
+            round(col("pbar") + lit(3.0) * col("sigma"), 4).as("ucl"),
+            (col("p") > col("pbar") + lit(3.0) * col("sigma") ||
+              col("p") < col("pbar") - lit(3.0) * col("sigma"))
+              .as("out_of_control"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+             |    count(*) AS n,
+             |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS errs
+             |  FROM events GROUP BY 1),
+             |pooled AS (SELECT CAST(sum(errs) AS BIGINT) * 1.0 /
+             |    CAST(sum(n) AS BIGINT) AS pbar FROM daily)
+             |SELECT d, n, errs,
+             |  round(errs * 1.0 / n, 4) AS p,
+             |  round(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n), 4) AS ucl,
+             |  (errs * 1.0 / n > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n)
+             |   OR errs * 1.0 / n < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n))
+             |    AS out_of_control
+             |FROM daily, pooled ORDER BY d""".stripMargin)),
   )
 }
