@@ -1457,5 +1457,57 @@ object TrainingQueries {
              |   OR errs * 1.0 / n < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n))
              |    AS out_of_control
              |FROM daily, pooled ORDER BY d""".stripMargin)),
+
+    // ---- token-budget allocation (largest-remainder method) ---------------
+    // Mixing-plan arithmetic: split a 100k-token training budget across
+    // sources proportionally to their token mass, with the
+    // largest-remainder method so the allocations are INTEGERS that sum
+    // exactly to the budget (naive rounding over- or under-shoots).
+    // Everything is exact integer math — floor quotas, modular
+    // remainders, a remainder rank with a source tie-break, +1 to the
+    // top `leftover` ranks — so the plan is reproducible and the oracle
+    // hash-checks every allocation.
+    "q155_token_budget_allocation" -> QueryDef(
+      (s, dir) => {
+        val budget = 100000L
+        val src = tableParallel(s, dir, "documents")
+          .select(col("source"), size(tokens(col("text"))).cast("long")
+            .as("toks"))
+          .groupBy("source").agg(sum("toks").as("toks"))
+        val tot = src.agg(sum("toks").as("total"),
+          count(lit(1)).as("n_sources"))
+        val quotas = src.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($budget * toks) DIV total"))
+          .withColumn("rem", expr(s"($budget * toks) % total"))
+        val w = Window.orderBy(desc("rem"), col("source"))
+        quotas
+          .withColumn("leftover",
+            lit(budget) - sum("base").over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("source"), col("toks"),
+            (col("base") + when(col("rnk") <= col("leftover"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH src AS (SELECT source, CAST(sum(len(
+             |    regexp_split_to_array(lower(trim(text)), '\s+')))
+             |    AS BIGINT) AS toks
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM src),
+             |q AS (SELECT source, toks,
+             |    (100000 * toks) // total AS base,
+             |    (100000 * toks) % total AS rem
+             |  FROM src, t),
+             |r AS (SELECT *,
+             |    CAST(row_number() OVER (ORDER BY rem DESC, source)
+             |      AS BIGINT) AS rnk,
+             |    100000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+             |  FROM q)
+             |SELECT source, toks,
+             |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc
+             |FROM r ORDER BY source""".stripMargin)),
   )
 }
