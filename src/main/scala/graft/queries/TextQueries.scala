@@ -1433,5 +1433,49 @@ object TextQueries {
              |  CAST(sum(sentences) AS BIGINT) AS total_sentences,
              |  round(avg(ari), 3) AS avg_ari
              |FROM a GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- cross-source boilerplate detection --------------------------------
+    // Which 8-token spans recur across MANY sources? That's boilerplate
+    // (headers, footers, licenses) — q121 finds spans duplicated across
+    // documents; this asks the cross-SOURCE question that drives
+    // boilerplate strip lists. Same scalable shape: positional span
+    // fingerprints map-side, one groupBy on the span hash counting
+    // distinct sources and occurrences; top-20 by source spread with
+    // hash tie-break.
+    "q156_boilerplate_spans" -> QueryDef(
+      (s, dir) => {
+        tableParallel(s, dir, "documents")
+          .select(col("source"), tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("source"), col("ws"),
+            explode(sequence(lit(0L), (size(col("ws")) - 8).cast("long")))
+              .as("pos"))
+          .select(col("source"),
+            hash32(concat_ws(" ",
+              slice(col("ws"), (col("pos") + 1).cast("int"), lit(8))))
+              .as("fp"))
+          .groupBy("fp")
+          .agg(countDistinct("source").as("n_sources"),
+               count(lit(1)).as("n_occurrences"))
+          .filter(col("n_sources") >= 3)
+          .orderBy(desc("n_sources"), desc("n_occurrences"), col("fp"))
+          .limit(20)
+      },
+      Some(s"""WITH w AS (SELECT source, $duckToks AS ws FROM documents
+              |          WHERE len($duckToks) >= 8),
+              |x AS (SELECT source, ws,
+              |        unnest(range(0, len(ws) - 7)) AS pos FROM w),
+              |sp AS (SELECT source,
+              |         CAST(('0x' || substr(md5(array_to_string(
+              |           list_slice(ws, pos + 1, pos + 8), ' ')), 1, 8))
+              |           AS BIGINT) AS fp
+              |       FROM x),
+              |agg AS (SELECT fp, count(DISTINCT source) AS n_sources,
+              |          count(*) AS n_occurrences
+              |        FROM sp GROUP BY fp)
+              |SELECT fp, n_sources, n_occurrences
+              |FROM agg WHERE n_sources >= 3
+              |ORDER BY n_sources DESC, n_occurrences DESC, fp
+              |LIMIT 20""".stripMargin)),
   )
 }
