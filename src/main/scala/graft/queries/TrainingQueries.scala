@@ -1509,5 +1509,47 @@ object TrainingQueries {
              |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
              |    AS BIGINT) AS alloc
              |FROM r ORDER BY source""".stripMargin)),
+
+    // ---- sample-representativeness audit (chi-square) ---------------------
+    // Did the hash-seeded sample distort the source mix? Pearson's
+    // chi-square between the sampled and full source distributions:
+    // expected counts scale the full mix to the sample size, the
+    // statistic sums (obs−exp)²/exp per source. The sample decision is
+    // the q57-style md5 keep rule (reproducible), counts are exact
+    // integers, and the statistic's doubles derive from identical
+    // integer operands in identical order — one conditional aggregation
+    // pass, dimension-sized everything after it.
+    "q157_sample_chisq_audit" -> QueryDef(
+      (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .withColumn("kept",
+            hash32(concat(lit("s157_"), col("doc_id"))) % 100 < 30)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_full"),
+               sum(when(col("kept"), 1L).otherwise(0L)).as("n_samp"))
+        val tot = counts.agg(sum("n_full").as("tot_full"),
+          sum("n_samp").as("tot_samp"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("exp",
+            col("n_full") * 1.0 * col("tot_samp") / col("tot_full"))
+          .agg(count(lit(1)).as("n_sources"),
+               max("tot_samp").as("n_sampled"),
+               round(sum((col("n_samp") - col("exp")) *
+                 (col("n_samp") - col("exp")) / col("exp")), 4)
+                 .as("chi_square"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_full,
+             |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5('s157_' ||
+             |      doc_id), 1, 8)) AS BIGINT) % 100 < 30
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_samp
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_full) AS BIGINT) AS tot_full,
+             |        CAST(sum(n_samp) AS BIGINT) AS tot_samp FROM c)
+             |SELECT count(*) AS n_sources,
+             |  max(tot_samp) AS n_sampled,
+             |  round(sum((n_samp - n_full * 1.0 * tot_samp / tot_full) *
+             |    (n_samp - n_full * 1.0 * tot_samp / tot_full) /
+             |    (n_full * 1.0 * tot_samp / tot_full)), 4) AS chi_square
+             |FROM c, t""".stripMargin)),
   )
 }
