@@ -53,11 +53,12 @@ object Listing {
     * encoded as `%25` (an existing valid escape passes through untouched),
     * and anything outside printable ASCII is UTF-8 percent-encoded.
     */
-  // a STRICT IPv6 literal only (hex, colons, dots for v4-mapped tails) —
-  // a permissive [^]]* window would pass raw '%'/spaces/non-ASCII through
+  // a STRICT IPv6 literal only (hex, colons, dots for v4-mapped tails,
+  // plus an RFC 6874 percent-ENCODED zone ID: `[fe80::1%25eth0]`) — a
+  // permissive [^]]* window would pass raw '%'/spaces/non-ASCII through
   // unescaped, reintroducing the URI-throws failure this function prevents
   private val Ipv6Authority =
-    "^[a-zA-Z][a-zA-Z0-9+.-]*://\\[[0-9a-fA-F:.]+\\]".r
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://\\[[0-9a-fA-F:.]+(?:%25[0-9a-zA-Z._~-]+)?\\]".r
 
   private def escapeForUri(s: String): String = {
     def isHex(c: Char) = (c >= '0' && c <= '9') ||

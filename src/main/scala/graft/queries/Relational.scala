@@ -1514,7 +1514,7 @@ object Relational {
     // ---- deterministic mergeable quantile sketch --------------------------
     // Approximate grouped quantiles from a REPRODUCIBLE sketch: the
     // custom typed Aggregator [[graft.functions.QuantileSketch]] counts
-    // values into fixed log-spaced bins (state = one Long[128] vector),
+    // values into fixed log-spaced bins (state = one Long[256] vector),
     // so partial aggregation is exact, merges commute, and the estimate
     // is identical on any partition layout — which is exactly what
     // percentile_approx's order-sensitive GK buffer can't promise, and

@@ -39,7 +39,8 @@ class FixedWidthSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fixedwidth"
 
   private def schemaFor(options: CaseInsensitiveStringMap): StructType = {
-    val names = options.get("names").split(",").map(_.trim)
+    val names = FixedWidthSource.namesOf(options)
+    FixedWidthSource.widthsOf(options, names) // fail early on bad widths
     StructType(names.map(n => StructField(n, StringType, nullable = true)))
   }
 
@@ -50,6 +51,46 @@ class FixedWidthSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new FixedWidthTable(schema,
       new CaseInsensitiveStringMap(properties))
+}
+
+object FixedWidthSource {
+  /** Default charset: the fixed-width contract is latin-1 (reference
+    * normal_table.py opens members with TextIOWrapper(encoding='iso-8859-1'));
+    * UTF-8 would decode bytes >= 0x80 to U+FFFD and corrupt field contents. */
+  val DefaultEncoding = "ISO-8859-1"
+
+  private[sources] def namesOf(options: CaseInsensitiveStringMap): Array[String] = {
+    val raw = options.get("names")
+    require(raw != null && raw.trim.nonEmpty,
+      "fixedwidth: required option 'names' is missing (comma-separated column names)")
+    raw.split(",").map(_.trim)
+  }
+
+  private[sources] def widthsOf(options: CaseInsensitiveStringMap,
+                                names: Array[String]): Array[Int] = {
+    val raw = options.get("widths")
+    require(raw != null && raw.trim.nonEmpty,
+      "fixedwidth: required option 'widths' is missing (comma-separated field widths)")
+    val widths =
+      try raw.split(",").map(_.trim.toInt)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"fixedwidth: option 'widths' must be comma-separated integers, got '$raw'")
+      }
+    require(widths.length == names.length,
+      s"fixedwidth: 'names' has ${names.length} entries but 'widths' has " +
+        s"${widths.length}; the two lists must be the same length")
+    require(widths.forall(_ > 0),
+      s"fixedwidth: all widths must be positive, got ${widths.mkString(",")}")
+    widths
+  }
+
+  private[sources] def charsetOf(options: CaseInsensitiveStringMap): String = {
+    val enc = Option(options.get("encoding")).getOrElse(DefaultEncoding)
+    require(java.nio.charset.Charset.isSupported(enc),
+      s"fixedwidth: unsupported encoding '$enc'")
+    enc
+  }
 }
 
 final class FixedWidthTable(tableSchema: StructType,
@@ -74,18 +115,20 @@ final class FixedWidthScanBuilder(fullSchema: StructType,
       fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = {
-    val widths = options.get("widths").split(",").map(_.trim.toInt)
     val names = fullSchema.fieldNames
+    val widths = FixedWidthSource.widthsOf(options, names)
     val starts = widths.scanLeft(0)(_ + _)
     val fields = names.indices.map(i => (names(i), starts(i), widths(i)))
     val keep = fields.filter { case (n, _, _) => required.fieldNames.contains(n) }
-    new FixedWidthScan(required, options.get("path"), keep)
+    new FixedWidthScan(required, options.get("path"), keep,
+      FixedWidthSource.charsetOf(options))
   }
 }
 
 /** (name, charStart, charLen) for each REQUIRED column only. */
 final class FixedWidthScan(requiredSchema: StructType, path: String,
-                           fields: Seq[(String, Int, Int)])
+                           fields: Seq[(String, Int, Int)],
+                           encoding: String)
     extends Scan with Batch {
   // the SESSION's Hadoop configuration, not `new Configuration()`: the
   // user's fs settings (credentials, fs.defaultFS, custom schemes set via
@@ -111,13 +154,14 @@ final class FixedWidthScan(requiredSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedWidthReaderFactory(fields.toArray, serConf)
+    new FixedWidthReaderFactory(fields.toArray, serConf, encoding)
 }
 
 final case class FixedWidthPartition(file: String) extends InputPartition
 
 final class FixedWidthReaderFactory(fields: Array[(String, Int, Int)],
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    encoding: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[FixedWidthPartition].file
@@ -125,7 +169,7 @@ final class FixedWidthReaderFactory(fields: Array[(String, Int, Int)],
       private val path = new Path(file)
       private val in = path.getFileSystem(serConf.value).open(path)
       private val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        new java.io.InputStreamReader(in, java.nio.charset.Charset.forName(encoding)))
       private var line: String = _
 
       override def next(): Boolean = {

@@ -224,6 +224,15 @@ class ListingSpec extends AnyFunSuite {
     assert(urls.exists(_.endsWith("/good.zip")))
   }
 
+  test("IPv6 zone-ID authority (RFC 6874 %25) passes through unescaped") {
+    val html =
+      """<a href="http://[fe80::1%25eth0]/link.zip">link-local + zone</a>"""
+    val urls = Listing.zipUrls(html, "https://doj.example.gov/")
+    // the encoded zone-ID's brackets and %25 must survive verbatim —
+    // escaping the brackets would corrupt the authority
+    assert(urls.contains("https://[fe80::1%25eth0]/link.zip"), urls.toString)
+  }
+
   test("pipelined loadAll overlaps fetches but keeps deterministic order") {
     import java.nio.file.Files
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -61,12 +61,50 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     val rows = spark.read.format("fixedwidth")
       .option("names", "code,qty,region")
       .option("widths", "5,5,5")
+      .option("encoding", "UTF-8")
       .load(dir.toString)
       .orderBy("qty").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows === Array(
       ("ééé", "1234", "north"),
       ("あaあ", "5678", "south")))
+  }
+
+  test("default encoding is ISO-8859-1, matching the ingest contract") {
+    val dir = Files.createTempDirectory("fw_latin1_")
+    // latin-1 bytes >= 0x80 ('é' = 0xE9, 'ñ' = 0xF1) are NOT valid UTF-8
+    // — a UTF-8 default would decode them to U+FFFD and corrupt the field
+    Files.write(dir.resolve("d.txt"),
+      "café 1234 peña \n".getBytes(StandardCharsets.ISO_8859_1))
+    val rows = spark.read.format("fixedwidth")
+      .option("names", "code,qty,region")
+      .option("widths", "5,5,5")
+      .load(dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows === Array(("café", "1234", "peña")))
+  }
+
+  test("missing or mismatched names/widths fail with descriptive errors") {
+    val dir = writeFixture()
+    val noNames = intercept[IllegalArgumentException] {
+      spark.read.format("fixedwidth").option("widths", "5,5,5").load(dir)
+    }
+    assert(noNames.getMessage.contains("names"))
+    val noWidths = intercept[IllegalArgumentException] {
+      spark.read.format("fixedwidth")
+        .option("names", "code,qty,region").load(dir)
+    }
+    assert(noWidths.getMessage.contains("widths"))
+    val mismatch = intercept[IllegalArgumentException] {
+      spark.read.format("fixedwidth")
+        .option("names", "code,qty,region").option("widths", "5,5").load(dir)
+    }
+    assert(mismatch.getMessage.contains("same length"))
+    val nonInt = intercept[IllegalArgumentException] {
+      spark.read.format("fixedwidth")
+        .option("names", "a,b").option("widths", "5,x").load(dir)
+    }
+    assert(nonInt.getMessage.contains("integers"))
   }
 
   test("typed conversion composes downstream via FixedWidth.convert") {
