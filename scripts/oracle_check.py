@@ -23,6 +23,16 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+# Minimum-row floor: a green compare on two EMPTY relations proves only
+# 0 == 0 (the q100 lesson — its regex matched nothing in the synthetic
+# corpus, so the extract/cast/agg path was never exercised on data).
+# Any query whose oracle returns zero rows fails unless explicitly
+# whitelisted here with a reason.
+ZERO_ROW_OK = {
+    # name: reason — add an entry ONLY for a query whose empty result is
+    # itself the asserted behavior, never for convenience.
+}
+
 def norm_cell(v):
     if isinstance(v, float):
         return v
@@ -61,6 +71,12 @@ for name, sql in sorted(oracle.items()):
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: row count spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+            continue
+        if len(drows) == 0 and name not in ZERO_ROW_OK:
+            print(f"FAIL {name} [vacuous]: oracle returns 0 rows — the "
+                  f"compare proves nothing; re-target the query at data "
+                  f"that exists or whitelist it in ZERO_ROW_OK with a reason")
             n_fail += 1
             continue
         exact = all(all(eq(a, b) for a, b in zip(r1, r2))

@@ -765,33 +765,37 @@ object TextQueries {
 
     // ---- regex field extraction -------------------------------------------
     // Structured-field scraping from free text: every ≥2-digit number in
-    // each document via regexp_extract_all — the narrow codegen'd
-    // projection a log/scrape pipeline runs before typed analysis.
-    // Integer counts and sums keep the oracle hash-exact.
+    // each event's raw props blob via regexp_extract_all — the narrow
+    // codegen'd projection a log/scrape pipeline runs before typed
+    // analysis. Targets events.props (the one free-text column in the
+    // corpus that CONTAINS digits — the synthetic documents.text is
+    // lowercase words only, so extracting there compared empty relations
+    // and proved nothing). Integer counts and sums keep the oracle
+    // hash-exact.
     "q100_regex_extract" -> QueryDef(
       (s, dir) =>
-        tableParallel(s, dir, "documents")
-          .select(col("source"),
-            regexp_extract_all(col("text"), lit("\\d{2,}"), lit(0))
+        table(s, dir, "events")
+          .select(col("event_type"),
+            regexp_extract_all(col("props"), lit("\\d{2,}"), lit(0))
               .as("nums"))
-          .select(col("source"), explode(col("nums")).as("num"))
-          .select(col("source"), col("num").cast("long").as("n"))
-          .groupBy("source")
+          .select(col("event_type"), explode(col("nums")).as("num"))
+          .select(col("event_type"), col("num").cast("long").as("n"))
+          .groupBy("event_type")
           .agg(count(lit(1)).as("n_matches"),
                countDistinct("n").as("n_distinct"),
                sum("n").as("num_sum"),
                max("n").as("num_max"))
-          .orderBy("source"),
-      Some("""SELECT source, count(*) AS n_matches,
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_matches,
              |  count(DISTINCT n) AS n_distinct,
              |  CAST(sum(n) AS BIGINT) AS num_sum,
              |  CAST(max(n) AS BIGINT) AS num_max
              |FROM (
-             |  SELECT source,
-             |    CAST(unnest(regexp_extract_all(text, '\\d{2,}')) AS BIGINT)
+             |  SELECT event_type,
+             |    CAST(unnest(regexp_extract_all(props, '\d{2,}')) AS BIGINT)
              |      AS n
-             |  FROM documents)
-             |GROUP BY source ORDER BY source""".stripMargin)),
+             |  FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- vocabulary build + token-id encoding -----------------------------
     // The tokenizer-training primitive: rank the corpus's top-V tokens by
