@@ -8,21 +8,28 @@ import org.apache.spark.storage.StorageLevel
   * that turns verified near-dup pairs into dedup groups (transitive chains
   * A~B, B~C must dedup as one cluster).
   *
-  * Min-label propagation, the Pregel pattern: every node repeatedly takes
-  * the minimum label among itself and its neighbors until a fixpoint. Each
-  * round is one equi-join + one aggregation, local-checkpointed (serialized)
-  * so the loop's lineage stays flat and the per-round state — one (node,
-  * label) row per node — stays compact. Labels only ever decrease, so an
-  * unchanged label sum proves an unchanged labeling — PROVIDED the sum
-  * cannot wrap: it is taken as DECIMAL(38,0), which 64-bit labels over any
-  * realistic node count cannot overflow (BIGINT sums in non-ANSI mode wrap
-  * silently and would void the witness).
+  * Three implementations, one contract ((node, min-reachable-id) for every
+  * node in the edge list), proven equal by
+  * ConnectedComponentsPropertySpec:
   *
-  * Rounds needed = graph diameter (label information travels one hop per
-  * round). Near-dup graphs are overwhelmingly tiny dense clusters
-  * (diameter ≤ a few), but a pathological chain must FAIL LOUDLY, not
-  * return a silently-unconverged labeling — hence the cap raises
-  * IllegalStateException instead of truncating.
+  *   - '''driver union-find''' for bounded edge sets (≤ [[DriverEdgeLimit]]):
+  *     one collect, no iteration — the common near-dup case, where verified
+  *     pairs are a tiny fraction of the corpus;
+  *   - '''large-star/small-star contraction''' ([[starContraction]]) — the
+  *     distributed default. Each round halves component height by pointing
+  *     nodes at their neighborhood minimum, so rounds grow with
+  *     '''O(log n)''', independent of graph diameter (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond", SoCC'14). A 100 TB
+  *     crawl with one pathological boilerplate chain converges in ~30
+  *     rounds where min-label propagation would need rounds = chain length;
+  *   - '''min-label propagation''' ([[minLabelDistributed]]) — the Pregel
+  *     pattern kept as an independently-derived witness for the property
+  *     spec; rounds = graph diameter, so it is no longer on the dispatch
+  *     path.
+  *
+  * All iterative paths local-checkpoint per round (flat lineage, compact
+  * state) and FAIL LOUDLY past their round cap instead of returning a
+  * silently-unconverged labeling.
   */
 object ConnectedComponents {
 
@@ -48,7 +55,7 @@ object ConnectedComponents {
     // long ids so the output schema cannot depend on which path ran.
     if (longPairs.limit((DriverEdgeLimit + 1).toInt).count() <= DriverEdgeLimit)
       driverUnionFind(longPairs)
-    else minLabelDistributed(pairs, maxIters)
+    else starContraction(pairs, maxIters)
   }
 
   private def castLong(pairs: DataFrame): DataFrame = {
@@ -63,6 +70,106 @@ object ConnectedComponents {
     }
     val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
     pairs.select(ca.cast("long").as("a"), cb.cast("long").as("b"))
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * SoCC'14) — the O(log n)-round distributed path.
+    *
+    * State is a canonical parent-edge set `(hi, lo)` with `hi > lo`,
+    * distinct, self-loops dropped. Each round:
+    *
+    *   - '''large-star''': every node u points each STRICTLY LARGER
+    *     neighbor v at m(u) = min(Γ(u) ∪ {u}). One symmetrize + groupBy +
+    *     join. Output stays canonical (m(u) ≤ u < v).
+    *   - '''small-star''': every node u points each smaller-or-equal
+    *     neighbor AND ITSELF at the minimum of its smaller neighborhood.
+    *     The canonical orientation IS the larger→smaller adjacency, so no
+    *     second symmetrize: groupBy(hi) + join.
+    *
+    * Both operations preserve connectivity (each output edge connects two
+    * nodes of the same component; each old edge's endpoints stay linked
+    * through m), and the only fixpoints of the composition are disjoint
+    * stars rooted at component minima — which is exactly the (node, label)
+    * answer. Rounds needed shrink with component HEIGHT, not diameter:
+    * a k-chain collapses in O(log k) rounds where min-label needs k.
+    *
+    * Convergence witness: an unchanged (count, Σhi, Σlo, Σxxhash64) edge
+    * fingerprint — decimal sums so nothing wraps — confirmed by an EXACT
+    * set compare (`exceptAll` both ways reduces to one direction because
+    * counts already match and both sides are distinct). The fingerprint
+    * alone would leave a (vanishing) collision chance; the exact compare
+    * runs only on the round the fingerprint stabilizes, so its cost is one
+    * extra join per RUN, not per round.
+    *
+    * Per-round shuffle shape at 100 TB: two groupBys + two equi-joins over
+    * the shrinking edge set — the same shape as one min-label round, but
+    * ~log n rounds total instead of diameter.
+    */
+  private[graft] def starContraction(pairs: DataFrame,
+                                     maxIters: Int = 32): DataFrame = {
+    val longPairs = castLong(pairs)
+    // node universe: self-loop-only and isolated-in-contraction nodes must
+    // still be labeled (with themselves) in the output
+    val nodes = longPairs
+      .select(col("a").as("node"))
+      .unionAll(longPairs.select(col("b").as("node")))
+      .distinct()
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+
+    var edges = longPairs.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+              least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+
+    def fingerprint(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)),
+            sum(col("hi").cast("decimal(38,0)")),
+            sum(col("lo").cast("decimal(38,0)")),
+            sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")))
+        .head().toSeq
+
+    var prevFp = fingerprint(edges)
+    var converged = prevFp.head == 0L // empty edge set: already stars
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prev = edges
+      // -- large-star ------------------------------------------------------
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u")) // larger neighbors only
+        .select(col("v").as("hi"), col("m").as("lo")) // m ≤ u < v: canonical
+        .distinct()
+      // -- small-star ------------------------------------------------------
+      // canonical (hi, lo) is already the larger→smaller adjacency
+      val ssMin = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(ssMin, "hi")
+        .select(col("lo").as("node"), col("m"))
+        .filter(col("node") =!= col("m")) // the minimum doesn't point at itself
+        .unionAll(ssMin.select(col("hi").as("node"), col("m")))
+        .select(col("node").as("hi"), col("m").as("lo")) // m ≤ every lo: canonical
+        .distinct()
+      edges = ss.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+      val fp = fingerprint(edges)
+      converged = fp == prevFp &&
+        (fp.head == 0L ||
+          prev.exceptAll(edges).limit(1).count() == 0L) // exact confirm
+      prevFp = fp
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $maxIters rounds — " +
+          "O(log n) bound exceeded, which indicates a bug or adversarial " +
+          "input; raise maxIters")
+    // converged edge set is disjoint stars (hi = member, lo = component
+    // min); nodes absent from it are their own component
+    nodes.join(edges, nodes("node") === edges("hi"), "left")
+      .select(col("node").as("doc"),
+              coalesce(col("lo"), col("node")).as("label"))
   }
 
   /** The Pregel loop, dispatch-free — spec'd directly so the bounded-graph

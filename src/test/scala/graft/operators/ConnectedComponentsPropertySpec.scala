@@ -57,5 +57,40 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(edges)
     })
+    // three-way equality: the O(log n) star-contraction path must agree
+    // with both independently-derived witnesses on the same random graphs
+    check("cc-star", Prop.forAll(Gen.nonEmptyListOf(genEdge)) { edges =>
+      import spark.implicits._
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = ConnectedComponents.starContraction(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    })
+  }
+
+  test("star contraction labels a long chain min-label's round cap rejects") {
+    import spark.implicits._
+    // a 300-edge path: diameter 300, so min-label propagation needs 300
+    // rounds (here capped at 8 → must THROW, never silently truncate)
+    // while star contraction collapses it in O(log 300) ≈ 9 rounds
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val pairs = chain.toDF("doc_a", "doc_b")
+
+    intercept[IllegalStateException] {
+      ConnectedComponents.minLabelDistributed(pairs, maxIters = 8)
+    }
+
+    val got = ConnectedComponents.starContraction(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(chain))
+    assert(got.values.toSet == Set(0L)) // one component, labeled by its min
+  }
+
+  test("star contraction handles empty and self-loop-only edge sets") {
+    import spark.implicits._
+    val selfOnly = Seq((7L, 7L), (3L, 3L)).toDF("doc_a", "doc_b")
+    val got = ConnectedComponents.starContraction(selfOnly)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 3L -> 3L))
   }
 }
