@@ -1312,46 +1312,15 @@ object Relational {
     // symmetrized edges mean no dangling-mass term.
     "q115_pagerank_cooccur" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
         val pr = coPairs(table(s, dir, "lineitem")).distinct()
-        val edges = graft.operators.Materialize(
-          pr.select(col("pa").as("src"), col("pb").as("dst"))
-            .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst"))))
-        // Node state (rank, degree) is dimension-sized — parts, not line
-        // items — so it lives in dense driver-side arrays and each power
-        // iteration is ONE shuffle-free treeAggregate over the
-        // distributed edge list, the same state/data split the k-means
-        // operator uses (partials are |V| longs regardless of |E|). This
-        // holds to ~100M nodes; past that, switch the iteration to the
-        // rank-join + dst-aggregation formulation (GraphX's Pregel plan).
-        // sort driver-side: the node table is dimension-sized, and a DF
-        // orderBy before collect would pay a range-partition exchange
-        val nodeDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .as[(Long, Long)].collect().sortBy(_._1)
-        val pks = nodeDeg.map(_._1)
-        val degs = nodeDeg.map(_._2)
-        val nV = pks.length
-        val bcPk = s.sparkContext.broadcast(pks)
-        val eRdd = edges.as[(Long, Long)].rdd
-          .map { case (src, dst) =>
-            (java.util.Arrays.binarySearch(bcPk.value, src),
-              java.util.Arrays.binarySearch(bcPk.value, dst))
-          }
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        var r = Array.fill(nV)(1000000L)
-        for (_ <- 1 to 3) {
-          val bcR = s.sparkContext.broadcast(r)
-          val bcDeg = s.sparkContext.broadcast(degs)
-          val sums = eRdd.treeAggregate(new Array[Long](nV))(
-            { case (acc, (si, di)) =>
-              acc(di) += bcR.value(si) / bcDeg.value(si); acc },
-            { (a, b) =>
-              var i = 0; while (i < nV) { a(i) += b(i); i += 1 }; a })
-          r = sums.map(c => 150000L + (850000L * c) / 1000000L)
-          bcR.destroy(); bcDeg.destroy()
-        }
-        eRdd.unpersist(false)
-        pks.indices.map(i => (pks(i), r(i))).toDF("pk", "rank_scaled")
+        val edges = pr.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
+        // PageRank.rankScaled dispatches on node count: dense driver
+        // arrays + shuffle-free treeAggregate up to ~100M nodes, the
+        // rank-join + dst-aggregation formulation (distributed rank
+        // state) above — both paths exact integer math, equality-spec'd
+        // in PageRankSpec.
+        graft.operators.PageRank.rankScaled(edges, iters = 3)
           .orderBy(desc("rank_scaled"), asc("pk")).limit(20)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
