@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1789,28 +1789,37 @@ object Relational {
     // output's replica means.
     "q146_poisson_bootstrap" -> QueryDef(
       (s, dir) => {
+        // all 8 replicas in ONE projection + ONE aggregation: replica b's
+        // weight is a conditional expression over its own 4-hex chunk of
+        // the digest, summed map-side into 16 partials — no row
+        // inflation. The earlier explode(sequence(0,7)) formulation was
+        // linear too, but fed the shuffle 8× the fact table for no
+        // reason; here shuffle input is 16 longs per partition, and the
+        // 8-row output shape is recovered by exploding the SINGLE
+        // aggregate row.
+        def w(b: Int): Column = {
+          val u = (conv(substring(col("h"), b * 4 + 1, 4), 16, 10)
+            .cast("long") + 0.5) / 65536.0
+          when(u < 0.3678794411714423, 0L)
+            .when(u < 0.7357588823428846, 1L)
+            .when(u < 0.9196986029286058, 2L)
+            .when(u < 0.9810118431238462, 3L)
+            .when(u < 0.9963401531726563, 4L)
+            .otherwise(5L)
+        }
+        val aggs = (0 until 8).flatMap(b => Seq(
+          sum(w(b)).as(s"n$b"), sum(w(b) * col("cents")).as(s"m$b")))
         table(s, dir, "lineitem")
           .select(floor(col("l_extendedprice") * 100).cast("long")
               .as("cents"),
             md5(concat(lit("bs_"), col("l_orderkey"), lit("_"),
               col("l_linenumber"))).as("h"))
-          .select(col("cents"), col("h"),
-            explode(sequence(lit(0), lit(7))).as("b"))
-          .withColumn("u",
-            (conv(substring(col("h"), col("b") * 4 + 1, lit(4)), 16, 10)
-              .cast("long") + 0.5) / 65536.0)
-          .withColumn("w",
-            when(col("u") < 0.3678794411714423, 0L)
-              .when(col("u") < 0.7357588823428846, 1L)
-              .when(col("u") < 0.9196986029286058, 2L)
-              .when(col("u") < 0.9810118431238462, 3L)
-              .when(col("u") < 0.9963401531726563, 4L)
-              .otherwise(5L))
-          .groupBy("b")
-          .agg(sum("w").as("n_drawn"),
-               sum(col("w") * col("cents")).as("mass"))
-          .select(col("b"), col("n_drawn"),
-            round(col("mass") * 1.0 / col("n_drawn") / 100.0, 2)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array((0 until 8).map(b => struct(
+            lit(b).as("b"), col(s"n$b").as("n_drawn"),
+            col(s"m$b").as("mass"))): _*)).as("r"))
+          .select(col("r.b"), col("r.n_drawn"),
+            round(col("r.mass") * 1.0 / col("r.n_drawn") / 100.0, 2)
               .as("mean_price"))
           .orderBy("b")
       },
