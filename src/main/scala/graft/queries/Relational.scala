@@ -1527,53 +1527,18 @@ object Relational {
 
     // ---- BFS levels (bounded multi-hop traversal) -------------------------
     // Three-hop breadth-first expansion from the smallest node of the
-    // bounded co-occurrence graph (q124's subgraph), with the q115
-    // state/data split: the edge list stays DISTRIBUTED (one groupBy
-    // shuffle builds it), while the frontier/visited sets — bounded to
-    // < 800 nodes by the subgraph cap — live in driver-side bitsets
-    // broadcast into ONE shuffle-free treeAggregate per hop (partials are
-    // |V| booleans regardless of |E|). A join-per-superstep formulation
-    // pays ~6 exchanges of near-empty data per hop in fixed overhead;
-    // this shape is how Pregel engines actually iterate. The oracle
-    // unrolls the three supersteps as CTEs.
+    // bounded co-occurrence graph (q124's subgraph) through the dual-path
+    // Bfs operator: the edge list stays DISTRIBUTED (one groupBy shuffle
+    // builds it), while frontier/visited state dispatches on node count —
+    // driver bitsets + one shuffle-free treeAggregate per hop below the
+    // gate (this subgraph), a distributed frontier/visited join loop
+    // above it — both proven equal by BfsSpec, so the query's safety no
+    // longer depends on the l_partkey < 800 subgraph cap by construction.
+    // The oracle unrolls the three supersteps as CTEs.
     "q132_bfs_levels" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
         val li = table(s, dir, "lineitem").filter(col("l_partkey") < 800)
-        val eRdd = coPairs(li).distinct().as[(Long, Long)].rdd
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        val nodes = eRdd.flatMap(e => Seq(e._1, e._2)).distinct().collect()
-          .sorted
-        val idx = nodes.zipWithIndex.toMap
-        val bcIdx = s.sparkContext.broadcast(idx)
-        val level = Array.fill(nodes.length)(-1)
-        // nodes is sorted, so index 0 is the min-id seed; an edgeless
-        // subgraph yields an empty result (matching the oracle), not an
-        // out-of-bounds write
-        if (nodes.nonEmpty) level(0) = 0
-        for (hop <- 1 to 3) {
-          val bcLevel = s.sparkContext.broadcast(level)
-          // a pair (a, b) reaches b when a is on the current frontier (and
-          // vice versa — the graph is undirected); treeAggregate ORs the
-          // per-partition reach masks
-          val reached = eRdd.treeAggregate(new Array[Boolean](nodes.length))(
-            { case (acc, (a, b)) =>
-              val (ia, ib) = (bcIdx.value(a), bcIdx.value(b))
-              if (bcLevel.value(ia) == hop - 1) acc(ib) = true
-              if (bcLevel.value(ib) == hop - 1) acc(ia) = true
-              acc },
-            { (x, y) =>
-              var i = 0
-              while (i < x.length) { x(i) = x(i) || y(i); i += 1 }; x })
-          reached.indices.foreach { i =>
-            if (reached(i) && level(i) < 0) level(i) = hop
-          }
-          bcLevel.destroy()
-        }
-        eRdd.unpersist(false)
-        nodes.indices.collect { case i if level(i) >= 0 =>
-          (level(i), nodes(i))
-        }.toSeq.toDF("level", "node")
+        graft.operators.Bfs.levels(coPairs(li).distinct(), hops = 3)
           .groupBy("level")
           .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_id_sum"))
           .orderBy("level")
