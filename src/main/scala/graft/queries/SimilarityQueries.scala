@@ -523,6 +523,123 @@ object SimilarityQueries {
              |  round(sum(hit) * 1.0 / count(*), 4) AS recall
              |FROM j""".stripMargin)),
 
+    // ---- ANN index quality: IVF recall@k vs exact ground truth ------------
+    // q64's gate for the OTHER approximate path: on the same bounded
+    // validation slice, exact cosine top-10 per query (ground truth)
+    // versus the IVF pipeline's top-10 (q46's assign/probe/re-rank
+    // structure, nlist = slice/50, nprobe = 3), per-query recall@10. The
+    // slice keeps the quadratic ground truth constant-size at any corpus
+    // scale, and both pipelines are deterministic, so nlist/nprobe
+    // quality is MEASURED under the exact-hash oracle instead of
+    // asserted. IvfRecallSpec additionally pins an aggregate floor so a
+    // centroid-scheme regression fails CI, not just the hash.
+    "q158_ivf_recall" -> QueryDef(
+      (s, dir) => {
+        val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", norm(s)(col("v")))
+        val q = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+                  col("nrm").as("qn")))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(desc("sim"), asc("vec_id"))
+        val exact = e.join(q, col("vec_id") =!= col("query_id"))
+          .withColumn("sim",
+            dot(s)(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+        val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        def l2(a: String, b: String) =
+          dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
+            dot(s)(col(b), col(b))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(asc("d2"), asc("cid"))
+        val assign = e.join(cent)
+          .withColumn("d2", l2("v", "cv"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(asc("d2"), asc("cid"))
+        val probe = q.join(cent)
+          .withColumn("d2", l2("qv", "cv"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 3)
+          .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+        val ivf = broadcast(probe).join(assign, "cid")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("sim",
+            dot(s)(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+        exact
+          .join(ivf.withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |          FROM embeddings WHERE vec_id < 300),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+             |      FROM e),
+             |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+             |      FROM n WHERE vec_id < 5),
+             |exact AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, c.vec_id AS neighbor_id,
+             |      CAST(row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_dot_product(q.qv, c.v) / (q.qn * c.nrm)
+             |          DESC, c.vec_id) AS INT) AS rnk
+             |    FROM q JOIN n c ON c.vec_id <> q.query_id)
+             |  WHERE rnk <= 10),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+             |         WHERE vec_id % 50 = 0),
+             |assign AS (
+             |  SELECT vec_id, v, nrm, cid FROM (
+             |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
+             |      CAST(row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |        list_dot_product(n.v, n.v)
+             |          - 2.0 * list_dot_product(n.v, cent.cv)
+             |          + list_dot_product(cent.cv, cent.cv), cent.cid)
+             |        AS INT) AS rn
+             |    FROM n CROSS JOIN cent) WHERE rn = 1),
+             |probe AS (
+             |  SELECT query_id, qv, qn, cid FROM (
+             |    SELECT q.query_id, q.qv, q.qn, cent.cid,
+             |      CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+             |        list_dot_product(q.qv, q.qv)
+             |          - 2.0 * list_dot_product(q.qv, cent.cv)
+             |          + list_dot_product(cent.cv, cent.cv), cent.cid)
+             |        AS INT) AS rn
+             |    FROM q CROSS JOIN cent) WHERE rn <= 3),
+             |ivf AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT p.query_id, a.vec_id AS neighbor_id,
+             |      CAST(row_number() OVER (PARTITION BY p.query_id
+             |        ORDER BY list_dot_product(p.qv, a.v) / (p.qn * a.nrm)
+             |          DESC, a.vec_id) AS INT) AS rnk
+             |    FROM probe p JOIN assign a ON a.cid = p.cid
+             |    WHERE a.vec_id <> p.query_id)
+             |  WHERE rnk <= 10)
+             |SELECT x.query_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_hit,
+             |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             |    END) * 1.0 / count(*), 4) AS recall
+             |FROM exact x LEFT JOIN ivf i
+             |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+             |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)),
+
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
       (s, dir) => {
