@@ -120,6 +120,40 @@ object Bench {
     def fmt(d: Double): String = f"$d%.4f"
     val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+
+    // Per-query regression tripwire: ambient spread on identical plans is
+    // ±10% (PERF.md), so a >1.5x per-query slowdown versus the last CLEAN
+    // run is a real plan regression — and must fail the bench even when
+    // hidden inside a faster total. The baseline is this bench's own
+    // per-query-minima map from the previous clean run (the driver's
+    // BENCH_r*.json artifacts truncate the query map, so they cannot be
+    // diffed); it is rewritten only on a clean pass, so a regressing run
+    // never becomes its own excuse. Queries under 0.3 s are skipped —
+    // there, fixed overhead dominates and 1.5x is noise, not plan shape.
+    // baseline is per-SF: minima at sf0.01 must never be the yardstick
+    // for an sf0.1 run (everything would read as a regression)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      s"bench_baseline_${new java.io.File(sfDir).getName}.json")
+    val priorTimes: Map[String, Double] = {
+      val f = new java.io.File(baselinePath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressions = best.collect {
+      case (name, now) if now >= 0 &&
+          priorTimes.get(name).exists(p => p >= 0.3 && now > 1.5 * p) =>
+        (name, priorTimes(name), now)
+    }
+    regressions.foreach { case (name, p, now) =>
+      System.err.println(
+        f"[bench] REGRESSION $name: $p%.2f s -> $now%.2f s (${now / p}%.2fx)")
+    }
     val fams = families.map { case (fam, qn) =>
       "\"" + fam + "\":" + fmt(qn.map(bestMap).filter(_ >= 0).sum)
     }.mkString("{", ",", "}")
@@ -131,9 +165,18 @@ object Bench {
     val minTotal = if (stableIdx.isEmpty) -1.0 else runs.map(p => stableIdx.map(p).sum).min
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partials = partial.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regs = regressions.map { case (name, p, now) =>
+      s"""{"query":"$name","prior":${fmt(p)},"now":${fmt(now)}}"""
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs,"partial_failures":$partials}""")
+      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs,"partial_failures":$partials,"regressions":$regs}""")
+    val clean = failed.isEmpty && partial.isEmpty && regressions.isEmpty
+    if (clean) {
+      // next round diffs against THIS run's minima
+      java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
+        qs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
-    if (failed.nonEmpty || partial.nonEmpty) sys.exit(1)
+    if (!clean) sys.exit(1)
   }
 }

@@ -48,17 +48,27 @@ object PageRank {
   def rankScaled(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col(edges.columns(0)).cast("long").as("src"),
                          col(edges.columns(1)).cast("long").as("dst"))
-    val nNodes = e.select("src").distinct()
+    // materialize BEFORE the dispatch count: the edge list is typically an
+    // expensive derivation (distinct co-occurrence pairs), and both the
+    // gate's node count and the chosen path consume it — an uncached gate
+    // count would recompute the derivation end-to-end just to dispatch
+    val cached = Materialize(e)
+    val nNodes = cached.select("src").distinct()
       .limit((DriverNodeLimit + 1).min(Int.MaxValue.toLong).toInt).count()
-    if (nNodes <= DriverNodeLimit) driverState(e, iters)
-    else rankJoin(e, iters)
+    val out =
+      if (nNodes <= DriverNodeLimit) driverState(cached, iters)
+      else rankJoin(cached, iters)
+    // both paths end in state independent of the input cache (driver
+    // arrays / eager checkpoints), so the edge cache can go now
+    cached.unpersist(false)
+    out
   }
 
   /** Dense driver arrays + shuffle-free treeAggregate per iteration. */
   private[graft] def driverState(edges: DataFrame, iters: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val cached = Materialize(edges)
+    val cached = Materialize(edges) // no-op if the caller already persisted
     // sort driver-side: the node table is dimension-sized, and a DF
     // orderBy before collect would pay a range-partition exchange
     val nodeDeg = cached.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -1772,13 +1772,19 @@ object Relational {
             .when(u < 0.9963401531726563, 4L)
             .otherwise(5L)
         }
+        // weights land in a PROJECTION so each is evaluated once per row
+        // (16 aggregate expressions referencing w(b) directly would
+        // re-run the substring/conv/CASE chain per sum — aggregate
+        // expressions don't share subexpressions the way projections do)
         val aggs = (0 until 8).flatMap(b => Seq(
-          sum(w(b)).as(s"n$b"), sum(w(b) * col("cents")).as(s"m$b")))
+          sum(col(s"w$b")).as(s"n$b"),
+          sum(col(s"w$b") * col("cents")).as(s"m$b")))
         table(s, dir, "lineitem")
           .select(floor(col("l_extendedprice") * 100).cast("long")
               .as("cents"),
             md5(concat(lit("bs_"), col("l_orderkey"), lit("_"),
               col("l_linenumber"))).as("h"))
+          .select(col("cents") +: (0 until 8).map(b => w(b).as(s"w$b")): _*)
           .agg(aggs.head, aggs.tail: _*)
           .select(explode(array((0 until 8).map(b => struct(
             lit(b).as("b"), col(s"n$b").as("n_drawn"),
