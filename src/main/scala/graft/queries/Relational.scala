@@ -1762,14 +1762,21 @@ object Relational {
         // reason; here shuffle input is 16 longs per partition, and the
         // 8-row output shape is recovered by exploding the SINGLE
         // aggregate row.
+        // The CDF compare runs directly on the lowercase-hex chunk: with
+        // v = the chunk's value, (v + 0.5)/65536 < t  ⟺  v < t·65536 − 0.5
+        // (both transforms are exact: power-of-two multiply/divide only
+        // shift the exponent), and fixed-width lowercase hex preserves
+        // integer order — so each threshold is ONE string compare against
+        // a precomputed 4-hex literal, no conv/division per (row, replica).
+        // Bounds: v < 24109 ⟺ u < 0.3678…, etc. The oracle keeps the
+        // u-form; identical weights by the equivalence above.
         def w(b: Int): Column = {
-          val u = (conv(substring(col("h"), b * 4 + 1, 4), 16, 10)
-            .cast("long") + 0.5) / 65536.0
-          when(u < 0.3678794411714423, 0L)
-            .when(u < 0.7357588823428846, 1L)
-            .when(u < 0.9196986029286058, 2L)
-            .when(u < 0.9810118431238462, 3L)
-            .when(u < 0.9963401531726563, 4L)
+          val chunk = substring(col("h"), b * 4 + 1, 4)
+          when(chunk < "5e2d", 0L)
+            .when(chunk < "bc5b", 1L)
+            .when(chunk < "eb71", 2L)
+            .when(chunk < "fb24", 3L)
+            .when(chunk < "ff10", 4L)
             .otherwise(5L)
         }
         // weights land in a PROJECTION so each is evaluated once per row
