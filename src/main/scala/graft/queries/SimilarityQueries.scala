@@ -640,6 +640,99 @@ object SimilarityQueries {
              |  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
              |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)),
 
+    // ---- product-quantization ANN (asymmetric distance computation) -------
+    // The memory-bound ANN scale path IVF/LSH don't cover: vectors are
+    // compressed to 8 code ids (one per 8-dim subspace, codebook = the
+    // deterministic q46-style sample), and queries score candidates via
+    // ADC — distance ≈ Σ_j d²(q_subⱼ, codebookⱼ[codeⱼ(x)]) — against an
+    // 8-byte code instead of 256 bytes of floats. All three stages are
+    // equi-joins against BROADCAST dimension tables (codebooks are
+    // nlist×8 rows; the query LUT is nq×8×nlist rows), so the corpus-side
+    // work is one narrow encode pass + one LUT probe — linear, no
+    // shuffle of vector payloads. Per-subspace distances are scaled to
+    // longs (floor·1e6) before the cross-subspace sum, so ranking is
+    // INTEGER math and cannot float-drift between engines.
+    "q162_pq_ann_adc" -> QueryDef(
+      (s, dir) => {
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        // long-form subvectors: (vec_id, j, sub) for j = 0..7
+        def subbed(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+          .select(col(idCol), explode(sequence(lit(0), lit(7))).as("j"),
+            col("v"))
+          .select(col(idCol), col("j"),
+            slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
+        val cents = broadcast(
+          subbed(e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("cid"), col("v")), "cid")
+            .select(col("cid"), col("j"), col("sub").as("csub")))
+        def d2(a: Column, b: Column): Column =
+          dot(s)(a, a) - lit(2.0) * dot(s)(a, b) + dot(s)(b, b)
+        // encode: per (vector, subspace), code = argmin_c d²(sub, cent_c)
+        val codes = subbed(e, "vec_id").join(cents, "j")
+          .withColumn("d2s", floor(d2(col("sub"), col("csub")) * 1e6)
+            .cast("long"))
+          .groupBy("vec_id", "j")
+          .agg(min(struct(col("d2s"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("j"), col("m.cid").as("code"))
+        // ADC lookup table: query-to-centroid distances per subspace
+        val lut = broadcast(
+          subbed(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v")), "query_id")
+          .join(cents, "j")
+          .withColumn("pd2s", floor(d2(col("sub"), col("csub")) * 1e6)
+            .cast("long"))
+          .select(col("query_id"), col("j"), col("cid").as("code"),
+            col("pd2s")))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
+        codes.join(lut, Seq("j", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("pd2s").as("adc_d2_scaled"))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("adc_d2_scaled"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |          FROM embeddings),
+             |sub AS (SELECT vec_id, j,
+             |          list_slice(v, j * 8 + 1, j * 8 + 8) AS sub
+             |        FROM e CROSS JOIN range(0, 8) t(j)),
+             |cents AS (SELECT vec_id AS cid, j, sub FROM sub
+             |          WHERE vec_id % 50 = 0),
+             |enc AS (
+             |  SELECT vec_id, j, cid AS code FROM (
+             |    SELECT s.vec_id, s.j, c.cid,
+             |      CAST(row_number() OVER (PARTITION BY s.vec_id, s.j
+             |        ORDER BY CAST(floor((list_dot_product(s.sub, s.sub)
+             |          - 2.0 * list_dot_product(s.sub, c.sub)
+             |          + list_dot_product(c.sub, c.sub)) * 1e6) AS BIGINT),
+             |          c.cid) AS INT) AS rn
+             |    FROM sub s JOIN cents c ON c.j = s.j) WHERE rn = 1),
+             |lut AS (
+             |  SELECT q.vec_id AS query_id, q.j, c.cid AS code,
+             |    CAST(floor((list_dot_product(q.sub, q.sub)
+             |      - 2.0 * list_dot_product(q.sub, c.sub)
+             |      + list_dot_product(c.sub, c.sub)) * 1e6) AS BIGINT)
+             |      AS pd2s
+             |  FROM (SELECT * FROM sub WHERE vec_id < 5) q
+             |  JOIN cents c ON c.j = q.j),
+             |adc AS (
+             |  SELECT l.query_id, e.vec_id,
+             |    CAST(sum(l.pd2s) AS BIGINT) AS adc_d2_scaled
+             |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+             |  WHERE e.vec_id <> l.query_id
+             |  GROUP BY 1, 2)
+             |SELECT query_id, neighbor_id, adc_d2_scaled, rnk FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adc_d2_scaled,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY adc_d2_scaled, vec_id) AS INT) AS rnk
+             |  FROM adc)
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
       (s, dir) => {

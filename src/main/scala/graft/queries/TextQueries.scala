@@ -1481,5 +1481,181 @@ object TextQueries {
               |FROM agg WHERE n_sources >= 3
               |ORDER BY n_sources DESC, n_occurrences DESC, fp
               |LIMIT 20""".stripMargin)),
+
+    // ---- MinHash estimator-quality audit ----------------------------------
+    // The q64/q158 pattern for the SKETCH itself: on every exactly-similar
+    // pair (shingle Jaccard ≥ 0.5 — ground truth), compare the true
+    // Jaccard against the 8-hash MinHash ESTIMATE (matching-hash fraction,
+    // the statistic LSH banding thresholds are derived from). Signatures
+    // are per-doc array folds (no explode, no shuffle); the audit joins
+    // the constant-size truth set to broadcast signatures, so estimator
+    // drift is measured — per pair, under the exact-hash oracle — at any
+    // corpus scale.
+    "q159_minhash_estimate_audit" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val truth = jaccardPairs(sh, 0.5)
+          .select(col("doc_a"), col("doc_b"),
+                  round(col("jaccard"), 4).as("j_exact"))
+        val sigCols = (0 until 8).map { i =>
+          array_min(transform(col("hs"),
+            h => (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))
+            .as(s"m$i")
+        }
+        val sigs = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id") +: sigCols: _*)
+        val sa = sigs.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
+        val sb = sigs.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
+        val matches = (0 until 8)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        truth.join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("j_exact"),
+            matches.as("n_match"),
+            round(matches / 8.0, 4).as("j_est"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sigList = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val matchSum = (0 until 8)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |hss AS (SELECT * FROM (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $sigList FROM hss),
+           |sh AS (SELECT doc_id, unnest(hs) AS sh FROM hss),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT doc_a, doc_b,
+           |    round(i * 1.0 / (sa.n + sb.n - i), 4) AS j_exact
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+           |SELECT t.doc_a, t.doc_b, t.j_exact,
+           |  CAST($matchSum AS BIGINT) AS n_match,
+           |  round(($matchSum) / 8.0, 4) AS j_est
+           |FROM truth t
+           |JOIN sig sa ON sa.doc_id = t.doc_a
+           |JOIN sig sb ON sb.doc_id = t.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ---- KL divergence between source and corpus token distributions ------
+    // The domain-mixing diagnostic: KL(P_source ‖ P_corpus) over token
+    // unigrams — how far each source's language drifts from the mixture
+    // it feeds. No smoothing needed (every source token is in the corpus
+    // by construction). The log-ratio is scaled to a long per TYPE
+    // (floor(ln·1e6), the q127 trick) and weighted by exact counts, so
+    // the big sum is INTEGER — order-independent under any partitioning —
+    // and only one final division is floating. Shapes: two token
+    // aggregations + an equi-join on token, all linear.
+    "q160_kl_source_divergence" -> QueryDef(
+      (s, dir) => {
+        val tok = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(col("source"), explode(tokens(col("text"))).as("w")))
+        val srcCnt = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val corpusCnt = tok.groupBy("w").agg(count(lit(1)).as("cc"))
+        val totals = srcCnt.groupBy("source").agg(sum("c").as("n"))
+        val nCorpus = tok.agg(count(lit(1)).as("nc"))
+        srcCnt.join(corpusCnt, "w")
+          .join(broadcast(totals), "source")
+          .crossJoin(broadcast(nCorpus))
+          .select(col("source"), col("c"),
+            (col("c") * floor(log(col("c") * col("nc") * 1.0 /
+              (col("n") * col("cc"))) * 1e6).cast("long")).as("term"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+               sum("term").as("kl_sum_scaled"))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            round(col("kl_sum_scaled") * 1.0 / col("n_tokens") / 1e6, 4)
+              .as("kl_nats"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($duckToks) AS w
+              |            FROM documents),
+              |sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+              |cc AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+              |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+              |        FROM sc GROUP BY 1),
+              |nc AS (SELECT count(*) AS nc FROM tok),
+              |terms AS (
+              |  SELECT sc.source, sc.c,
+              |    sc.c * CAST(floor(ln(sc.c * nc.nc * 1.0 /
+              |      (tot.n * cc.cc)) * 1e6) AS BIGINT) AS term
+              |  FROM sc JOIN cc USING (w) JOIN tot USING (source), nc)
+              |SELECT source, count(*) AS n_types,
+              |  CAST(sum(c) AS BIGINT) AS n_tokens,
+              |  round(CAST(sum(term) AS BIGINT) * 1.0
+              |    / CAST(sum(c) AS BIGINT) / 1e6, 4) AS kl_nats
+              |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- per-document LM perplexity buckets (the quality filter) ----------
+    // q127 trains the corpus char-bigram LM per SOURCE; this scores every
+    // DOCUMENT against the corpus-wide model — the classic
+    // perplexity-filter shape (score each doc, bucket, keep the fluent
+    // band). The model is dimension-sized (≤ alphabet², broadcast); the
+    // scoring pass is one join + one aggregation. Bucket ids come from
+    // INTEGER division on the scaled log-prob sum (half-nat buckets), so
+    // bucket boundaries cannot float-drift between engines.
+    "q161_doc_perplexity" -> QueryDef(
+      (s, dir) => {
+        val bg = Materialize(
+          tableParallel(s, dir, "documents")
+            .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+            .filter(length(col("t")) >= 2)
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+              .as("bg")))
+        val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+        val ctx = cnt.groupBy(substring(col("bg"), 1, 1).as("c1"))
+          .agg(sum("c").as("n"))
+        val model = broadcast(
+          cnt.withColumn("c1", substring(col("bg"), 1, 1))
+            .join(ctx, "c1")
+            .select(col("bg"),
+              floor(log(col("c") * 1.0 / col("n")) * 1e6).cast("long")
+                .as("lp")))
+        bg.join(model, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum("lp").as("logp_sum_scaled"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("logp_sum_scaled") * 1.0 / col("n_bigrams") / 1e6, 4)
+              .as("avg_logp"),
+            // floor(avg_nats * 2) in pure integer math: half-nat buckets
+            expr("(-logp_sum_scaled) DIV (n_bigrams * 500000)")
+              .as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(trim(text)) AS t
+             |           FROM documents WHERE length(lower(trim(text))) >= 2),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, length(t)),
+             |         i -> substr(t, i, 2))) AS bg FROM d),
+             |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+             |ctx AS (SELECT substr(bg, 1, 1) AS c1,
+             |          CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+             |model AS (SELECT bg,
+             |            CAST(floor(ln(c * 1.0 / n) * 1e6) AS BIGINT) AS lp
+             |          FROM cnt JOIN ctx ON substr(cnt.bg, 1, 1) = ctx.c1),
+             |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+             |             CAST(sum(lp) AS BIGINT) AS lps
+             |           FROM bg JOIN model USING (bg) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams,
+             |  round(lps * 1.0 / n_bigrams / 1e6, 4) AS avg_logp,
+             |  CAST((-lps) // (n_bigrams * 500000) AS BIGINT) AS ppl_bucket
+             |FROM scored ORDER BY doc_id""".stripMargin)),
   )
 }
