@@ -1944,5 +1944,104 @@ object Relational {
              |  CAST(sum(cents) OVER (PARTITION BY cohort_wk
              |    ORDER BY week_offset) AS BIGINT) AS cum_cents
              |FROM cells ORDER BY cohort_wk, week_offset""".stripMargin)),
+
+    // ---- LATERAL correlated subquery (top-N per group, SQL surface) -------
+    // The SQL-standard correlated-table formulation of per-group top-N —
+    // Presto/Athena users write this shape constantly, and Spark's
+    // DecorrelateInnerQuery turns the correlated ORDER BY ... LIMIT into
+    // the same ranked-window plan the DataFrame API builds (no per-row
+    // re-execution; one shuffle on the correlation key). Tie-broken total
+    // order keeps the LIMIT oracle-exact.
+    "q163_lateral_topn" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "nation").createOrReplaceTempView("nation_v")
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT n_name, c.c_name, c.c_acctbal
+          FROM nation_v, LATERAL (
+            SELECT c_name, c_acctbal FROM customer_v
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          ORDER BY n_name, c_acctbal DESC, c_name""")
+      },
+      Some("""SELECT n_name, c.c_name, c.c_acctbal
+             |FROM nation, LATERAL (
+             |  SELECT c_name, c_acctbal FROM customer
+             |  WHERE c_nationkey = n_nationkey
+             |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+             |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)),
+
+    // ---- distribution windows: ntile + cume_dist --------------------------
+    // The remaining ranked-window family members: decile assignment
+    // (ntile) and cumulative distribution (cume_dist) over customer spend.
+    // Spend totals are exact cents and the window order carries a key
+    // tie-break, so decile boundaries are deterministic; the per-decile
+    // roll-up keeps output dimension-sized. cume_dist is surfaced as the
+    // decile's max (a count ratio — exact in both engines).
+    "q164_ntile_cume_dist" -> QueryDef(
+      (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        val w = Window.orderBy("cents", "o_custkey")
+        spend
+          .withColumn("decile", ntile(10).over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+               sum("cents").as("cents"),
+               round(max("cd"), 4).as("cume_dist_max"))
+          .orderBy("decile")
+      },
+      Some("""WITH s AS (SELECT o_custkey,
+             |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents,
+             |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS INT)
+             |      AS decile,
+             |    cume_dist() OVER (ORDER BY cents, o_custkey) AS cd
+             |  FROM s)
+             |SELECT decile, count(*) AS n_customers,
+             |  CAST(sum(cents) AS BIGINT) AS cents,
+             |  round(max(cd), 4) AS cume_dist_max
+             |FROM r GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // ---- exponential-decay aggregation (recency weighting) ----------------
+    // The recency-weighted engagement score streaming systems keep as
+    // state, computed batch-exact: each user event is weighted by
+    // 0.9^(events after it), so the latest event weighs 1. Per-term
+    // weights are doubles computed identically in both engines
+    // (pow of a literal), then floored to scaled longs BEFORE the group
+    // sum — integer summation, order-independent under any partitioning.
+    // One window pass + one aggregation, both on user_id.
+    "q165_exponential_decay" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))
+        table(s, dir, "events")
+          .withColumn("age", row_number().over(w) - 1)
+          .select(col("user_id"),
+            floor(col("value") * pow(lit(0.9), col("age")) * 1e6)
+              .cast("long").as("term"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum("term").as("decayed_scaled"))
+          .select(col("user_id"), col("n_events"),
+            round(col("decayed_scaled") * 1.0 / 1e6, 4).as("decayed_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH aged AS (SELECT user_id, value,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS BIGINT) - 1 AS age
+             |  FROM events),
+             |terms AS (SELECT user_id,
+             |    CAST(floor(value * pow(0.9, age) * 1e6) AS BIGINT) AS term
+             |  FROM aged)
+             |SELECT user_id, count(*) AS n_events,
+             |  round(CAST(sum(term) AS BIGINT) * 1.0 / 1e6, 4)
+             |    AS decayed_value
+             |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }
