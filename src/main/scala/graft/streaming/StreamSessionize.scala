@@ -162,6 +162,48 @@ object StreamSessionize {
       }
   }
 
+  final case class DecayScore(user_id: Long, n_events: Long,
+                              score_scaled: Long)
+
+  /** Recency-weighted engagement score as streaming state — the q165
+    * family's incremental twin. Decay is by EVENT TIME against a fixed
+    * reference (`0.9` per `unitMs`), so each event's contribution
+    * `floor(value·100) · round(0.9^k · 1e6)` depends only on the event
+    * itself: the running sum is INTEGER and ORDER-INSENSITIVE, which is
+    * what makes an exact stream ≡ batch parity gate possible — arrival
+    * order across micro-batches cannot change the answer (an
+    * arrival-ORDER decay recurrence could never promise that). State per
+    * user is two longs.
+    */
+  def decayedScoreStream(events: Dataset[Event], refMs: Long,
+                         unitMs: Long = 86400000L): Dataset[DecayScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), DecayScore](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[(Long, Long)]) =>
+          var (n, acc) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { e =>
+            n += 1
+            acc += decayTerm(e.value, e.ts.getTime, refMs, unitMs)
+          }
+          state.update((n, acc))
+          DecayScore(userId, n, acc)
+      }
+  }
+
+  /** One event's integer decay contribution — shared by the stream op and
+    * the batch twin so parity is by construction of the same arithmetic.
+    * Events newer than the reference clamp to age 0; ages past 200 units
+    * underflow to weight 0 (0.9^200 · 1e6 ≪ 1).
+    */
+  def decayTerm(value: Double, tsMs: Long, refMs: Long, unitMs: Long): Long = {
+    val k = math.max(0L, (refMs - tsMs) / unitMs)
+    val w = if (k > 200) 0L else math.round(math.pow(0.9, k.toDouble) * 1e6)
+    math.floor(value * 100).toLong * w
+  }
+
   /** Tumbling-window event counts with late-data handling — the windowed
     * aggregation shape (`window` + watermark) for dashboard-style rollups.
     */

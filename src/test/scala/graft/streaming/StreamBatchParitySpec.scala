@@ -322,4 +322,54 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     }
   }
+
+  test("file-replay decayedScoreStream == batch decay fold (exact, any order)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("decay_replay_").toString
+      val ckpt = Files.createTempDirectory("decay_ckpt_").toString
+      val ev = Tables.table(spark, sf, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value"))
+      // multi-batch replay with ROUND-ROBIN splits on purpose: the decay
+      // term is a function of the event alone (event-time age against a
+      // fixed reference, integer-scaled), so the per-user sum is
+      // order-insensitive and ANY arrival order must converge exactly —
+      // that claim is the gate
+      ev.repartition(3).write.mode("overwrite").parquet(dir)
+      val refMs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L
+      import spark.implicits._
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[Event]
+      val q = decayedScoreStream(stream, refMs)
+        .writeStream.format("memory").queryName("decay_replay")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // update mode: the converged row per user carries the highest count
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("n_events"))
+      val streamed = spark.table("decay_replay")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // batch twin: an independently-computed driver fold over the same
+      // events through the same decayTerm arithmetic
+      val batch = ev.collect()
+        .map(r => (r.getLong(0),
+          decayTerm(r.getDouble(2), r.getTimestamp(1).getTime, refMs,
+            86400000L)))
+        .groupBy(_._1)
+        .map { case (u, terms) => u -> (terms.size.toLong, terms.map(_._2).sum) }
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      assert(streamed.values.exists(_._2 > 0))
+    }
+  }
 }
