@@ -107,6 +107,29 @@ class FixedWidthSourceSpec extends AnyFunSuite {
     assert(nonInt.getMessage.contains("integers"))
   }
 
+  test("connector reads through a registered bucket-authority FileSystem") {
+    // the DSv2 scan resolves files via the SESSION Hadoop conf (see
+    // FixedWidthScan's SerializableConfiguration note) — proven here by
+    // reading fixed-width objects out of the in-JVM mocks3:// store, the
+    // same seam s3a:// plugs into
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mocks3.impl", classOf[MockObjectStore].getName)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path("mocks3://fw-bucket/dumps")
+    val fs = dir.getFileSystem(conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "d1.txt"), true)
+    out.write("AAA  1234 north\nBBB  5678 south\n"
+      .getBytes(StandardCharsets.ISO_8859_1))
+    out.close()
+    val rows = spark.read.format("fixedwidth")
+      .option("names", "code,qty,region")
+      .option("widths", "5,5,5")
+      .load("mocks3://fw-bucket/dumps")
+      .orderBy("code").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows === Array(("AAA", "1234", "north"), ("BBB", "5678", "south")))
+  }
+
   test("typed conversion composes downstream via FixedWidth.convert") {
     import graft.ingest.{FixedWidth, OracleType}
     val df = spark.read.format("fixedwidth")
