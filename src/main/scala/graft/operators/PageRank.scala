@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -26,6 +26,10 @@ import org.apache.spark.storage.StorageLevel
   *     list and the result persisted, so iterations reuse one cached
   *     fragment and shuffle only the rank table.
   *
+  * The dispatch gate is FREE of extra shuffles: both paths need the
+  * degree table, so the gate materializes it once and reads its row
+  * count (= node count) — no separate distinct pass just to dispatch.
+  *
   * Symmetrized edges mean every node has out-degree ≥ 1 — no dangling
   * mass — and every node receives contributions, so both paths produce a
   * rank for every node.
@@ -48,31 +52,42 @@ object PageRank {
   def rankScaled(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col(edges.columns(0)).cast("long").as("src"),
                          col(edges.columns(1)).cast("long").as("dst"))
-    // materialize BEFORE the dispatch count: the edge list is typically an
-    // expensive derivation (distinct co-occurrence pairs), and both the
-    // gate's node count and the chosen path consume it — an uncached gate
-    // count would recompute the derivation end-to-end just to dispatch
+    // materialize BEFORE anything else: the edge list is typically an
+    // expensive derivation (distinct co-occurrence pairs) consumed by the
+    // degree aggregation AND the chosen path
     val cached = Materialize(e)
-    val nNodes = cached.select("src").distinct()
-      .limit((DriverNodeLimit + 1).min(Int.MaxValue.toLong).toInt).count()
+    // one aggregation serves both the dispatch (row count = node count)
+    // and the iteration paths (degrees) — Materialize's eager count IS
+    // the gate probe
+    val deg = cached.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nNodes = deg.count()
     val out =
-      if (nNodes <= DriverNodeLimit) driverState(cached, iters)
-      else rankJoin(cached, iters)
-    // both paths end in state independent of the input cache (driver
-    // arrays / eager checkpoints), so the edge cache can go now
+      if (nNodes <= DriverNodeLimit) driverStateImpl(cached, deg, iters)
+      else rankJoinImpl(cached, deg, iters)
+    // both paths end in state independent of these caches (driver arrays
+    // / eager checkpoints), so they can go now
+    deg.unpersist(false)
     cached.unpersist(false)
     out
   }
 
   /** Dense driver arrays + shuffle-free treeAggregate per iteration. */
   private[graft] def driverState(edges: DataFrame, iters: Int): DataFrame = {
-    val s = edges.sparkSession
+    val cached = Materialize(edges)
+    val deg = cached.groupBy("src").agg(count(lit(1)).as("deg"))
+    val out = driverStateImpl(cached, deg, iters)
+    cached.unpersist(false)
+    out
+  }
+
+  private def driverStateImpl(cached: DataFrame, deg: DataFrame,
+                              iters: Int): DataFrame = {
+    val s = cached.sparkSession
     import s.implicits._
-    val cached = Materialize(edges) // no-op if the caller already persisted
     // sort driver-side: the node table is dimension-sized, and a DF
     // orderBy before collect would pay a range-partition exchange
-    val nodeDeg = cached.groupBy("src").agg(count(lit(1)).as("deg"))
-      .as[(Long, Long)].collect().sortBy(_._1)
+    val nodeDeg = deg.as[(Long, Long)].collect().sortBy(_._1)
     val pks = nodeDeg.map(_._1)
     val degs = nodeDeg.map(_._2)
     val nV = pks.length
@@ -96,7 +111,6 @@ object PageRank {
       bcR.destroy(); bcDeg.destroy()
     }
     eRdd.unpersist(false)
-    cached.unpersist(false)
     pks.indices.map(i => (pks(i), r(i))).toDF("pk", "rank_scaled")
   }
 
@@ -105,10 +119,18 @@ object PageRank {
     * loop's lineage stays flat and each round is one job.
     */
   private[graft] def rankJoin(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cached = Materialize(edges)
+    val deg = cached.groupBy("src").agg(count(lit(1)).as("deg"))
+    val out = rankJoinImpl(cached, deg, iters)
+    cached.unpersist(false)
+    out
+  }
+
+  private def rankJoinImpl(cached: DataFrame, deg: DataFrame,
+                           iters: Int): DataFrame = {
     // degrees ride along with the edges, joined once and cached — each
     // iteration then shuffles only the (node, rank) table
-    val edgeDeg = Materialize(edges.join(deg, "src"))
+    val edgeDeg = Materialize(cached.join(deg, "src"))
     var ranks = deg
       .select(col("src").as("node"), lit(1000000L).as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
