@@ -46,11 +46,20 @@ object Bfs {
              driverNodeLimit: Long = DriverNodeLimit): DataFrame = {
     val p = pairs.select(col(pairs.columns(0)).cast("long").as("a"),
                          col(pairs.columns(1)).cast("long").as("b"))
-    val nNodes = p.select(col("a").as("n"))
-      .unionAll(p.select(col("b").as("n"))).distinct()
+    // cache before the gate: the edge list is typically a derived
+    // co-occurrence table, and the gate's node count plus the chosen
+    // path both consume it (the PageRank dispatch lesson)
+    val cached = Materialize(p)
+    val nNodes = cached.select(col("a").as("n"))
+      .unionAll(cached.select(col("b").as("n"))).distinct()
       .limit((driverNodeLimit + 1).min(Int.MaxValue.toLong).toInt).count()
-    if (nNodes <= driverNodeLimit) driverBitset(p, hops)
-    else distributedFrontier(p, hops)
+    val out =
+      if (nNodes <= driverNodeLimit) driverBitset(cached, hops)
+      else distributedFrontier(cached, hops)
+    // driverBitset ends in driver arrays; distributedFrontier's result is
+    // built from eager checkpoints — safe to release the input cache
+    cached.unpersist(false)
+    out
   }
 
   /** Driver-side frontier state, shuffle-free reach mask per hop. */
