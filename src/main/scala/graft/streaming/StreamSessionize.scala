@@ -204,6 +204,35 @@ object StreamSessionize {
     math.floor(value * 100).toLong * w
   }
 
+  final case class DocBand(doc_id: Long, band_id: Int, key: String)
+  final case class BandOwner(band_id: Int, key: String, min_doc: Long)
+
+  /** Streaming LSH near-dup detection state: per (band, key), the minimum
+    * doc_id ever seen — the "owner" of that signature bucket. A document
+    * is a near-dup candidate iff any of its band keys is owned by a LOWER
+    * doc_id, exactly the batch MinHash-LSH candidate rule restricted to
+    * earlier documents (the trickle-ingest semantics).
+    *
+    * The fold is a commutative MIN, so the converged state is independent
+    * of arrival order across micro-batches — the property the parity gate
+    * asserts with an adversarial round-robin replay. State per bucket is
+    * one long; at corpus scale the bucket count tracks the distinct
+    * signature count, the same cardinality the batch band self-join
+    * shuffles on.
+    */
+  def bandOwnerStream(bands: Dataset[DocBand]): Dataset[BandOwner] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(b => (b.band_id, b.key))
+      .mapGroupsWithState[Long, BandOwner](GroupStateTimeout.NoTimeout()) {
+        case ((bandId, key), it, state: GroupState[Long]) =>
+          val m = (state.getOption.iterator ++ it.map(_.doc_id))
+            .min
+          state.update(m)
+          BandOwner(bandId, key, m)
+      }
+  }
+
   /** Tumbling-window event counts with late-data handling — the windowed
     * aggregation shape (`window` + watermark) for dashboard-style rollups.
     */

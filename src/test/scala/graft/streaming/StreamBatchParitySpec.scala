@@ -323,6 +323,63 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay bandOwnerStream == batch LSH bucket owners + dup sets") {
+    failAfter(Span(300, Seconds)) {
+      import graft.functions.{MinhashBandKeys, ShingleHashes}
+      import graft.functions.TextOps.tokens
+      val dir = Files.createTempDirectory("lshdup_replay_").toString
+      val ckpt = Files.createTempDirectory("lshdup_ckpt_").toString
+      ShingleHashes.register(spark)
+      MinhashBandKeys.register(spark)
+      // the SAME signature pipeline the batch MinHash-LSH query runs
+      val bands = Tables.table(spark, sf, "documents")
+        .select(col("doc_id"),
+          ShingleHashes.of(tokens(col("text"))).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), posexplode(MinhashBandKeys.of(col("hs"))))
+        .toDF("doc_id", "band_id", "key")
+      // adversarial round-robin splits: the per-bucket fold is a
+      // commutative min, so ANY arrival order must converge exactly
+      bands.repartition(3).write.mode("overwrite").parquet(dir)
+      import spark.implicits._
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[DocBand]
+      val q = bandOwnerStream(stream)
+        .writeStream.format("memory").queryName("lshdup_replay")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // update mode: converged owner per bucket is the MIN across updates
+      val streamedOwners = spark.table("lshdup_replay")
+        .groupBy("band_id", "key").agg(min("min_doc").as("min_doc"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batchOwners = bands
+        .groupBy("band_id", "key").agg(min("doc_id").as("min_doc"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamedOwners === batchOwners)
+      assert(streamedOwners.nonEmpty)
+
+      // derived near-dup sets agree: a doc is a candidate iff some band
+      // key is owned by a lower doc_id
+      val docKeys = bands.collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      def dups(owners: Map[(Int, String), Long]): Set[Long] =
+        docKeys.collect {
+          case (doc, bk) if owners(bk) < doc => doc
+        }.toSet
+      assert(dups(streamedOwners) === dups(batchOwners))
+      assert(dups(batchOwners).nonEmpty) // the fixture really has near-dups
+    }
+  }
+
   test("file-replay decayedScoreStream == batch decay fold (exact, any order)") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("decay_replay_").toString
