@@ -145,9 +145,13 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
+    // both a ratio AND an absolute floor: sub-second queries can move
+    // 1.5x on JVM/page-cache noise alone while staying irrelevant to the
+    // total; a real plan regression moves both the ratio and >0.5 s
     val regressions = best.collect {
       case (name, now) if now >= 0 &&
-          priorTimes.get(name).exists(p => p >= 0.3 && now > 1.5 * p) =>
+          priorTimes.get(name).exists(p =>
+            p >= 0.3 && now > 1.5 * p && now - p > 0.5) =>
         (name, priorTimes(name), now)
     }
     regressions.foreach { case (name, p, now) =>

@@ -48,8 +48,11 @@ object Bfs {
                          col(pairs.columns(1)).cast("long").as("b"))
     // cache before the gate: the edge list is typically a derived
     // co-occurrence table, and the gate's node count plus the chosen
-    // path both consume it (the PageRank dispatch lesson)
-    val cached = Materialize(p)
+    // path both consume it (the PageRank dispatch lesson). LAZY persist —
+    // the gate count is the action that populates the cache, so dispatch
+    // costs ONE pass over the derivation, not an eager-materialize pass
+    // plus a count
+    val cached = p.persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nNodes = cached.select(col("a").as("n"))
       .unionAll(cached.select(col("b").as("n"))).distinct()
       .limit((driverNodeLimit + 1).min(Int.MaxValue.toLong).toInt).count()

@@ -52,13 +52,11 @@ object PageRank {
   def rankScaled(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col(edges.columns(0)).cast("long").as("src"),
                          col(edges.columns(1)).cast("long").as("dst"))
-    // materialize BEFORE anything else: the edge list is typically an
-    // expensive derivation (distinct co-occurrence pairs) consumed by the
-    // degree aggregation AND the chosen path
-    val cached = Materialize(e)
-    // one aggregation serves both the dispatch (row count = node count)
-    // and the iteration paths (degrees) — Materialize's eager count IS
-    // the gate probe
+    // LAZY persists: deg derives from the edge cache, so the single
+    // deg.count() action below populates BOTH caches in one pass over
+    // the (typically expensive) edge derivation — and that count IS the
+    // dispatch probe (deg rows = nodes). No pass exists solely to decide.
+    val cached = e.persist(StorageLevel.MEMORY_AND_DISK_SER)
     val deg = cached.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nNodes = deg.count()
