@@ -1657,5 +1657,50 @@ object TextQueries {
              |  round(lps * 1.0 / n_bigrams / 1e6, 4) AS avg_logp,
              |  CAST((-lps) // (n_bigrams * 500000) AS BIGINT) AS ppl_bucket
              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup clustering through the O(log n) contraction path -----------
+    // q48's pipeline with the star-contraction component labeler FORCED
+    // (the dispatch would take the union-find fast path at this scale):
+    // the 100 TB code path runs under the same DuckDB recursive-CTE
+    // oracle as q48, so its correctness evidence is hash-exact on real
+    // pair data, not only the property spec's random graphs. Identical
+    // results to q48 by the three-way equality contract.
+    "q166_dedup_clusters_contraction" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val pairs = Materialize(
+          jaccardPairs(sh, 0.8).select("doc_a", "doc_b"))
+        ConnectedComponents.starContraction(pairs)
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+               min("doc").cast("bigint").as("keep_doc"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+              |reach AS (
+              |  SELECT doc, doc AS r FROM nodes
+              |  UNION
+              |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e
+              |    ON e.a = reach.doc),
+              |comp AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+              |SELECT cluster_id, count(*) AS n_members,
+              |  CAST(min(doc) AS BIGINT) AS keep_doc
+              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
   )
 }
