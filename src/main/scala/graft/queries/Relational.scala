@@ -50,6 +50,68 @@ object Relational {
         .as("pr"))
       .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
 
+  /** Shared by q115 and its forced-rank-join twin q167: the PageRank
+    * trajectory as statically-unrolled CTEs (both execution paths are
+    * exact integer math, so one oracle serves both).
+    */
+  private val pagerankCooccurOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (SELECT pa AS src, pb AS dst FROM pr
+      |      UNION ALL SELECT pb, pa FROM pr),
+      |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+      |r1 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
+      |           AS BIGINT) AS r
+      |       FROM e JOIN r0 r ON e.src = r.node
+      |       JOIN d ON d.src = e.src GROUP BY 1),
+      |r2 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
+      |           AS BIGINT) AS r
+      |       FROM e JOIN r1 r ON e.src = r.node
+      |       JOIN d ON d.src = e.src GROUP BY 1),
+      |r3 AS (SELECT e.dst AS node,
+      |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
+      |           AS BIGINT) AS r
+      |       FROM e JOIN r2 r ON e.src = r.node
+      |       JOIN d ON d.src = e.src GROUP BY 1)
+      |SELECT node AS pk, r AS rank_scaled FROM r3
+      |ORDER BY rank_scaled DESC, pk LIMIT 20""".stripMargin
+
+  /** Shared by q132 and its forced-distributed-frontier twin q168: three
+    * BFS supersteps unrolled as CTEs.
+    */
+  private val bfsLevelsOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem WHERE l_partkey < 800),
+      |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (SELECT pa AS src, pb AS dst FROM pr
+      |      UNION ALL SELECT pb, pa FROM pr),
+      |l0 AS (SELECT src AS node FROM e ORDER BY src LIMIT 1),
+      |l1 AS (SELECT DISTINCT e.dst AS node FROM e
+      |       JOIN l0 ON e.src = l0.node
+      |       WHERE e.dst NOT IN (SELECT node FROM l0)),
+      |l2 AS (SELECT DISTINCT e.dst AS node FROM e
+      |       JOIN l1 ON e.src = l1.node
+      |       WHERE e.dst NOT IN (SELECT node FROM l0)
+      |         AND e.dst NOT IN (SELECT node FROM l1)),
+      |l3 AS (SELECT DISTINCT e.dst AS node FROM e
+      |       JOIN l2 ON e.src = l2.node
+      |       WHERE e.dst NOT IN (SELECT node FROM l0)
+      |         AND e.dst NOT IN (SELECT node FROM l1)
+      |         AND e.dst NOT IN (SELECT node FROM l2)),
+      |lv AS (SELECT 0 AS level, node FROM l0
+      |  UNION ALL SELECT 1, node FROM l1
+      |  UNION ALL SELECT 2, node FROM l2
+      |  UNION ALL SELECT 3, node FROM l3)
+      |SELECT CAST(level AS INT) AS level, count(*) AS n_nodes,
+      |  CAST(sum(node) AS BIGINT) AS node_id_sum
+      |FROM lv GROUP BY level ORDER BY level""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- scan / projection / filter (pushdown-visible) ------------------
@@ -1323,31 +1385,24 @@ object Relational {
         graft.operators.PageRank.rankScaled(edges, iters = 3)
           .orderBy(desc("rank_scaled"), asc("pk")).limit(20)
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-             |            FROM lineitem),
-             |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
-             |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-             |e AS (SELECT pa AS src, pb AS dst FROM pr
-             |      UNION ALL SELECT pb, pa FROM pr),
-             |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-             |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
-             |r1 AS (SELECT e.dst AS node,
-             |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
-             |           AS BIGINT) AS r
-             |       FROM e JOIN r0 r ON e.src = r.node
-             |       JOIN d ON d.src = e.src GROUP BY 1),
-             |r2 AS (SELECT e.dst AS node,
-             |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
-             |           AS BIGINT) AS r
-             |       FROM e JOIN r1 r ON e.src = r.node
-             |       JOIN d ON d.src = e.src GROUP BY 1),
-             |r3 AS (SELECT e.dst AS node,
-             |         CAST(150000 + (850000 * sum(r.r // d.deg)) // 1000000
-             |           AS BIGINT) AS r
-             |       FROM e JOIN r2 r ON e.src = r.node
-             |       JOIN d ON d.src = e.src GROUP BY 1)
-             |SELECT node AS pk, r AS rank_scaled FROM r3
-             |ORDER BY rank_scaled DESC, pk LIMIT 20""".stripMargin)),
+      Some(pagerankCooccurOracle)),
+
+    // ---- PageRank through the distributed rank-join path ------------------
+    // q115 with PageRank.rankJoin FORCED (the dispatch takes the
+    // driver-state path at this node count): the >100M-node code path
+    // runs under the same statically-unrolled oracle, so its integer
+    // trajectory is hash-exact on real co-occurrence data, not only
+    // PageRankSpec's fixtures.
+    "q167_pagerank_rankjoin" -> QueryDef(
+      (s, dir) => {
+        val pr = coPairs(table(s, dir, "lineitem")).distinct()
+        val edges = pr.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
+        // rankJoin caches the edge derivation itself (and releases it)
+        graft.operators.PageRank.rankJoin(edges, iters = 3)
+          .orderBy(desc("rank_scaled"), asc("pk")).limit(20)
+      },
+      Some(pagerankCooccurOracle)),
 
     // ---- ordered string aggregation (listagg) -----------------------------
     // Concatenated group members — the classic report/export helper.
@@ -1543,32 +1598,24 @@ object Relational {
           .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_id_sum"))
           .orderBy("level")
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-             |            FROM lineitem WHERE l_partkey < 800),
-             |pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
-             |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-             |e AS (SELECT pa AS src, pb AS dst FROM pr
-             |      UNION ALL SELECT pb, pa FROM pr),
-             |l0 AS (SELECT src AS node FROM e ORDER BY src LIMIT 1),
-             |l1 AS (SELECT DISTINCT e.dst AS node FROM e
-             |       JOIN l0 ON e.src = l0.node
-             |       WHERE e.dst NOT IN (SELECT node FROM l0)),
-             |l2 AS (SELECT DISTINCT e.dst AS node FROM e
-             |       JOIN l1 ON e.src = l1.node
-             |       WHERE e.dst NOT IN (SELECT node FROM l0)
-             |         AND e.dst NOT IN (SELECT node FROM l1)),
-             |l3 AS (SELECT DISTINCT e.dst AS node FROM e
-             |       JOIN l2 ON e.src = l2.node
-             |       WHERE e.dst NOT IN (SELECT node FROM l0)
-             |         AND e.dst NOT IN (SELECT node FROM l1)
-             |         AND e.dst NOT IN (SELECT node FROM l2)),
-             |lv AS (SELECT 0 AS level, node FROM l0
-             |  UNION ALL SELECT 1, node FROM l1
-             |  UNION ALL SELECT 2, node FROM l2
-             |  UNION ALL SELECT 3, node FROM l3)
-             |SELECT CAST(level AS INT) AS level, count(*) AS n_nodes,
-             |  CAST(sum(node) AS BIGINT) AS node_id_sum
-             |FROM lv GROUP BY level ORDER BY level""".stripMargin)),
+      Some(bfsLevelsOracle)),
+
+    // ---- BFS through the distributed frontier path ------------------------
+    // q132 with Bfs.distributedFrontier FORCED (the dispatch takes the
+    // driver-bitset path at this node count): the above-the-gate code
+    // path runs under the same unrolled-superstep oracle, hash-exact on
+    // the real co-occurrence subgraph.
+    "q168_bfs_frontier" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").filter(col("l_partkey") < 800)
+        val pairs = coPairs(li).distinct()
+          .selectExpr("cast(pa as long) as a", "cast(pb as long) as b")
+        graft.operators.Bfs.distributedFrontier(pairs, hops = 3)
+          .groupBy("level")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_id_sum"))
+          .orderBy("level")
+      },
+      Some(bfsLevelsOracle)),
 
     // ---- item-item similarity (collaborative filtering) -------------------
     // The classic recommender signal: cosine similarity between items
