@@ -733,6 +733,130 @@ object SimilarityQueries {
              |  FROM adc)
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- ANN index quality: PQ-ADC recall@k vs exact ground truth ---------
+    // Completes the recall-gate set (q64 SRP-LSH, q158 IVF): on the same
+    // bounded validation slice, exact scaled-integer L2 top-10 per query
+    // (the metric ADC approximates — NOT cosine, so the gate measures
+    // quantization error, not metric mismatch) versus q162's PQ pipeline
+    // restricted to the slice. The slice keeps the quadratic ground truth
+    // constant-size at any corpus scale; PqRecallSpec pins an aggregate
+    // floor so a codebook regression fails CI, not just the hash.
+    "q169_pq_recall" -> QueryDef(
+      (s, dir) => {
+        val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"))
+        val q = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        def d2(a: Column, b: Column): Column =
+          dot(s)(a, a) - lit(2.0) * dot(s)(a, b) + dot(s)(b, b)
+        val wExact = Window.partitionBy("query_id")
+          .orderBy(asc("d2s"), asc("vec_id"))
+        val exact = e.join(q, col("vec_id") =!= col("query_id"))
+          .withColumn("d2s",
+            floor(d2(col("qv"), col("v")) * 1e6).cast("long"))
+          .withColumn("rnk", row_number().over(wExact))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+        def subbed(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+          .select(col(idCol), explode(sequence(lit(0), lit(7))).as("j"),
+            col("v"))
+          .select(col(idCol), col("j"),
+            slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
+        val cents = broadcast(
+          subbed(e.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("cid"), col("v")), "cid")
+            .select(col("cid"), col("j"), col("sub").as("csub")))
+        val codes = subbed(e, "vec_id").join(cents, "j")
+          .withColumn("d2s", floor(d2(col("sub"), col("csub")) * 1e6)
+            .cast("long"))
+          .groupBy("vec_id", "j")
+          .agg(min(struct(col("d2s"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("j"), col("m.cid").as("code"))
+        val lut = broadcast(
+          subbed(q.select(col("query_id"), col("qv").as("v")), "query_id")
+          .join(cents, "j")
+          .withColumn("pd2s", floor(d2(col("sub"), col("csub")) * 1e6)
+            .cast("long"))
+          .select(col("query_id"), col("j"), col("cid").as("code"),
+            col("pd2s")))
+        val wAdc = Window.partitionBy("query_id")
+          .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
+        val pq = codes.join(lut, Seq("j", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("pd2s").as("adc_d2_scaled"))
+          .withColumn("rnk", row_number().over(wAdc))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+        exact
+          .join(pq.withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |          FROM embeddings WHERE vec_id < 300),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |      WHERE vec_id < 5),
+             |exact AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, c.vec_id AS neighbor_id,
+             |      CAST(row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+             |          - 2.0 * list_dot_product(q.qv, c.v)
+             |          + list_dot_product(c.v, c.v)) * 1e6) AS BIGINT),
+             |          c.vec_id) AS INT) AS rnk
+             |    FROM q JOIN e c ON c.vec_id <> q.query_id)
+             |  WHERE rnk <= 10),
+             |sub AS (SELECT vec_id, j,
+             |          list_slice(v, j * 8 + 1, j * 8 + 8) AS sub
+             |        FROM e CROSS JOIN range(0, 8) t(j)),
+             |cents AS (SELECT vec_id AS cid, j, sub AS csub FROM sub
+             |          WHERE vec_id % 10 = 0),
+             |enc AS (
+             |  SELECT vec_id, j, cid AS code FROM (
+             |    SELECT s.vec_id, s.j, c.cid,
+             |      CAST(row_number() OVER (PARTITION BY s.vec_id, s.j
+             |        ORDER BY CAST(floor((list_dot_product(s.sub, s.sub)
+             |          - 2.0 * list_dot_product(s.sub, c.csub)
+             |          + list_dot_product(c.csub, c.csub)) * 1e6) AS BIGINT),
+             |          c.cid) AS INT) AS rn
+             |    FROM sub s JOIN cents c ON c.j = s.j) WHERE rn = 1),
+             |lut AS (
+             |  SELECT q.query_id, s.j, c.cid AS code,
+             |    CAST(floor((list_dot_product(s.sub, s.sub)
+             |      - 2.0 * list_dot_product(s.sub, c.csub)
+             |      + list_dot_product(c.csub, c.csub)) * 1e6) AS BIGINT)
+             |      AS pd2s
+             |  FROM q
+             |  JOIN sub s ON s.vec_id = q.query_id
+             |  JOIN cents c ON c.j = s.j),
+             |pq AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT l.query_id, e.vec_id AS neighbor_id,
+             |      CAST(row_number() OVER (PARTITION BY l.query_id
+             |        ORDER BY CAST(sum(l.pd2s) AS BIGINT), e.vec_id)
+             |        AS INT) AS rnk
+             |    FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+             |    WHERE e.vec_id <> l.query_id
+             |    GROUP BY l.query_id, e.vec_id)
+             |  WHERE rnk <= 10)
+             |SELECT x.query_id, count(*) AS n_exact,
+             |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_hit,
+             |  round(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0
+             |    END) * 1.0 / count(*), 4) AS recall
+             |FROM exact x LEFT JOIN pq p
+             |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+             |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)),
+
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
       (s, dir) => {
