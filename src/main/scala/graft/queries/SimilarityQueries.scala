@@ -857,6 +857,179 @@ object SimilarityQueries {
              |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
              |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)),
 
+    // ---- IVF-PQ: coarse quantizer + PQ on residuals (ADC over probed
+    // lists) -----------------------------------------------------------------
+    // The composition q46 and q162 each cover half of — and the actual
+    // 100 TB ANN design point: a coarse quantizer prunes the corpus to
+    // nprobe/nlist of its lists, and product quantization of the
+    // RESIDUAL (v − coarse_centroid) — which has far less variance than
+    // v itself, so the same codebook budget buys more precision — scores
+    // the survivors against an 8-code signature via a broadcast ADC LUT.
+    // Residuals are double-precision differences of the float embeddings
+    // (bit-identical in both engines: float→double widening is exact,
+    // IEEE double subtract is deterministic), subspace distances go
+    // through the native DoubleVectorDot expression and are floor-scaled
+    // to longs before any ranking, so every argmin/top-k is integer math.
+    // Scale shape: coarse assign is corpus × nlist (broadcast dims);
+    // encode is corpus × codebook per subspace (broadcast codebook, one
+    // narrow pass); the ADC probe touches only the probed lists' codes —
+    // all equi-joins, nothing shuffles vector payloads.
+    // Quality context (measured at sf0.01, not gated): in-list ADC
+    // recall@10 = 0.28 — identical to flat PQ (q169's gated floor),
+    // because the synthetic embeddings are isotropic and residual
+    // variance reduction needs cluster structure to pay off; end-to-end
+    // recall is additionally capped by nprobe/nlist coverage (3/10) on
+    // clusterless lists. The gated quality claim for the PQ machinery
+    // lives in PqRecallSpec; this query pins the COMPOSITION's plan
+    // shape and determinism under the hash oracle.
+    "q170_ivfpq_residual_ann" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.DoubleVectorDot
+        DoubleVectorDot.register(s)
+        def ddot(a: Column, b: Column): Column = DoubleVectorDot.dot(a, b)
+        def rd2(a: Column, b: Column): Column =
+          ddot(a, a) - lit(2.0) * ddot(a, b) + ddot(b, b)
+        def fd2(a: String, b: String): Column =
+          dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
+            dot(s)(col(b), col(b))
+        def residual(v: Column, c: Column): Column =
+          zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val coarse = broadcast(e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("ccid"), col("v").as("cv")))
+
+        // coarse assignment + residual, one pass over the corpus
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(asc("cd2s"), asc("ccid"))
+        val assign = e.join(coarse)
+          .withColumn("cd2s", floor(fd2("v", "cv") * 1e6).cast("long"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("ccid"),
+            residual(col("v"), col("cv")).as("rv"))
+
+        // residual subvectors; codebook = deterministic sample of them
+        val sub = assign
+          .select(col("vec_id"), col("ccid"),
+            explode(sequence(lit(0), lit(7))).as("j"), col("rv"))
+          .select(col("vec_id"), col("ccid"), col("j"),
+            slice(col("rv"), col("j") * 8 + 1, lit(8)).as("rsub"))
+        val book = broadcast(sub.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("sid"), col("j"), col("rsub").as("bsub")))
+
+        // encode: per (vector, subspace), code = argmin over the codebook
+        val codes = sub.join(book, "j")
+          .withColumn("bd2s", floor(rd2(col("rsub"), col("bsub")) * 1e6)
+            .cast("long"))
+          .groupBy("vec_id", "ccid", "j")
+          .agg(min(struct(col("bd2s"), col("sid"))).as("m"))
+          .select(col("vec_id"), col("ccid"), col("j"),
+            col("m.sid").as("code"))
+
+        // queries probe the top-3 coarse lists; LUT is per probed list
+        // because residuals are list-relative (q − c changes with c)
+        val q = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(asc("cd2s"), asc("ccid"))
+        val probe = q.join(coarse)
+          .withColumn("cd2s", floor(fd2("qv", "cv") * 1e6).cast("long"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 3)
+          .select(col("query_id"), col("ccid"),
+            residual(col("qv"), col("cv")).as("qrv"))
+        val lut = broadcast(probe
+          .select(col("query_id"), col("ccid"),
+            explode(sequence(lit(0), lit(7))).as("j"), col("qrv"))
+          .select(col("query_id"), col("ccid"), col("j"),
+            slice(col("qrv"), col("j") * 8 + 1, lit(8)).as("qsub"))
+          .join(book, "j")
+          .withColumn("pd2s", floor(rd2(col("qsub"), col("bsub")) * 1e6)
+            .cast("long"))
+          .select(col("query_id"), col("ccid"), col("j"),
+            col("sid").as("code"), col("pd2s")))
+
+        // ADC: each candidate in a probed list meets exactly 8 LUT rows
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
+        codes.join(lut, Seq("ccid", "j", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum("pd2s").as("adc_d2_scaled"))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("adc_d2_scaled"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |          FROM embeddings),
+             |coarse AS (SELECT vec_id AS ccid, v AS cv FROM e
+             |           WHERE vec_id % 50 = 0),
+             |assign AS (
+             |  SELECT vec_id, ccid,
+             |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+             |  FROM (
+             |    SELECT e.vec_id, c.ccid, e.v, c.cv,
+             |      CAST(row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY CAST(floor((list_dot_product(e.v, e.v)
+             |          - 2.0 * list_dot_product(e.v, c.cv)
+             |          + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
+             |          c.ccid) AS INT) AS rn
+             |    FROM e CROSS JOIN coarse c) WHERE rn = 1),
+             |sub AS (SELECT vec_id, ccid, j,
+             |          list_slice(rv, j * 8 + 1, j * 8 + 8) AS rsub
+             |        FROM assign CROSS JOIN range(0, 8) t(j)),
+             |book AS (SELECT vec_id AS sid, j, rsub AS bsub FROM sub
+             |         WHERE vec_id % 10 = 0),
+             |enc AS (
+             |  SELECT vec_id, ccid, j, sid AS code FROM (
+             |    SELECT s.vec_id, s.ccid, s.j, b.sid,
+             |      CAST(row_number() OVER (PARTITION BY s.vec_id, s.j
+             |        ORDER BY CAST(floor((list_dot_product(s.rsub, s.rsub)
+             |          - 2.0 * list_dot_product(s.rsub, b.bsub)
+             |          + list_dot_product(b.bsub, b.bsub)) * 1e6) AS BIGINT),
+             |          b.sid) AS INT) AS rn
+             |    FROM sub s JOIN book b ON b.j = s.j) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |      WHERE vec_id < 5),
+             |probe AS (
+             |  SELECT query_id, ccid,
+             |    list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
+             |  FROM (
+             |    SELECT q.query_id, c.ccid, q.qv, c.cv,
+             |      CAST(row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+             |          - 2.0 * list_dot_product(q.qv, c.cv)
+             |          + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
+             |          c.ccid) AS INT) AS rn
+             |    FROM q CROSS JOIN coarse c) WHERE rn <= 3),
+             |qsub AS (SELECT query_id, ccid, j,
+             |           list_slice(qrv, j * 8 + 1, j * 8 + 8) AS qsub
+             |         FROM probe CROSS JOIN range(0, 8) t(j)),
+             |lut AS (
+             |  SELECT s.query_id, s.ccid, s.j, b.sid AS code,
+             |    CAST(floor((list_dot_product(s.qsub, s.qsub)
+             |      - 2.0 * list_dot_product(s.qsub, b.bsub)
+             |      + list_dot_product(b.bsub, b.bsub)) * 1e6) AS BIGINT)
+             |      AS pd2s
+             |  FROM qsub s JOIN book b ON b.j = s.j),
+             |adc AS (
+             |  SELECT l.query_id, e.vec_id,
+             |    CAST(sum(l.pd2s) AS BIGINT) AS adc_d2_scaled
+             |  FROM enc e JOIN lut l
+             |    ON l.ccid = e.ccid AND l.j = e.j AND l.code = e.code
+             |  WHERE e.vec_id <> l.query_id
+             |  GROUP BY 1, 2)
+             |SELECT query_id, neighbor_id, adc_d2_scaled, rnk FROM (
+             |  SELECT query_id, vec_id AS neighbor_id, adc_d2_scaled,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY adc_d2_scaled, vec_id) AS INT) AS rnk
+             |  FROM adc)
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
       (s, dir) => {
