@@ -126,9 +126,18 @@ object PageRank {
 
   private def rankJoinImpl(cached: DataFrame, deg: DataFrame,
                            iters: Int): DataFrame = {
-    // degrees ride along with the edges, joined once and cached — each
-    // iteration then shuffles only the (node, rank) table
-    val edgeDeg = Materialize(cached.join(deg, "src"))
+    // degrees ride along with the edges, joined once and cached — and the
+    // cache is hash-partitioned on src at the session shuffle-partition
+    // count. While the rank table fits the broadcast threshold AQE
+    // broadcasts it and the edge cache is never re-shuffled; once ranks
+    // outgrow broadcast (the regime this path exists for), the sort-merge
+    // join finds BOTH sides already clustered on the join key (ranks
+    // arrive hashed on node from the previous round's dst-aggregation)
+    // and inserts no exchange on the O(|E|) side. Either way the only
+    // per-iteration shuffle of edge-sized data is the dst-aggregation,
+    // whose map-side partials are O(|V|) per partition, not O(|E|)
+    val edgeDeg = Materialize(cached.join(deg, "src")
+      .repartition(col("src")))
     var ranks = deg
       .select(col("src").as("node"), lit(1000000L).as("r"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
