@@ -108,9 +108,15 @@ object Bfs {
     */
   private[graft] def distributedFrontier(pairs: DataFrame,
                                          hops: Int): DataFrame = {
+    // hash-partitioned on src once (localCheckpoint carries the physical
+    // partitioning into the LogicalRDD): while the frontier fits the
+    // broadcast threshold AQE broadcasts it, and once it outgrows that
+    // (the regime this path exists for) the per-hop sort-merge join finds
+    // the edge side pre-clustered and shuffles only frontier-sized data
     val sym = pairs.filter(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val seed = pairs
       .agg(least(min(col("a")), min(col("b"))).as("node")).filter(col("node").isNotNull)
