@@ -53,6 +53,21 @@ class BfsSpec extends AnyFunSuite {
     assert(viaDistributed == viaDriver)
   }
 
+  test("frontier path is identical with broadcast joins disabled") {
+    // the regime the src-partitioned edge checkpoint exists for: once the
+    // frontier outgrows the broadcast threshold the per-hop join is a
+    // sort-merge join over the pre-clustered edge side — prove the path
+    // is correct there, not only under AQE's small-frontier broadcast
+    val pairs = fixture()
+      .selectExpr("cast(pa as long) as a", "cast(pb as long) as b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(levelsOf(Bfs.distributedFrontier(pairs, 3)) ==
+        levelsOf(Bfs.driverBitset(pairs, 3)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("empty edge list yields an empty result on both paths") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

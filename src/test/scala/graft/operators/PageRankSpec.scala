@@ -59,4 +59,18 @@ class PageRankSpec extends AnyFunSuite {
     assert(ranksOf(PageRank.rankScaled(edges)) ==
       ranksOf(PageRank.rankJoin(edges, iters = 3)))
   }
+
+  test("rank-join path is identical with broadcast joins disabled") {
+    // the regime the src-partitioned edge cache exists for: once the rank
+    // table outgrows the broadcast threshold each iteration is a
+    // sort-merge join over the pre-clustered edge side — prove the path
+    // is correct there, not only under AQE's small-rank-table broadcast
+    val edges = fixtureEdges()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(ranksOf(PageRank.driverState(edges, 3)) ==
+        ranksOf(PageRank.rankJoin(edges, 3)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
