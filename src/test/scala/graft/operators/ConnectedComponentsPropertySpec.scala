@@ -86,6 +86,23 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L)) // one component, labeled by its min
   }
 
+  test("star contraction is identical with broadcast joins disabled") {
+    // the regime the distributed path exists for: component state too
+    // large to broadcast, every contraction round a sort-merge join —
+    // prove correctness there, not only under AQE's small-side broadcast
+    import spark.implicits._
+    val chain = (0L until 120L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (501L, 502L), (77L, 77L))
+    val pairs = chain.toDF("doc_a", "doc_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = ConnectedComponents.starContraction(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(chain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("star contraction handles empty and self-loop-only edge sets") {
     import spark.implicits._
     val selfOnly = Seq((7L, 7L), (3L, 3L)).toDF("doc_a", "doc_b")
