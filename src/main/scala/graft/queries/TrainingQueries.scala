@@ -1551,5 +1551,59 @@ object TrainingQueries {
              |    (n_samp - n_full * 1.0 * tot_samp / tot_full) /
              |    (n_full * 1.0 * tot_samp / tot_full)), 4) AS chi_square
              |FROM c, t""".stripMargin)),
+
+    // ---- deterministic shard assignment + balance audit -------------------
+    // The corpus → data-loader handoff: every document lands in exactly
+    // one of n_shards output shards by a hash-seeded decision (never
+    // rand(), never round-robin over an arbitrary row order — both break
+    // on rerun/repartition), and the result is audited for balance:
+    // per-shard doc/char/token counts plus each shard's deviation from
+    // the ideal docs-per-shard, in integer per-mille so the oracle is
+    // float-free. One narrow projection + one groupBy — linear at any
+    // corpus size, and the shard id doubles as the partitionBy column
+    // for the actual export (q103's range-partition writer shape).
+    "q171_shard_assignment" -> QueryDef(
+      (s, dir) => {
+        val nShards = 8L
+        val docs = table(s, dir, "documents")
+          .withColumn("shard_id",
+            (hash32(concat(lit("s171_"), col("doc_id"))) % nShards)
+              .cast("int"))
+          .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        val tot = docs.agg(count(lit(1)).as("n_total"))
+        docs.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_chars").cast("long").as("sum_chars"),
+               sum("n_tokens").cast("long").as("sum_tokens"),
+               sum(hash32(concat(lit("m171_"), col("doc_id"))))
+                 .cast("long").as("member_checksum"))
+          .crossJoin(broadcast(tot))
+          // share-of-ideal in per-mille, minus 1000 => signed deviation;
+          // the division itself stays on positive operands so Spark DIV
+          // and DuckDB // cannot disagree on truncation direction
+          .withColumn("dev_permille",
+            expr(s"(n_docs * $nShards * 1000) DIV n_total - 1000"))
+          .select(col("shard_id"), col("n_docs"), col("sum_chars"),
+            col("sum_tokens"), col("member_checksum"), col("dev_permille"))
+          .orderBy("shard_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(CAST(('0x' || substr(md5('s171_' || doc_id), 1, 8))
+             |      AS BIGINT) % 8 AS INT) AS shard_id,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+             |      AS BIGINT) AS n_tokens,
+             |    CAST(('0x' || substr(md5('m171_' || doc_id), 1, 8))
+             |      AS BIGINT) AS mh
+             |  FROM documents),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+             |SELECT shard_id, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(mh) AS BIGINT) AS member_checksum,
+             |  CAST((count(*) * 8 * 1000) // n_total - 1000
+             |    AS BIGINT) AS dev_permille
+             |FROM d, t
+             |GROUP BY shard_id, n_total ORDER BY shard_id""".stripMargin)),
   )
 }
