@@ -27,11 +27,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bfs {
 
-  /** Node-count bound for the driver-bitset path: one int + one boolean
-    * per node ≈ 5 bytes — driver-safe well past 100M nodes; kept equal
+  /** Node-count bound for the driver-bitset path, costed for the
+    * EXECUTORS: each per-hop treeAggregate task allocates an
+    * `Array[Boolean](nV)` reach partial (10 MB at the gate, ×32
+    * concurrent tasks ≈ 320 MB transient) and every task reads the
+    * broadcast sorted node-id array + level array (~120 MB combined at
+    * the gate — primitive arrays, not a boxed Map, so the footprint is
+    * the arithmetic one). 10M nodes keeps all of that trivial; the old
+    * 100M gate under-counted the broadcast (a boxed `Map[Long,Int]` of
+    * 100M entries is tens of GB resident, not 5 bytes/node). Kept equal
     * to PageRank's gate for a uniform mental model.
     */
-  val DriverNodeLimit = 100000000L
+  val DriverNodeLimit = 10000000L
 
   /** @param pairs undirected edges, two integral id columns (either
     *              orientation, one row per edge)
@@ -72,8 +79,10 @@ object Bfs {
     val eRdd = pairs.as[(Long, Long)].rdd
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = eRdd.flatMap(e => Seq(e._1, e._2)).distinct().collect().sorted
-    val idx = nodes.zipWithIndex.toMap
-    val bcIdx = s.sparkContext.broadcast(idx)
+    // sorted primitive array + binary search (the PageRank id-index
+    // scheme): 8 bytes/node broadcast, vs a boxed Map[Long,Int] whose
+    // per-entry overhead is ~10x the payload at gate scale
+    val bcNodes = s.sparkContext.broadcast(nodes)
     val level = Array.fill(nodes.length)(-1)
     // nodes is sorted, so index 0 is the min-id seed; an edgeless input
     // yields an empty result, not an out-of-bounds write
@@ -85,7 +94,8 @@ object Bfs {
       // per-partition reach masks
       val reached = eRdd.treeAggregate(new Array[Boolean](nodes.length))(
         { case (acc, (a, b)) =>
-          val (ia, ib) = (bcIdx.value(a), bcIdx.value(b))
+          val ia = java.util.Arrays.binarySearch(bcNodes.value, a)
+          val ib = java.util.Arrays.binarySearch(bcNodes.value, b)
           if (bcLevel.value(ia) == hop - 1) acc(ib) = true
           if (bcLevel.value(ib) == hop - 1) acc(ia) = true
           acc },

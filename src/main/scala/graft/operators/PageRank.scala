@@ -36,12 +36,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
-  /** Node-count bound for the driver-state path: two Long arrays plus a
-    * broadcast per iteration ≈ 16 bytes/node — ~1.6 GB at 100M nodes,
-    * the ceiling for comfortable driver residency. Above it, rank state
-    * must be distributed.
+  /** Node-count bound for the driver-state path, costed for the
+    * EXECUTORS, not just the driver: each treeAggregate task allocates a
+    * dense `Array[Long](nV)` partial — 80 MB at the gate — so 32
+    * concurrent tasks hold ~2.5 GB of transient accumulators plus the
+    * same again in tree-merge traffic, on top of the ~160 MB
+    * rank+degree broadcast each iteration. 10M nodes keeps all of that
+    * comfortably inside normal executor memory; the old 100M gate was
+    * costed only for driver residency and would have meant 800 MB per
+    * TASK. The bound also guarantees the scaled-integer update cannot
+    * overflow (see the invariant note in driverStateImpl). Above the
+    * gate, rank state must be distributed (rank-join path).
     */
-  val DriverNodeLimit = 100000000L
+  val DriverNodeLimit = 10000000L
 
   /** @param edges symmetric directed edge list with long columns
     *              (`src`, `dst`) — both orientations of each undirected
@@ -89,6 +96,16 @@ object PageRank {
     val pks = nodeDeg.map(_._1)
     val degs = nodeDeg.map(_._2)
     val nV = pks.length
+    // Overflow invariant for the Long update below: total rank mass is
+    // conserved-or-shrunk by each damped iteration (Σr' = nV·150000 +
+    // 0.85·Σ⌊·⌋ ≤ nV·10⁶ by induction from r₀ = 10⁶), so any single
+    // node's aggregate incoming contribution c ≤ Σr ≤ nV·10⁶, and
+    // 850000·c stays under Long.MaxValue exactly when nV ≤ ~1.08·10⁷.
+    // DriverNodeLimit (10M) sits under that bound, making the driver
+    // path provably wrap-free; the guard keeps direct callers honest.
+    require(nV <= 10800000,
+      s"driver-state PageRank on $nV nodes could overflow the scaled-" +
+        "integer update (850000·c > Long.MaxValue); use rankJoin")
     val bcPk = s.sparkContext.broadcast(pks)
     val eRdd = cached.as[(Long, Long)].rdd
       .map { case (src, dst) =>
@@ -143,11 +160,16 @@ object PageRank {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     for (_ <- 1 to iters) {
       // DIV (integral divide) throughout — a float Divide would round
-      // where the driver path truncates, and past 2^53 would drift
+      // where the driver path truncates, and past 2^53 would drift. The
+      // damping multiply runs in DECIMAL(38,0): beyond the driver gate a
+      // hub's aggregate contribution can exceed ~1.08e13, where
+      // 850000·c wraps a Long silently (non-ANSI); 38-digit decimal
+      // holds any Σr ≤ nV·10⁶ graph this path will ever see, and DIV on
+      // decimals still truncates like the integer twin
       ranks = edgeDeg.join(ranks, edgeDeg("src") === ranks("node"))
         .groupBy(col("dst"))
-        .agg(expr("CAST(150000 + (850000 * sum(r DIV deg)) DIV 1000000" +
-          " AS BIGINT)").as("r"))
+        .agg(expr("CAST(150000 + (CAST(850000 AS DECIMAL(38,0)) *" +
+          " sum(r DIV deg)) DIV 1000000 AS BIGINT)").as("r"))
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
