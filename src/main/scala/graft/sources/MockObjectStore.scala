@@ -177,13 +177,19 @@ class MockObjectStore extends FileSystem {
         kd = (if (kd == "/") "" else kd) + "/" + src.getName
       }
       if (store.entries.contains(kd)) return false
+      // HDFS contract: rename(/a, /a/b) — a directory into its own
+      // subtree — is rejected, not applied; accepting it would move the
+      // children "into" a destination that lives among them
+      if (kd == ks || kd.startsWith(ks + "/")) return false
       mkdirKeyWithParents(parentOf(kd))
+      // snapshot the subtree BEFORE inserting the destination entry, so
+      // the prefix filter can never pick up the destination itself
+      val prefix = ks + "/"
+      val moved = store.entries.keys.filter(_.startsWith(prefix)).toList
       store.entries.remove(ks).get match {
         case o: Obj => store.entries.put(kd, o)
         case d: Dir =>
           store.entries.put(kd, d)
-          val prefix = ks + "/"
-          val moved = store.entries.keys.filter(_.startsWith(prefix)).toList
           moved.foreach { k =>
             val e = store.entries.remove(k).get
             store.entries.put(kd + k.substring(ks.length), e)
