@@ -131,9 +131,22 @@ object Bench {
     // never becomes its own excuse. Queries under 0.3 s are skipped —
     // there, fixed overhead dominates and 1.5x is noise, not plan shape.
     // baseline is per-SF: minima at sf0.01 must never be the yardstick
-    // for an sf0.1 run (everything would read as a regression)
+    // for an sf0.1 run (everything would read as a regression).
+    // Repo-relative artifacts (tripwire baseline, full per-query dump)
+    // anchor at the repo root derived from the loaded classes' location,
+    // NOT the process cwd — a bench launched from another directory would
+    // otherwise silently find no baseline and report a vacuously clean
+    // tripwire.
+    val repoRoot: java.io.File = {
+      val loc = new java.io.File(Bench.getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI)
+      Iterator.iterate(loc)(_.getParentFile).takeWhile(_ != null)
+        .find(d => new java.io.File(d, "build.sbt").isFile)
+        .getOrElse(new java.io.File("."))
+    }
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      s"bench_baseline_${new java.io.File(sfDir).getName}.json")
+      new java.io.File(repoRoot,
+        s"bench_baseline_${new java.io.File(sfDir).getName}.json").getPath)
     val priorTimes: Map[String, Double] = {
       val f = new java.io.File(baselinePath)
       if (!f.isFile) Map.empty
@@ -145,6 +158,9 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
+    if (priorTimes.isEmpty)
+      System.err.println(s"[bench] WARNING: no tripwire baseline at " +
+        s"$baselinePath — the regression check is VACUOUS this run")
     // both a ratio AND an absolute floor: sub-second queries can move
     // 1.5x on JVM/page-cache noise alone while staying irrelevant to the
     // total; a real plan regression moves both the ratio and >0.5 s
@@ -172,8 +188,16 @@ object Bench {
     val regs = regressions.map { case (name, p, now) =>
       s"""{"query":"$name","prior":${fmt(p)},"now":${fmt(now)}}"""
     }.mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs,"partial_failures":$partials,"regressions":$regs}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
+    println(jsonLine)
+    // complete per-query artifact: the driver's BENCH_r*.json capture
+    // truncates the query map (~55 of 166 visible), so cross-round
+    // per-query diffs need the full line persisted on every run
+    java.nio.file.Files.write(
+      new java.io.File(repoRoot,
+        s"bench_full_${new java.io.File(sfDir).getName}.json").toPath,
+      jsonLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val clean = failed.isEmpty && partial.isEmpty && regressions.isEmpty
     if (clean) {
       // next round diffs against THIS run's minima
