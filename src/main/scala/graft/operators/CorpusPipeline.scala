@@ -24,6 +24,16 @@ import graft.functions.TextOps.{hash32, tokens}
   * @param jaccard      near-dup verification threshold
   * @param sampleBp     per-doc keep probability in basis points (of 10000),
   *                     hash-seeded → reproducible and repartition-stable
+  * @param stopShingleDf document-frequency cut applied to the shingle table
+  *                     before the near-dup self-join ([[StopShingles]]).
+  *                     ON BY DEFAULT: the self-join's cost is Σ df² over
+  *                     shingle frequencies, so one boilerplate shingle
+  *                     shared by k docs emits k² candidate rows — at corpus
+  *                     scale a single license header is a fatal hot key.
+  *                     The default bounds every key's fan-out to
+  *                     ≤ [[CorpusPipeline.DefaultStopShingleDf]]² pairs;
+  *                     `None` opts out (exact q43 semantics, only safe on
+  *                     boilerplate-free corpora)
   * @param iqrOutlierK  when set, drop documents whose text length falls
   *                     outside `[q1 - k·IQR, q3 + k·IQR]` (Tukey's rule,
   *                     the q86 operator as a pipeline stage); None = off
@@ -32,10 +42,21 @@ final case class PipelineConfig(minTokens: Int = 5,
                                 maxPunctRatio: Double = 0.3,
                                 jaccard: Double = 0.8,
                                 sampleBp: Int = 10000,
-                                stopShingleDf: Option[Long] = None,
+                                stopShingleDf: Option[Long] =
+                                  Some(CorpusPipeline.DefaultStopShingleDf),
                                 iqrOutlierK: Option[Double] = None)
 
 object CorpusPipeline {
+
+  /** Default df cut for the near-dup stage: a shingle in more than this
+    * many documents is treated as boilerplate and dropped before the
+    * candidate self-join, bounding any key's fan-out to ≤ df² = 10⁶
+    * candidate rows (vs unbounded k² growth with corpus size). Shingles
+    * this common carry no near-dup signal — they match everything — so
+    * the cut changes candidate QUALITY negligibly while making the
+    * composed pipeline's cost linear-ish in the corpus by default.
+    */
+  val DefaultStopShingleDf = 1000L
 
   /** Run the pipeline; returns (prepared corpus, stage → surviving docs). */
   def prepare(spark: SparkSession, docs: DataFrame,

@@ -755,11 +755,12 @@ object TrainingQueries {
              |ORDER BY rank""".stripMargin)),
 
     // ---- the whole corpus pipeline, oracled end-to-end --------------------
-    // CorpusPipeline.prepare (quality filter → exact dedup → MinHash/
-    // Jaccard near-dedup → connected-components cluster drop →
-    // hash-seeded sample) as ONE catalog entry whose stage funnel the
-    // oracle re-derives from scratch — including the transitive cluster
-    // closure, which DuckDB computes with a RECURSIVE CTE. Every stage is
+    // CorpusPipeline.prepare (quality filter → exact dedup → shingle/
+    // Jaccard near-dedup behind the DEFAULT stop-shingle df cut →
+    // connected-components cluster drop → hash-seeded sample) as ONE
+    // catalog entry whose stage funnel the oracle re-derives from
+    // scratch — including the df cut and the transitive cluster closure,
+    // which DuckDB computes with a RECURSIVE CTE. Every stage is
     // deterministic (hash-seeded decisions, min-doc-id keeps), so the
     // five counts are hash-exact across engines.
     "q104_corpus_pipeline_funnel" -> QueryDef(
@@ -783,10 +784,13 @@ object TrainingQueries {
               |ws AS (SELECT doc_id, $duckToks AS ws FROM kept),
               |sh0 AS (SELECT doc_id, unnest(hs) AS sh
               |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+              |sh AS (SELECT * FROM sh0 WHERE sh NOT IN (
+              |  SELECT sh FROM (SELECT sh, count(*) AS d FROM sh0 GROUP BY sh)
+              |  WHERE d > ${graft.operators.CorpusPipeline.DefaultStopShingleDf})),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              |  FROM sh0 a JOIN sh0 b
+              |  FROM sh a JOIN sh b
               |    ON a.sh = b.sh AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
               |pairs AS (

@@ -62,6 +62,53 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(v.size === 3 && v.values.forall(_ == 0L))
   }
 
+  test("default config engages the stop-shingle cut: a hot boilerplate " +
+      "shingle emits zero candidate pairs instead of df²") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.ShingleHashes
+    import graft.functions.TextOps.tokens
+    ShingleHashes.register(spark)
+
+    // the pipeline must be safe-by-default: an explicit opt-IN to the
+    // unbounded self-join, never a silent one
+    assert(PipelineConfig().stopShingleDf
+      .contains(CorpusPipeline.DefaultStopShingleDf))
+
+    // k docs sharing an 8-token boilerplate tail (6 hot 3-gram shingles,
+    // each with df = k > DefaultStopShingleDf) plus 2 unique-prefix
+    // shingles per doc — the license-header shape that makes the unbanded
+    // join emit ~6·k² candidate rows
+    val k = (CorpusPipeline.DefaultStopShingleDf + 100).toInt
+    val docs = (1 to k).map(i =>
+        (i.toLong, s"u${i}x u${i}y boiler plate text common to all docs here"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+
+    // the fixture really is hot: max df exceeds the default threshold
+    val maxDf = sh.groupBy("sh").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(maxDf > CorpusPipeline.DefaultStopShingleDf)
+
+    // with the default cut (exactly what prepare() now applies), the
+    // candidate self-join collapses to the unique-prefix shingles — zero
+    // pairs — instead of ~6·k² boilerplate candidates
+    val cut = StopShingles.filter(sh, "sh",
+      CorpusPipeline.DefaultStopShingleDf)
+    val cand = cut.as("a").join(cut.as("b"),
+      col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+    assert(cand === 0L)
+
+    // end-to-end with defaults: completes linearly and keeps every doc
+    // (boilerplate-only overlap is not a near-dup signal)
+    val (out, funnel) = CorpusPipeline.prepare(spark, docs,
+      PipelineConfig(minTokens = 3))
+    assert(out.count() === k.toLong)
+    assert(funnel.toMap.apply("near_dedup") === k.toLong)
+  }
+
   test("pipeline survives a corpus with no near-dup pairs") {
     import spark.implicits._
     val tiny = Seq(
