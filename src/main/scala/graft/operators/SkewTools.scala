@@ -77,4 +77,52 @@ object SkewTools {
       .agg(sum(valueCol).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").as(s"sum_$valueCol"))
+
+  /** Within-group all-pairs self-join with a per-task bound that is
+    * independent of the largest group.
+    *
+    * The naive form — `df.as("a").join(df.as("b"), a.group === b.group &&
+    * a.ord < b.ord)` — shuffles on the group key alone, so one skewed
+    * group of size k lands k² candidate pairs on a single reducer; at
+    * corpus scale a single giant cluster is a straggler-or-OOM. Here each
+    * group is split into rank-ordered blocks of `blockSize` rows and the
+    * join key becomes (group, blockA, blockB): side a replicates each row
+    * to every partner block at-or-after its own, side b to every block
+    * at-or-before its own, so every (blockA ≤ blockB) pair of blocks meets
+    * on exactly one reducer holding ≤ blockSize rows per side — per-task
+    * candidates ≤ blockSize², whatever the group-size distribution.
+    *
+    * The pair SET is identical to the naive join (blocks are rank-ordered
+    * by `ord`, and the strict `a.ord < b.ord` predicate still applies), so
+    * callers' results are unchanged — only the shuffle layout moves.
+    * Shuffled row count is Σ_g k_g·⌈k_g/blockSize⌉ ≈ (pairs emitted)/
+    * blockSize — the irreducible cost of an all-pairs semantic, paid in
+    * bounded slices.
+    *
+    * Returns the joined frame with sides aliased `a` and `b` (select via
+    * `col("a.x")` / `col("b.x")`); the `__blk`-family working columns
+    * remain on both sides, so project explicitly rather than `*`.
+    */
+  def blockedSelfPairs(df: DataFrame, groupCol: String, orderCol: String,
+                       blockSize: Int): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    // one window pass assigns the block id; materialized because both
+    // join sides and the per-group block-count aggregate consume it, and
+    // exchange reuse would not cover three distinct partitionings
+    val ranked = Materialize(df.withColumn("__blk",
+      ((row_number().over(w) - lit(1)) / lit(blockSize)).cast("int")))
+    val nblk = ranked.groupBy(groupCol).agg(max("__blk").as("__maxblk"))
+    val aSide = ranked.join(nblk, groupCol)
+      .withColumn("__jb", explode(sequence(col("__blk"), col("__maxblk"))))
+      .drop("__maxblk")
+    val bSide = ranked
+      .withColumn("__ia", explode(sequence(lit(0), col("__blk"))))
+    aSide.as("a").join(bSide.as("b"),
+      col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col("a.__blk") === col("b.__ia") &&
+        col("a.__jb") === col("b.__blk") &&
+        col(s"a.$orderCol") < col(s"b.$orderCol"))
+  }
 }

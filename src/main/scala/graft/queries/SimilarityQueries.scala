@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -33,14 +33,59 @@ object SimilarityQueries {
   }
   private def norm(s: SparkSession)(a: Column): Column = sqrt(dot(s)(a, a))
 
+  /** FIXED index cardinalities — deliberately independent of corpus size.
+    *
+    * A corpus-fraction policy (nlist = N/50, codebook = N/10) makes every
+    * ANN broadcast grow O(N): at 1B vectors that is 20M centroids (~10 GB)
+    * on the broadcast side and a driver-held centroid array to match —
+    * neither survives. Real IVF/PQ fixes these at index-build time
+    * (nlist ≈ 2^10–2^16, a 256-entry codebook per subspace) and trains
+    * them on a bounded sample, so index state is O(nlist + 256·m)
+    * whatever the corpus. The values here are held small enough that the
+    * DuckDB oracle — which replays assignment as an n×nlist cross join at
+    * the gate SFs — stays tractable; production raises the constants, not
+    * the shape.
+    */
+  val IvfNlist = 64
+  val PqCodebookSize = 64
+  /** The bounded recall-gate slice (vec_id < 300) uses smaller fixed
+    * sizes so its index is neither trivial (every vector a centroid) nor
+    * degenerate (one list swallowing the slice).
+    */
+  val SliceNlist = 8
+  val SliceCodebookSize = 32
+  /** Rank-block width for q122's within-cluster pair search
+    * ([[graft.operators.SkewTools.blockedSelfPairs]]): per-task candidate
+    * pairs are ≤ SemDedupBlock² (≈65k 64-dim cosines, ~ms of work)
+    * independent of the largest cluster — a skewed centroid that swallows
+    * half the corpus costs more TASKS, never a bigger task.
+    */
+  val SemDedupBlock = 256
+
+  /** Exactly-k hash-deterministic training sample: order ids by the md5 of
+    * their decimal string (DuckDB computes the identical digest over the
+    * identical UTF-8 bytes, and hex strings compare identically in both
+    * engines) and keep the first k, tie-broken by id. Plans as
+    * TakeOrderedAndProject — one scan, O(k) state per task, no shuffle —
+    * so drawing the sample costs a linear pass at any corpus size and the
+    * result is exactly k rows, never a fraction of N.
+    */
+  private def hashSample(df: DataFrame, k: Int): DataFrame =
+    df.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+
+  /** DuckDB twin of [[hashSample]] as an ORDER BY/LIMIT tail. */
+  private def hashSampleSql(k: Int): String =
+    s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
+
   private val duckNormed =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
 
   /** Oracle unroll budget for q66: must be ≥ the Lloyd convergence count
-    * on the CORRECTNESS fixture (sf0.01 converges in 17; asserted with
-    * margin by KmeansConvergenceSpec). Extra unrolls are no-ops by the
-    * fixed-point property, they only cost DuckDB runtime.
+    * on the CORRECTNESS fixture (sf0.01 with the fixed IvfNlist-sized
+    * hash-sample init converges in 3; asserted with margin by
+    * KmeansConvergenceSpec). Extra unrolls are no-ops by the fixed-point
+    * property, they only cost DuckDB runtime.
     */
   val KmeansOracleUnroll = 20
 
@@ -150,7 +195,9 @@ object SimilarityQueries {
       }.toSeq.sortBy(_._1)
     }
 
-    var cents = e.filter(col("vec_id") % 50 === 0)
+    // init = the fixed-size hash sample (k = IvfNlist whatever the corpus),
+    // so the driver-held model is k·64 longs — a constant — not N/50·64
+    var cents = hashSample(e, IvfNlist)
       .select(col("vec_id").as("cid"), col("vq").as("cq"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     var iters = 0
@@ -198,7 +245,7 @@ object SimilarityQueries {
     s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[],
        |            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq
        |          FROM embeddings),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cid, vq AS cq FROM e WHERE vec_id % 50 = 0),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, vq AS cq FROM e ${hashSampleSql(IvfNlist)}),
        |$iterations,
        |df AS MATERIALIZED (${dist(s"c$unroll")}),
        |af AS MATERIALIZED (${argmin("df")})
@@ -276,15 +323,16 @@ object SimilarityQueries {
               |ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- IVF-style ANN (the scale path) -----------------------------------
-    // "Centroids" are a deterministic sample (vec_id % 50 == 0) standing in
-    // for trained k-means centers; the structure (assign to nearest list,
-    // probe nprobe lists, exact re-rank within candidates) is the real IVF
-    // dataflow, all equi-joins + windows.
+    // "Centroids" are a FIXED-SIZE hash-deterministic sample (IvfNlist ids
+    // in md5 order) standing in for trained k-means centers — index state
+    // is O(nlist), never a fraction of the corpus; the structure (assign
+    // to nearest list, probe nprobe lists, exact re-rank within
+    // candidates) is the real IVF dataflow, all equi-joins + windows.
     "q46_ann_ivf" -> QueryDef(
       (s, dir) => {
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+        val cent = broadcast(hashSample(e, IvfNlist)
           .select(col("vec_id").as("cid"), col("v").as("cv")))
 
         def l2(a: String, b: String) =
@@ -322,7 +370,7 @@ object SimilarityQueries {
           .orderBy("query_id", "rnk")
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ${hashSampleSql(IvfNlist)}),
               |assign AS (
               |  SELECT vec_id, v, cid FROM (
               |    SELECT e.vec_id, e.v, cent.cid,
@@ -527,7 +575,7 @@ object SimilarityQueries {
     // q64's gate for the OTHER approximate path: on the same bounded
     // validation slice, exact cosine top-10 per query (ground truth)
     // versus the IVF pipeline's top-10 (q46's assign/probe/re-rank
-    // structure, nlist = slice/50, nprobe = 3), per-query recall@10. The
+    // structure, nlist = SliceNlist, nprobe = 3), per-query recall@10. The
     // slice keeps the quadratic ground truth constant-size at any corpus
     // scale, and both pipelines are deterministic, so nlist/nprobe
     // quality is MEASURED under the exact-hash oracle instead of
@@ -551,7 +599,7 @@ object SimilarityQueries {
           .filter(col("rnk") <= 10)
           .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
-        val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+        val cent = broadcast(hashSample(e, SliceNlist)
           .select(col("vec_id").as("cid"), col("v").as("cv")))
         def l2(a: String, b: String) =
           dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
@@ -588,7 +636,7 @@ object SimilarityQueries {
             round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
           .orderBy("query_id")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |          FROM embeddings WHERE vec_id < 300),
              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
              |      FROM e),
@@ -603,7 +651,7 @@ object SimilarityQueries {
              |    FROM q JOIN n c ON c.vec_id <> q.query_id)
              |  WHERE rnk <= 10),
              |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-             |         WHERE vec_id % 50 = 0),
+             |         ${hashSampleSql(SliceNlist)}),
              |assign AS (
              |  SELECT vec_id, v, nrm, cid FROM (
              |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
@@ -643,11 +691,14 @@ object SimilarityQueries {
     // ---- product-quantization ANN (asymmetric distance computation) -------
     // The memory-bound ANN scale path IVF/LSH don't cover: vectors are
     // compressed to 8 code ids (one per 8-dim subspace, codebook = the
-    // deterministic q46-style sample), and queries score candidates via
+    // FIXED-SIZE hash sample — PqCodebookSize entries per subspace
+    // whatever the corpus, the PQ analogue of a trained 256-entry
+    // codebook), and queries score candidates via
     // ADC — distance ≈ Σ_j d²(q_subⱼ, codebookⱼ[codeⱼ(x)]) — against an
     // 8-byte code instead of 256 bytes of floats. All three stages are
     // equi-joins against BROADCAST dimension tables (codebooks are
-    // nlist×8 rows; the query LUT is nq×8×nlist rows), so the corpus-side
+    // O(codebook)×8 rows; the query LUT is nq×8×codebook rows — both
+    // constants), so the corpus-side
     // work is one narrow encode pass + one LUT probe — linear, no
     // shuffle of vector payloads. Per-subspace distances are scaled to
     // longs (floor·1e6) before the cross-subspace sum, so ranking is
@@ -663,7 +714,7 @@ object SimilarityQueries {
           .select(col(idCol), col("j"),
             slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
         val cents = broadcast(
-          subbed(e.filter(col("vec_id") % 50 === 0)
+          subbed(hashSample(e, PqCodebookSize)
             .select(col("vec_id").as("cid"), col("v")), "cid")
             .select(col("cid"), col("j"), col("sub").as("csub")))
         def d2(a: Column, b: Column): Column =
@@ -696,13 +747,14 @@ object SimilarityQueries {
             col("adc_d2_scaled"), col("rnk"))
           .orderBy("query_id", "rnk")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |          FROM embeddings),
              |sub AS (SELECT vec_id, j,
              |          list_slice(v, j * 8 + 1, j * 8 + 8) AS sub
              |        FROM e CROSS JOIN range(0, 8) t(j)),
+             |csel AS (SELECT vec_id FROM e ${hashSampleSql(PqCodebookSize)}),
              |cents AS (SELECT vec_id AS cid, j, sub FROM sub
-             |          WHERE vec_id % 50 = 0),
+             |          WHERE vec_id IN (SELECT vec_id FROM csel)),
              |enc AS (
              |  SELECT vec_id, j, cid AS code FROM (
              |    SELECT s.vec_id, s.j, c.cid,
@@ -765,7 +817,7 @@ object SimilarityQueries {
           .select(col(idCol), col("j"),
             slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
         val cents = broadcast(
-          subbed(e.filter(col("vec_id") % 10 === 0)
+          subbed(hashSample(e, SliceCodebookSize)
             .select(col("vec_id").as("cid"), col("v")), "cid")
             .select(col("cid"), col("j"), col("sub").as("csub")))
         val codes = subbed(e, "vec_id").join(cents, "j")
@@ -801,7 +853,7 @@ object SimilarityQueries {
             round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
           .orderBy("query_id")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |          FROM embeddings WHERE vec_id < 300),
              |q AS (SELECT vec_id AS query_id, v AS qv FROM e
              |      WHERE vec_id < 5),
@@ -818,8 +870,9 @@ object SimilarityQueries {
              |sub AS (SELECT vec_id, j,
              |          list_slice(v, j * 8 + 1, j * 8 + 8) AS sub
              |        FROM e CROSS JOIN range(0, 8) t(j)),
+             |csel AS (SELECT vec_id FROM e ${hashSampleSql(SliceCodebookSize)}),
              |cents AS (SELECT vec_id AS cid, j, sub AS csub FROM sub
-             |          WHERE vec_id % 10 = 0),
+             |          WHERE vec_id IN (SELECT vec_id FROM csel)),
              |enc AS (
              |  SELECT vec_id, j, cid AS code FROM (
              |    SELECT s.vec_id, s.j, c.cid,
@@ -897,7 +950,7 @@ object SimilarityQueries {
 
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val coarse = broadcast(e.filter(col("vec_id") % 50 === 0)
+        val coarse = broadcast(hashSample(e, IvfNlist)
           .select(col("vec_id").as("ccid"), col("v").as("cv")))
 
         // coarse assignment + residual, one pass over the corpus
@@ -910,13 +963,16 @@ object SimilarityQueries {
           .select(col("vec_id"), col("ccid"),
             residual(col("v"), col("cv")).as("rv"))
 
-        // residual subvectors; codebook = deterministic sample of them
+        // residual subvectors; codebook = the residual subvectors of a
+        // FIXED-SIZE hash sample of ids (PqCodebookSize entries per
+        // subspace whatever the corpus — never a fraction of N)
         val sub = assign
           .select(col("vec_id"), col("ccid"),
             explode(sequence(lit(0), lit(7))).as("j"), col("rv"))
           .select(col("vec_id"), col("ccid"), col("j"),
             slice(col("rv"), col("j") * 8 + 1, lit(8)).as("rsub"))
-        val book = broadcast(sub.filter(col("vec_id") % 10 === 0)
+        val bookIds = hashSample(e, PqCodebookSize).select(col("vec_id"))
+        val book = broadcast(sub.join(broadcast(bookIds), "vec_id")
           .select(col("vec_id").as("sid"), col("j"), col("rsub").as("bsub")))
 
         // encode: per (vector, subspace), code = argmin over the codebook
@@ -964,10 +1020,10 @@ object SimilarityQueries {
             col("adc_d2_scaled"), col("rnk"))
           .orderBy("query_id", "rnk")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |          FROM embeddings),
              |coarse AS (SELECT vec_id AS ccid, v AS cv FROM e
-             |           WHERE vec_id % 50 = 0),
+             |           ${hashSampleSql(IvfNlist)}),
              |assign AS (
              |  SELECT vec_id, ccid,
              |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
@@ -982,8 +1038,9 @@ object SimilarityQueries {
              |sub AS (SELECT vec_id, ccid, j,
              |          list_slice(rv, j * 8 + 1, j * 8 + 8) AS rsub
              |        FROM assign CROSS JOIN range(0, 8) t(j)),
+             |bsel AS (SELECT vec_id FROM e ${hashSampleSql(PqCodebookSize)}),
              |book AS (SELECT vec_id AS sid, j, rsub AS bsub FROM sub
-             |         WHERE vec_id % 10 = 0),
+             |         WHERE vec_id IN (SELECT vec_id FROM bsel)),
              |enc AS (
              |  SELECT vec_id, ccid, j, sid AS code FROM (
              |    SELECT s.vec_id, s.ccid, s.j, b.sid,
@@ -1187,7 +1244,7 @@ object SimilarityQueries {
       (s, dir) => {
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+        val cent = broadcast(hashSample(e, IvfNlist)
           .select(col("vec_id").as("cid"), col("v").as("cv")))
         def l2(a: String, b: String) =
           dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
@@ -1200,9 +1257,13 @@ object SimilarityQueries {
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), norm(s)(col("v")).as("nrm"),
             col("cid")))
-        val dropped = assigned.as("a").join(assigned.as("b"),
-            col("a.cid") === col("b.cid") &&
-              col("a.vec_id") < col("b.vec_id"))
+        // within-cluster pair search through the rank-blocked self-join:
+        // identical pair set to a plain cid-equi-join (so the oracle below
+        // is untouched), but the shuffle key carries the block ids, so a
+        // skewed cluster of size k costs (k/B)² bounded tasks instead of
+        // one k²-pair reducer
+        val dropped = graft.operators.SkewTools
+          .blockedSelfPairs(assigned, "cid", "vec_id", SemDedupBlock)
           .filter(dot(s)(col("a.v"), col("b.v")) /
             (col("a.nrm") * col("b.nrm")) >= 0.4)
           .select(col("b.vec_id").as("vec_id")).distinct()
@@ -1216,7 +1277,7 @@ object SimilarityQueries {
       },
       Some(s"""WITH $duckNormed,
               |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-              |         WHERE vec_id % 50 = 0),
+              |         ${hashSampleSql(IvfNlist)}),
               |assign AS (
               |  SELECT vec_id, v, nrm, cid FROM (
               |    SELECT n.vec_id, n.v, n.nrm, cent.cid,

@@ -56,6 +56,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // driver between Lloyd iterations, MLlib-style)
       collectAll(build) {
         case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty ||
+      // a LIMIT-k subtree emits at most k rows whatever the corpus — the
+      // fixed-cardinality index-sample pattern (hashSample's
+      // TakeOrderedAndProject: nlist/codebook entries, never a fraction
+      // of N)
+      collectAll(build) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty ||
+      collectAll(build) {
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
       }.nonEmpty
 
   test("no catalog plan contains a cartesian or an unbounded nested-loop join") {

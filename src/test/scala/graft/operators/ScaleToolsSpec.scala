@@ -92,6 +92,52 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("blockedSelfPairs equals the naive self-join and bounds per-task " +
+      "candidates under a skewed group-size distribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val B = 8
+    // one giant group (60 rows → 8 rank-blocks), one mid (5), one
+    // singleton — the cluster-size shape q122 sees when a skewed centroid
+    // swallows most of the corpus
+    val rows = (1 to 60).map(i => ("g", i.toLong)) ++
+      (1 to 5).map(i => ("m", 100L + i)) ++ Seq(("s", 999L))
+    val df = rows.toDF("grp", "id")
+    val naive = df.as("a").join(df.as("b"),
+        col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val blocked = SkewTools.blockedSelfPairs(df, "grp", "id", B)
+    val got = blocked.select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got.size === 60 * 59 / 2 + 5 * 4 / 2)
+
+    // per-task bound: the join key is (grp, blockA, blockB), so one
+    // reducer absorbs exactly one block-pair — ≤ B² candidate pairs —
+    // however large the giant group grows
+    val perKey = blocked
+      .groupBy(col("a.grp"), col("a.__blk"), col("b.__blk"))
+      .count().collect()
+    assert(perKey.map(_.getLong(3)).max <= B.toLong * B)
+    // ... and the giant group's pairs really spread across its
+    // nblk·(nblk+1)/2 = 36 block-pair keys instead of one hot key
+    assert(perKey.count(_.getString(0) == "g") === 36)
+
+    // the block ids are genuinely part of the equi-join key (the shuffle
+    // layout, not a post-join filter)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val joinKeys = blocked.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(joinKeys.exists(ks => ks.exists(_.toString.contains("__jb"))),
+      "pair join must shuffle on (group, blockA, blockB)")
+  }
+
   test("salted sum equals plain sum") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))

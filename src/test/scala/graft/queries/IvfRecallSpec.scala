@@ -9,10 +9,12 @@ import graft.TestSpark
   * index is GOOD, so a centroid-scheme or probe-count regression fails
   * here even if it stays deterministic.
   *
-  * Floors are pinned below the measured values at both test scales
-  * (sf0.01 aggregate recall@10 = 0.66; worst query 0.3) so ambient data
-  * regeneration wiggle doesn't flake the gate while a real quality drop
-  * (e.g. nprobe 3 → 1 loses half the candidates) still trips it.
+  * Floors are pinned below the measured values (sf0.01, fixed
+  * SliceNlist = 8 / nprobe = 3: aggregate recall@10 = 0.58, worst query
+  * 0.4 — probing 3 of 8 lists covers less of the slice than the old
+  * 3-of-6, hence lower than round 5's 0.66) so ambient data regeneration
+  * wiggle doesn't flake the gate while a real quality drop (e.g.
+  * nprobe 3 → 1 loses two-thirds of the candidates) still trips it.
   */
 class IvfRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -26,8 +28,8 @@ class IvfRecallSpec extends AnyFunSuite {
     val nExact = rows.map(_.getLong(1)).sum
     val nHit = rows.map(_.getLong(2)).sum
     val aggregate = nHit.toDouble / nExact
-    assert(aggregate >= 0.6,
-      f"aggregate IVF recall@10 $aggregate%.3f fell below the 0.6 floor")
+    assert(aggregate >= 0.5,
+      f"aggregate IVF recall@10 $aggregate%.3f fell below the 0.5 floor")
     rows.foreach { r =>
       assert(r.getDouble(3) >= 0.3,
         s"query ${r.getLong(0)} recall ${r.getDouble(3)} below per-query floor")

@@ -15,6 +15,8 @@ class KmeansConvergenceSpec extends AnyFunSuite {
 
   test("Lloyd loop converges on the CORRECTNESS fixture in ≥2, ≤unroll iterations") {
     val (df, iters) = SimilarityQueries.ivfKmeans(spark, "/root/testdata/sf0.01")
+    info(s"Lloyd loop converged in $iters iterations " +
+      s"(unroll budget ${SimilarityQueries.KmeansOracleUnroll})")
     assert(iters >= 2, s"converged after $iters iteration(s) — not trained")
     assert(iters <= SimilarityQueries.KmeansOracleUnroll,
       s"$iters iterations exceeds the oracle unroll budget " +

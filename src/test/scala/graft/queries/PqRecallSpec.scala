@@ -12,12 +12,13 @@ import graft.TestSpark
   *
   * Context for the floor: the synthetic embeddings are isotropic
   * (measured mean pairwise cosine ≈ 0.01, no cluster structure), the
-  * hardest case for PQ — measured aggregate recall@10 at sf0.01 is 0.28
-  * vs a ~0.03 chance level (10 random picks of 299). The floors (0.15
-  * aggregate, ≥1 hit per query is NOT required — worst measured query is
-  * 0.1) sit between measurement and chance so ambient data-regeneration
-  * wiggle doesn't flake the gate while a pipeline break (recall → chance)
-  * always trips it.
+  * hardest case for PQ — measured aggregate recall@10 at sf0.01 is 0.24
+  * (fixed SliceCodebookSize = 32 per subspace) vs a ~0.03 chance level
+  * (10 random picks of 299). The floors (0.15 aggregate, ≥1 hit per
+  * query is NOT required — worst measured query is 0.1) sit between
+  * measurement and chance so ambient data-regeneration wiggle doesn't
+  * flake the gate while a pipeline break (recall → chance) always trips
+  * it.
   */
 class PqRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
