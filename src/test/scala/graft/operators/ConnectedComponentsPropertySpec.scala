@@ -68,6 +68,55 @@ class ConnectedComponentsPropertySpec extends AnyFunSuite {
     })
   }
 
+  /** Random forest with a degraded edge LIST: node i attaches to a
+    * uniform parent < i (≈70% of the time; the rest start new roots), and
+    * the resulting tree edges are then duplicated (0–2 extra copies),
+    * randomly re-oriented, and salted with self-loops — the shape of a
+    * real dedup pair list, where the same pair surfaces from several LSH
+    * bands in either orientation and trivial self-matches slip through.
+    */
+  private val genForest: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    rootPick <- Gen.listOfN(n - 1, Gen.choose(0, 9))
+    parents <- Gen.listOfN(n - 1, Gen.choose(0, Int.MaxValue - 1))
+    flips <- Gen.listOfN(n - 1, Gen.oneOf(true, false))
+    dups <- Gen.listOfN(n - 1, Gen.choose(0, 2))
+    loops <- Gen.listOfN(3, Gen.choose(0, n - 1))
+  } yield {
+    val tree = (1 until n).toList.flatMap { i =>
+      if (rootPick(i - 1) < 3) Nil // i roots a new tree in the forest
+      else {
+        val p = (parents(i - 1) % i).toLong
+        val e = if (flips(i - 1)) (i.toLong, p) else (p, i.toLong)
+        List.fill(1 + dups(i - 1))(e)
+      }
+    }
+    tree ++ loops.map(l => (l.toLong, l.toLong))
+  }
+
+  test("star contraction == union-find on 500 generated forests " +
+      "(duplicate/self-loop-heavy, batched as one disjoint union)") {
+    import spark.implicits._
+    // components never cross graph boundaries when id spaces are disjoint,
+    // so ONE distributed contraction over the union of all 500 graphs is
+    // exactly 500 independent checks — at one Spark job instead of 500
+    val graphs = (0 until 500).map { g =>
+      val edges = genForest.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(g.toLong))
+      val off = g.toLong * 1000L
+      edges.map { case (a, b) => (a + off, b + off) }
+    }
+    // the batch is what it claims: non-trivial graphs with real edge noise
+    assert(graphs.count(_.nonEmpty) === 500)
+    assert(graphs.count(e => e.size != e.distinct.size) > 300,
+      "duplicate-heavy generator stopped producing duplicates")
+
+    val all = graphs.toList.flatten
+    val got = ConnectedComponents.starContraction(all.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(all))
+  }
+
   test("star contraction labels a long chain min-label's round cap rejects") {
     import spark.implicits._
     // a 300-edge path: diameter 300, so min-label propagation needs 300
