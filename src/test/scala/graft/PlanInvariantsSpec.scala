@@ -34,10 +34,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private def collectAll[T](plan: SparkPlan)(
       pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = plan.collectWithSubqueries(pf)
-    val cached = plan.collectWithSubqueries {
+    // cached fragments may be wrapped in AdaptiveSparkPlanExec, which has
+    // no children — descend through its input plan explicitly
+    val nested = plan.collectWithSubqueries {
       case s: InMemoryTableScanExec => s.relation.cachedPlan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
     }
-    here ++ cached.flatMap(p => collectAll(p)(pf))
+    here ++ nested.flatMap(p => collectAll(p)(pf))
   }
 
   private def isBounded(build: SparkPlan): Boolean =
@@ -81,6 +85,88 @@ class PlanInvariantsSpec extends AnyFunSuite {
         }
       spark.sqlContext.clearCache()
     }
+  }
+
+  /** Stricter than [[isBounded]]: the subtree must carry a node whose
+    * output cardinality is a CONSTANT of the plan, independent of the
+    * corpus — a LIMIT-k, a driver-local relation, a literal range, a
+    * scalar aggregate, or a scan with a source-PUSHED literal comparison
+    * (`vec_id < 5` pushes; the round-5 defect `vec_id % 50 = 0` does NOT
+    * push and names a fixed FRACTION of the corpus, so a generic
+    * FilterExec deliberately does not qualify here).
+    */
+  private def isFixedCardinality(side: SparkPlan): Boolean =
+    collectAll(side) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty ||
+      collectAll(side) {
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+      }.nonEmpty ||
+      collectAll(side) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty ||
+      collectAll(side) {
+        case r: org.apache.spark.sql.execution.RangeExec => r
+      }.nonEmpty ||
+      collectAll(side) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => a
+      }.nonEmpty ||
+      collectAll(side) {
+        case s: FileSourceScanExec if s.metadata.get("PushedFilters")
+          .exists(pf => Seq("LessThan", "GreaterThan", "EqualTo")
+            .exists(pf.contains)) => s
+      }.nonEmpty
+
+  test("every ANN-family broadcast side is fixed-cardinality — a " +
+      "corpus-fraction broadcast cannot come back") {
+    // the round-5 scale defect was index state broadcast as a FRACTION of
+    // the corpus (vec_id % 50 centroids, % 10 codebooks). This pins the
+    // fix at the plan level for the whole embedding family: every
+    // BroadcastExchange subtree (including those hidden inside cached
+    // fragments) must prove O(parameters) cardinality.
+    val annFamily = Seq("q44_embed_neardup_cosine", "q45_ann_topk_bruteforce",
+      "q46_ann_ivf", "q47_embed_lsh_srp", "q64_lsh_recall", "q66_ivf_kmeans",
+      "q122_semantic_dedup", "q158_ivf_recall", "q162_pq_ann_adc",
+      "q169_pq_recall", "q170_ivfpq_residual_ann")
+    // the queries that carry broadcast INDEX state (centroids/codebooks)
+    // must actually plan broadcasts; the rest are checked only if their
+    // plan happens to broadcast (q44's capped exact baseline, for one,
+    // legitimately plans a slice-bounded join with no broadcast at all)
+    val indexCarrying = Set("q46_ann_ivf", "q66_ivf_kmeans",
+      "q122_semantic_dedup", "q158_ivf_recall", "q162_pq_ann_adc",
+      "q169_pq_recall", "q170_ivfpq_residual_ann")
+    // auto-broadcast off = the 100 TB regime: a side the PLANNER chose to
+    // broadcast from size estimates (q47's banded self-join at test SF)
+    // reverts to a shuffle join on its own as the corpus grows — the only
+    // broadcasts that survive this conf are the ones the CODE promises
+    // via broadcast() hints, and those are the promises to audit
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      annFamily.foreach { name =>
+        // sparkPlan (pre-exchange-insertion) carries the broadcast intent
+        // on the JOIN nodes; collect each broadcast join's build side
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+        val bcastSides = collectAll(plan) {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+          case j: BroadcastNestedLoopJoinExec => buildSide(j)
+        }
+        if (indexCarrying(name))
+          assert(bcastSides.nonEmpty,
+            s"$name: expected hinted broadcast index-state joins")
+        bcastSides.foreach { b =>
+          assert(isFixedCardinality(b),
+            s"$name broadcasts a side whose cardinality can scale with " +
+              s"the corpus:\n$b")
+        }
+        spark.sqlContext.clearCache()
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q44's cap filter pushes down to the parquet scan") {
