@@ -61,6 +61,11 @@ object SimilarityQueries {
     * half the corpus costs more TASKS, never a bigger task.
     */
   val SemDedupBlock = 256
+  /** Greedy selection depth for q172's MMR re-rank — a constant of the
+    * operator, like top-k everywhere else; q172's driver state and
+    * broadcast sizes are O(MmrK).
+    */
+  val MmrK = 10
 
   /** Exactly-k hash-deterministic training sample: order ids by the md5 of
     * their decimal string (DuckDB computes the identical digest over the
@@ -1299,5 +1304,107 @@ object SimilarityQueries {
               |    AS BIGINT) AS kept_id_sum
               |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
               |GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    // ---- MMR diversified top-k (greedy re-rank) ----------------------------
+    // The selection operator retrieval-for-training needs after ANN: pick
+    // k results that balance relevance to the query against redundancy
+    // with what is ALREADY picked — score(d) = 7·rel(d) − 3·max_{s∈S}
+    // sim(d,s) in 0.7/0.3-weighted scaled-long arithmetic (floor(cos·1e6)
+    // before the weighted sum, so the greedy argmax is an exact integer
+    // comparison and DuckDB replays it bit-for-bit; ties break on vec_id).
+    // Execution is k driver-orchestrated rounds — the MLlib-style split
+    // q66 uses: driver state is only the k selected vectors (k·64 floats),
+    // each round is one linear pass over the cached candidate set
+    // (distributed scoring vs a ≤k-row broadcast LocalRelation, then a
+    // TakeOrdered(1) argmax), so total cost is O(k·N) with k a constant —
+    // the shape is unchanged at any corpus size, and no broadcast side
+    // ever exceeds k rows. The greedy loop is inherently sequential
+    // (step t's penalty depends on step t−1's pick): k rounds IS the
+    // algorithm, not a driver-side shortcut.
+    "q172_mmr_diversified_topk" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"),
+            norm(s)(col("embedding")).as("nrm"))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qnrm")))
+        val cand = Materialize(e.filter(col("vec_id") > 0)
+          .crossJoin(qv)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            floor(dot(s)(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+              * lit(1000000)).cast("long").as("rel_s")))
+        var picked = Vector.empty[(Long, Array[Float], Double)]
+        var out = Vector.empty[(Int, Long, Long)]
+        for (t <- 1 to MmrK) {
+          val scored =
+            if (picked.isEmpty)
+              cand.select(col("vec_id"), col("v"), col("nrm"),
+                (col("rel_s") * 7).as("score_s"))
+            else {
+              import s.implicits._
+              val sel = broadcast(picked.toDF("svec_id", "sv", "snrm"))
+              cand.filter(!col("vec_id").isin(picked.map(_._1): _*))
+                .crossJoin(sel)
+                .groupBy(col("vec_id"))
+                .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+                  (first(col("rel_s")) * 7 -
+                    max(floor(dot(s)(col("v"), col("sv")) /
+                      (col("nrm") * col("snrm")) * lit(1000000))
+                      .cast("long")) * 3).as("score_s"))
+            }
+          val top = scored.orderBy(desc("score_s"), asc("vec_id"))
+            .limit(1).head()
+          out :+= ((t, top.getAs[Long]("vec_id"), top.getAs[Long]("score_s")))
+          picked :+= ((top.getAs[Long]("vec_id"),
+            top.getAs[Seq[Float]]("v").toArray, top.getAs[Double]("nrm")))
+        }
+        import s.implicits._
+        out.toDF("rnk", "vec_id", "score_s").orderBy("rnk")
+      },
+      Some(mmrOracleSql(MmrK))),
   )
+
+  /** DuckDB twin of the q172 greedy loop: the k rounds unrolled as CTE
+    * stages (greedy selection is inherently sequential, so the oracle is
+    * the loop spelled out — the kmeansOracleSql technique). Stage t
+    * re-scores the not-yet-picked candidates against sel(t−1) and takes
+    * the same integer argmax with the same vec_id tie-break.
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val base =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings WHERE vec_id < 300),
+        |q AS (SELECT v AS qv, nrm AS qnrm FROM e WHERE vec_id = 0),
+        |cand AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |  CAST(floor(list_dot_product(v, qv) / (nrm * qnrm) * 1000000)
+        |    AS BIGINT) AS rel_s
+        |  FROM e, q WHERE vec_id > 0),
+        |s1 AS MATERIALIZED (SELECT vec_id, v, nrm, 7 * rel_s AS score_s
+        |       FROM cand ORDER BY 7 * rel_s DESC, vec_id LIMIT 1),
+        |sel1 AS MATERIALIZED (SELECT vec_id, v, nrm FROM s1)""".stripMargin
+    // every stage CTE is MATERIALIZED: sel(t) is referenced three times by
+    // stage t+1 (scoring join, NOT-IN filter, union chain), and DuckDB
+    // inlines un-materialized CTEs — the unrolled chain would otherwise
+    // expand exponentially in k (the kmeansOracleSql lesson)
+    val stages = (2 to k).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.nrm,
+         |    7 * c.rel_s - 3 * max(CAST(floor(list_dot_product(c.v, s.v)
+         |      / (c.nrm * s.nrm) * 1000000) AS BIGINT)) AS score_s
+         |  FROM cand c CROSS JOIN sel${t - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY c.vec_id, c.v, c.nrm, c.rel_s),
+         |s$t AS MATERIALIZED (SELECT vec_id, v, nrm, score_s FROM c$t
+         |        ORDER BY score_s DESC, vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT vec_id, v, nrm FROM sel${t - 1}
+         |          UNION ALL SELECT vec_id, v, nrm FROM s$t)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(t => s"SELECT $t AS rnk, vec_id, score_s FROM s$t")
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + s"\n$unions\nORDER BY rnk"
+  }
 }
