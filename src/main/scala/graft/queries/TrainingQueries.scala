@@ -1609,5 +1609,54 @@ object TrainingQueries {
              |    AS BIGINT) AS dev_permille
              |FROM d, t
              |GROUP BY shard_id, n_total ORDER BY shard_id""".stripMargin)),
+
+    // ---- temperature-scaled source mixing (p^alpha resampling) ------------
+    // The multilingual-LM mixing rule: sample source i with probability
+    // proportional to p_i^alpha (alpha = 0.5 here), which upsamples the
+    // tail sources relative to their natural token share without q62's
+    // hard equalization. Weights are w_i = floor(sqrt(tok_i) * 1e3) —
+    // sqrt on a BIGINT is one correctly-rounded IEEE op in both engines,
+    // and the floor-scale makes every later step exact integer math:
+    // share_bp = w_i * 10000 DIV sum(w), and the per-source epoch
+    // multiplier (how many times the source repeats per mixed-corpus
+    // epoch) in per-mille is share_bp * sum(tok) DIV (10 * tok_i), whose
+    // worst case at 100 TB (share_bp 1e4 * tokens 1e14 / 10) stays under
+    // Long.MaxValue. Cost: one groupBy + a source-cardinality broadcast —
+    // linear at any corpus size, like q62/q155.
+    "q173_temperature_mixing" -> QueryDef(
+      (s, dir) => {
+        val src = tableParallel(s, dir, "documents")
+          .select(col("source"), size(tokens(col("text"))).cast("long")
+            .as("toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"))
+          .withColumn("weight_s",
+            floor(sqrt(col("sum_tokens")) * lit(1000)).cast("long"))
+        val tot = src.agg(sum("weight_s").as("tot_w"),
+          sum("sum_tokens").as("tot_toks"))
+        src.crossJoin(broadcast(tot))
+          .withColumn("share_bp",
+            expr("weight_s * 10000 DIV tot_w"))
+          .withColumn("epochs_pm",
+            expr("share_bp * tot_toks DIV (10 * sum_tokens)"))
+          .select(col("source"), col("n_docs"), col("sum_tokens"),
+            col("weight_s"), col("share_bp"), col("epochs_pm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH src AS (
+              |  SELECT source, count(*) AS n_docs,
+              |    CAST(sum(len($duckToks)) AS BIGINT) AS sum_tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, n_docs, sum_tokens,
+              |        CAST(floor(sqrt(sum_tokens) * 1000) AS BIGINT)
+              |          AS weight_s
+              |      FROM src),
+              |t AS (SELECT CAST(sum(weight_s) AS BIGINT) AS tot_w,
+              |        CAST(sum(sum_tokens) AS BIGINT) AS tot_toks FROM w)
+              |SELECT source, n_docs, sum_tokens, weight_s,
+              |  CAST(weight_s * 10000 // tot_w AS BIGINT) AS share_bp,
+              |  CAST((weight_s * 10000 // tot_w) * tot_toks
+              |    // (10 * sum_tokens) AS BIGINT) AS epochs_pm
+              |FROM w, t ORDER BY source""".stripMargin)),
   )
 }
