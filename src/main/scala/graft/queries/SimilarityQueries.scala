@@ -1364,7 +1364,88 @@ object SimilarityQueries {
         out.toDF("rnk", "vec_id", "score_s").orderBy("rnk")
       },
       Some(mmrOracleSql(MmrK))),
+
+    // ---- k-center greedy coreset (farthest-point selection) ----------------
+    // Coverage-maximizing sample selection: starting from a fixed seed,
+    // each round picks the candidate FARTHEST from the already-selected
+    // set (max over candidates of min over selected of L2²) — the classic
+    // 2-approximation to the k-center objective, and the coreset rule
+    // that picks boundary/outlier examples where q172's MMR picks
+    // relevant-but-diverse ones. Distances are q170's expansion
+    // ‖a‖² − 2a·b + ‖b‖² through the native FloatVectorDot, floor-scaled
+    // to longs so each round's argmax is an exact integer comparison the
+    // oracle replays bit-for-bit (ties on vec_id). Same execution shape
+    // as q172: k driver rounds, each one linear pass over the cached
+    // candidates against a ≤k-row broadcast, O(k·N) total with driver
+    // state k vectors — unchanged at any corpus size. radius_s (the
+    // selected point's min-distance at selection) is non-increasing by
+    // construction; its last value is the coverage radius of the coreset.
+    "q174_kcenter_coreset" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"),
+            dot(s)(col("embedding"), col("embedding")).as("vv"))
+        val cand = Materialize(e)
+        val seed = cand.filter(col("vec_id") === 0)
+          .select(col("vec_id"), col("v"), col("vv")).head()
+        var picked = Vector((seed.getAs[Long]("vec_id"),
+          seed.getAs[Seq[Float]]("v").toArray, seed.getAs[Double]("vv")))
+        var out = Vector((1, 0L, 0L))
+        for (t <- 2 to MmrK) {
+          import s.implicits._
+          val sel = broadcast(picked.toDF("svec_id", "sv", "svv"))
+          val top = cand.filter(!col("vec_id").isin(picked.map(_._1): _*))
+            .crossJoin(sel)
+            .groupBy(col("vec_id"))
+            .agg(first(col("v")).as("v"), first(col("vv")).as("vv"),
+              min(floor((col("vv") - lit(2.0) * dot(s)(col("v"), col("sv"))
+                + col("svv")) * lit(1000000)).cast("long")).as("mind_s"))
+            .orderBy(desc("mind_s"), asc("vec_id"))
+            .limit(1).head()
+          out :+= ((t, top.getAs[Long]("vec_id"), top.getAs[Long]("mind_s")))
+          picked :+= ((top.getAs[Long]("vec_id"),
+            top.getAs[Seq[Float]]("v").toArray, top.getAs[Double]("vv")))
+        }
+        import s.implicits._
+        out.toDF("rnk", "vec_id", "radius_s").orderBy("rnk")
+      },
+      Some(kcenterOracleSql(MmrK))),
   )
+
+  /** DuckDB twin of the q174 farthest-point loop, unrolled like
+    * [[mmrOracleSql]]: stage t computes each remaining candidate's min
+    * L2² against sel(t−1) and takes the max with the vec_id tie-break.
+    * Every stage CTE is MATERIALIZED for the same inlining reason.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val d2 = "c.vv - 2 * list_dot_product(c.v, s.v) + s.vv"
+    val base =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+        |  FROM embeddings WHERE vec_id < 300),
+        |sel1 AS MATERIALIZED (SELECT vec_id, v, vv FROM e WHERE vec_id = 0),
+        |s1 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS radius_s
+        |       FROM sel1)""".stripMargin
+    val stages = (2 to k).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.vv,
+         |    min(CAST(floor(($d2) * 1000000) AS BIGINT)) AS mind_s
+         |  FROM e c CROSS JOIN sel${t - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY c.vec_id, c.v, c.vv),
+         |s$t AS MATERIALIZED (SELECT vec_id, v, vv, mind_s FROM c$t
+         |        ORDER BY mind_s DESC, vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT vec_id, v, vv FROM sel${t - 1}
+         |          UNION ALL SELECT vec_id, v, vv FROM s$t)""".stripMargin
+    }
+    val unions = ("SELECT 1 AS rnk, vec_id, radius_s FROM s1" +:
+      (2 to k).map(t =>
+        s"SELECT $t AS rnk, vec_id, mind_s AS radius_s FROM s$t").toVector)
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + s"\n$unions\nORDER BY rnk"
+  }
 
   /** DuckDB twin of the q172 greedy loop: the k rounds unrolled as CTE
     * stages (greedy selection is inherently sequential, so the oracle is
