@@ -245,6 +245,22 @@ object StreamSessionize {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Per-source corpus statistics as a streaming aggregation — the
+    * incremental half of q173's temperature-scaled mixing. State is one
+    * (n_docs, sum_tokens) counter pair per SOURCE — source cardinality,
+    * not corpus size — so the aggregation needs no watermark and its
+    * state cannot grow with the stream; emission is complete-mode. The
+    * mixing math itself (sqrt weight, share, epoch factor) is a pure
+    * projection over this converged state, applied at read time — so a
+    * corpus arriving as a stream yields bit-identical mixing rates to
+    * the batch q173 over the same documents (parity-gated).
+    */
+  def mixingStatsStream(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+          .as("sum_tokens"))
+
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side
     * per batch; broadcast keeps it a map-side hash join — the standard

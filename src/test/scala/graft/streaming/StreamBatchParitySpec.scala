@@ -57,6 +57,48 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay mixingStatsStream + projection == q173 batch mixing") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("mixing_replay_").toString
+      val ckpt = Files.createTempDirectory("mixing_ckpt_").toString
+      // fixture: the documents table itself, split into a 3-file replay —
+      // per-source counters are order-insensitive, so no event time or
+      // watermark is involved (state = source cardinality, complete mode)
+      Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = mixingStatsStream(stream)
+        .writeStream.format("memory").queryName("mixing_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // q173's mixing math as a pure projection over the converged state
+      val stats = spark.table("mixing_replay")
+        .withColumn("weight_s",
+          floor(sqrt(col("sum_tokens")) * lit(1000)).cast("long"))
+      val tot = stats.agg(sum("weight_s").as("tot_w"),
+        sum("sum_tokens").as("tot_toks"))
+      val streamed = stats.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("weight_s * 10000 DIV tot_w"))
+        .withColumn("epochs_pm",
+          expr("share_bp * tot_toks DIV (10 * sum_tokens)"))
+        .select("source", "n_docs", "sum_tokens", "weight_s", "share_bp",
+          "epochs_pm")
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val batch = graft.SparkEntry.queries("q173_temperature_mixing")(spark, sf)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    }
+  }
+
   test("file-replay enrichStream == static batch join") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("enrich_replay_").toString
