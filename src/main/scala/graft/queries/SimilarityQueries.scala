@@ -1412,6 +1412,71 @@ object SimilarityQueries {
         out.toDF("rnk", "vec_id", "radius_s").orderBy("rnk")
       },
       Some(kcenterOracleSql(MmrK))),
+
+    // ---- kNN label-noise audit --------------------------------------------
+    // Confident-learning-style label QA: a point whose k-nearest-neighbor
+    // majority label disagrees with its own label is flagged as probable
+    // annotation noise. Runs exact on the bounded validation slice — the
+    // recall-gate posture (q64/q158/q169): the audit is a fixed-size
+    // diagnostic whatever the corpus, and a full-corpus sweep would ride
+    // the IVF candidate machinery (q46) instead of exact all-pairs.
+    // Distances are the q170 expansion through the native dot, floor-
+    // scaled so neighbor ranking is exact (ties on neighbor id); the
+    // majority vote ties on label asc. Output is per-label point/flag
+    // counts — bounded rows, label-stable.
+    "q175_knn_label_noise" -> QueryDef(
+      (s, dir) => {
+        val k = 5
+        val e = tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"), col("label"),
+            dot(s)(col("embedding"), col("embedding")).as("vv"))
+        val a = e.select(col("vec_id").as("aid"), col("v").as("av"),
+          col("label").as("albl"), col("vv").as("avv"))
+        val b = e.select(col("vec_id").as("bid"), col("v").as("bv"),
+          col("label").as("blbl"), col("vv").as("bvv"))
+        val pairs = a.join(b, col("aid") =!= col("bid"))
+          .withColumn("d2s",
+            floor((col("avv") - lit(2.0) * dot(s)(col("av"), col("bv"))
+              + col("bvv")) * lit(1000000)).cast("long"))
+        val wk = Window.partitionBy("aid").orderBy(asc("d2s"), asc("bid"))
+        val votes = pairs
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= k)
+          .groupBy(col("aid"), col("albl"), col("blbl"))
+          .agg(count(lit(1)).as("n"))
+        val wv = Window.partitionBy("aid").orderBy(desc("n"), asc("blbl"))
+        votes.withColumn("vr", row_number().over(wv))
+          .filter(col("vr") === 1)
+          .groupBy(col("albl").as("label"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(col("blbl") =!= col("albl"), 1L).otherwise(0L))
+              .as("n_flagged"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+             |  FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT a.vec_id AS aid, a.label AS albl,
+             |        b.vec_id AS bid, b.label AS blbl,
+             |        CAST(floor((a.vv - 2 * list_dot_product(a.v, b.v)
+             |          + b.vv) * 1000000) AS BIGINT) AS d2s
+             |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |k AS (SELECT aid, albl, blbl,
+             |        row_number() OVER (PARTITION BY aid
+             |          ORDER BY d2s, bid) AS rn
+             |      FROM p),
+             |v AS (SELECT aid, albl, blbl, count(*) AS n FROM k
+             |      WHERE rn <= 5 GROUP BY aid, albl, blbl),
+             |pr AS (SELECT aid, albl, blbl AS pred,
+             |         row_number() OVER (PARTITION BY aid
+             |           ORDER BY n DESC, blbl) AS vr
+             |       FROM v)
+             |SELECT albl AS label, count(*) AS n_points,
+             |  CAST(sum(CASE WHEN pred <> albl THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_flagged
+             |FROM pr WHERE vr = 1
+             |GROUP BY albl ORDER BY label""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like
