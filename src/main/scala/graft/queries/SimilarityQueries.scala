@@ -1477,6 +1477,90 @@ object SimilarityQueries {
              |    AS BIGINT) AS n_flagged
              |FROM pr WHERE vr = 1
              |GROUP BY albl ORDER BY label""".stripMargin)),
+
+    // ---- embedding class-separability audit -------------------------------
+    // The "are these embeddings any good for this labeling" diagnostic
+    // that pairs with q175's per-point noise flags: per label, the mean
+    // squared distance of members to their label centroid (intra) vs the
+    // smallest squared distance to any OTHER label's centroid (inter),
+    // and their ratio in per-mille — a Fisher-style separability score.
+    // Corpus-wide and linear: components are floor-scaled to longs
+    // BEFORE the per-(label,dim) sums (order-independence), the sums
+    // accumulate in DECIMAL(38,0) (a 1e12-point label would wrap a
+    // long; DuckDB's HUGEINT sum is the exact twin), and the centroid is
+    // the integer-divided mean — toward-zero division, which Spark DIV
+    // and DuckDB // agree on even for negative sums. Shuffles: one
+    // groupBy (label, dim) of 64·|labels| rows, one join back (broadcast
+    // — centroids are |labels|·64 rows whatever the corpus), one
+    // per-point groupBy. The centroid-pair join is |labels|² rows.
+    "q176_class_separability" -> QueryDef(
+      (s, dir) => {
+        val ex = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            floor(col("col").cast("double") * lit(1000000)).cast("long")
+              .as("xs"))
+        val cent = ex.groupBy("label", "pos")
+          .agg(sum(col("xs").cast("decimal(38,0)")).as("sx"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            expr("CAST(sx DIV n AS BIGINT)").as("cs"))
+        val intra = ex.join(broadcast(cent), Seq("label", "pos"))
+          .withColumn("d", col("xs") - col("cs"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("d") * col("d")).as("d2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_points"),
+            expr("CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) " +
+              "AS BIGINT)").as("intra_ms"))
+        val ca = cent.select(col("label").as("la"), col("pos"),
+          col("cs").as("csa"))
+        val cb = cent.select(col("label").as("lb"), col("pos"),
+          col("cs").as("csb"))
+        val inter = ca.join(cb, Seq("pos"))
+          .filter(col("la") =!= col("lb"))
+          .withColumn("d", col("csa") - col("csb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(sum(col("d") * col("d")).as("cd2"))
+          .groupBy(col("la").as("label"))
+          .agg(min("cd2").as("min_inter"))
+        intra.join(inter, "label")
+          .withColumn("sep_pm",
+            expr("min_inter * 1000 DIV GREATEST(intra_ms, 1)"))
+          .select(col("label"), col("n_points"), col("intra_ms"),
+            col("min_inter"), col("sep_pm"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id, label, i AS pos,
+             |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS xs
+             |  FROM embeddings, range(1, 65) t(i)),
+             |cent AS (
+             |  SELECT label, pos, CAST(sum(xs) // count(*) AS BIGINT) AS cs
+             |  FROM ex GROUP BY label, pos),
+             |pt AS (
+             |  SELECT e.vec_id, e.label,
+             |    sum((e.xs - c.cs) * (e.xs - c.cs)) AS d2
+             |  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+             |  GROUP BY e.vec_id, e.label),
+             |intra AS (
+             |  SELECT label, count(*) AS n_points,
+             |    CAST(sum(d2) // count(*) AS BIGINT) AS intra_ms
+             |  FROM pt GROUP BY label),
+             |inter AS (
+             |  SELECT la AS label, CAST(min(cd2) AS BIGINT) AS min_inter
+             |  FROM (
+             |    SELECT a.label AS la, b.label AS lb,
+             |      sum((a.cs - b.cs) * (a.cs - b.cs)) AS cd2
+             |    FROM cent a JOIN cent b ON a.pos = b.pos
+             |    WHERE a.label <> b.label
+             |    GROUP BY a.label, b.label) GROUP BY la)
+             |SELECT i.label, i.n_points, i.intra_ms, n.min_inter,
+             |  CAST(n.min_inter * 1000 // GREATEST(i.intra_ms, 1)
+             |    AS BIGINT) AS sep_pm
+             |FROM intra i JOIN inter n ON i.label = n.label
+             |ORDER BY i.label""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like
