@@ -1501,11 +1501,16 @@ object SimilarityQueries {
           .select(col("vec_id"), col("label"), col("pos"),
             floor(col("col").cast("double") * lit(1000000)).cast("long")
               .as("xs"))
-        val cent = ex.groupBy("label", "pos")
+        // Materialize the centroid table (|labels|·64 rows): it is read
+        // three times (intra join, both sides of the centroid-pair join) —
+        // uncached, each reuse would rescan and re-aggregate the corpus.
+        // ex itself is NOT cached: it is 64× the corpus, and its two
+        // consumers are two deliberate linear passes (the k-means shape)
+        val cent = Materialize(ex.groupBy("label", "pos")
           .agg(sum(col("xs").cast("decimal(38,0)")).as("sx"),
             count(lit(1)).as("n"))
           .select(col("label"), col("pos"),
-            expr("CAST(sx DIV n AS BIGINT)").as("cs"))
+            expr("CAST(sx DIV n AS BIGINT)").as("cs")))
         val intra = ex.join(broadcast(cent), Seq("label", "pos"))
           .withColumn("d", col("xs") - col("cs"))
           .groupBy("vec_id", "label")

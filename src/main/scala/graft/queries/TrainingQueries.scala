@@ -1625,13 +1625,16 @@ object TrainingQueries {
     // linear at any corpus size, like q62/q155.
     "q173_temperature_mixing" -> QueryDef(
       (s, dir) => {
-        val src = tableParallel(s, dir, "documents")
+        // Materialize the per-source aggregate (|sources| rows): it feeds
+        // both the totals and the final projection — uncached, the whole
+        // corpus scan + groupBy would run twice
+        val src = Materialize(tableParallel(s, dir, "documents")
           .select(col("source"), size(tokens(col("text"))).cast("long")
             .as("toks"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"))
           .withColumn("weight_s",
-            floor(sqrt(col("sum_tokens")) * lit(1000)).cast("long"))
+            floor(sqrt(col("sum_tokens")) * lit(1000)).cast("long")))
         val tot = src.agg(sum("weight_s").as("tot_w"),
           sum("sum_tokens").as("tot_toks"))
         src.crossJoin(broadcast(tot))
