@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Each rule reduces to ONE linear aggregation (or one anti-join for
   * referential integrity) producing an exact violation count — integer
-  * outputs, so the report replays identically on any engine. Rules over
-  * the same frame could share a scan via a single multi-aggregate pass;
-  * they are kept as separate plans so each rule's cost is independently
-  * visible and any subset can run alone. At 100 TB every rule is a narrow
-  * projection + map-side partial aggregate; none shuffles more than the
-  * group/join key it checks.
+  * outputs, so the report replays identically on any engine. All
+  * PREDICATE rules (not-null / bounds / in-set) over the same frame are
+  * fused into a single multi-aggregate scan — at 100 TB, one corpus pass
+  * however many expectations are declared — while Unique and
+  * RefIntegrity keep their own plans (each needs its own shuffle or
+  * join anyway, and any subset can still run alone through the same
+  * API). None shuffles more than the group/join key it checks.
   */
 object DataQuality {
 
@@ -51,16 +52,19 @@ object DataQuality {
     def name = s"ref_integrity($col)"
   }
 
+  /** The violation predicate of a scan-fusable rule (None for rules that
+    * need their own shuffle/join plan). */
+  private def predicate(rule: Rule): Option[Column] = rule match {
+    case NotNull(c) => Some(col(c).isNull)
+    case Bounds(c, lo, hi) =>
+      Some(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+    case InSet(c, vs) =>
+      Some(col(c).isNotNull && !col(c).isin(vs: _*))
+    case _ => None
+  }
+
   private def violations(df: DataFrame, rule: Rule): DataFrame = {
-    def count0(pred: Column): DataFrame =
-      df.agg(coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
-        .as("violations"))
     val counted = rule match {
-      case NotNull(c) => count0(col(c).isNull)
-      case Bounds(c, lo, hi) =>
-        count0(col(c).isNotNull && (col(c) < lo || col(c) > hi))
-      case InSet(c, vs) =>
-        count0(col(c).isNotNull && !col(c).isin(vs: _*))
       case Unique(cols) =>
         df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
           .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
@@ -68,11 +72,36 @@ object DataQuality {
         df.filter(col(c).isNotNull)
           .join(dim.select(col(dc).as(c)), Seq(c), "left_anti")
           .agg(count(lit(1)).as("violations"))
+      case p =>
+        df.agg(coalesce(sum(when(predicate(p).get, 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
     }
     counted.select(lit(rule.name).as("rule"), col("violations"))
   }
 
-  /** Run every rule; one row per rule with its exact violation count. */
-  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame =
-    rules.map(violations(df, _)).reduce(_.unionByName(_))
+  /** Run every rule; one row per rule with its exact violation count.
+    * Predicate rules share ONE scan (a single multi-aggregate), in
+    * declaration order ahead of the shuffle/join rules' plans — the
+    * output rows are identical to running each rule alone.
+    */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val (fused, own) = rules.partition(predicate(_).isDefined)
+    val fusedFrame =
+      if (fused.isEmpty) Nil
+      else {
+        val aggs = fused.zipWithIndex.map { case (r, i) =>
+          coalesce(sum(when(predicate(r).get, 1L).otherwise(0L)), lit(0L))
+            .as(s"__r$i")
+        }
+        // one wide 1-row aggregate, unpivoted by a single explode — per-
+        // rule selects from the wide frame would re-run the scan per rule
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        Seq(wide.select(explode(array(fused.zipWithIndex.map { case (r, i) =>
+            struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"))
+          }: _*)).as("kv"))
+          .select(col("kv.rule").as("rule"),
+            col("kv.violations").as("violations")))
+      }
+    (fusedFrame ++ own.map(violations(df, _))).reduce(_.unionByName(_))
+  }
 }

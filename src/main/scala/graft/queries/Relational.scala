@@ -1506,8 +1506,12 @@ object Relational {
           .select(col("event_type"), col("value"))
         val med = ev.groupBy("event_type")
           .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
-        val dev = ev.join(broadcast(med), "event_type")
-          .withColumn("adev", abs(col("value") - col("med")))
+        // dev feeds both the MAD percentile and the outlier count —
+        // cached, the corpus is read twice total (median pass + dev
+        // build) instead of four times
+        val dev = graft.operators.Materialize(
+          ev.join(broadcast(med), "event_type")
+            .withColumn("adev", abs(col("value") - col("med"))))
         val mad = dev.groupBy("event_type")
           .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
         dev.join(broadcast(mad), "event_type")

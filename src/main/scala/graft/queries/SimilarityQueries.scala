@@ -337,8 +337,11 @@ object SimilarityQueries {
       (s, dir) => {
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val cent = broadcast(hashSample(e, IvfNlist)
-          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        // the centroid table is joined by BOTH the corpus assignment and
+        // the query probe — cached, its corpus-wide TakeOrdered sample
+        // runs once (IvfNlist rows held)
+        val cent = broadcast(Materialize(hashSample(e, IvfNlist)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))))
 
         def l2(a: String, b: String) =
           dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
@@ -718,10 +721,12 @@ object SimilarityQueries {
             col("v"))
           .select(col(idCol), col("j"),
             slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
-        val cents = broadcast(
+        // the codebook feeds both the corpus encode and the query LUT —
+        // cached, its corpus-wide TakeOrdered sample runs once
+        val cents = broadcast(Materialize(
           subbed(hashSample(e, PqCodebookSize)
             .select(col("vec_id").as("cid"), col("v")), "cid")
-            .select(col("cid"), col("j"), col("sub").as("csub")))
+            .select(col("cid"), col("j"), col("sub").as("csub"))))
         def d2(a: Column, b: Column): Column =
           dot(s)(a, a) - lit(2.0) * dot(s)(a, b) + dot(s)(b, b)
         // encode: per (vector, subspace), code = argmin_c d²(sub, cent_c)
@@ -955,18 +960,23 @@ object SimilarityQueries {
 
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val coarse = broadcast(hashSample(e, IvfNlist)
-          .select(col("vec_id").as("ccid"), col("v").as("cv")))
+        // coarse centroids (IvfNlist rows) and the corpus assignment are
+        // each consumed by TWO downstream paths (assign+probe, and the
+        // codebook+encode chains) — cached, the corpus is assigned ONCE;
+        // uncached, every reuse re-ran the whole assignment (a plan audit
+        // counted 10 corpus scans in this query)
+        val coarse = broadcast(Materialize(hashSample(e, IvfNlist)
+          .select(col("vec_id").as("ccid"), col("v").as("cv"))))
 
         // coarse assignment + residual, one pass over the corpus
         val wAssign = Window.partitionBy("vec_id")
           .orderBy(asc("cd2s"), asc("ccid"))
-        val assign = e.join(coarse)
+        val assign = Materialize(e.join(coarse)
           .withColumn("cd2s", floor(fd2("v", "cv") * 1e6).cast("long"))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("ccid"),
-            residual(col("v"), col("cv")).as("rv"))
+            residual(col("v"), col("cv")).as("rv")))
 
         // residual subvectors; codebook = the residual subvectors of a
         // FIXED-SIZE hash sample of ids (PqCodebookSize entries per
@@ -977,8 +987,8 @@ object SimilarityQueries {
           .select(col("vec_id"), col("ccid"), col("j"),
             slice(col("rv"), col("j") * 8 + 1, lit(8)).as("rsub"))
         val bookIds = hashSample(e, PqCodebookSize).select(col("vec_id"))
-        val book = broadcast(sub.join(broadcast(bookIds), "vec_id")
-          .select(col("vec_id").as("sid"), col("j"), col("rsub").as("bsub")))
+        val book = broadcast(Materialize(sub.join(broadcast(bookIds), "vec_id")
+          .select(col("vec_id").as("sid"), col("j"), col("rsub").as("bsub"))))
 
         // encode: per (vector, subspace), code = argmin over the codebook
         val codes = sub.join(book, "j")
@@ -1249,8 +1259,11 @@ object SimilarityQueries {
       (s, dir) => {
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val cent = broadcast(hashSample(e, IvfNlist)
-          .select(col("vec_id").as("cid"), col("v").as("cv")))
+        // the centroid table is joined by BOTH the corpus assignment and
+        // the query probe — cached, its corpus-wide TakeOrdered sample
+        // runs once (IvfNlist rows held)
+        val cent = broadcast(Materialize(hashSample(e, IvfNlist)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))))
         def l2(a: String, b: String) =
           dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
             dot(s)(col(b), col(b))

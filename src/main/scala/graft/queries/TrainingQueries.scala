@@ -458,7 +458,10 @@ object TrainingQueries {
     "q62_source_mixing" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        // the per-lang counts feed the min and the rate table — cached,
+        // the corpus count runs once (|langs| rows held)
+        val counts = Materialize(
+          docs.groupBy("lang").agg(count(lit(1)).as("n")))
         val minDf = counts.agg(min("n").as("min_n"))
         val rates = counts.crossJoin(broadcast(minDf))
           .withColumn("rate_bp", expr("CAST(min_n * 10000 DIV n AS INT)"))
@@ -499,16 +502,21 @@ object TrainingQueries {
       (s, dir) => {
         val base = table(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        val old = base.filter(col("o_orderkey") % 3 =!= 0)
+        // the roundtrip proof reuses old/cur/rebuilt across the diff, the
+        // apply, and BOTH exceptAll directions — uncached, that is 17
+        // scans of the snapshot (a plan audit counted them); cached, the
+        // snapshot is read twice (old, cur) and everything downstream
+        // reuses the narrow persisted frames
+        val old = Materialize(base.filter(col("o_orderkey") % 3 =!= 0)
           .withColumn("o_totalprice",
             when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
-              .otherwise(col("o_totalprice")))
-        val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+              .otherwise(col("o_totalprice"))))
+        val cur = Materialize(base.filter(col("o_orderkey") % 11 =!= 0))
         val sparse = graft.operators.SnapshotDiff
           .diff(old, cur, Seq("o_orderkey"))
           .filter(col("change_type") =!= "unchanged")
-        val rebuilt = graft.operators.SnapshotDiff
-          .applyDelta(old, sparse, Seq("o_orderkey"))
+        val rebuilt = Materialize(graft.operators.SnapshotDiff
+          .applyDelta(old, sparse, Seq("o_orderkey")))
         val mism = rebuilt.exceptAll(cur).unionByName(cur.exceptAll(rebuilt))
           .agg(count(lit(1)).as("n_mismatch"))
         rebuilt.groupBy("o_orderstatus")
@@ -538,16 +546,20 @@ object TrainingQueries {
         val ev = table(s, dir, "events")
           .select(col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("us"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("us").as("t1"))
-        val c = ev.filter(col("event_type") === "click")
+        // each stage's per-user aggregate feeds BOTH the next stage's join
+        // and its own step count — cached, the chain costs one pushed-
+        // filter scan per stage plus the per-user state (exactly what the
+        // streaming twin holds); uncached, each reuse re-runs the chain
+        val v = Materialize(ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1")))
+        val c = Materialize(ev.filter(col("event_type") === "click")
           .join(v, "user_id").filter(col("us") > col("t1"))
           .groupBy("user_id")
-          .agg(min("us").as("t2"), min("t1").as("t1"))
-        val p = ev.filter(col("event_type") === "purchase")
+          .agg(min("us").as("t2"), min("t1").as("t1")))
+        val p = Materialize(ev.filter(col("event_type") === "purchase")
           .join(c, "user_id").filter(col("us") > col("t2"))
           .groupBy("user_id")
-          .agg(min("us").as("t3"), min("t2").as("t2"))
+          .agg(min("us").as("t3"), min("t2").as("t2")))
         val s1 = v.agg(count(lit(1)).as("n_users"))
           .select(lit(1).as("step"), lit("view").as("stage"),
             col("n_users"), lit(null).cast("double").as("avg_gap_s"))
@@ -875,8 +887,11 @@ object TrainingQueries {
     // plus an anti-join over a few-percent false-positive band.
     "q110_bloom_incremental_dedup" -> QueryDef(
       (s, dir) => {
-        val docs = tableParallel(s, dir, "documents")
-          .withColumn("fp", md5(col("text")))
+        // fingerprint projection cached once: the bloom build, both
+        // batch filters, and the exact-check anti-join side all reuse it —
+        // uncached, each consumer re-hashed the corpus
+        val docs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("fp")))
         val corpus = docs.filter(col("doc_id") % 3 === 0)
         val batch = docs.filter(col("doc_id") % 3 =!= 0)
         val bloom = corpus.stat.bloomFilter("fp", 100000L, 0.03)
@@ -941,7 +956,12 @@ object TrainingQueries {
       (s, dir) => {
         val tok = tableParallel(s, dir, "documents")
           .select(col("source"), explode(tokens(col("text"))).as("w"))
-        val bySrc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        // the (source, token) counts feed four consumers (per-source
+        // totals, corpus totals, the grand total, the final join) —
+        // cached, the corpus explode+count runs once and the reuses read
+        // a vocab-sized table
+        val bySrc = Materialize(
+          tok.groupBy("source", "w").agg(count(lit(1)).as("c")))
         val srcTot = bySrc.groupBy("source").agg(sum("c").as("n"))
         val corpus = bySrc.groupBy("w").agg(sum("c").as("cc"))
         val corpusTot = corpus.agg(sum("cc").as("nn"))
