@@ -169,6 +169,66 @@ class PlanInvariantsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("no catalog plan rescans a table beyond its pinned budget") {
+    // Redundant-scan tripwire: a reused intermediate whose derivation is
+    // not cached re-runs its whole chain per consumer — the round-6 audit
+    // found a CDC roundtrip proof scanning its snapshot 17 times and an
+    // IVF-PQ pipeline re-assigning the corpus 10 times. The walk counts
+    // FileSourceScans per table, deduplicating cached fragments (an
+    // InMemoryRelation's population scan counts once however many times
+    // the cache is read). Default budget: 2 scans of any one table.
+    // Whitelisted exceptions, each with a scale rationale:
+    val budget = Map(
+      // recall gates: every scan carries the PUSHED validation-slice
+      // filter (vec_id < K) — fixed-size reads at any corpus size
+      "q64_lsh_recall" -> 6, "q158_ivf_recall" -> 6, "q169_pq_recall" -> 6,
+      // sample pass + corpus pass + bounded query slice
+      "q46_ann_ivf" -> 3, "q162_pq_ann_adc" -> 3,
+      "q170_ivfpq_residual_ann" -> 3,
+      // set-op / gapfill branches are semantically distinct scans
+      "q96_set_ops_all" -> 4, "q99_date_spine_gapfill" -> 3,
+      // blocked self-join sides + stats pass
+      "q83_fuzzy_entity_match" -> 3,
+      // banded estimate vs exact vs candidate branches
+      "q159_minhash_estimate_audit" -> 3,
+      // three pushed event-type passes
+      "q80_funnel_conversion" -> 3,
+      // fused predicate pass + unique + ref-integrity per table
+      "q82_data_quality" -> 3)
+    SparkEntry.catalog.foreach { case (name, qd) =>
+      val plan = qd.fn(spark, sf).queryExecution.sparkPlan
+      val caches = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+      def walk(p: SparkPlan,
+               acc: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+        p match {
+          case s: InMemoryTableScanExec =>
+            val cp = s.relation.cachedPlan
+            if (!caches.exists(_ eq cp)) caches += cp
+          case f: FileSourceScanExec =>
+            acc ++= f.relation.location.rootPaths.headOption
+              .map(_.getName)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.inputPlan, acc)
+          case _ =>
+        }
+        if (!p.isInstanceOf[InMemoryTableScanExec])
+          p.children.foreach(walk(_, acc))
+        p.subqueries.foreach(walk(_, acc))
+      }
+      val acc = scala.collection.mutable.ArrayBuffer[String]()
+      walk(plan, acc)
+      var i = 0
+      while (i < caches.length) { walk(caches(i), acc); i += 1 }
+      val allowed = budget.getOrElse(name, 2)
+      acc.groupBy(identity).foreach { case (tbl, hits) =>
+        assert(hits.size <= allowed,
+          s"$name scans $tbl ${hits.size}x (budget $allowed) — cache the " +
+            "reused intermediate or whitelist with a scale rationale")
+      }
+      spark.sqlContext.clearCache()
+    }
+  }
+
   test("q44's cap filter pushes down to the parquet scan") {
     val plan = SparkEntry.queries("q44_embed_neardup_cosine")(spark, sf)
       .queryExecution.sparkPlan
