@@ -494,19 +494,24 @@ object TrainingQueries {
     // The MERGE half of the snapshot story (q69 is the diff half): ship
     // only the sparse added/changed/removed rows, apply them onto the old
     // snapshot, and prove applyDelta(old, sparse(diff(old,cur))) == cur
-    // ROW-FOR-ROW inside the query — n_mismatch counts exceptAll both
-    // ways, and the oracle pins it to 0 while recomputing cur's aggregates
-    // independently. Cost: the diff's full-outer join + the apply's
-    // left-anti, all equi-shuffles on the key — linear at 100 TB.
+    // inside the query. The equality witness is the starContraction
+    // fingerprint pattern — (count, Σ decimal xxhash64 over all columns)
+    // per side, equal ⇒ n_mismatch 0 — two SHUFFLE-FREE scalar
+    // aggregates where the previous exceptAll-both-ways proof cost two
+    // corpus-wide shuffles; the oracle pins the 0 while recomputing
+    // cur's aggregates independently. Cost: the diff's full-outer join +
+    // the apply's left-anti, all equi-shuffles on the key — linear at
+    // 100 TB.
     "q79_cdc_apply_delta" -> QueryDef(
       (s, dir) => {
         val base = table(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        // the roundtrip proof reuses old/cur/rebuilt across the diff, the
-        // apply, and BOTH exceptAll directions — uncached, that is 17
-        // scans of the snapshot (a plan audit counted them); cached, the
-        // snapshot is read twice (old, cur) and everything downstream
-        // reuses the narrow persisted frames
+        // old/cur/rebuilt each feed two consumers (diff + apply, diff +
+        // fingerprint, fingerprint + report) — uncached, every reuse
+        // re-ran its derivation (a plan audit counted 17 snapshot scans
+        // in the exceptAll-era shape); cached, the snapshot is read
+        // twice (old, cur) and everything downstream reuses the narrow
+        // persisted frames
         val old = Materialize(base.filter(col("o_orderkey") % 3 =!= 0)
           .withColumn("o_totalprice",
             when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
@@ -517,8 +522,15 @@ object TrainingQueries {
           .filter(col("change_type") =!= "unchanged")
         val rebuilt = Materialize(graft.operators.SnapshotDiff
           .applyDelta(old, sparse, Seq("o_orderkey")))
-        val mism = rebuilt.exceptAll(cur).unionByName(cur.exceptAll(rebuilt))
-          .agg(count(lit(1)).as("n_mismatch"))
+        def fp(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"),
+            sum(xxhash64(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")).cast("decimal(38,0)")).as("h"))
+        val mism = fp(rebuilt)
+          .crossJoin(fp(cur)
+            .select(col("n").as("n2"), col("h").as("h2")))
+          .select(when(col("n") === col("n2") && col("h") <=> col("h2"),
+            0L).otherwise(1L).as("n_mismatch"))
         rebuilt.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_rows"),
                round(sum("o_totalprice"), 2).as("total_price"))

@@ -69,6 +69,32 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(cur.exceptAll(rebuilt).count() === 0)
   }
 
+  test("the q79 fingerprint witness detects a single corrupted row") {
+    // q79's roundtrip proof replaced exceptAll-both-ways with a
+    // (count, Σ decimal xxhash64) multiset fingerprint; this pins that
+    // the witness is not vacuous — equal multisets agree, and one
+    // perturbed value (or one dropped row) flips it
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("k"), col("status"), col("price"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val a = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), None),
+      (3L, None, Some(3.0))).toDF("k", "status", "price")
+    val same = Seq((3L, None, Some(3.0)), (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), None)).toDF("k", "status", "price")
+    val oneOff = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), None),
+      (3L, None, Some(3.000001))).toDF("k", "status", "price")
+    val dropped = a.filter(col("k") =!= 2L)
+    assert(fp(a) === fp(same), "order must not matter")
+    assert(fp(a) !== fp(oneOff), "a perturbed value must change the hash sum")
+    assert(fp(a)._1 !== fp(dropped)._1, "a dropped row must change the count")
+  }
+
   test("applyDelta rejects a delta without change_type") {
     import spark.implicits._
     val old = Seq((1L, "a")).toDF("k", "v")
