@@ -67,6 +67,26 @@ object SimilarityQueries {
     */
   val MmrK = 10
 
+  /** q178's DCG discount table: rank → floor(1e9 / log2(rank + 1)), the
+    * classic log2 position discount as a PRE-COMPUTED literal LUT. Both
+    * engines join these identical integer constants (a 10-row broadcast /
+    * VALUES list), so neither ever evaluates a transcendental at query
+    * time — DCG stays exact integer math and the oracle hash-matches by
+    * construction, not by float luck.
+    */
+  val NdcgDiscounts: Seq[(Long, Long)] = Seq(
+    1L -> 1000000000L, 2L -> 630929753L, 3L -> 500000000L,
+    4L -> 430676558L, 5L -> 386852807L, 6L -> 356207187L,
+    7L -> 333333333L, 8L -> 315464876L, 9L -> 301029995L,
+    10L -> 289064826L)
+
+  /** DuckDB VALUES twin of [[NdcgDiscounts]] (BIGINT-cast: an INTEGER
+    * gain×disc product would overflow DuckDB's ANSI int32 at gain 3).
+    */
+  private def ndcgDiscountValues: String =
+    NdcgDiscounts.map { case (r, d) => s"($r::BIGINT, $d::BIGINT)" }
+      .mkString(", ")
+
   /** Exactly-k hash-deterministic training sample: order ids by the md5 of
     * their decimal string (DuckDB computes the identical digest over the
     * identical UTF-8 bytes, and hex strings compare identically in both
@@ -1579,6 +1599,157 @@ object SimilarityQueries {
              |    AS BIGINT) AS sep_pm
              |FROM intra i JOIN inter n ON i.label = n.label
              |ORDER BY i.label""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion -------------------------
+    // The standard hybrid-search combiner: a dense leg (cosine vs the
+    // query embedding) and a sparse lexical leg (query-term frequency in
+    // the document text) each produce a top-K list, fused by RRF
+    // score = Σ 1/(60 + rank). Each leg is ONE linear pass with O(K)
+    // state per task (TakeOrderedAndProject — no shuffle, no global
+    // sort), whatever the corpus; the fusion is a full-outer join of two
+    // K-row lists. Contributions are the exact integers
+    // 1e9 DIV (60 + rank), so the fused ordering never touches a float.
+    "q177_rrf_hybrid_fusion" -> QueryDef(
+      (s, dir) => {
+        val kTop = 20
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", norm(s)(col("v")))
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qnrm")))
+        val dense = e.filter(col("vec_id") > 0).join(q)
+          .select(col("vec_id"),
+            floor(dot(s)(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+              * lit(1000000)).cast("long").as("ds"))
+          .orderBy(desc("ds"), asc("vec_id")).limit(kTop)
+        val dr = dense.withColumn("r_dense", row_number()
+            .over(Window.orderBy(desc("ds"), asc("vec_id"))).cast("long"))
+          .select(col("vec_id").as("id"), col("r_dense"))
+        val sparse = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(expr("filter(split(text, ' '), " +
+              "w -> w = 'hash' OR w = 'scan' OR w = 'table')"))
+              .cast("long").as("tf"))
+          .filter(col("tf") > 0)
+          .orderBy(desc("tf"), asc("doc_id")).limit(kTop)
+        val sr = sparse.withColumn("r_sparse", row_number()
+            .over(Window.orderBy(desc("tf"), asc("doc_id"))).cast("long"))
+          .select(col("doc_id").as("id"), col("r_sparse"))
+        dr.join(sr, Seq("id"), "full_outer")
+          .withColumn("rrf_s",
+            coalesce(expr("1000000000 DIV (60 + r_dense)"), lit(0L)) +
+              coalesce(expr("1000000000 DIV (60 + r_sparse)"), lit(0L)))
+          .orderBy(desc("rrf_s"), asc("id")).limit(10)
+          .select(col("id"), col("r_dense"), col("r_sparse"), col("rrf_s"))
+      },
+      Some(s"""WITH $duckNormed,
+              |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+              |dense AS (SELECT vec_id,
+              |    CAST(floor(list_dot_product(v, qv) / (nrm * qnrm)
+              |      * 1000000) AS BIGINT) AS ds
+              |  FROM n, q WHERE vec_id > 0
+              |  ORDER BY ds DESC, vec_id LIMIT 20),
+              |dr AS (SELECT vec_id AS id,
+              |    CAST(row_number() OVER (ORDER BY ds DESC, vec_id)
+              |      AS BIGINT) AS r_dense FROM dense),
+              |sparse AS (SELECT doc_id, tf FROM (
+              |    SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+              |      w -> w = 'hash' OR w = 'scan' OR w = 'table'))
+              |      AS BIGINT) AS tf
+              |    FROM documents) WHERE tf > 0
+              |  ORDER BY tf DESC, doc_id LIMIT 20),
+              |sr AS (SELECT doc_id AS id,
+              |    CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+              |      AS BIGINT) AS r_sparse FROM sparse)
+              |SELECT COALESCE(dr.id, sr.id) AS id, r_dense, r_sparse,
+              |  COALESCE(1000000000 // (60 + r_dense), 0)
+              |    + COALESCE(1000000000 // (60 + r_sparse), 0) AS rrf_s
+              |FROM dr FULL OUTER JOIN sr ON dr.id = sr.id
+              |ORDER BY rrf_s DESC, id LIMIT 10""".stripMargin)),
+
+    // ---- retrieval quality: nDCG@10 over a labeled eval slice -------------
+    // The ranking-quality metric that closes the retrieval loop (q45/q46
+    // produce rankings, q158/q169 gate recall; this grades ORDER): per
+    // query, DCG@10 of the cosine ranking against graded label relevance
+    // (same label = gain 3, adjacent label = gain 1, else 0 — the
+    // 2^rel − 1 gains), normalized by the ideal ordering of the same
+    // pool. The log2 discounts are a 10-row LITERAL LUT of
+    // floor(1e9/log2(rank+1)) — both engines join the identical
+    // constants, so DCG is exact integer math end-to-end. Eval posture =
+    // the recall gates': a FIXED labeled slice (pushed range filter)
+    // whatever the corpus; queries are a pushed point slice broadcast at
+    // 8 rows. One window shuffle on (query), one 10-row LUT broadcast.
+    "q178_ndcg_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = tableParallel(s, dir, "embeddings")
+        val qs = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            norm(s)(col("embedding")).as("qnrm"), col("label").as("qlbl")))
+        val cand = e.filter(col("vec_id") >= 100 && col("vec_id") < 400)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            norm(s)(col("embedding")).as("cnrm"), col("label").as("clbl"))
+        // both rankings (actual and ideal) re-read the scored pool;
+        // cached, the queries×slice scoring pass runs once
+        val scored = Materialize(cand.join(qs)
+          .select(col("qid"), col("qlbl"), col("cid"),
+            floor(dot(s)(col("cv"), col("qv")) / (col("cnrm") * col("qnrm"))
+              * lit(1000000)).cast("long").as("cos_s"),
+            when(col("clbl") === col("qlbl"), 3L)
+              .when(abs(col("clbl") - col("qlbl")) === 1, 1L)
+              .otherwise(0L).as("gain")))
+        val disc = broadcast(NdcgDiscounts.toDF("rnk", "disc"))
+        val actual = scored.withColumn("rnk", row_number()
+            .over(Window.partitionBy("qid")
+              .orderBy(desc("cos_s"), asc("cid"))).cast("long"))
+          .filter(col("rnk") <= 10).join(disc, "rnk")
+          .groupBy("qid", "qlbl")
+          .agg(sum(col("gain") * col("disc")).as("dcg_s"))
+        val ideal = scored.withColumn("rnk", row_number()
+            .over(Window.partitionBy("qid")
+              .orderBy(desc("gain"), asc("cid"))).cast("long"))
+          .filter(col("rnk") <= 10).join(disc, "rnk")
+          .groupBy("qid")
+          .agg(sum(col("gain") * col("disc")).as("idcg_s"))
+        actual.join(ideal, "qid")
+          .select(col("qid"), col("qlbl"), col("dcg_s"), col("idcg_s"),
+            expr("dcg_s * 1000 DIV GREATEST(idcg_s, 1)").as("ndcg_pm"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $duckNormed,
+              |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm,
+              |        label AS qlbl
+              |      FROM (SELECT n.*, e2.label FROM n
+              |            JOIN embeddings e2 USING (vec_id))
+              |      WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm,
+              |        label AS clbl
+              |      FROM (SELECT n.*, e2.label FROM n
+              |            JOIN embeddings e2 USING (vec_id))
+              |      WHERE vec_id >= 100 AND vec_id < 400),
+              |disc(rnk, disc) AS (VALUES $ndcgDiscountValues),
+              |scored AS (SELECT qid, qlbl, cid,
+              |    CAST(floor(list_dot_product(cv, qv) / (cnrm * qnrm)
+              |      * 1000000) AS BIGINT) AS cos_s,
+              |    CASE WHEN clbl = qlbl THEN 3
+              |         WHEN abs(clbl - qlbl) = 1 THEN 1 ELSE 0 END AS gain
+              |  FROM c, q),
+              |actual AS (SELECT qid, qlbl, sum(gain * disc) AS dcg_s
+              |  FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+              |          ORDER BY cos_s DESC, cid) AS BIGINT) AS rnk
+              |        FROM scored) s JOIN disc USING (rnk)
+              |  WHERE rnk <= 10 GROUP BY qid, qlbl),
+              |ideal AS (SELECT qid, sum(gain * disc) AS idcg_s
+              |  FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+              |          ORDER BY gain DESC, cid) AS BIGINT) AS rnk
+              |        FROM scored) s JOIN disc USING (rnk)
+              |  WHERE rnk <= 10 GROUP BY qid)
+              |SELECT a.qid, a.qlbl, CAST(a.dcg_s AS BIGINT) AS dcg_s,
+              |  CAST(i.idcg_s AS BIGINT) AS idcg_s,
+              |  CAST(a.dcg_s * 1000 // GREATEST(i.idcg_s, 1) AS BIGINT)
+              |    AS ndcg_pm
+              |FROM actual a JOIN ideal i ON a.qid = i.qid
+              |ORDER BY a.qid""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like
