@@ -1271,10 +1271,17 @@ object TextQueries {
     // construction. The query PROVES it: n_leaks counts verified near-dup
     // pairs whose endpoints landed in different splits — pinned 0 by the
     // oracle. Same pipeline shapes as q48 plus one broadcast-back of the
-    // dimension-sized label table.
+    // dimension-sized label table. Candidate generation rides the SAME
+    // stop-shingle df cut as the production pipeline default
+    // ([[graft.operators.CorpusPipeline.DefaultStopShingleDf]]): the
+    // split must group near-dups exactly the way the dedup that produced
+    // the corpus did, so consistency argues FOR the cut — and it bounds
+    // the self-join fan-out to ≤ df² pairs per shingle at any corpus
+    // scale (no corpus-wide Σ df² hot keys).
     "q145_leakage_safe_split" -> QueryDef(
       (s, dir) => {
-        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val sh = Materialize(shingleTable(s, dir,
+          stopShingleDf = Some(graft.operators.CorpusPipeline.DefaultStopShingleDf)))
         val pairs = Materialize(
           jaccardPairs(sh, 0.8).select("doc_a", "doc_b"))
         val labels = ConnectedComponents.minLabel(pairs)
@@ -1305,8 +1312,9 @@ object TextQueries {
       },
       Some(s"""WITH RECURSIVE
               |ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
-              |sh AS (SELECT doc_id, unnest(hs) AS sh
-              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sh0 AS (SELECT doc_id, unnest(hs) AS sh
+              |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |${duckStopShingles(graft.operators.CorpusPipeline.DefaultStopShingleDf)},
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -1484,17 +1492,22 @@ object TextQueries {
 
     // ---- MinHash estimator-quality audit ----------------------------------
     // The q64/q158 pattern for the SKETCH itself: on every exactly-similar
-    // pair (shingle Jaccard ≥ 0.5 — ground truth), compare the true
-    // Jaccard against the 8-hash MinHash ESTIMATE (matching-hash fraction,
-    // the statistic LSH banding thresholds are derived from). Signatures
-    // are per-doc array folds (no explode, no shuffle); the audit joins
-    // the constant-size truth set to broadcast signatures, so estimator
-    // drift is measured — per pair, under the exact-hash oracle — at any
-    // corpus scale.
+    // pair in a PUSHED validation slice (doc_id < 250; shingle Jaccard
+    // ≥ 0.5 is the ground truth), compare the true Jaccard against the
+    // 8-hash MinHash ESTIMATE (matching-hash fraction, the statistic LSH
+    // banding thresholds are derived from). The slice predicate reaches
+    // the parquet scan on BOTH legs (truth pairs and signatures), so the
+    // exact self-join runs over a constant-size slice — never the full
+    // corpus — and the broadcast signature tables are slice-sized, not
+    // corpus-sized. Estimator drift is a per-sketch property, so a fixed
+    // audit slice measures it at any corpus scale (the q64/q158 recall-
+    // gate posture).
     "q159_minhash_estimate_audit" -> QueryDef(
       (s, dir) => {
         ShingleHashes.register(s)
-        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val auditSlice = 250L
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None)
+          .filter(col("doc_id") < auditSlice))
         val truth = jaccardPairs(sh, 0.5)
           .select(col("doc_a"), col("doc_b"),
                   round(col("jaccard"), 4).as("j_exact"))
@@ -1504,6 +1517,7 @@ object TextQueries {
             .as(s"m$i")
         }
         val sigs = tableParallel(s, dir, "documents")
+          .filter(col("doc_id") < auditSlice)
           .select(col("doc_id"), ShingleHashes.of(tokens(col("text"))).as("hs"))
           .filter(size(col("hs")) > 0)
           .select(col("doc_id") +: sigCols: _*)
@@ -1526,7 +1540,8 @@ object TextQueries {
         val matchSum = (0 until 8)
           .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
           .mkString(" + ")
-        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents
+           |           WHERE doc_id < 250),
            |hss AS (SELECT * FROM (SELECT doc_id, $duckHs AS hs FROM ws)
            |        WHERE len(hs) > 0),
            |sig AS (SELECT doc_id, $sigList FROM hss),
