@@ -102,6 +102,179 @@ object SimilarityQueries {
   private def hashSampleSql(k: Int): String =
     s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
 
+  /** The IVF-PQ retrieval pipeline (q170's plan), parameterized on the
+    * query predicate and the candidate depth `m` so the composed
+    * retrieval→selection queries (q179) reuse the IDENTICAL index build,
+    * probe, and ADC machinery rather than a re-derivation. Returns
+    * (query_id, neighbor_id, adc_d2_scaled, rnk ≤ m). All broadcast sides
+    * are fixed-cardinality (IvfNlist coarse centroids, PqCodebookSize·8
+    * codebook rows, the query set, the per-query LUT of 3·8·codebook
+    * rows); the corpus is touched by the budgeted assign/encode scans
+    * only — candidate depth changes the final filter, never the shape.
+    */
+  private def ivfPqTopM(s: SparkSession, dir: String,
+                        queryPred: Column, m: Int): DataFrame = {
+    import graft.functions.DoubleVectorDot
+    DoubleVectorDot.register(s)
+    def ddot(a: Column, b: Column): Column = DoubleVectorDot.dot(a, b)
+    def rd2(a: Column, b: Column): Column =
+      ddot(a, a) - lit(2.0) * ddot(a, b) + ddot(b, b)
+    def fd2(a: String, b: String): Column =
+      dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
+        dot(s)(col(b), col(b))
+    def residual(v: Column, c: Column): Column =
+      zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
+
+    val e = tableParallel(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    // coarse centroids (IvfNlist rows) and the corpus assignment are
+    // each consumed by TWO downstream paths (assign+probe, and the
+    // codebook+encode chains) — cached, the corpus is assigned ONCE;
+    // uncached, every reuse re-ran the whole assignment (a plan audit
+    // counted 10 corpus scans in this query)
+    val coarse = broadcast(Materialize(hashSample(e, IvfNlist)
+      .select(col("vec_id").as("ccid"), col("v").as("cv"))))
+
+    // coarse assignment + residual, one pass over the corpus
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(asc("cd2s"), asc("ccid"))
+    val assign = Materialize(e.join(coarse)
+      .withColumn("cd2s", floor(fd2("v", "cv") * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"),
+        residual(col("v"), col("cv")).as("rv")))
+
+    // residual subvectors; codebook = the residual subvectors of a
+    // FIXED-SIZE hash sample of ids (PqCodebookSize entries per
+    // subspace whatever the corpus — never a fraction of N)
+    val sub = assign
+      .select(col("vec_id"), col("ccid"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("rv"))
+      .select(col("vec_id"), col("ccid"), col("j"),
+        slice(col("rv"), col("j") * 8 + 1, lit(8)).as("rsub"))
+    val bookIds = hashSample(e, PqCodebookSize).select(col("vec_id"))
+    val book = broadcast(Materialize(sub.join(broadcast(bookIds), "vec_id")
+      .select(col("vec_id").as("sid"), col("j"), col("rsub").as("bsub"))))
+
+    // encode: per (vector, subspace), code = argmin over the codebook
+    val codes = sub.join(book, "j")
+      .withColumn("bd2s", floor(rd2(col("rsub"), col("bsub")) * 1e6)
+        .cast("long"))
+      .groupBy("vec_id", "ccid", "j")
+      .agg(min(struct(col("bd2s"), col("sid"))).as("m"))
+      .select(col("vec_id"), col("ccid"), col("j"),
+        col("m.sid").as("code"))
+
+    // queries probe the top-3 coarse lists; LUT is per probed list
+    // because residuals are list-relative (q − c changes with c)
+    val q = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(asc("cd2s"), asc("ccid"))
+    val probe = q.join(coarse)
+      .withColumn("cd2s", floor(fd2("qv", "cv") * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("ccid"),
+        residual(col("qv"), col("cv")).as("qrv"))
+    val lut = broadcast(probe
+      .select(col("query_id"), col("ccid"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("qrv"))
+      .select(col("query_id"), col("ccid"), col("j"),
+        slice(col("qrv"), col("j") * 8 + 1, lit(8)).as("qsub"))
+      .join(book, "j")
+      .withColumn("pd2s", floor(rd2(col("qsub"), col("bsub")) * 1e6)
+        .cast("long"))
+      .select(col("query_id"), col("ccid"), col("j"),
+        col("sid").as("code"), col("pd2s")))
+
+    // ADC: each candidate in a probed list meets exactly 8 LUT rows
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
+    codes.join(lut, Seq("ccid", "j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pd2s").as("adc_d2_scaled"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= m)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_d2_scaled"), col("rnk"))
+  }
+
+  /** DuckDB twin of [[ivfPqTopM]] as a WITH-chain body ending in the
+    * `topm` CTE (query_id, neighbor_id, adc_d2_scaled, rnk ≤ m). q170
+    * SELECTs from it directly; q179 composes the MMR stages on top.
+    */
+  private def ivfPqChainSql(queryPred: String, m: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |          FROM embeddings),
+       |coarse AS (SELECT vec_id AS ccid, v AS cv FROM e
+       |           ${hashSampleSql(IvfNlist)}),
+       |assign AS (
+       |  SELECT vec_id, ccid,
+       |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+       |  FROM (
+       |    SELECT e.vec_id, c.ccid, e.v, c.cv,
+       |      CAST(row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY CAST(floor((list_dot_product(e.v, e.v)
+       |          - 2.0 * list_dot_product(e.v, c.cv)
+       |          + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
+       |          c.ccid) AS INT) AS rn
+       |    FROM e CROSS JOIN coarse c) WHERE rn = 1),
+       |sub AS (SELECT vec_id, ccid, j,
+       |          list_slice(rv, j * 8 + 1, j * 8 + 8) AS rsub
+       |        FROM assign CROSS JOIN range(0, 8) t(j)),
+       |bsel AS (SELECT vec_id FROM e ${hashSampleSql(PqCodebookSize)}),
+       |book AS (SELECT vec_id AS sid, j, rsub AS bsub FROM sub
+       |         WHERE vec_id IN (SELECT vec_id FROM bsel)),
+       |enc AS (
+       |  SELECT vec_id, ccid, j, sid AS code FROM (
+       |    SELECT s.vec_id, s.ccid, s.j, b.sid,
+       |      CAST(row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY CAST(floor((list_dot_product(s.rsub, s.rsub)
+       |          - 2.0 * list_dot_product(s.rsub, b.bsub)
+       |          + list_dot_product(b.bsub, b.bsub)) * 1e6) AS BIGINT),
+       |          b.sid) AS INT) AS rn
+       |    FROM sub s JOIN book b ON b.j = s.j) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE $queryPred),
+       |probe AS (
+       |  SELECT query_id, ccid,
+       |    list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
+       |  FROM (
+       |    SELECT q.query_id, c.ccid, q.qv, c.cv,
+       |      CAST(row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+       |          - 2.0 * list_dot_product(q.qv, c.cv)
+       |          + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
+       |          c.ccid) AS INT) AS rn
+       |    FROM q CROSS JOIN coarse c) WHERE rn <= 3),
+       |qsub AS (SELECT query_id, ccid, j,
+       |           list_slice(qrv, j * 8 + 1, j * 8 + 8) AS qsub
+       |         FROM probe CROSS JOIN range(0, 8) t(j)),
+       |lut AS (
+       |  SELECT s.query_id, s.ccid, s.j, b.sid AS code,
+       |    CAST(floor((list_dot_product(s.qsub, s.qsub)
+       |      - 2.0 * list_dot_product(s.qsub, b.bsub)
+       |      + list_dot_product(b.bsub, b.bsub)) * 1e6) AS BIGINT)
+       |      AS pd2s
+       |  FROM qsub s JOIN book b ON b.j = s.j),
+       |adc AS (
+       |  SELECT l.query_id, e.vec_id,
+       |    CAST(sum(l.pd2s) AS BIGINT) AS adc_d2_scaled
+       |  FROM enc e JOIN lut l
+       |    ON l.ccid = e.ccid AND l.j = e.j AND l.code = e.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |topm AS (
+       |  SELECT query_id, neighbor_id, adc_d2_scaled, rnk FROM (
+       |    SELECT query_id, vec_id AS neighbor_id, adc_d2_scaled,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2_scaled, vec_id) AS INT) AS rnk
+       |    FROM adc)
+       |  WHERE rnk <= $m)""".stripMargin
+
   private val duckNormed =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
@@ -966,161 +1139,75 @@ object SimilarityQueries {
     // lives in PqRecallSpec; this query pins the COMPOSITION's plan
     // shape and determinism under the hash oracle.
     "q170_ivfpq_residual_ann" -> QueryDef(
+      (s, dir) => ivfPqTopM(s, dir, col("vec_id") < 5, 10)
+        .orderBy("query_id", "rnk"),
+      Some(s"""WITH ${ivfPqChainSql("vec_id < 5", 10)}
+             |SELECT query_id, neighbor_id, adc_d2_scaled, rnk FROM topm
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- composed retrieval → selection pipeline ---------------------------
+    // The actual curation pipeline, under ONE oracle: IVF-PQ retrieval
+    // ([[ivfPqTopM]], q170's exact index build / probe / ADC machinery)
+    // pulls the top-50 candidates for the query vector, their EXACT
+    // embeddings are fetched by a broadcast semi-join (the 50-row
+    // candidate list is the build side — the corpus scan stays one pass
+    // with the id filter pushed), and q172's MMR greedy re-rank selects
+    // the k=MmrK relevant-but-diverse winners from them. This pins at
+    // plan level that the bounded-candidate interface COMPOSES: every
+    // broadcast is O(m + k + index parameters) — candidate ids (m=50),
+    // MMR selected set (≤k), coarse centroids, codebook, LUT — and the
+    // corpus is touched only by the retrieval stage's budgeted scans
+    // plus ONE exact-embedding fetch; the quadratic re-rank runs on m
+    // candidates, never the corpus. adc_rnk in the output is the
+    // retrieval rank of each selected vector — the audit trail that
+    // selection is re-ordering retrieval's candidates, not bypassing
+    // them.
+    "q179_retrieval_mmr_rerank" -> QueryDef(
       (s, dir) => {
-        import graft.functions.DoubleVectorDot
-        DoubleVectorDot.register(s)
-        def ddot(a: Column, b: Column): Column = DoubleVectorDot.dot(a, b)
-        def rd2(a: Column, b: Column): Column =
-          ddot(a, a) - lit(2.0) * ddot(a, b) + ddot(b, b)
-        def fd2(a: String, b: String): Column =
-          dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
-            dot(s)(col(b), col(b))
-        def residual(v: Column, c: Column): Column =
-          zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
-
+        val topm = Materialize(ivfPqTopM(s, dir, col("vec_id") === 0, 50)
+          .select(col("neighbor_id"), col("rnk").as("adc_rnk")))
         val e = tableParallel(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").as("v"))
-        // coarse centroids (IvfNlist rows) and the corpus assignment are
-        // each consumed by TWO downstream paths (assign+probe, and the
-        // codebook+encode chains) — cached, the corpus is assigned ONCE;
-        // uncached, every reuse re-ran the whole assignment (a plan audit
-        // counted 10 corpus scans in this query)
-        val coarse = broadcast(Materialize(hashSample(e, IvfNlist)
-          .select(col("vec_id").as("ccid"), col("v").as("cv"))))
-
-        // coarse assignment + residual, one pass over the corpus
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(asc("cd2s"), asc("ccid"))
-        val assign = Materialize(e.join(coarse)
-          .withColumn("cd2s", floor(fd2("v", "cv") * 1e6).cast("long"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("ccid"),
-            residual(col("v"), col("cv")).as("rv")))
-
-        // residual subvectors; codebook = the residual subvectors of a
-        // FIXED-SIZE hash sample of ids (PqCodebookSize entries per
-        // subspace whatever the corpus — never a fraction of N)
-        val sub = assign
-          .select(col("vec_id"), col("ccid"),
-            explode(sequence(lit(0), lit(7))).as("j"), col("rv"))
-          .select(col("vec_id"), col("ccid"), col("j"),
-            slice(col("rv"), col("j") * 8 + 1, lit(8)).as("rsub"))
-        val bookIds = hashSample(e, PqCodebookSize).select(col("vec_id"))
-        val book = broadcast(Materialize(sub.join(broadcast(bookIds), "vec_id")
-          .select(col("vec_id").as("sid"), col("j"), col("rsub").as("bsub"))))
-
-        // encode: per (vector, subspace), code = argmin over the codebook
-        val codes = sub.join(book, "j")
-          .withColumn("bd2s", floor(rd2(col("rsub"), col("bsub")) * 1e6)
-            .cast("long"))
-          .groupBy("vec_id", "ccid", "j")
-          .agg(min(struct(col("bd2s"), col("sid"))).as("m"))
-          .select(col("vec_id"), col("ccid"), col("j"),
-            col("m.sid").as("code"))
-
-        // queries probe the top-3 coarse lists; LUT is per probed list
-        // because residuals are list-relative (q − c changes with c)
-        val q = broadcast(e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv")))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(asc("cd2s"), asc("ccid"))
-        val probe = q.join(coarse)
-          .withColumn("cd2s", floor(fd2("qv", "cv") * 1e6).cast("long"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 3)
-          .select(col("query_id"), col("ccid"),
-            residual(col("qv"), col("cv")).as("qrv"))
-        val lut = broadcast(probe
-          .select(col("query_id"), col("ccid"),
-            explode(sequence(lit(0), lit(7))).as("j"), col("qrv"))
-          .select(col("query_id"), col("ccid"), col("j"),
-            slice(col("qrv"), col("j") * 8 + 1, lit(8)).as("qsub"))
-          .join(book, "j")
-          .withColumn("pd2s", floor(rd2(col("qsub"), col("bsub")) * 1e6)
-            .cast("long"))
-          .select(col("query_id"), col("ccid"), col("j"),
-            col("sid").as("code"), col("pd2s")))
-
-        // ADC: each candidate in a probed list meets exactly 8 LUT rows
-        val wTop = Window.partitionBy("query_id")
-          .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
-        codes.join(lut, Seq("ccid", "j", "code"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .groupBy("query_id", "vec_id")
-          .agg(sum("pd2s").as("adc_d2_scaled"))
-          .withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("adc_d2_scaled"), col("rnk"))
-          .orderBy("query_id", "rnk")
+          .select(col("vec_id"), col("embedding").as("v"),
+            norm(s)(col("embedding")).as("nrm"))
+        val qv = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qnrm")))
+        val cand = Materialize(
+          e.join(broadcast(topm), col("vec_id") === col("neighbor_id"))
+            .crossJoin(qv)
+            .select(col("vec_id"), col("adc_rnk"), col("v"), col("nrm"),
+              floor(dot(s)(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+                * lit(1000000)).cast("long").as("rel_s")))
+        var picked = Vector.empty[(Long, Array[Float], Double)]
+        var out = Vector.empty[(Int, Long, Int, Long)]
+        for (t <- 1 to MmrK) {
+          val scored =
+            if (picked.isEmpty)
+              cand.select(col("vec_id"), col("adc_rnk"), col("v"),
+                col("nrm"), (col("rel_s") * 7).as("score_s"))
+            else {
+              import s.implicits._
+              val sel = broadcast(picked.toDF("svec_id", "sv", "snrm"))
+              cand.filter(!col("vec_id").isin(picked.map(_._1): _*))
+                .crossJoin(sel)
+                .groupBy(col("vec_id"))
+                .agg(first(col("adc_rnk")).as("adc_rnk"),
+                  first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+                  (first(col("rel_s")) * 7 -
+                    max(floor(dot(s)(col("v"), col("sv")) /
+                      (col("nrm") * col("snrm")) * lit(1000000))
+                      .cast("long")) * 3).as("score_s"))
+            }
+          val top = scored.orderBy(desc("score_s"), asc("vec_id"))
+            .limit(1).head()
+          out :+= ((t, top.getAs[Long]("vec_id"),
+            top.getAs[Int]("adc_rnk"), top.getAs[Long]("score_s")))
+          picked :+= ((top.getAs[Long]("vec_id"),
+            top.getAs[Seq[Float]]("v").toArray, top.getAs[Double]("nrm")))
+        }
+        import s.implicits._
+        out.toDF("rnk", "vec_id", "adc_rnk", "score_s").orderBy("rnk")
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             |          FROM embeddings),
-             |coarse AS (SELECT vec_id AS ccid, v AS cv FROM e
-             |           ${hashSampleSql(IvfNlist)}),
-             |assign AS (
-             |  SELECT vec_id, ccid,
-             |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
-             |  FROM (
-             |    SELECT e.vec_id, c.ccid, e.v, c.cv,
-             |      CAST(row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY CAST(floor((list_dot_product(e.v, e.v)
-             |          - 2.0 * list_dot_product(e.v, c.cv)
-             |          + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
-             |          c.ccid) AS INT) AS rn
-             |    FROM e CROSS JOIN coarse c) WHERE rn = 1),
-             |sub AS (SELECT vec_id, ccid, j,
-             |          list_slice(rv, j * 8 + 1, j * 8 + 8) AS rsub
-             |        FROM assign CROSS JOIN range(0, 8) t(j)),
-             |bsel AS (SELECT vec_id FROM e ${hashSampleSql(PqCodebookSize)}),
-             |book AS (SELECT vec_id AS sid, j, rsub AS bsub FROM sub
-             |         WHERE vec_id IN (SELECT vec_id FROM bsel)),
-             |enc AS (
-             |  SELECT vec_id, ccid, j, sid AS code FROM (
-             |    SELECT s.vec_id, s.ccid, s.j, b.sid,
-             |      CAST(row_number() OVER (PARTITION BY s.vec_id, s.j
-             |        ORDER BY CAST(floor((list_dot_product(s.rsub, s.rsub)
-             |          - 2.0 * list_dot_product(s.rsub, b.bsub)
-             |          + list_dot_product(b.bsub, b.bsub)) * 1e6) AS BIGINT),
-             |          b.sid) AS INT) AS rn
-             |    FROM sub s JOIN book b ON b.j = s.j) WHERE rn = 1),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-             |      WHERE vec_id < 5),
-             |probe AS (
-             |  SELECT query_id, ccid,
-             |    list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qrv
-             |  FROM (
-             |    SELECT q.query_id, c.ccid, q.qv, c.cv,
-             |      CAST(row_number() OVER (PARTITION BY q.query_id
-             |        ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
-             |          - 2.0 * list_dot_product(q.qv, c.cv)
-             |          + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
-             |          c.ccid) AS INT) AS rn
-             |    FROM q CROSS JOIN coarse c) WHERE rn <= 3),
-             |qsub AS (SELECT query_id, ccid, j,
-             |           list_slice(qrv, j * 8 + 1, j * 8 + 8) AS qsub
-             |         FROM probe CROSS JOIN range(0, 8) t(j)),
-             |lut AS (
-             |  SELECT s.query_id, s.ccid, s.j, b.sid AS code,
-             |    CAST(floor((list_dot_product(s.qsub, s.qsub)
-             |      - 2.0 * list_dot_product(s.qsub, b.bsub)
-             |      + list_dot_product(b.bsub, b.bsub)) * 1e6) AS BIGINT)
-             |      AS pd2s
-             |  FROM qsub s JOIN book b ON b.j = s.j),
-             |adc AS (
-             |  SELECT l.query_id, e.vec_id,
-             |    CAST(sum(l.pd2s) AS BIGINT) AS adc_d2_scaled
-             |  FROM enc e JOIN lut l
-             |    ON l.ccid = e.ccid AND l.j = e.j AND l.code = e.code
-             |  WHERE e.vec_id <> l.query_id
-             |  GROUP BY 1, 2)
-             |SELECT query_id, neighbor_id, adc_d2_scaled, rnk FROM (
-             |  SELECT query_id, vec_id AS neighbor_id, adc_d2_scaled,
-             |    CAST(row_number() OVER (PARTITION BY query_id
-             |      ORDER BY adc_d2_scaled, vec_id) AS INT) AS rnk
-             |  FROM adc)
-             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+      Some(retrievalMmrOracleSql(MmrK))),
 
     // ---- sessionization (batch) -------------------------------------------
     "q50_sessionize" -> QueryDef(
@@ -1823,6 +1910,47 @@ object SimilarityQueries {
     }
     val unions = (1 to k)
       .map(t => s"SELECT $t AS rnk, vec_id, score_s FROM s$t")
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + s"\n$unions\nORDER BY rnk"
+  }
+
+  /** DuckDB twin of the q179 composed pipeline: [[ivfPqChainSql]]'s
+    * retrieval chain (single query, top-50) feeding [[mmrOracleSql]]'s
+    * unrolled greedy stages, with the candidate set = the retrieved
+    * ids joined back to their exact embeddings. Same MATERIALIZED-CTE
+    * discipline — sel(t) is referenced three times by stage t+1.
+    */
+  private def retrievalMmrOracleSql(k: Int): String = {
+    val base =
+      s"""WITH ${ivfPqChainSql("vec_id = 0", 50)},
+         |qx AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qnrm
+         |       FROM e WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT t.neighbor_id AS vec_id, t.rnk AS adc_rnk, e.v,
+         |    sqrt(list_dot_product(e.v, e.v)) AS nrm,
+         |    CAST(floor(list_dot_product(e.v, qx.qv)
+         |      / (sqrt(list_dot_product(e.v, e.v)) * qx.qnrm) * 1000000)
+         |      AS BIGINT) AS rel_s
+         |  FROM topm t JOIN e ON e.vec_id = t.neighbor_id CROSS JOIN qx),
+         |s1 AS MATERIALIZED (SELECT vec_id, adc_rnk, v, nrm,
+         |       7 * rel_s AS score_s
+         |       FROM cand ORDER BY 7 * rel_s DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id, v, nrm FROM s1)""".stripMargin
+    val stages = (2 to k).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT c.vec_id, c.adc_rnk, c.v, c.nrm,
+         |    7 * c.rel_s - 3 * max(CAST(floor(list_dot_product(c.v, s.v)
+         |      / (c.nrm * s.nrm) * 1000000) AS BIGINT)) AS score_s
+         |  FROM cand c CROSS JOIN sel${t - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY c.vec_id, c.adc_rnk, c.v, c.nrm, c.rel_s),
+         |s$t AS MATERIALIZED (SELECT vec_id, adc_rnk, v, nrm, score_s
+         |        FROM c$t ORDER BY score_s DESC, vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT vec_id, v, nrm FROM sel${t - 1}
+         |          UNION ALL SELECT vec_id, v, nrm FROM s$t)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(t => s"SELECT $t AS rnk, vec_id, adc_rnk, score_s FROM s$t")
       .mkString("\nUNION ALL\n")
     (base +: stages).mkString(",\n") + s"\n$unions\nORDER BY rnk"
   }
