@@ -1538,8 +1538,8 @@ object SimilarityQueries {
     // majority label disagrees with its own label is flagged as probable
     // annotation noise. Runs exact on the bounded validation slice — the
     // recall-gate posture (q64/q158/q169): the audit is a fixed-size
-    // diagnostic whatever the corpus, and a full-corpus sweep would ride
-    // the IVF candidate machinery (q46) instead of exact all-pairs.
+    // diagnostic whatever the corpus; the full-corpus sweep is q180,
+    // which rides the IVF candidate machinery instead of exact all-pairs.
     // Distances are the q170 expansion through the native dot, floor-
     // scaled so neighbor ranking is exact (ties on neighbor id); the
     // majority vote ties on label asc. Output is per-label point/flag
@@ -1582,6 +1582,101 @@ object SimilarityQueries {
              |        CAST(floor((a.vv - 2 * list_dot_product(a.v, b.v)
              |          + b.vv) * 1000000) AS BIGINT) AS d2s
              |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |k AS (SELECT aid, albl, blbl,
+             |        row_number() OVER (PARTITION BY aid
+             |          ORDER BY d2s, bid) AS rn
+             |      FROM p),
+             |v AS (SELECT aid, albl, blbl, count(*) AS n FROM k
+             |      WHERE rn <= 5 GROUP BY aid, albl, blbl),
+             |pr AS (SELECT aid, albl, blbl AS pred,
+             |         row_number() OVER (PARTITION BY aid
+             |           ORDER BY n DESC, blbl) AS vr
+             |       FROM v)
+             |SELECT albl AS label, count(*) AS n_points,
+             |  CAST(sum(CASE WHEN pred <> albl THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_flagged
+             |FROM pr WHERE vr = 1
+             |GROUP BY albl ORDER BY label""".stripMargin)),
+
+    // ---- corpus-wide kNN label-noise sweep (IVF-blocked) -------------------
+    // q175's audit at FULL corpus scale: candidate generation rides the
+    // IVF coarse quantizer instead of exact all-pairs — each point votes
+    // among its k nearest neighbors WITHIN its coarse cell (the standard
+    // ANN approximation: same cells that bound q46's probe and q122's
+    // semantic dedup). One corpus pass assigns cells against the fixed
+    // IvfNlist broadcast; within-cell pairs go through blockedSelfPairs,
+    // so per-task candidates are ≤ SemDedupBlock² whatever the cell-size
+    // skew — a hot cell costs more tasks, never a bigger task — and the
+    // plan contains no all-pairs join anywhere. Distances, neighbor
+    // ranking, and majority votes use q175's exact integer tie-breaks
+    // (d2s asc / bid asc; n desc / label asc), so the oracle replays the
+    // sweep bit-for-bit. Points alone in their cell cast no vote and are
+    // excluded, a property the oracle shares by construction.
+    "q180_knn_label_noise_sweep" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.SkewTools
+        val k = 5
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"), col("label"),
+            dot(s)(col("embedding"), col("embedding")).as("vv"))
+        val coarse = broadcast(Materialize(hashSample(e, IvfNlist)
+          .select(col("vec_id").as("ccid"), col("v").as("cv"),
+            col("vv").as("cvv"))))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(asc("cd2s"), asc("ccid"))
+        val assign = e.join(coarse)
+          .withColumn("cd2s",
+            floor((col("vv") - lit(2.0) * dot(s)(col("v"), col("cv"))
+              + col("cvv")) * lit(1000000)).cast("long"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("label"), col("vv"),
+            col("ccid"))
+        val once = SkewTools
+          .blockedSelfPairs(assign, "ccid", "vec_id", SemDedupBlock)
+          .withColumn("d2s",
+            floor((col("a.vv") - lit(2.0) * dot(s)(col("a.v"), col("b.v"))
+              + col("b.vv")) * lit(1000000)).cast("long"))
+          .select(col("a.vec_id").as("aid"), col("a.label").as("albl"),
+            col("b.vec_id").as("bid"), col("b.label").as("blbl"),
+            col("d2s"))
+        val directed = once.unionByName(once.select(
+          col("bid").as("aid"), col("blbl").as("albl"),
+          col("aid").as("bid"), col("albl").as("blbl"), col("d2s")))
+        val wk = Window.partitionBy("aid").orderBy(asc("d2s"), asc("bid"))
+        val votes = directed
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= k)
+          .groupBy(col("aid"), col("albl"), col("blbl"))
+          .agg(count(lit(1)).as("n"))
+        val wv = Window.partitionBy("aid").orderBy(desc("n"), asc("blbl"))
+        votes.withColumn("vr", row_number().over(wv))
+          .filter(col("vr") === 1)
+          .groupBy(col("albl").as("label"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(col("blbl") =!= col("albl"), 1L).otherwise(0L))
+              .as("n_flagged"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS ccid, v AS cv, vv AS cvv FROM e
+             |         ${hashSampleSql(IvfNlist)}),
+             |assign AS (
+             |  SELECT vec_id, v, label, vv, ccid FROM (
+             |    SELECT e.vec_id, e.v, e.label, e.vv, c.ccid,
+             |      CAST(row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY CAST(floor((e.vv
+             |          - 2.0 * list_dot_product(e.v, c.cv)
+             |          + c.cvv) * 1000000) AS BIGINT), c.ccid) AS INT) AS rn
+             |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+             |p AS (SELECT a.vec_id AS aid, a.label AS albl,
+             |        b.vec_id AS bid, b.label AS blbl,
+             |        CAST(floor((a.vv - 2.0 * list_dot_product(a.v, b.v)
+             |          + b.vv) * 1000000) AS BIGINT) AS d2s
+             |      FROM assign a JOIN assign b
+             |        ON a.ccid = b.ccid AND a.vec_id <> b.vec_id),
              |k AS (SELECT aid, albl, blbl,
              |        row_number() OVER (PARTITION BY aid
              |          ORDER BY d2s, bid) AS rn
