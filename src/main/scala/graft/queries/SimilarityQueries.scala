@@ -102,6 +102,137 @@ object SimilarityQueries {
   private def hashSampleSql(k: Int): String =
     s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
 
+  /** q158's recall gate, parameterized on `nlist` so IvfRecallSpec can
+    * prove the floors and the hashSample index machinery hold at more
+    * than one parameter point (the catalog entry pins SliceNlist; the
+    * spec additionally runs a second point). Exact cosine top-10 on the
+    * bounded validation slice vs the IVF assign/probe/re-rank pipeline
+    * at the given nlist, nprobe = 3.
+    */
+  private[queries] def ivfRecall(s: SparkSession, dir: String,
+                                 nlist: Int): DataFrame = {
+    val e = tableParallel(s, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(s)(col("v")))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn")))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("vec_id"))
+    val exact = e.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(s)(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val cent = broadcast(hashSample(e, nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    def l2(a: String, b: String) =
+      dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
+        dot(s)(col(b), col(b))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(asc("d2"), asc("cid"))
+    val assign = e.join(cent)
+      .withColumn("d2", l2("v", "cv"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(asc("d2"), asc("cid"))
+    val probe = q.join(cent)
+      .withColumn("d2", l2("qv", "cv"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val ivf = broadcast(probe).join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(s)(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    exact
+      .join(ivf.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** q169's recall gate, parameterized on the per-subspace codebook size
+    * for the same reason as [[ivfRecall]]: PqRecallSpec measures the
+    * quantization quality at a second codebook point to prove neither
+    * the floors nor the hashSample codebook draw are tuned to one
+    * constant. Exact scaled-integer L2 top-10 on the bounded slice vs
+    * the PQ encode/LUT/ADC pipeline at the given codebook size.
+    */
+  private[queries] def pqRecall(s: SparkSession, dir: String,
+                                codebookSize: Int): DataFrame = {
+    val e = tableParallel(s, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    def d2(a: Column, b: Column): Column =
+      dot(s)(a, a) - lit(2.0) * dot(s)(a, b) + dot(s)(b, b)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(asc("d2s"), asc("vec_id"))
+    val exact = e.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("d2s",
+        floor(d2(col("qv"), col("v")) * 1e6).cast("long"))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    def subbed(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+      .select(col(idCol), explode(sequence(lit(0), lit(7))).as("j"),
+        col("v"))
+      .select(col(idCol), col("j"),
+        slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
+    val cents = broadcast(
+      subbed(hashSample(e, codebookSize)
+        .select(col("vec_id").as("cid"), col("v")), "cid")
+        .select(col("cid"), col("j"), col("sub").as("csub")))
+    val codes = subbed(e, "vec_id").join(cents, "j")
+      .withColumn("d2s", floor(d2(col("sub"), col("csub")) * 1e6)
+        .cast("long"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2s"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.cid").as("code"))
+    val lut = broadcast(
+      subbed(q.select(col("query_id"), col("qv").as("v")), "query_id")
+      .join(cents, "j")
+      .withColumn("pd2s", floor(d2(col("sub"), col("csub")) * 1e6)
+        .cast("long"))
+      .select(col("query_id"), col("j"), col("cid").as("code"),
+        col("pd2s")))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
+    val pq = codes.join(lut, Seq("j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pd2s").as("adc_d2_scaled"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    exact
+      .join(pq.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** The IVF-PQ retrieval pipeline (q170's plan), parameterized on the
     * query predicate and the candidate depth `m` so the composed
     * retrieval→selection queries (q179) reuse the IDENTICAL index build,
@@ -783,60 +914,7 @@ object SimilarityQueries {
     // asserted. IvfRecallSpec additionally pins an aggregate floor so a
     // centroid-scheme regression fails CI, not just the hash.
     "q158_ivf_recall" -> QueryDef(
-      (s, dir) => {
-        val e = tableParallel(s, dir, "embeddings")
-          .filter(col("vec_id") < 300)
-          .select(col("vec_id"), col("embedding").as("v"))
-          .withColumn("nrm", norm(s)(col("v")))
-        val q = broadcast(e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-                  col("nrm").as("qn")))
-        val wTop = Window.partitionBy("query_id")
-          .orderBy(desc("sim"), asc("vec_id"))
-        val exact = e.join(q, col("vec_id") =!= col("query_id"))
-          .withColumn("sim",
-            dot(s)(col("qv"), col("v")) / (col("qn") * col("nrm")))
-          .withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-        val cent = broadcast(hashSample(e, SliceNlist)
-          .select(col("vec_id").as("cid"), col("v").as("cv")))
-        def l2(a: String, b: String) =
-          dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
-            dot(s)(col(b), col(b))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(asc("d2"), asc("cid"))
-        val assign = e.join(cent)
-          .withColumn("d2", l2("v", "cv"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-        val wProbe = Window.partitionBy("query_id")
-          .orderBy(asc("d2"), asc("cid"))
-        val probe = q.join(cent)
-          .withColumn("d2", l2("qv", "cv"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 3)
-          .select(col("query_id"), col("qv"), col("qn"), col("cid"))
-        val ivf = broadcast(probe).join(assign, "cid")
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("sim",
-            dot(s)(col("qv"), col("v")) / (col("qn") * col("nrm")))
-          .withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-        exact
-          .join(ivf.withColumn("hit", lit(1)),
-            Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_exact"),
-               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-          .select(col("query_id"), col("n_exact"), col("n_hit"),
-            round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
-          .orderBy("query_id")
-      },
+      (s, dir) => ivfRecall(s, dir, SliceNlist),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |          FROM embeddings WHERE vec_id < 300),
              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
@@ -997,65 +1075,7 @@ object SimilarityQueries {
     // constant-size at any corpus scale; PqRecallSpec pins an aggregate
     // floor so a codebook regression fails CI, not just the hash.
     "q169_pq_recall" -> QueryDef(
-      (s, dir) => {
-        val e = tableParallel(s, dir, "embeddings")
-          .filter(col("vec_id") < 300)
-          .select(col("vec_id"), col("embedding").as("v"))
-        val q = broadcast(e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv")))
-        def d2(a: Column, b: Column): Column =
-          dot(s)(a, a) - lit(2.0) * dot(s)(a, b) + dot(s)(b, b)
-        val wExact = Window.partitionBy("query_id")
-          .orderBy(asc("d2s"), asc("vec_id"))
-        val exact = e.join(q, col("vec_id") =!= col("query_id"))
-          .withColumn("d2s",
-            floor(d2(col("qv"), col("v")) * 1e6).cast("long"))
-          .withColumn("rnk", row_number().over(wExact))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-        def subbed(df: org.apache.spark.sql.DataFrame, idCol: String) = df
-          .select(col(idCol), explode(sequence(lit(0), lit(7))).as("j"),
-            col("v"))
-          .select(col(idCol), col("j"),
-            slice(col("v"), col("j") * 8 + 1, lit(8)).as("sub"))
-        val cents = broadcast(
-          subbed(hashSample(e, SliceCodebookSize)
-            .select(col("vec_id").as("cid"), col("v")), "cid")
-            .select(col("cid"), col("j"), col("sub").as("csub")))
-        val codes = subbed(e, "vec_id").join(cents, "j")
-          .withColumn("d2s", floor(d2(col("sub"), col("csub")) * 1e6)
-            .cast("long"))
-          .groupBy("vec_id", "j")
-          .agg(min(struct(col("d2s"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("j"), col("m.cid").as("code"))
-        val lut = broadcast(
-          subbed(q.select(col("query_id"), col("qv").as("v")), "query_id")
-          .join(cents, "j")
-          .withColumn("pd2s", floor(d2(col("sub"), col("csub")) * 1e6)
-            .cast("long"))
-          .select(col("query_id"), col("j"), col("cid").as("code"),
-            col("pd2s")))
-        val wAdc = Window.partitionBy("query_id")
-          .orderBy(asc("adc_d2_scaled"), asc("vec_id"))
-        val pq = codes.join(lut, Seq("j", "code"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .groupBy("query_id", "vec_id")
-          .agg(sum("pd2s").as("adc_d2_scaled"))
-          .withColumn("rnk", row_number().over(wAdc))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-        exact
-          .join(pq.withColumn("hit", lit(1)),
-            Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_exact"),
-               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-          .select(col("query_id"), col("n_exact"), col("n_hit"),
-            round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"))
-          .orderBy("query_id")
-      },
+      (s, dir) => pqRecall(s, dir, SliceCodebookSize),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |          FROM embeddings WHERE vec_id < 300),
              |q AS (SELECT vec_id AS query_id, v AS qv FROM e

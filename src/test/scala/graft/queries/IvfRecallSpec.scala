@@ -35,4 +35,24 @@ class IvfRecallSpec extends AnyFunSuite {
         s"query ${r.getLong(0)} recall ${r.getDouble(3)} below per-query floor")
     }
   }
+
+  // Second parameter point: proves the hashSample centroid draw and the
+  // floor methodology aren't tuned to SliceNlist = 8. At nlist = 16 the
+  // fixed nprobe = 3 covers 3/16 of the slice instead of 3/8, so the
+  // expected recall DROPS roughly with coverage on isotropic data
+  // (measured 0.38 aggregate at sf0.01); the floor sits between that and
+  // the ~0.03 chance level, where an index-machinery break (empty cells,
+  // mis-keyed assignment) lands, while coverage-driven wiggle stays
+  // clear.
+  test("IVF recall floors hold at a second parameter point (nlist = 16)") {
+    val rows = SimilarityQueries.ivfRecall(spark, sf, 16).collect()
+    assert(rows.length == 5, "five validation queries expected")
+    val nExact = rows.map(_.getLong(1)).sum
+    val nHit = rows.map(_.getLong(2)).sum
+    val aggregate = nHit.toDouble / nExact
+    info(f"nlist=16 aggregate recall@10 = $aggregate%.3f")
+    assert(aggregate >= 0.2,
+      f"aggregate IVF recall@10 $aggregate%.3f at nlist=16 fell below the " +
+        "0.2 floor (3/16 coverage; chance level ~0.03)")
+  }
 }

