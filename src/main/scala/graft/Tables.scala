@@ -106,14 +106,24 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(dfCache, spark, (sfDir, name)) {
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        // reader rejects. Read it as a long (nanos) and convert losslessly
-        // to a microsecond timestamp (the data is µs-granular; DuckDB
-        // surfaces the same column as µs TIMESTAMP, so both engines agree
-        // on the instant).
+        // events.ts has shipped in two physical forms across testdata
+        // generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+        // reader rejects — read as a nanos long and convert losslessly to
+        // a µs timestamp) and plain µs TIMESTAMP with isAdjustedToUTC =
+        // false (which Spark 4 infers as TIMESTAMP_NTZ). Normalize BOTH
+        // to a session-UTC µs TimestampType so every downstream
+        // unix_micros/window sees one type; DuckDB surfaces the same
+        // column as µs TIMESTAMP either way, so the engines agree on the
+        // instant (session tz is pinned UTC, so the NTZ cast is a
+        // relabel, not a shift).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+        }
       } else {
         spark.read.parquet(s"$sfDir/$name.parquet")
       }

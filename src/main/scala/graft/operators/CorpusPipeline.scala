@@ -102,6 +102,16 @@ object CorpusPipeline {
         .filter(col("__rn") === 1).drop("__rn")
     }
     funnel += "exact_dedup" -> exact.count()
+    // each Materialize is eager, so once a successor stage is cached its
+    // inputs are DEAD — drop them immediately. At full heap this is free
+    // (the blocks would just idle); under memory pressure it is the
+    // difference between the live working set and the SUM of all stage
+    // footprints competing for the store (the q104 quarter-heap tripwire:
+    // the exploded shingle table alone approaches the 2g store, and
+    // eviction of still-needed blocks is what made the pipeline re-derive
+    // stages mid-flight)
+    quality.unpersist(false)
+    if (!(trimmed eq quality)) trimmed.unpersist(false)
 
     // 3. near-dup: shingle → jaccard pairs → components → keep min doc
     val sh = {
@@ -112,17 +122,26 @@ object CorpusPipeline {
       cfg.stopShingleDf match {
         case None => Materialize(base)
         case Some(t) =>
-          Materialize(StopShingles.filter(Materialize(base), "sh", t))
+          val b = Materialize(base)
+          val cut = Materialize(StopShingles.filter(b, "sh", t))
+          // the uncut explode is the LARGEST block in the pipeline and is
+          // fully consumed by the eager cut above — freeing it here, not
+          // at pipeline end, halves the near-dup stage's peak footprint
+          b.unpersist(false)
+          cut
       }
     }
     val pairs = Materialize(
       graft.queries.TextQueries.jaccardPairs(sh, cfg.jaccard)
         .select("doc_a", "doc_b"))
+    sh.unpersist(false)
     val drop = ConnectedComponents.minLabel(pairs)
       .filter(col("doc") =!= col("label"))   // keep each cluster's min doc
       .select(col("doc").as("doc_id"))
     val near = Materialize(exact.join(drop, Seq("doc_id"), "left_anti"))
     funnel += "near_dedup" -> near.count()
+    pairs.unpersist(false)
+    exact.unpersist(false)
 
     // 4. reproducible sample (hash-seeded, like q57/q62)
     val sampled =

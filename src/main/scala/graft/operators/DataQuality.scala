@@ -79,29 +79,41 @@ object DataQuality {
     counted.select(lit(rule.name).as("rule"), col("violations"))
   }
 
-  /** Run every rule; one row per rule with its exact violation count.
-    * Predicate rules share ONE scan (a single multi-aggregate), in
-    * declaration order ahead of the shuffle/join rules' plans — the
-    * output rows are identical to running each rule alone.
+  /** Run every rule; one row per rule with its exact violation count, in
+    * DECLARATION order (each leg carries the rule's declared index and the
+    * union is sorted on it — a total order over ≤ a-handful-of-rules rows,
+    * so the sort is free). Predicate rules still share ONE scan (a single
+    * multi-aggregate) — the output rows are identical, values AND order,
+    * to running each rule alone in sequence.
     */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val (fused, own) = rules.partition(predicate(_).isDefined)
+    val indexed = rules.zipWithIndex
+    val (fused, own) = indexed.partition { case (r, _) =>
+      predicate(r).isDefined
+    }
     val fusedFrame =
       if (fused.isEmpty) Nil
       else {
-        val aggs = fused.zipWithIndex.map { case (r, i) =>
+        val aggs = fused.zipWithIndex.map { case ((r, _), i) =>
           coalesce(sum(when(predicate(r).get, 1L).otherwise(0L)), lit(0L))
             .as(s"__r$i")
         }
         // one wide 1-row aggregate, unpivoted by a single explode — per-
         // rule selects from the wide frame would re-run the scan per rule
         val wide = df.agg(aggs.head, aggs.tail: _*)
-        Seq(wide.select(explode(array(fused.zipWithIndex.map { case (r, i) =>
-            struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"))
+        Seq(wide.select(explode(array(fused.zipWithIndex.map {
+            case ((r, ord), i) =>
+              struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"),
+                lit(ord).as("__ord"))
           }: _*)).as("kv"))
           .select(col("kv.rule").as("rule"),
-            col("kv.violations").as("violations")))
+            col("kv.violations").as("violations"),
+            col("kv.__ord").as("__ord")))
       }
-    (fusedFrame ++ own.map(violations(df, _))).reduce(_.unionByName(_))
+    val ownFrames = own.map { case (r, ord) =>
+      violations(df, r).withColumn("__ord", lit(ord))
+    }
+    (fusedFrame ++ ownFrames).reduce(_.unionByName(_))
+      .orderBy("__ord").drop("__ord")
   }
 }

@@ -160,16 +160,21 @@ object PageRank {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     for (_ <- 1 to iters) {
       // DIV (integral divide) throughout — a float Divide would round
-      // where the driver path truncates, and past 2^53 would drift. The
-      // damping multiply runs in DECIMAL(38,0): beyond the driver gate a
-      // hub's aggregate contribution can exceed ~1.08e13, where
-      // 850000·c wraps a Long silently (non-ANSI); 38-digit decimal
-      // holds any Σr ≤ nV·10⁶ graph this path will ever see, and DIV on
-      // decimals still truncates like the integer twin
+      // where the driver path truncates, and past 2^53 would drift. BOTH
+      // the inner sum and the damping multiply run in DECIMAL(38,0): each
+      // r DIV deg term fits a Long trivially, but a hub's aggregate
+      // incoming contribution c ≤ Σr ≤ nV·10⁶ outgrows a LongType sum
+      // (silent non-ANSI wrap at ~9.2e18, i.e. nV ≳ 9.2e12), so the terms
+      // are widened to decimal BEFORE summing; 850000·c then cannot wrap
+      // either. The one remaining Long boundary is the final rank value
+      // itself (r' ≤ 150000 + 0.85·nV·10⁶ outgrows BIGINT only past
+      // nV ≈ 1.08e13 — beyond any real graph). DIV on decimals still
+      // truncates like the integer twin, so the oracle stays hash-exact
       ranks = edgeDeg.join(ranks, edgeDeg("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(expr("CAST(150000 + (CAST(850000 AS DECIMAL(38,0)) *" +
-          " sum(r DIV deg)) DIV 1000000 AS BIGINT)").as("r"))
+          " sum(CAST(r DIV deg AS DECIMAL(38,0)))) DIV 1000000" +
+          " AS BIGINT)").as("r"))
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }

@@ -65,4 +65,23 @@ object SnapshotDiff {
       .unionByName(
         delta.filter(col("change_type") =!= "removed").drop("change_type"))
   }
+
+  /** Shuffle-free multiset fingerprint over ALL columns of `df` — one row
+    * (n, h, hb): row count plus TWO independently-keyed Σ decimal
+    * xxhash64 (the second prepends a literal salt so its hash stream
+    * differs). Two multisets with equal fingerprints are equal up to a
+    * ~2⁻¹²⁸ collision (the deltas would have to cancel under both keys
+    * simultaneously) — a PROBABILISTIC witness, not a proof, bought for
+    * three scalar aggregates where exceptAll-both-ways costs two
+    * corpus-wide shuffles. Shared by q79's in-query roundtrip witness and
+    * the streaming-CDC parity gate; `SnapshotDiffSpec` proves the
+    * fingerprint detects single-row perturbation, drop, and duplication.
+    */
+  def fingerprint(df: DataFrame): DataFrame = {
+    val cs = df.columns.toSeq.map(col)
+    df.agg(count(lit(1)).as("n"),
+      sum(xxhash64(cs: _*).cast("decimal(38,0)")).as("h"),
+      sum(xxhash64(lit("cdc_fp2") +: cs: _*).cast("decimal(38,0)"))
+        .as("hb"))
+  }
 }

@@ -493,13 +493,17 @@ object TrainingQueries {
     // ---- CDC delta apply (merge + roundtrip proof) ------------------------
     // The MERGE half of the snapshot story (q69 is the diff half): ship
     // only the sparse added/changed/removed rows, apply them onto the old
-    // snapshot, and prove applyDelta(old, sparse(diff(old,cur))) == cur
+    // snapshot, and witness applyDelta(old, sparse(diff(old,cur))) == cur
     // inside the query. The equality witness is the starContraction
-    // fingerprint pattern — (count, Σ decimal xxhash64 over all columns)
-    // per side, equal ⇒ n_mismatch 0 — two SHUFFLE-FREE scalar
-    // aggregates where the previous exceptAll-both-ways proof cost two
-    // corpus-wide shuffles; the oracle pins the 0 while recomputing
-    // cur's aggregates independently. Cost: the diff's full-outer join +
+    // fingerprint pattern — (count, TWO independently-keyed Σ decimal
+    // xxhash64 over all columns; the second prepends a literal salt so
+    // its stream differs) per side, all equal ⇒ n_mismatch 0 — three
+    // SHUFFLE-FREE scalar aggregates where the previous exceptAll-
+    // both-ways proof cost two corpus-wide shuffles. A PROBABILISTIC
+    // witness, not a proof: differing multisets pass only if their hash
+    // deltas cancel under BOTH keys simultaneously (~2⁻¹²⁸ — squared by
+    // the second sum); the oracle pins the 0 while recomputing cur's
+    // aggregates independently. Cost: the diff's full-outer join +
     // the apply's left-anti, all equi-shuffles on the key — linear at
     // 100 TB.
     "q79_cdc_apply_delta" -> QueryDef(
@@ -523,14 +527,13 @@ object TrainingQueries {
         val rebuilt = Materialize(graft.operators.SnapshotDiff
           .applyDelta(old, sparse, Seq("o_orderkey")))
         def fp(df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("n"),
-            sum(xxhash64(col("o_orderkey"), col("o_orderstatus"),
-              col("o_totalprice")).cast("decimal(38,0)")).as("h"))
+          graft.operators.SnapshotDiff.fingerprint(
+            df.select("o_orderkey", "o_orderstatus", "o_totalprice"))
         val mism = fp(rebuilt)
-          .crossJoin(fp(cur)
-            .select(col("n").as("n2"), col("h").as("h2")))
-          .select(when(col("n") === col("n2") && col("h") <=> col("h2"),
-            0L).otherwise(1L).as("n_mismatch"))
+          .crossJoin(fp(cur).select(col("n").as("n2"), col("h").as("h2"),
+            col("hb").as("hb2")))
+          .select(when(col("n") === col("n2") && col("h") <=> col("h2") &&
+            col("hb") <=> col("hb2"), 0L).otherwise(1L).as("n_mismatch"))
         rebuilt.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_rows"),
                round(sum("o_totalprice"), 2).as("total_price"))

@@ -90,10 +90,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
   /** Stricter than [[isBounded]]: the subtree must carry a node whose
     * output cardinality is a CONSTANT of the plan, independent of the
     * corpus — a LIMIT-k, a driver-local relation, a literal range, a
-    * scalar aggregate, or a scan with a source-PUSHED literal comparison
+    * scalar aggregate, or a scan with a source-PUSHED literal upper bound
     * (`vec_id < 5` pushes; the round-5 defect `vec_id % 50 = 0` does NOT
     * push and names a fixed FRACTION of the corpus, so a generic
-    * FilterExec deliberately does not qualify here).
+    * FilterExec deliberately does not qualify here). Only LessThan /
+    * LessThanOrEqual / EqualTo count: a pushed GreaterThan (`vec_id > 0`)
+    * pushes fine but selects a corpus-sized TAIL, which is exactly the
+    * fraction-broadcast this predicate exists to reject.
     */
   private def isFixedCardinality(side: SparkPlan): Boolean =
     collectAll(side) {
@@ -114,7 +117,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
       }.nonEmpty ||
       collectAll(side) {
         case s: FileSourceScanExec if s.metadata.get("PushedFilters")
-          .exists(pf => Seq("LessThan", "GreaterThan", "EqualTo")
+          .exists(pf => Seq("LessThan(", "LessThanOrEqual(", "EqualTo(")
             .exists(pf.contains)) => s
       }.nonEmpty
 

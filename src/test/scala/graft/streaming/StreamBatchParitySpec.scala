@@ -21,6 +21,87 @@ class StreamBatchParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("file-replay cdcUpsertStream == batch applyDelta chain (multiset-" +
+      "fingerprint witness)") {
+    failAfter(Span(300, Seconds)) {
+      import graft.operators.SnapshotDiff
+      val dir = Files.createTempDirectory("cdc_replay_").toString
+      val ckpt = Files.createTempDirectory("cdc_ckpt_").toString
+      // three snapshot generations of the q79 fixture shape: old -> mid
+      // -> cur exercises adds, updates, AND removes across TWO sparse
+      // delta generations — the compaction has real last-wins work to do
+      // (a key changed in gen 1 then removed in gen 2 must end a
+      // tombstone)
+      val base = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val old = base.filter(col("key") % 3 =!= 0)
+        .withColumn("price",
+          when(col("key") % 5 === 0, col("price") + 1.0)
+            .otherwise(col("price")))
+      val mid = base.filter(col("key") % 7 =!= 0)
+      val cur = base.filter(col("key") % 11 =!= 0)
+      val keys = Seq("key")
+      def sparse(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame) =
+        SnapshotDiff.diff(a, b, keys)
+          .filter(col("change_type") =!= "unchanged")
+      val d1 = sparse(old, mid)
+      val d2 = sparse(mid, cur)
+      // the change feed: both generations tagged with their feed
+      // position, shuffled into 3 adversarial round-robin files — a gen-2
+      // event can arrive BEFORE the gen-1 event it supersedes, within or
+      // across micro-batches; seq alone must restore the order
+      d1.withColumn("seq", lit(1L))
+        .unionByName(d2.withColumn("seq", lit(2L)))
+        .select("key", "status", "price", "change_type", "seq")
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      import spark.implicits._
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[CdcEvent]
+      val q = cdcUpsertStream(stream)
+        .writeStream.format("memory").queryName("cdc_replay")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      // update mode appends one row per touched key per micro-batch; the
+      // converged view per key is the row that folded the most events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("n_events"))
+      val finalView = spark.table("cdc_replay")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      // reconstruct the snapshot the applyDelta way: rows of the STARTING
+      // snapshot (old — the one the delta chain was diffed against) whose
+      // key the feed never touched, plus the feed's surviving payloads
+      val rebuiltStream = old
+        .join(finalView.select("key"), keys, "left_anti")
+        .unionByName(finalView.filter(!col("removed"))
+          .select("key", "status", "price"))
+      val rebuiltBatch = SnapshotDiff.applyDelta(
+        SnapshotDiff.applyDelta(old, d1, keys), d2, keys)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        SnapshotDiff.fingerprint(df.select("key", "status", "price"))
+          .collect().head
+      val s = fp(rebuiltStream)
+      assert(s === fp(rebuiltBatch))
+      assert(s === fp(cur)) // and the chain really lands on cur
+      assert(s.getLong(0) > 0)
+      // the witness has teeth on this fixture: a single-row perturbation
+      // must break it
+      assert(s !== fp(cur.withColumn("price",
+        when(col("key") === cur.agg(min("key")).collect().head.getLong(0),
+          col("price") + 0.01).otherwise(col("price")))))
+    }
+  }
+
   test("file-replay dedupStream == q40 batch dedup on the same fixture") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("dedup_replay_").toString
