@@ -59,7 +59,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = families.flatMap(_._2)
+    // optional comma-separated subset for targeted local iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q104_corpus_pipeline_funnel,q66_ivf_kmeans);
+    // a subset run keeps the tripwire (its names still resolve in the
+    // baseline map) but NEVER writes artifacts — a partial map must not
+    // become the next round's baseline or the archived full dump
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = {
+      val all = families.flatMap(_._2)
+      only.fold(all)(o => all.filter(o))
+    }
     val queries = SparkEntry.queries
 
     // warm-up: touch every table's footer, then run the whole catalog once
@@ -175,7 +185,8 @@ object Bench {
         f"[bench] REGRESSION $name: $p%.2f s -> $now%.2f s (${now / p}%.2fx)")
     }
     val fams = families.map { case (fam, qn) =>
-      "\"" + fam + "\":" + fmt(qn.map(bestMap).filter(_ >= 0).sum)
+      "\"" + fam + "\":" +
+        fmt(qn.filter(bestMap.contains).map(bestMap).filter(_ >= 0).sum)
     }.mkString("{", ",", "}")
     val runTotals = runs.map(p => fmt(stableIdx.map(p).sum)).mkString("[", ",", "]")
     // headline = sum of per-query minima: comparable across rounds even
@@ -191,6 +202,13 @@ object Bench {
     val jsonLine =
       s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
     println(jsonLine)
+    if (only.isDefined) {
+      // subset run: report only — no artifact may record a partial map
+      spark.stop()
+      if (failed.nonEmpty || partial.nonEmpty || regressions.nonEmpty)
+        sys.exit(1)
+      return
+    }
     // complete per-query artifact: the driver's BENCH_r*.json capture
     // truncates the query map (~55 of 166 visible), so cross-round
     // per-query diffs need the full line persisted on every run
