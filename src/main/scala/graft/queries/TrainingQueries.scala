@@ -1696,5 +1696,121 @@ object TrainingQueries {
               |  CAST((weight_s * 10000 // tot_w) * tot_toks
               |    // (10 * sum_tokens) AS BIGINT) AS epochs_pm
               |FROM w, t ORDER BY source""".stripMargin)),
+
+    // ---- CDC feed compaction (multi-generation, last-wins) ----------------
+    // The semantics `cdcUpsertStream` holds as state, as a BATCH operator
+    // under a full oracle: a change feed carrying TWO delta generations
+    // (old→mid, mid→cur — adds, updates, and removes in both) is
+    // compacted per key to its highest-seq event (removes = tombstones)
+    // and applied onto the starting snapshot in one pass. Unlike q79 —
+    // whose oracle recomputes the target snapshot directly and pins the
+    // witness 0 — this oracle REPLAYS the whole chain in SQL (both sparse
+    // diffs, the window compaction, the anti-join rebuild), so Spark and
+    // DuckDB must agree on the diff classification, the last-wins rule,
+    // and the tombstone handling, row for row. Scale shape: the narrow
+    // 3-col snapshot projection is cached ONCE and all three generations
+    // filter from it (one fact-table scan, spill-safe serialized blocks);
+    // each diff is a full-outer equi-join on the key; compaction is ONE
+    // struct-max aggregation (map-side partials carry one candidate per
+    // key per partition — no window sort over the feed); the rebuild is
+    // an anti-join + union. Everything shuffles on the key, linear at
+    // 100 TB, and the feed is change-volume-sized, not corpus-sized.
+    "q181_cdc_feed_compaction" -> QueryDef(
+      (s, dir) => {
+        val base = Materialize(table(s, dir, "orders")
+          .select(col("o_orderkey").as("key"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")))
+        val old = base.filter(col("key") % 3 =!= 0)
+          .withColumn("price",
+            when(col("key") % 5 === 0, col("price") + 1.0)
+              .otherwise(col("price")))
+        val mid = base.filter(col("key") % 7 =!= 0)
+        val cur = base.filter(col("key") % 11 =!= 0)
+        val keys = Seq("key")
+        def sparse(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame) =
+          graft.operators.SnapshotDiff.diff(a, b, keys)
+            .filter(col("change_type") =!= "unchanged")
+        val feed = sparse(old, mid).withColumn("seq", lit(1L))
+          .unionByName(sparse(mid, cur).withColumn("seq", lit(2L)))
+        val last = Materialize(feed.groupBy("key")
+          .agg(max(struct(col("seq"), col("change_type"), col("status"),
+            col("price"))).as("m"), count(lit(1)).as("n_events"))
+          .select(col("key"), col("m.change_type").as("change_type"),
+            col("m.status").as("status"), col("m.price").as("price"),
+            col("n_events")))
+        val rebuilt = old.join(last.select("key"), keys, "left_anti")
+          .unionByName(last.filter(col("change_type") =!= "removed")
+            .select("key", "status", "price"))
+        val snap = rebuilt.groupBy(col("status").as("k"))
+          .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("v"))
+          .select(lit("snapshot").as("section"), col("k"), col("n"),
+            col("v"))
+        val comp = last.groupBy(col("change_type").as("k"))
+          .agg(count(lit(1)).as("n"),
+            sum("n_events").cast("double").as("v"))
+          .select(lit("compaction").as("section"), col("k"), col("n"),
+            col("v"))
+        snap.unionByName(comp).orderBy("section", "k")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS key,
+             |    o_orderstatus AS status, o_totalprice AS price
+             |  FROM orders),
+             |old AS (SELECT key, status,
+             |    CASE WHEN key % 5 = 0 THEN price + 1.0 ELSE price END
+             |      AS price
+             |  FROM base WHERE key % 3 <> 0),
+             |mid AS (SELECT * FROM base WHERE key % 7 <> 0),
+             |cur AS (SELECT * FROM base WHERE key % 11 <> 0),
+             |d1 AS (SELECT COALESCE(m.key, o.key) AS key,
+             |    CASE WHEN m.key IS NULL THEN o.status ELSE m.status END
+             |      AS status,
+             |    CASE WHEN m.key IS NULL THEN o.price ELSE m.price END
+             |      AS price,
+             |    CASE WHEN o.key IS NULL THEN 'added'
+             |         WHEN m.key IS NULL THEN 'removed'
+             |         ELSE 'changed' END AS change_type,
+             |    1 AS seq
+             |  FROM old o FULL OUTER JOIN mid m ON o.key = m.key
+             |  WHERE o.key IS NULL OR m.key IS NULL
+             |     OR (o.status IS DISTINCT FROM m.status)
+             |     OR (o.price IS DISTINCT FROM m.price)),
+             |d2 AS (SELECT COALESCE(c.key, m.key) AS key,
+             |    CASE WHEN c.key IS NULL THEN m.status ELSE c.status END
+             |      AS status,
+             |    CASE WHEN c.key IS NULL THEN m.price ELSE c.price END
+             |      AS price,
+             |    CASE WHEN m.key IS NULL THEN 'added'
+             |         WHEN c.key IS NULL THEN 'removed'
+             |         ELSE 'changed' END AS change_type,
+             |    2 AS seq
+             |  FROM mid m FULL OUTER JOIN cur c ON m.key = c.key
+             |  WHERE m.key IS NULL OR c.key IS NULL
+             |     OR (m.status IS DISTINCT FROM c.status)
+             |     OR (m.price IS DISTINCT FROM c.price)),
+             |f AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+             |c AS (SELECT key, status, price, change_type,
+             |    count(*) OVER (PARTITION BY key) AS n_events,
+             |    row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+             |      AS rn
+             |  FROM f),
+             |last AS (SELECT key, status, price, change_type, n_events
+             |  FROM c WHERE rn = 1),
+             |rebuilt AS (
+             |  SELECT o.key, o.status, o.price FROM old o
+             |    LEFT JOIN last l ON o.key = l.key WHERE l.key IS NULL
+             |  UNION ALL
+             |  SELECT key, status, price FROM last
+             |  WHERE change_type <> 'removed')
+             |SELECT 'snapshot' AS section, status AS k,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS v
+             |FROM rebuilt GROUP BY 2
+             |UNION ALL
+             |SELECT 'compaction' AS section, change_type AS k,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_events) AS DOUBLE) AS v
+             |FROM last GROUP BY 2
+             |ORDER BY section, k""".stripMargin)),
   )
 }
