@@ -1717,5 +1717,77 @@ object TextQueries {
               |SELECT cluster_id, count(*) AS n_members,
               |  CAST(min(doc) AS BIGINT) AS keep_doc
               |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    // ---- benchmark decontamination ----------------------------------------
+    // The train/eval contamination screen every LLM corpus ships through:
+    // how much of each EVAL document's shingle set appears in some
+    // training document? Direction matters — the denominator is the eval
+    // doc's shingle count (a benchmark leaks when the TRAINING doc
+    // contains it, however much other text the training doc carries).
+    // Scale shape: the eval set is a PUSHED fixed slice (doc_id < 50 —
+    // benchmark suites are small and fixed whatever the corpus), so its
+    // exploded shingle table and per-doc counts are O(eval)-sized
+    // broadcasts; the corpus side is ONE linear explode joined hash-side
+    // against the broadcast — no self-join, no shuffle of corpus
+    // shingles; the only shuffled rows are (corpus_doc, eval_doc) HIT
+    // pairs, bounded by genuine overlap, aggregated twice (overlap
+    // count, then per-eval rollup). Containment in integer basis points
+    // (overlap·10⁴ DIV |eval shingles|), flag threshold 50% — exact
+    // cross-engine arithmetic, no float ratios.
+    "q182_benchmark_decontamination" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        val docs = tableParallel(s, dir, "documents")
+        def shingled(d: DataFrame) = d.select(col("doc_id"),
+          explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+        val evalSh = Materialize(shingled(docs.filter(col("doc_id") < 50))
+          .withColumnRenamed("doc_id", "eval_id"))
+        val evalN = evalSh.groupBy("eval_id")
+          .agg(count(lit(1)).as("n_eval_shingles"))
+        val hits = shingled(docs.filter(col("doc_id") >= 50))
+          .join(broadcast(evalSh), "sh")
+          .groupBy(col("doc_id"), col("eval_id"))
+          .agg(count(lit(1)).as("overlap"))
+        val scored = hits.join(broadcast(evalN), "eval_id")
+          .withColumn("bp",
+            expr("overlap * 10000 DIV n_eval_shingles"))
+        val agg = scored.groupBy("eval_id")
+          .agg(count(lit(1)).as("n_hit_docs"),
+            sum(when(col("bp") >= 5000, 1L).otherwise(0L)).as("n_flagged"),
+            max("bp").as("max_bp"))
+        evalN.join(agg, Seq("eval_id"), "left")
+          .select(col("eval_id"), col("n_eval_shingles"),
+            coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+            coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+            coalesce(col("max_bp"), lit(0L)).as("max_bp"))
+          .orderBy("eval_id")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |hs AS (SELECT doc_id, $duckHs AS hs FROM ws),
+              |ev AS (SELECT doc_id AS eval_id, unnest(hs) AS sh
+              |       FROM hs WHERE doc_id < 50),
+              |evn AS (SELECT eval_id, CAST(count(*) AS BIGINT)
+              |          AS n_eval_shingles
+              |        FROM ev GROUP BY 1),
+              |cp AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM hs WHERE doc_id >= 50),
+              |hits AS (SELECT c.doc_id, e.eval_id,
+              |    CAST(count(*) AS BIGINT) AS overlap
+              |  FROM cp c JOIN ev e USING (sh) GROUP BY 1, 2),
+              |scored AS (SELECT h.eval_id,
+              |    h.overlap * 10000 // n.n_eval_shingles AS bp
+              |  FROM hits h JOIN evn n USING (eval_id)),
+              |agg AS (SELECT eval_id,
+              |    CAST(count(*) AS BIGINT) AS n_hit_docs,
+              |    CAST(sum(CASE WHEN bp >= 5000 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_flagged,
+              |    CAST(max(bp) AS BIGINT) AS max_bp
+              |  FROM scored GROUP BY 1)
+              |SELECT n.eval_id, n.n_eval_shingles,
+              |  COALESCE(a.n_hit_docs, 0) AS n_hit_docs,
+              |  COALESCE(a.n_flagged, 0) AS n_flagged,
+              |  COALESCE(a.max_bp, 0) AS max_bp
+              |FROM evn n LEFT JOIN agg a USING (eval_id)
+              |ORDER BY eval_id""".stripMargin)),
   )
 }

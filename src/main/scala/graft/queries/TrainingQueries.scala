@@ -1812,5 +1812,66 @@ object TrainingQueries {
              |  CAST(sum(n_events) AS DOUBLE) AS v
              |FROM last GROUP BY 2
              |ORDER BY section, k""".stripMargin)),
+
+    // ---- sequence-packing fragmentation audit -----------------------------
+    // The dataloader handoff q171 stops short of: training concatenates
+    // each shard's documents in a deterministic order and slices the
+    // token stream into fixed context windows (B = 2048), so a document
+    // whose span straddles a window boundary is FRAGMENTED — its loss
+    // signal splits across samples. This audits that packing before it
+    // runs: per shard, window count and the exact fragmentation rate.
+    // Scale shape: one narrow projection (token count + md5 shard id),
+    // ONE shuffle on the shard key (hash-uniform, so no skew by
+    // construction), a running sum within each shard's deterministic
+    // doc_id order (the dataloader's own order — the per-shard sort IS
+    // the operator's semantics, and shard count is a config knob that
+    // bounds per-task sort size at any corpus scale), one aggregation.
+    // Boundary test in exact integer window indices: a doc fragments iff
+    // its first and last token land in different windows —
+    // (cum−toks) DIV B ≠ (cum−1) DIV B; empty docs never fragment.
+    "q183_sequence_packing_audit" -> QueryDef(
+      (s, dir) => {
+        val B = 2048L
+        val d = tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("toks"))
+          .withColumn("shard",
+            hash32(concat(lit("pack_"), col("doc_id"))) % 16)
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val f = d.withColumn("cum", sum("toks").over(w))
+          .withColumn("frag",
+            when(col("toks") > 0 &&
+              expr(s"(cum - toks) DIV $B") =!= expr(s"(cum - 1) DIV $B"),
+              1L).otherwise(0L))
+        f.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").as("total_tokens"),
+            expr(s"(sum(toks) + ${B - 1}) DIV $B").as("n_windows"),
+            sum("frag").as("n_fragmented"),
+            expr("sum(frag) * 10000 DIV count(1)").as("frag_bp"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)),
+             |      '\s+')) AS BIGINT) AS toks,
+             |    CAST(('0x' || substr(md5('pack_' || doc_id), 1, 8))
+             |      AS BIGINT) % 16 AS shard
+             |  FROM documents),
+             |c AS (SELECT *, CAST(sum(toks) OVER (PARTITION BY shard
+             |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS cum
+             |  FROM d),
+             |f AS (SELECT shard, toks,
+             |    CASE WHEN toks > 0
+             |      AND (cum - toks) // 2048 <> (cum - 1) // 2048
+             |      THEN 1 ELSE 0 END AS frag
+             |  FROM c)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+             |  CAST((sum(toks) + 2047) // 2048 AS BIGINT) AS n_windows,
+             |  CAST(sum(frag) AS BIGINT) AS n_fragmented,
+             |  CAST(sum(frag) * 10000 // count(*) AS BIGINT) AS frag_bp
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
