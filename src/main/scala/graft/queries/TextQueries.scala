@@ -1724,6 +1724,15 @@ object TextQueries {
     // training document? Direction matters — the denominator is the eval
     // doc's shingle count (a benchmark leaks when the TRAINING doc
     // contains it, however much other text the training doc carries).
+    // Distinct from q60 by design, not accident: q60 treats a CORPUS
+    // FRACTION (doc_id % 20) as the held-out set and asks "how
+    // contaminated is each eval doc against the training DISTINCT-shingle
+    // set" — an aggregate answer via a corpus-sided shuffle join. This is
+    // the deployment-shaped screen: the eval set is a real benchmark
+    // (fixed-size slice, NOT a corpus fraction), so the whole eval side
+    // broadcasts, and the output attributes PAIRS — which training
+    // documents contain which benchmark documents — the rows a removal
+    // pass actually consumes.
     // Scale shape: the eval set is a PUSHED fixed slice (doc_id < 50 —
     // benchmark suites are small and fixed whatever the corpus), so its
     // exploded shingle table and per-doc counts are O(eval)-sized

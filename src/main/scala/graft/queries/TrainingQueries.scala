@@ -1820,6 +1820,13 @@ object TrainingQueries {
     // whose span straddles a window boundary is FRAGMENTED — its loss
     // signal splits across samples. This audits that packing before it
     // runs: per shard, window count and the exact fragmentation rate.
+    // Complements q59 rather than repeating it: q59 MATERIALIZES pack
+    // contents within each source — and inherits source cardinality as
+    // its parallelism (4 sources = 4 window tasks, the per-domain-pack
+    // semantics' own constraint); here the stream shards by hash, so the
+    // shard count is a free knob that bounds per-task sort size at any
+    // corpus scale, and the output is the chunking QUALITY metric
+    // (fragmentation) q59's pack listing doesn't measure.
     // Scale shape: one narrow projection (token count + md5 shard id),
     // ONE shuffle on the shard key (hash-uniform, so no skew by
     // construction), a running sum within each shard's deterministic
