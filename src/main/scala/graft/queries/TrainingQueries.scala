@@ -242,7 +242,13 @@ object TrainingQueries {
     // windows (2048 here). pack_id = tokens-before DIV window: one shuffle
     // on source + a running-sum window — linear, and documents straddling
     // a boundary land in the pack where their first token falls (standard
-    // concat-and-chunk semantics).
+    // concat-and-chunk semantics). Parallelism NOTE: per-source
+    // contiguity is the semantics (domain-pure packs), so the window runs
+    // one task per source — fine when sources are O(100s) corpora; when a
+    // single source outgrows one task's sort budget, shard WITHIN the
+    // source first (the q183 hash-shard scheme composes: partition on
+    // (source, shard) and pack per shard — fragmentation cost measured
+    // there).
     "q59_sequence_packing" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy("source").orderBy("doc_id")

@@ -389,6 +389,34 @@ object StreamSessionize {
       .select(col("window.start").as("win_start"), col("n"),
         round(col("sk.p50"), 4).as("p50"), round(col("sk.p95"), 4).as("p95"))
 
+  /** Ingest-time benchmark decontamination screen — the streaming
+    * composition of q182: documents arriving on the ingest stream are
+    * checked against a STATIC benchmark index (one row per eval doc:
+    * its pre-distinct shingle-hash array and its size) and every pair
+    * whose containment (|intersection|·10⁴ DIV |eval shingles|, the
+    * q182 integer rule) reaches `flagBp` is emitted. Entirely STATELESS:
+    * a stream-static broadcast join plus a per-row `array_intersect`
+    * projection — no aggregation state, no watermark, so ANY micro-batch
+    * split is exactly the batch answer by construction, and the parity
+    * gate proves it against the q182-style explode-join plan (two
+    * different physical computations of the same containment rule must
+    * agree pair-for-pair). At scale the static side is benchmark-sized
+    * (O(eval) broadcast, same bound q182 proves) and each arriving doc
+    * costs |eval| array intersections — constant per document.
+    *
+    * @param docs  streaming (doc_id, hs: array<long>) — pre-distinct
+    *              shingle hashes, the ShingleHashes projection
+    * @param evalIdx static (eval_id, eval_hs: array<long>, n_eval: long)
+    */
+  def decontamScreenStream(docs: DataFrame, evalIdx: DataFrame,
+                           flagBp: Long = 5000): DataFrame =
+    docs.crossJoin(broadcast(evalIdx))
+      .withColumn("overlap",
+        size(array_intersect(col("hs"), col("eval_hs"))).cast("long"))
+      .withColumn("bp", expr("overlap * 10000 DIV n_eval"))
+      .filter(col("bp") >= flagBp)
+      .select("doc_id", "eval_id", "overlap", "bp")
+
   /** One CDC change-feed event: a key's new payload (or tombstone) at
     * feed position `seq` — the LSN a change feed ships so consumers can
     * order events per key without trusting arrival order. `change_type`

@@ -21,6 +21,63 @@ class StreamBatchParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("file-replay decontamScreenStream == q182-style explode-join " +
+      "screen (cross-plan pair equality)") {
+    failAfter(Span(300, Seconds)) {
+      import graft.functions.ShingleHashes
+      import graft.functions.TextOps.tokens
+      val dir = Files.createTempDirectory("decontam_replay_").toString
+      val ckpt = Files.createTempDirectory("decontam_ckpt_").toString
+      ShingleHashes.register(spark)
+      val docs = Tables.table(spark, sf, "documents")
+      def shingled(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"),
+          ShingleHashes.of(tokens(col("text"))).as("hs"))
+      // static benchmark index: the q182 eval slice with per-doc sizes
+      val evalIdx = shingled(docs.filter(col("doc_id") < 50))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id").as("eval_id"), col("hs").as("eval_hs"),
+          size(col("hs")).cast("long").as("n_eval"))
+      // the ingest stream: corpus docs in 3 adversarial files
+      shingled(docs.filter(col("doc_id") >= 50))
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = decontamScreenStream(stream, evalIdx)
+        .writeStream.format("memory").queryName("decontam_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("decontam_replay").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      // independent batch derivation through a DIFFERENT plan — the q182
+      // explode → equi-join → groupBy count shape — so the gate checks
+      // both stream≡batch and array_intersect ≡ explode-join semantics
+      val ev = shingled(docs.filter(col("doc_id") < 50))
+        .select(col("doc_id").as("eval_id"), explode(col("hs")).as("sh"))
+      val evN = ev.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+      val batch = shingled(docs.filter(col("doc_id") >= 50))
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .join(ev, "sh")
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("overlap"))
+        .join(evN, "eval_id")
+        .withColumn("bp", expr("overlap * 10000 DIV n_eval"))
+        .filter(col("bp") >= 5000)
+        .select("doc_id", "eval_id", "overlap", "bp")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty) // the fixture really plants contamination
+    }
+  }
+
   test("file-replay cdcUpsertStream == batch applyDelta chain (multiset-" +
       "fingerprint witness)") {
     failAfter(Span(300, Seconds)) {
