@@ -87,6 +87,54 @@ class PackingDecontamSpec extends AnyFunSuite {
     spark.sqlContext.clearCache()
   }
 
+  test("decontamination rule agrees across plans at a SECOND flag " +
+      "threshold — the machinery is not tuned to one constant") {
+    import graft.functions.ShingleHashes
+    import graft.functions.TextOps.tokens
+    import org.apache.spark.sql.functions._
+    ShingleHashes.register(spark)
+    val docs = Tables.table(spark, sf, "documents")
+    def shingled(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), ShingleHashes.of(tokens(col("text"))).as("hs"))
+    val evalIdx = shingled(docs.filter(col("doc_id") < 50))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id").as("eval_id"), col("hs").as("eval_hs"),
+        size(col("hs")).cast("long").as("n_eval"))
+    // the stream op is STATELESS, so it applies to a batch frame
+    // unchanged — same code path the stream runs
+    def viaIntersect(bp: Long) = graft.streaming.StreamSessionize
+      .decontamScreenStream(shingled(docs.filter(col("doc_id") >= 50)),
+        evalIdx, bp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def viaJoin(bp: Long) = {
+      val ev = shingled(docs.filter(col("doc_id") < 50))
+        .select(col("doc_id").as("eval_id"), explode(col("hs")).as("sh"))
+      val evN = ev.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+      shingled(docs.filter(col("doc_id") >= 50))
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .join(ev, "sh")
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("overlap"))
+        .join(evN, "eval_id")
+        .filter(expr("overlap * 10000 DIV n_eval") >= bp)
+        .select("doc_id", "eval_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // the fixture's containment is bimodal — planted near-dups sit at
+    // ≥ 8888 bp and partial-overlap noise at ≤ 1250 bp — so the second
+    // point must land INSIDE the noise tail (1000 bp) for the two
+    // thresholds to select different sets
+    val loose = viaIntersect(1000)
+    assert(loose === viaJoin(1000))
+    val strict = viaIntersect(5000)
+    assert(strict === viaJoin(5000))
+    // monotonicity: loosening the threshold can only ADD pairs, and on
+    // this fixture it really does
+    assert(strict.subsetOf(loose))
+    assert(loose.size > strict.size,
+      "second threshold indistinguishable from the first on this fixture")
+    spark.sqlContext.clearCache()
+  }
+
   test("q181: the delta-feed fixture exercises adds, updates, AND " +
       "tombstones through the compaction") {
     val rows = graft.SparkEntry
