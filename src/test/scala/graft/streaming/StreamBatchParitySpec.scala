@@ -159,6 +159,66 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("cdcUpsertStream under the RocksDB state store == default " +
+      "provider (the SCALE.md state-store swap is proven, not asserted)") {
+    failAfter(Span(300, Seconds)) {
+      import graft.operators.SnapshotDiff
+      val dir = Files.createTempDirectory("cdc_rocks_replay_").toString
+      val ckpt = Files.createTempDirectory("cdc_rocks_ckpt_").toString
+      val base = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val old = base.filter(col("key") % 3 =!= 0)
+      val cur = base.filter(col("key") % 11 =!= 0)
+      SnapshotDiff.diff(old, cur, Seq("key"))
+        .filter(col("change_type") =!= "unchanged")
+        .withColumn("seq", lit(1L))
+        .select("key", "status", "price", "change_type", "seq")
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      import spark.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+      try {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir)
+          .as[CdcEvent]
+        val q = cdcUpsertStream(stream)
+          .writeStream.format("memory").queryName("cdc_rocks_replay")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally {
+        prior match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("n_events"))
+      val finalView = spark.table("cdc_rocks_replay")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val rebuilt = old
+        .join(finalView.select("key"), Seq("key"), "left_anti")
+        .unionByName(finalView.filter(!col("removed"))
+          .select("key", "status", "price"))
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        SnapshotDiff.fingerprint(df.select("key", "status", "price"))
+          .collect().head
+      val s = fp(rebuilt)
+      assert(s === fp(cur))
+      assert(s.getLong(0) > 0)
+    }
+  }
+
   test("file-replay dedupStream == q40 batch dedup on the same fixture") {
     failAfter(Span(300, Seconds)) {
       val dir = Files.createTempDirectory("dedup_replay_").toString
