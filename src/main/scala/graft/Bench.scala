@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{MultimodalQueries, Relational, SimilarityQueries, TextQueries, TrainingQueries}
+import graft.queries.{IngestQueries, MultimodalQueries, Relational, SimilarityQueries, TextQueries, TrainingQueries}
 
 /** Benchmark main: the FULL catalog on SPARK_GRAFT_SF_DIR, one JSON line.
   *
@@ -29,7 +29,8 @@ object Bench {
     "text" -> TextQueries.defs.map(_._1),
     "similarity" -> SimilarityQueries.defs.map(_._1),
     "multimodal" -> MultimodalQueries.defs.map(_._1),
-    "training" -> TrainingQueries.defs.map(_._1))
+    "training" -> TrainingQueries.defs.map(_._1),
+    "ingest" -> IngestQueries.defs.map(_._1))
 
   /** Kept for tooling compatibility: the round-2 headline slice. */
   val headline: Seq[String] = Seq(

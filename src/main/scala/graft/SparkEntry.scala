@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MultimodalQueries, QueryDef, Relational, SimilarityQueries, TextQueries, TrainingQueries}
+import graft.queries.{IngestQueries, MultimodalQueries, QueryDef, Relational, SimilarityQueries, TextQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Full catalog: name -> (Spark program, optional DuckDB oracle SQL). */
   def catalog: Seq[(String, QueryDef)] =
     Relational.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ TrainingQueries.defs
+      MultimodalQueries.defs ++ TrainingQueries.defs ++ IngestQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -69,6 +69,39 @@ class NcdIngestSpec extends AnyFunSuite {
     assert(!plan.contains("filename_district=CT"))
   }
 
+  test("district filter scans EXACTLY the one matching partition's files") {
+    // The layout's entire query-side payoff (the reference partitions for
+    // this: ncd/athena.py:101-109) asserted at plan level, not directory
+    // naming: the pushed partition predicate must reach the file-source
+    // scan and cut the selected partitions to exactly one, whose files
+    // all live under the matching Hive directory.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val df = spark.table("ncd.GS_CASE").filter($"filename_district" === "CT")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    // the predicate was classified as a partition filter (the
+    // PruneFileSourcePartitions path), not a post-scan data filter
+    assert(scan.partitionFilters.exists(_.toString.contains("filename_district")))
+    val selected = scan.selectedPartitions
+    assert(selected.partitionCount === 1)
+    val scannedFiles = selected.toPartitionArray.map(_.urlEncodedPath)
+    assert(scannedFiles.nonEmpty)
+    assert(scannedFiles.forall(_.contains("filename_district=CT")))
+    // and it genuinely pruned: the table has more data files than the scan
+    val allFiles = Seq("CT", "FLM").flatMap { d =>
+      Option(new java.io.File(s"$warehouse/ncd/GS_CASE/filename_district=$d")
+        .listFiles()).toSeq.flatten.filter(_.getName.startsWith("part-"))
+    }
+    assert(scannedFiles.length < allFiles.length)
+    // unpruned twin reads every partition — the counter-witness
+    val full = spark.table("ncd.GS_CASE")
+    val fullScan = full.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(fullScan.selectedPartitions.partitionCount === 2)
+  }
+
   test("global tables load all-string with boolean flags") {
     val df = spark.table("ncd.GS_DISTRICT")
     assert(df.columns.toSeq === Seq("CODE", "NAME", "redacted_CODE",
