@@ -88,6 +88,26 @@ object Bench {
     // timed runs start
     spark.sqlContext.clearCache()
 
+    // discarded FULL-SF warm-up pass (round-7 verdict #7): runs at the
+    // target SF showed a 1.8x first-run penalty (page-cache + JIT + the
+    // session's other JVMs winding down), which made the committed minima
+    // hostage to machine quiescence. One untimed pass at sfDir loads the
+    // page cache and finishes tiered compilation so the timed runs start
+    // warm; SPARK_GRAFT_BENCH_WARMUP=0 skips it for quick local iteration.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      val t0 = System.nanoTime()
+      names.foreach { name =>
+        try queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] full-SF warm-up $name failed: ${e.getMessage}")
+        }
+      }
+      spark.sqlContext.clearCache()
+      System.err.println(
+        f"[bench] discarded full-SF warm-up pass ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
     // A failed query is recorded as -1, never as its (near-zero) elapsed
     // time — a broken query must make the bench look broken, not fast.
     def timeOne(name: String): Double = {
@@ -225,13 +245,27 @@ object Bench {
     // driver writes its own artifact only after the bench returns);
     // overwrites WITHIN a round are fine, the archive exists to survive
     // ACROSS rounds.
-    val round = Option(repoRoot.list()).getOrElse(Array.empty[String])
+    // SPARK_GRAFT_BENCH_ROUND overrides the inference: a full bench rerun
+    // AFTER the driver already wrote this round's BENCH_rN.json would
+    // infer N+1 and squat the next round's archive name; without an
+    // explicit round the archive is also write-once (first full run of a
+    // round claims it; later reruns of the same round keep improving the
+    // tripwire baseline and bench_full_* but cannot silently rewrite
+    // history the archive exists to preserve).
+    val inferredRound = Option(repoRoot.list()).getOrElse(Array.empty[String])
       .flatMap("""BENCH_r(\d+)\.json""".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
-    java.nio.file.Files.write(
-      new java.io.File(repoRoot, f"bench_full_r$round%02d_" +
-        s"${new java.io.File(sfDir).getName}.json").toPath,
-      jsonLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val explicitRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
+    val round = explicitRound.getOrElse(inferredRound)
+    val archive = new java.io.File(repoRoot, f"bench_full_r$round%02d_" +
+      s"${new java.io.File(sfDir).getName}.json")
+    if (explicitRound.isDefined || !archive.isFile)
+      java.nio.file.Files.write(archive.toPath,
+        jsonLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else
+      System.err.println(s"[bench] round-stamped archive ${archive.getName} " +
+        "already exists — NOT overwriting (set SPARK_GRAFT_BENCH_ROUND to " +
+        "force a specific round's archive)")
     val clean = failed.isEmpty && partial.isEmpty && regressions.isEmpty
     if (clean) {
       // next round diffs against THIS run's minima

@@ -71,7 +71,12 @@ object SnapshotDiff {
     * xxhash64 (the second prepends a literal salt so its hash stream
     * differs). Two multisets with equal fingerprints are equal up to a
     * ~2⁻¹²⁸ collision (the deltas would have to cancel under both keys
-    * simultaneously) — a PROBABILISTIC witness, not a proof, bought for
+    * simultaneously). The 2⁻¹²⁸ bound assumes NON-ADVERSARIAL inputs
+    * (random-corruption model, as the q79 comment frames it): Σ-of-hashes
+    * is linear, so an adversary who controls row contents can construct
+    * multiset differences whose per-row hash deltas cancel under both
+    * keys — fine for parity gates over trusted pipelines, not a MAC.
+    * A PROBABILISTIC witness, not a proof, bought for
     * three scalar aggregates where exceptAll-both-ways costs two
     * corpus-wide shuffles. Shared by q79's in-query roundtrip witness and
     * the streaming-CDC parity gate; `SnapshotDiffSpec` proves the

@@ -410,7 +410,14 @@ object StreamSessionize {
     */
   def decontamScreenStream(docs: DataFrame, evalIdx: DataFrame,
                            flagBp: Long = 5000): DataFrame =
-    docs.crossJoin(broadcast(evalIdx))
+    // own-contract guard (not just the callers'): an eval-index row with
+    // an empty shingle array would divide by zero in the bp projection —
+    // null/silently-dropped pair non-ANSI, runtime error under ANSI —
+    // breaking the documented "any micro-batch split equals the batch
+    // answer" property on a degenerate row. Such a row can never flag
+    // anything anyway (overlap ≤ n_eval = 0), so dropping it is the only
+    // answer consistent with the batch screen.
+    docs.crossJoin(broadcast(evalIdx.filter(col("n_eval") > 0)))
       .withColumn("overlap",
         size(array_intersect(col("hs"), col("eval_hs"))).cast("long"))
       .withColumn("bp", expr("overlap * 10000 DIV n_eval"))
@@ -458,11 +465,19 @@ object StreamSessionize {
       .mapGroupsWithState[CdcState, CdcView](
         GroupStateTimeout.NoTimeout()) {
         case (k, it, state: GroupState[CdcState]) =>
-          var s = state.getOption
-            .getOrElse(CdcState(Long.MinValue, true, "", 0.0, 0L))
+          // Option semantics for the first event: it folds UNCONDITIONALLY
+          // into fresh state, so no seq value is a reserved sentinel — a
+          // feed event carrying seq == Long.MinValue is counted AND can
+          // become the view, instead of being silently uncountable.
+          // (`it` is non-empty: with NoTimeout the function only runs for
+          // keys that received data this batch.)
+          var s: CdcState = state.getOption.orNull
           it.foreach { e =>
             s =
-              if (e.seq > s.seq)
+              if (s == null)
+                CdcState(e.seq, e.change_type == "removed", e.status,
+                  e.price, 1L)
+              else if (e.seq > s.seq)
                 CdcState(e.seq, e.change_type == "removed", e.status,
                   e.price, s.n + 1)
               else s.copy(n = s.n + 1)
@@ -497,15 +512,17 @@ object StreamSessionize {
       .mapGroupsWithState[LatestState, LatestRow](
         GroupStateTimeout.NoTimeout()) {
         case (uid, it, state: GroupState[LatestState]) =>
-          var s = state.getOption
-            .getOrElse(LatestState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+          // same first-event-unconditional fold as cdcUpsertStream: no
+          // (us, event_id) value is a reserved sentinel
+          var s: LatestState = state.getOption.orNull
           it.foreach { e =>
-            val newer = e.us > s.us ||
+            val newer = s == null || e.us > s.us ||
               (e.us == s.us && e.event_id > s.event_id)
+            val n = if (s == null) 1L else s.n + 1
             s =
               if (newer)
-                LatestState(e.event_id, e.us, e.event_type, e.value, s.n + 1)
-              else s.copy(n = s.n + 1)
+                LatestState(e.event_id, e.us, e.event_type, e.value, n)
+              else s.copy(n = n)
           }
           state.update(s)
           LatestRow(uid, s.n, s.event_id, s.us, s.event_type, s.value)

@@ -117,8 +117,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
       }.nonEmpty ||
       collectAll(side) {
         case s: FileSourceScanExec if s.metadata.get("PushedFilters")
-          .exists(pf => Seq("LessThan(", "LessThanOrEqual(", "EqualTo(")
-            .exists(pf.contains)) => s
+          // anchored so a NEGATED operator can never qualify: a pushed
+          // Not(EqualTo(...)) is a not-equals selecting nearly the whole
+          // corpus — the same false proof the GreaterThan exclusion
+          // closed. The regex requires the operator name NOT preceded by
+          // an identifier character or the "Not(" wrapper.
+          .exists(pf => Seq("LessThan", "LessThanOrEqual", "EqualTo")
+            .exists(op =>
+              s"""(?<!\\w)(?<!Not\\()$op\\(""".r
+                .findFirstIn(pf).isDefined)) => s
       }.nonEmpty
 
   test("every ANN-family broadcast side is fixed-cardinality — a " +

@@ -669,4 +669,223 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.values.exists(_._2 > 0))
     }
   }
+
+  test("checkpoint-recovery: cdcUpsertStream stopped and restarted twice " +
+      "mid-feed still rebuilds cur (state survives the restarts)") {
+    failAfter(Span(300, Seconds)) {
+      // The exactly-once claim mapGroupsWithState carries at 100 TB: a
+      // long-running CDC consumer WILL be killed and restarted from its
+      // checkpoint, and the rebuilt snapshot must still equal the batch
+      // applyDelta chain. The feed is delivered in three waves with a full
+      // query.stop()/restart between each: wave 0 ships every gen-2 event
+      // FIRST, waves 1-2 ship the gen-1 events it supersedes — so the
+      // last-wins answer for every superseded key depends on seq-2 state
+      // written before a restart and read after it. A checkpoint that
+      // loses (or double-applies) state cannot land on cur's fingerprint.
+      import graft.operators.SnapshotDiff
+      val dir = Files.createTempDirectory("cdc_ckptrec_replay_").toString
+      val ckpt = Files.createTempDirectory("cdc_ckptrec_ckpt_").toString
+      val base = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val old = base.filter(col("key") % 3 =!= 0)
+        .withColumn("price",
+          when(col("key") % 5 === 0, col("price") + 1.0)
+            .otherwise(col("price")))
+      val mid = base.filter(col("key") % 7 =!= 0)
+      val cur = base.filter(col("key") % 11 =!= 0)
+      val keys = Seq("key")
+      def sparse(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame) =
+        SnapshotDiff.diff(a, b, keys)
+          .filter(col("change_type") =!= "unchanged")
+      val d1 = sparse(old, mid)
+      val d2 = sparse(mid, cur)
+      def feed(d: org.apache.spark.sql.DataFrame, seq: Long) =
+        d.withColumn("seq", lit(seq))
+          .select("key", "status", "price", "change_type", "seq")
+      // wave 0: all gen-2 events; waves 1/2: gen-1 split by key parity
+      val waves = Seq(
+        feed(d2, 2L),
+        feed(d1.filter(col("key") % 2 === 1), 1L),
+        feed(d1.filter(col("key") % 2 === 0), 1L))
+
+      import spark.implicits._
+      // the memory sink refuses checkpoint recovery, so the recoverable
+      // foreachBatch sink harvests each micro-batch keyed by batchId — a
+      // batch replayed after a restart overwrites its own slot instead of
+      // double-counting (the at-least-once seam foreachBatch documents)
+      val collected =
+        scala.collection.mutable.Map.empty[Long, Seq[CdcView]]
+      // one run segment: deliver a wave as NEW files into the watched dir,
+      // start a fresh query on the SAME checkpoint, drain, stop; returns
+      // the batchIds this segment emitted
+      def runSegment(wave: org.apache.spark.sql.DataFrame): Set[Long] = {
+        val before = collected.synchronized(collected.keySet.toSet)
+        wave.coalesce(1).write.mode("append").parquet(dir)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir)
+          .as[CdcEvent]
+        val sinkFn: (org.apache.spark.sql.Dataset[CdcView], Long) => Unit =
+          (df, batchId) => {
+            val rows = df.collect().toSeq
+            collected.synchronized { collected(batchId) = rows }
+          }
+        val q = cdcUpsertStream(stream)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(sinkFn)
+          .start()
+        try q.awaitTermination() finally q.stop()
+        collected.synchronized(collected.keySet.toSet) -- before
+      }
+      val segBatches: Seq[Set[Long]] = waves.map(runSegment)
+      // the converged view per key is the max-n_events emission across
+      // every batch of every segment
+      val views = collected.synchronized(collected.values.flatten.toSeq)
+      val finalView = spark.createDataset(
+        views.groupBy(_.key).map { case (_, vs) =>
+          vs.maxBy(_.n_events)
+        }.toSeq).toDF()
+      val rebuilt = old
+        .join(finalView.select("key"), keys, "left_anti")
+        .unionByName(finalView.filter(!col("removed"))
+          .select("key", "status", "price"))
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        SnapshotDiff.fingerprint(df.select("key", "status", "price"))
+          .collect().head
+      val s = fp(rebuilt)
+      assert(s === fp(SnapshotDiff.applyDelta(
+        SnapshotDiff.applyDelta(old, d1, keys), d2, keys)))
+      assert(s === fp(cur))
+      assert(s.getLong(0) > 0)
+
+      // direct per-key witness that recovered state decided an answer:
+      // keys tombstoned by a wave-0 seq-2 remove whose ONLY later event is
+      // a wave-2 seq-1 event — their segment-2 emission must come out of
+      // state recovered across BOTH restarts as (removed, n_events = 2)
+      val witnessKeys = d2.filter(col("change_type") === "removed")
+        .select("key").intersect(d1.filter(col("key") % 2 === 0).select("key"))
+        .as[Long].collect().toSet
+      assert(witnessKeys.nonEmpty)
+      val seg2 = segBatches(2).toSeq.flatMap(collected(_))
+        .map(v => v.key -> (v.removed, v.n_events)).toMap
+      witnessKeys.foreach { k =>
+        val (removed, n) = seg2(k)
+        assert(removed, s"key $k lost its recovered tombstone on restart")
+        assert(n === 2L, s"key $k folded $n events; recovered state must " +
+          "carry the wave-0 fold count")
+      }
+    }
+  }
+
+  test("late-data gate: events beyond the watermark are DROPPED by " +
+      "windowedCounts, and the batch twin applies the same cutoff") {
+    failAfter(Span(300, Seconds)) {
+      // Every other gate replays in-order or adversarially-split feeds
+      // where nothing is late; this one pins the EXCLUSION side of the
+      // watermark contract: an event arriving after the watermark passed
+      // its window's end must be dropped by the stream, and the batch twin
+      // must agree on what was excluded — not just on what was included.
+      // Lateness is only defined against the watermark trajectory, so the
+      // feed is delivered in three single-file waves with a stop/restart
+      // between them (batch boundaries, and therefore watermark updates,
+      // are then exact): the wave-1 10:05 event is 55 minutes behind the
+      // watermark the wave-0 clock event established — genuinely late, not
+      // boundary-adjacent — and each wave's closing clock event advances
+      // the watermark so every surviving window finalizes in append mode.
+      val dir = Files.createTempDirectory("late_replay_").toString
+      val ckpt = Files.createTempDirectory("late_ckpt_").toString
+      val horizonMs = 3600000L // 1 hour
+      val widthMs = 600000L    // 10 minutes
+      val day = "2024-01-01 "
+      // (wave, hh:mm:ss, event_type)
+      val fixture = Seq(
+        (0, "10:00:30", "click"),
+        (0, "10:03:00", "click"),
+        (0, "10:04:00", "view"),
+        (0, "12:00:00", "click"),  // clock: watermark -> 11:00
+        (1, "10:05:00", "click"),  // LATE: window end 10:10 < 11:00
+        (1, "11:30:00", "view"),   // on time: window end 11:40 > 11:00
+        (1, "13:30:00", "click"),  // clock: watermark -> 12:30
+        (2, "15:00:00", "click"))  // clock: watermark -> 14:00, flushes all
+      import spark.implicits._
+      def toDf(wave: Int) =
+        fixture.filter(_._1 == wave)
+          .map { case (_, t, tpe) => (java.sql.Timestamp.valueOf(day + t), tpe) }
+          .toDF("ts", "event_type")
+
+      val collected =
+        scala.collection.mutable.Map.empty[Long, Seq[(java.sql.Timestamp, String, Long)]]
+      def runSegment(wave: Int): Unit = {
+        toDf(wave).coalesce(1).write.mode("append").parquet(dir)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir)
+        val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (df, batchId) => {
+            val rows = df.collect().toSeq
+              .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+            collected.synchronized { collected(batchId) = rows }
+          }
+        val q = windowedCounts(stream, width = "10 minutes",
+            watermark = "1 hour")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(sinkFn)
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      (0 to 2).foreach(runSegment)
+      val streamed = collected.synchronized {
+        collected.values.flatten.toSet
+      }
+
+      // batch twin with the SAME cutoff, computed independently from the
+      // fixture and the watermark trajectory: watermark before wave k =
+      // max event time of waves < k minus the horizon; an event is late
+      // (dropped) iff its window END is at or before that watermark; a
+      // window is emitted iff its end is at or before the final watermark
+      def ms(t: String): Long = java.sql.Timestamp.valueOf(day + t).getTime
+      def winStart(t: Long): Long = t - Math.floorMod(t, widthMs)
+      def wmBefore(wave: Int): Long =
+        fixture.filter(_._1 < wave) match {
+          case Seq() => Long.MinValue
+          case seen => seen.map(e => ms(e._2)).max - horizonMs
+        }
+      val finalWm = fixture.map(e => ms(e._2)).max - horizonMs
+      val surviving = fixture.filterNot { case (wave, t, _) =>
+        winStart(ms(t)) + widthMs <= wmBefore(wave)
+      }
+      val expected = surviving
+        .filter { case (_, t, _) => winStart(ms(t)) + widthMs <= finalWm }
+        .groupBy { case (_, t, tpe) => (winStart(ms(t)), tpe) }
+        .map { case ((ws, tpe), evs) =>
+          (new java.sql.Timestamp(ws), tpe, evs.size.toLong)
+        }.toSet
+      assert(streamed === expected)
+      // the witness has teeth: the fixture's late row really was dropped —
+      // a no-cutoff batch aggregation of finalized windows disagrees
+      val naive = fixture
+        .filter { case (_, t, _) => winStart(ms(t)) + widthMs <= finalWm }
+        .groupBy { case (_, t, tpe) => (winStart(ms(t)), tpe) }
+        .map { case ((ws, tpe), evs) =>
+          (new java.sql.Timestamp(ws), tpe, evs.size.toLong)
+        }.toSet
+      assert(streamed !== naive)
+      // and specifically: the 10:00 click window counted 2, not 3
+      val tenOclock = streamed.collect {
+        case (ws, "click", n) if ws.getTime == ms("10:00:00") => n
+      }
+      assert(tenOclock === Set(2L))
+    }
+  }
 }
