@@ -46,6 +46,49 @@ object TextQueries {
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
 
+  /** q189's oracle: the 4 BPE merge rounds unrolled as CTE generations.
+    * Each generation k: pair counts over vocab v(k-1), the deterministic
+    * argmax m(k), and the merged vocab v(k) via the same global leftmost
+    * double-space replace() the Spark side applies.
+    */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to 4).map { k =>
+      val prev = s"v${k - 1}"
+      val apply =
+        if (k < 4)
+          s""",v$k AS (SELECT word, cnt,
+             |  replace(sym, m.lhs || '  ' || m.rhs,
+             |          m.lhs || '~' || m.rhs) AS sym
+             |  FROM $prev CROSS JOIN m$k m)""".stripMargin
+        else ""
+      s""",p$k AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, unnest(a[1:len(a) - 1]) AS lhs,
+         |          unnest(a[2:len(a)]) AS rhs
+         |        FROM (SELECT cnt, string_split(sym, '  ') AS a
+         |              FROM $prev))
+         |  GROUP BY 1, 2)
+         |,m$k AS (SELECT lhs, rhs, pc FROM p$k
+         |  ORDER BY pc DESC, lhs, rhs LIMIT 1)""".stripMargin + apply
+    }.mkString("\n")
+    val out = (1 to 4).map { k =>
+      s"""SELECT CAST($k AS INT) AS merge_round, lhs, rhs,
+         |  lhs || '~' || rhs AS merged, pc AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT word, cnt,
+       |    array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> word[i]), '  ') || '  </w>' AS sym
+       |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest($duckToks) AS word FROM documents)
+       |        WHERE regexp_matches(word, '^[a-z]+$$')
+       |          AND len(word) BETWEEN 2 AND 12
+       |        GROUP BY 1))
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY merge_round""".stripMargin
+  }
+
   /** Exploded (doc_id, shingle_hash) table over `documents` — the shared
     * input of the Jaccard/clustering family. `stopShingleDf` enables the
     * document-frequency stop-shingle cut ([[StopShingles]]): the skew guard
@@ -1798,5 +1841,209 @@ object TextQueries {
               |  COALESCE(a.max_bp, 0) AS max_bp
               |FROM evn n LEFT JOIN agg a USING (eval_id)
               |ORDER BY eval_id""".stripMargin)),
+
+    // ---- model-based quality filtering audit ------------------------------
+    // The standard pipeline stage q30's raw heuristics feed: a LINEAR
+    // quality classifier (fixed integer weights over length, lexical
+    // diversity, stopword density, gibberish and word-length signals)
+    // scores every document, a threshold accepts/rejects, and the audit
+    // reports acceptance per source plus the corpus rollup — the
+    // monitoring view that catches a source whose acceptance rate drifts.
+    // Integer-weight scoring is deliberate: a float sigmoid would be a
+    // monotone transform of the same decision boundary but would put
+    // transcendentals between the engines; with integer features and
+    // weights the full decision vector (not a summary) sits under the
+    // exact-hash oracle. Plan: one narrow per-doc projection (array
+    // lambdas are codegen'd built-ins), one rollup aggregation — linear
+    // at any corpus scale, no joins.
+    "q190_quality_filter_audit" -> QueryDef(
+      (s, dir) => {
+        val d = tableParallel(s, dir, "documents")
+          .select(col("source"), tokens(col("text")).as("ws"))
+          .withColumn("toks", size(col("ws")).cast("long"))
+          .withColumn("uniq",
+            size(array_distinct(col("ws"))).cast("long"))
+          .withColumn("stopc", expr(
+            """CAST(size(filter(ws, t -> t IN ('the','a','an','and','of',
+              |'to','in','is','that','it'))) AS BIGINT)""".stripMargin))
+          .withColumn("longw", expr(
+            "CAST(size(filter(ws, t -> length(t) > 12)) AS BIGINT)"))
+          .withColumn("wlen", expr(
+            "aggregate(ws, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"))
+          .withColumn("uniq_bp", expr("uniq * 10000 DIV toks"))
+          .withColumn("stop_bp", expr("stopc * 10000 DIV toks"))
+          .withColumn("mwl_c", expr("wlen * 100 DIV toks"))
+          .withColumn("score", expr(
+            """2 * least(toks, 400) + uniq_bp DIV 4
+              | + least(stop_bp, 2000) DIV 2 - 100 * longw
+              | - abs(mwl_c - 500) DIV 2""".stripMargin))
+          .withColumn("pass",
+            when(col("score") >= 2000L, 1L).otherwise(0L))
+        d.rollup("source")
+          .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
+            expr("sum(pass) * 10000 DIV count(1)").as("pass_bp"),
+            // sum, not mean: an integer mean would divide a possibly-
+            // negative total, where Spark DIV (truncate) and DuckDB //
+            // (floor) disagree — the sum is division-free and exact
+            sum("score").as("sum_score"))
+          .select(coalesce(col("source"), lit("ALL")).as("src"),
+            col("n_docs"), col("n_pass"), col("pass_bp"), col("sum_score"))
+          .orderBy("src")
+      },
+      Some(s"""WITH w AS (SELECT source, $duckToks AS ws FROM documents),
+              |f AS (SELECT source,
+              |    CAST(len(ws) AS BIGINT) AS toks,
+              |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq,
+              |    CAST(len(list_filter(ws, t -> list_contains(
+              |      ['the','a','an','and','of','to','in','is','that','it'],
+              |      t))) AS BIGINT) AS stopc,
+              |    CAST(len(list_filter(ws, t -> len(t) > 12)) AS BIGINT)
+              |      AS longw,
+              |    CAST(list_sum(list_transform(ws, t -> len(t)))
+              |      AS BIGINT) AS wlen
+              |  FROM w),
+              |sc AS (SELECT source,
+              |    2 * least(toks, 400) + (uniq * 10000 // toks) // 4
+              |      + least(stopc * 10000 // toks, 2000) // 2
+              |      - 100 * longw
+              |      - abs(wlen * 100 // toks - 500) // 2 AS score
+              |  FROM f),
+              |p AS (SELECT source, score,
+              |    CASE WHEN score >= 2000 THEN 1 ELSE 0 END AS pass
+              |  FROM sc)
+              |SELECT COALESCE(source, 'ALL') AS src,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(pass) AS BIGINT) AS n_pass,
+              |  CAST(sum(pass) * 10000 // count(*) AS BIGINT) AS pass_bp,
+              |  CAST(sum(score) AS BIGINT) AS sum_score
+              |FROM p GROUP BY ROLLUP(source) ORDER BY src""".stripMargin)),
+
+    // ---- interpolated Kneser-Ney bigram LM --------------------------------
+    // The smoothing upgrade over q127's add-one bigram model: interpolated
+    // Kneser-Ney with absolute discount D = 0.75,
+    //   P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    //            + D·N₁₊(w1,·)/c(w1·) · N₁₊(·,w2)/B,
+    // where the continuation counts N₁₊ are DISTINCT-context counts and B
+    // is the number of distinct bigram types — the estimator that fixes
+    // add-one's overestimate of unseen continuations ("francisco" frequent,
+    // but only ever after "san"). All four count families come from ONE
+    // bigram-type table: c(w1·) and N₁₊(w1,·) in a single left-side
+    // aggregation (sum + count over the same groupBy), N₁₊(·,w2) from the
+    // right side, B as a broadcast scalar. Heavy bigram keys ("of the")
+    // are safe: count aggregation is map-side partial. The top-20 report
+    // frame is broadcast INTO the vocab-sized count tables, so the final
+    // joins move 20 rows, not the vocabulary. Probability arithmetic is
+    // written as the same textual double expression on both engines
+    // (exact-integer inputs, identical operation order → bit-identical
+    // IEEE results), rounded to 6dp only at output.
+    "q188_kneser_ney_bigram" -> QueryDef(
+      (s, dir) => {
+        val bg = Materialize(tableParallel(s, dir, "documents")
+          .select(tokens(col("text")).as("ws"))
+          // guard: sequence(1, 0) would count DOWN in Spark and index 0
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              | i -> struct(element_at(ws, i) AS w1,
+              |             element_at(ws, i + 1) AS w2))""".stripMargin))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+        val leftC = bg.groupBy("w1")
+          .agg(sum("c").as("n1"), count(lit(1)).as("r"))
+        val rightC = bg.groupBy("w2").agg(count(lit(1)).as("l"))
+        val btot = bg.agg(count(lit(1)).as("btot"))
+        val top = bg.orderBy(col("c").desc, col("w1"), col("w2")).limit(20)
+        leftC.join(broadcast(top), "w1")
+          .join(rightC, "w2")
+          .crossJoin(broadcast(btot))
+          .withColumn("pkn", expr(
+            """round((CAST(c AS DOUBLE) - 0.75) / n1
+              | + 0.75 * r / n1 * (l / btot), 6)""".stripMargin))
+          .select(col("w1"), col("w2"), col("c"), col("n1"), col("r"),
+            col("l"), col("pkn"))
+          .orderBy(col("c").desc, col("w1"), col("w2"))
+      },
+      Some(s"""WITH w AS (SELECT $duckToks AS ws FROM documents),
+              |b AS (SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM w WHERE len(ws) >= 2),
+              |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+              |  FROM b GROUP BY 1, 2),
+              |lc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n1,
+              |    CAST(count(*) AS BIGINT) AS r
+              |  FROM bg GROUP BY 1),
+              |rc AS (SELECT w2, CAST(count(*) AS BIGINT) AS l
+              |  FROM bg GROUP BY 1),
+              |bt AS (SELECT CAST(count(*) AS BIGINT) AS btot FROM bg),
+              |top AS (SELECT * FROM bg ORDER BY c DESC, w1, w2 LIMIT 20)
+              |SELECT t.w1, t.w2, t.c, lc.n1, lc.r, rc.l,
+              |  round((CAST(t.c AS DOUBLE) - 0.75) / n1
+              |    + 0.75 * r / n1 * (l / btot), 6) AS pkn
+              |FROM top t JOIN lc ON t.w1 = lc.w1
+              |JOIN rc ON t.w2 = rc.w2 CROSS JOIN bt
+              |ORDER BY t.c DESC, t.w1, t.w2""".stripMargin)),
+
+    // ---- distributed BPE merge learning -----------------------------------
+    // Trains the first R = 4 byte-pair-encoding merges on the corpus — the
+    // tokenizer-construction step a training pipeline runs BEFORE q34/q107
+    // can count or encode with a merge table. Classic BPE trains on the
+    // word-frequency dictionary, not the raw stream: ONE corpus pass
+    // builds (word, freq) for clean [a-z]{2,12} words, then each round is
+    //   (1) adjacent-symbol pair counts weighted by freq (groupBy + sum,
+    //       map-side partial, heavy pairs like (t,h) safe),
+    //   (2) deterministic argmax — a distributed top-1 (orderBy.limit(1)),
+    //       ties broken (count desc, lhs, rhs); O(1) rows to the driver,
+    //   (3) merge application — a narrow literal replace() on every sym.
+    // Symbols are joined with a DOUBLE space so one global leftmost
+    // replace of "l␣␣r" is exactly BPE's simultaneous left-to-right merge
+    // pass: in "x␣␣x␣␣x␣␣x" the consumed match leaves "␣␣x␣␣x", so
+    // overlapping occurrences merge non-overlapping left-first ([xx][xx],
+    // and [xx] x for a triple) — the single-space encoding gets this
+    // WRONG (the shared separator breaks the second match). Merged tokens
+    // join with '~', so no symbol ever contains a space and replace()
+    // can't cross symbol boundaries. The vocab frame is dictionary-sized
+    // (≤ |distinct clean words|, millions at 100 TB — distributed, but
+    // 10⁶× smaller than the corpus), each round is one linear pass over
+    // it, and the driver holds only the R winning pairs. The oracle
+    // unrolls all four rounds as CTE generations over the identical
+    // replace() semantics.
+    "q189_bpe_merge_learning" -> QueryDef(
+      (s, dir) => {
+        val vocab0 = Materialize(tableParallel(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]+$") &&
+            length(col("word")).between(2, 12))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .withColumn("sym", expr(
+            """concat_ws('  ', transform(sequence(1, length(word)),
+              | i -> substring(word, i, 1))) || '  </w>'""".stripMargin)))
+        var vocab = vocab0
+        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+        for (round <- 1 to 4) {
+          val best = vocab
+            .select(col("cnt"), split(col("sym"), "  ").as("a"))
+            .select(col("cnt"), explode(expr(
+              """transform(sequence(1, size(a) - 1),
+                | i -> struct(element_at(a, i) AS lhs,
+                |             element_at(a, i + 1) AS rhs))""".stripMargin))
+              .as("p"))
+            .groupBy(col("p.lhs"), col("p.rhs"))
+            .agg(sum("cnt").as("pc"))
+            .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+            .limit(1).head()
+          val (l, r, pc) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((round, l, r, s"$l~$r", pc))
+          if (round < 4)
+            vocab = Materialize(vocab.withColumn("sym",
+              replace(col("sym"), lit(s"$l  $r"), lit(s"$l~$r"))))
+        }
+        import s.implicits._
+        merges.result()
+          .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+          .orderBy("merge_round")
+      },
+      Some(bpeOracleSql)),
   )
 }

@@ -34,6 +34,29 @@ object TrainingQueries {
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
 
+  /** q191's manifest aggregation over any documents-shaped frame —
+    * factored out so specs can witness fingerprint sensitivity (one
+    * changed row must flip exactly its partition's fp).
+    */
+  private[graft] def manifestOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rowH = hash32(concat_ws("|",
+      col("doc_id").cast("string"), col("lang"),
+      col("n_chars").cast("string"), md5(col("text"))))
+    docs
+      .select(col("source"), col("doc_id"), col("lang"),
+        col("n_chars"), rowH.as("row_h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        (sum(col("row_h").cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("fp"))
+      .orderBy("source")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- reproducible stratified sampling ---------------------------------
@@ -1886,5 +1909,139 @@ object TrainingQueries {
              |  CAST(sum(frag) AS BIGINT) AS n_fragmented,
              |  CAST(sum(frag) * 10000 // count(*) AS BIGINT) AS frag_bp
              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- pareto-frontier data selection -----------------------------------
+    // Multi-criteria selection: keep the documents no other document
+    // dominates on (length, lexical diversity) — the 2-D skyline that
+    // curriculum/selection pipelines use when no single score combines
+    // the axes. The naive plan is an all-pairs dominance anti-join
+    // (O(n²), a catalog-banned shape); the 2-D structure admits a linear
+    // plan instead: per length level keep the max diversity (one
+    // groupBy), then a prefix-max over the LEVEL table ordered by length
+    // desc — a doc is on the frontier iff it attains its level's max and
+    // strictly beats every longer level's max. The level table is
+    // bounded by the number of DISTINCT lengths (≤ max doc length, ~10⁵
+    // at any corpus scale), so the global window runs over a broadcast-
+    // sized frame, never the corpus; the corpus itself sees one narrow
+    // projection, one groupBy, and one broadcast join. Diversity in
+    // integer basis points (uniq·10⁴ DIV toks) — exact on both engines.
+    // Tie semantics: equal (toks, uniq_bp) points dominate neither, so
+    // duplicates of a frontier point all survive (standard weak-
+    // dominance skyline).
+    "q186_pareto_frontier" -> QueryDef(
+      (s, dir) => {
+        val d = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("toks"),
+            size(array_distinct(col("ws"))).cast("long").as("uniq"))
+          .withColumn("uniq_bp", expr("uniq * 10000 DIV toks"))
+        val g = d.groupBy("toks").agg(max("uniq_bp").as("gmax"))
+        // level table: ≤ #distinct lengths rows — the single-task window
+        // is over this bounded frame, not the corpus
+        val wl = Window.orderBy(col("toks").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val lv = g.withColumn("pmax", max("gmax").over(wl))
+        d.join(broadcast(lv), "toks")
+          .filter(col("uniq_bp") === col("gmax") &&
+            (col("pmax").isNull || col("uniq_bp") > col("pmax")))
+          .select(col("doc_id"), col("toks"), col("uniq_bp"))
+          .orderBy(col("toks").desc, col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |d AS (SELECT doc_id,
+              |    CAST(len(ws) AS BIGINT) AS toks,
+              |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq
+              |  FROM w),
+              |sc AS (SELECT doc_id, toks, uniq * 10000 // toks AS uniq_bp
+              |  FROM d),
+              |g AS (SELECT toks, max(uniq_bp) AS gmax FROM sc GROUP BY 1),
+              |lv AS (SELECT toks, gmax,
+              |    max(gmax) OVER (ORDER BY toks DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS pmax
+              |  FROM g)
+              |SELECT sc.doc_id, sc.toks, sc.uniq_bp
+              |FROM sc JOIN lv ON sc.toks = lv.toks
+              |WHERE sc.uniq_bp = lv.gmax
+              |  AND (lv.pmax IS NULL OR sc.uniq_bp > lv.pmax)
+              |ORDER BY sc.toks DESC, sc.doc_id""".stripMargin)),
+
+    // ---- partition integrity manifest -------------------------------------
+    // The operational twin of the CDC fingerprint witness: per source
+    // partition, a manifest row (row count, key range, distinct langs,
+    // byte total, multiset content fingerprint) cheap enough to emit on
+    // every export and exact enough to detect any changed/dropped/
+    // duplicated row. Unlike SnapshotDiff.fingerprint (spec-side
+    // xxhash64), the Σ-hash here is md5-derived so the ORACLE replays it
+    // — the integrity witness itself sits under the hard correctness
+    // signal. Σ over a commutative BIGINT hash is order-independent
+    // (partial-aggregate safe); the accumulator is DECIMAL(38,0) so at
+    // 10¹² rows × 2³² max hash (~4·10²¹) it cannot overflow, reduced
+    // mod 1e9+7 only at the end. One linear pass, one groupBy on the
+    // partition key — no shuffle beyond the aggregation itself.
+    "q191_snapshot_manifest" -> QueryDef(
+      (s, dir) => manifestOf(tableParallel(s, dir, "documents")),
+      Some("""WITH r AS (SELECT source, doc_id, lang, n_chars,
+             |    CAST(('0x' || substr(md5(
+             |      doc_id || '|' || lang || '|' || n_chars || '|' ||
+             |      md5(text)), 1, 8)) AS BIGINT) AS row_h
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(doc_id) AS min_doc,
+             |  max(doc_id) AS max_doc,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(row_h) % 1000000007 AS BIGINT) AS fp
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- small-file compaction planner ------------------------------------
+    // The layout-maintenance operator every long-lived 100 TB table needs:
+    // ingest and CDC leave partitions littered with small files, and scan
+    // throughput dies on per-file open cost. The planner consumes the FILE
+    // MANIFEST (here simulated as doc_id DIV 25 file groups over
+    // `documents`; in production the listing the q191 manifest or the
+    // Hadoop FS provides), and emits merge groups: per partition, files in
+    // name order are packed greedily into target-size bins — bin id is the
+    // file's starting byte offset DIV target, i.e. a new bin opens once
+    // the running total passes the target. Contiguity in file order is
+    // deliberate (merge groups read sequentially; no reordering of the
+    // manifest), and the invariant is bin_bytes < target + max_file_bytes.
+    // Scale shape: the plan runs on METADATA — the manifest is ~10⁶ rows
+    // where the table is 100 TB — so one window over (partition, file
+    // order) and one groupBy is the entire cost; the planner never touches
+    // data bytes. Execution of the plan is the existing rewrite machinery
+    // (read group → write one file), not this operator.
+    "q187_compaction_plan" -> QueryDef(
+      (s, dir) => {
+        val target = 2048L
+        val files = tableParallel(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id DIV 25").as("file_id"))
+          .agg(sum("n_chars").as("bytes"))
+        val w = Window.partitionBy("source").orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files.withColumn("cum", sum("bytes").over(w))
+          .withColumn("bin", expr(s"(cum - bytes) DIV $target"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum("bytes").as("bin_bytes"),
+            min("file_id").as("first_file"),
+            max("file_id").as("last_file"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH files AS (SELECT source, doc_id // 25 AS file_id,
+             |    CAST(sum(n_chars) AS BIGINT) AS bytes
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT source, file_id, bytes,
+             |    CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM files)
+             |SELECT source, (cum - bytes) // 2048 AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+             |  min(file_id) AS first_file,
+             |  max(file_id) AS last_file
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

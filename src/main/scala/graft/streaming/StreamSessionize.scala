@@ -261,6 +261,36 @@ object StreamSessionize {
         sum(size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
           .as("sum_tokens"))
 
+  /** Streaming partition-integrity manifest — the q191 manifest kept live
+    * as documents arrive: per partition, row count, key range, byte total
+    * and the Σ-hash content fingerprint, as ONE complete-mode streaming
+    * aggregation whose state is O(partitions) (a handful of integer
+    * accumulators each; the per-row hash is computed in the narrow
+    * pre-aggregation projection and immediately folded). Because every
+    * accumulator is commutative and exact (the fingerprint sums BIGINT
+    * hashes in a DECIMAL(38,0) accumulator, reduced mod 1e9+7 only in the
+    * output projection), the converged state equals the batch q191 answer
+    * on any micro-batch split of the same rows. The one batch column
+    * missing here is n_langs: a DISTINCT aggregation is unsupported over
+    * unbounded input, and an exact distinct would make state grow with
+    * the stream — the parity gate compares the shared columns.
+    */
+  def manifestStream(docs: DataFrame): DataFrame = {
+    val rowH = graft.functions.TextOps.hash32(concat_ws("|",
+      col("doc_id").cast("string"), col("lang"),
+      col("n_chars").cast("string"), md5(col("text"))))
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        rowH.as("row_h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum("n_chars").as("total_chars"),
+        (sum(col("row_h").cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("fp"))
+  }
+
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side
     * per batch; broadcast keeps it a map-side hash join — the standard

@@ -1,0 +1,135 @@
+package graft.queries
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+import graft.Tables.tableParallel
+import graft.functions.TextOps.tokens
+
+/** Independent cross-checks for the tokenizer/LM additions (q188/q189).
+  *
+  * The DuckDB oracle proves Spark ≡ SQL; these specs prove both ≡ the
+  * textbook algorithms: q189 against a from-scratch single-threaded BPE
+  * trainer (greedy left-to-right merge scan, no replace() trick), and
+  * q188 against the Kneser-Ney count identities that make the estimator
+  * a probability (Σ over observed types of (c−D) = n1 − D·r, and the
+  * reported row values recompose into the reported probability).
+  */
+class TokenizerLmSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  /** Reference BPE: word-frequency dict in, merges out. Merge application
+    * is the definitional greedy left-to-right scan over the symbol list —
+    * deliberately NOT the double-space replace() encoding the operator
+    * uses, so the spec fails if that encoding ever diverges from BPE
+    * semantics (e.g. on overlapping pairs like x x x x).
+    */
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ "</w>", c)
+      }
+    (1 to rounds).map { _ =>
+      val counts = mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        (0 until syms.length - 1).foreach { i =>
+          counts((syms(i), syms(i + 1))) += c
+        }
+      }
+      val ((l, r), pc) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += s"$l~$r"; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), c)
+      }
+      (l, r, pc)
+    }
+  }
+
+  test("q189 merges equal a from-scratch greedy BPE trainer's") {
+    val words = tableParallel(spark, sf, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") &&
+        length(col("word")).between(2, 12))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refBpe(words, 4)
+    val got = SparkEntry.queries("q189_bpe_merge_learning")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"operator merges $got != reference BPE $expected")
+  }
+
+  test("q188 rows satisfy the Kneser-Ney count identities and recompose") {
+    val rows = SparkEntry.queries("q188_kneser_ney_bigram")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent B: distinct bigram types via a typed flatMap (no
+    // transform/sequence machinery shared with the operator)
+    import spark.implicits._
+    val btot = tableParallel(spark, sf, "documents")
+      .select(col("text")).as[String]
+      .flatMap { t =>
+        val ws = t.trim.toLowerCase.split("\\s+")
+        ws.sliding(2).collect { case Array(a, b) => (a, b) }
+      }
+      .distinct().count()
+    rows.foreach { r =>
+      val (c, n1, cr, l, pkn) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(c >= 1 && c <= n1 && cr >= 1 && l >= 1)
+      val expect = math.rint(((c.toDouble - 0.75) / n1
+        + 0.75 * cr / n1 * (l.toDouble / btot)) * 1e6) / 1e6
+      assert(math.abs(pkn - expect) < 1e-9,
+        s"row $r: pkn $pkn != recomposed $expect (B=$btot)")
+      assert(pkn > 0 && pkn < 1)
+    }
+  }
+
+  test("q188 interpolated KN is a proper distribution (mass sums to 1)") {
+    // Σ over the full right-vocab of P(w2|w1) =
+    //   (n1 − D·r)/n1 + (D·r/n1)·(Σ_w2 N1+(·,w2))/B, and Σ N1+(·,w2) = B,
+    // so the total is exactly 1 for EVERY w1 — iff n1 really is Σc and
+    // r really is the observed-type count. Verify the identity on the
+    // actual count tables for the w1 with the largest n1.
+    val bg = tableParallel(spark, sf, "documents")
+      .select(tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          | i -> struct(element_at(ws, i) AS w1,
+          |             element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .cache()
+    val top = bg.groupBy("w1")
+      .agg(sum("c").as("n1"), count(lit(1)).as("r"))
+      .orderBy(col("n1").desc, col("w1")).limit(1).head()
+    val (n1, r) = (top.getLong(1), top.getLong(2))
+    val btot = bg.count()
+    // Σ_w2 N1+(·,w2): each bigram type contributes once to its w2's
+    // continuation count, so the sum must equal B — the equality the
+    // backoff term's normalization rests on
+    val sumL = bg.groupBy("w2").agg(count(lit(1)).as("l"))
+      .agg(sum("l")).head().getLong(0)
+    assert(sumL == btot, s"sum of continuation counts $sumL != B $btot")
+    val massObserved = (n1 - 0.75 * r) / n1
+    val massBackoff = 0.75 * r / n1 * (sumL.toDouble / btot)
+    assert(math.abs(massObserved + massBackoff - 1.0) < 1e-12)
+    bg.unpersist()
+  }
+}

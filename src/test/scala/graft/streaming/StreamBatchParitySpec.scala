@@ -888,4 +888,44 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(tenOclock === Set(2L))
     }
   }
+
+  test("file-replay manifestStream == q191 batch manifest (shared columns, " +
+      "Σ-hash fingerprint converges on any micro-batch split)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("manifest_replay_").toString
+      val ckpt = Files.createTempDirectory("manifest_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = manifestStream(stream)
+        .writeStream.format("memory").queryName("manifest_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      val streamed = spark.table("manifest_replay").collect()
+        .map(key).toSet
+      // batch twin: q191's manifestOf minus the distinct-lang column the
+      // stream cannot compute exactly over unbounded input
+      val batch = graft.queries.TrainingQueries.manifestOf(docs)
+        .drop("n_langs").collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // the fingerprint has teeth across splits: corrupt ONE row in the
+      // batch twin and its partition's fp must disagree with the stream
+      val corrupt = graft.queries.TrainingQueries.manifestOf(
+        docs.withColumn("text",
+          when(col("doc_id") === docs.select(min("doc_id")).head().getLong(0),
+            concat(col("text"), lit("X"))).otherwise(col("text"))))
+        .drop("n_langs").collect().map(key).toSet
+      assert(streamed !== corrupt)
+    }
+  }
 }
