@@ -1936,15 +1936,7 @@ object TrainingQueries {
             size(col("ws")).cast("long").as("toks"),
             size(array_distinct(col("ws"))).cast("long").as("uniq"))
           .withColumn("uniq_bp", expr("uniq * 10000 DIV toks"))
-        val g = d.groupBy("toks").agg(max("uniq_bp").as("gmax"))
-        // level table: ≤ #distinct lengths rows — the single-task window
-        // is over this bounded frame, not the corpus
-        val wl = Window.orderBy(col("toks").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val lv = g.withColumn("pmax", max("gmax").over(wl))
-        d.join(broadcast(lv), "toks")
-          .filter(col("uniq_bp") === col("gmax") &&
-            (col("pmax").isNull || col("uniq_bp") > col("pmax")))
+        graft.operators.Skyline.frontier2d(d, col("toks"), col("uniq_bp"))
           .select(col("doc_id"), col("toks"), col("uniq_bp"))
           .orderBy(col("toks").desc, col("doc_id"))
       },
@@ -2015,20 +2007,10 @@ object TrainingQueries {
     // (read group → write one file), not this operator.
     "q187_compaction_plan" -> QueryDef(
       (s, dir) => {
-        val target = 2048L
         val files = tableParallel(s, dir, "documents")
           .groupBy(col("source"), expr("doc_id DIV 25").as("file_id"))
           .agg(sum("n_chars").as("bytes"))
-        val w = Window.partitionBy("source").orderBy("file_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        files.withColumn("cum", sum("bytes").over(w))
-          .withColumn("bin", expr(s"(cum - bytes) DIV $target"))
-          .groupBy("source", "bin")
-          .agg(count(lit(1)).as("n_files"),
-            sum("bytes").as("bin_bytes"),
-            min("file_id").as("first_file"),
-            max("file_id").as("last_file"))
-          .orderBy("source", "bin")
+        graft.operators.CompactionPlanner.plan(files, target = 2048L)
       },
       Some("""WITH files AS (SELECT source, doc_id // 25 AS file_id,
              |    CAST(sum(n_chars) AS BIGINT) AS bytes
