@@ -46,16 +46,101 @@ object TextQueries {
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
 
-  /** q189's oracle: the 4 BPE merge rounds unrolled as CTE generations.
-    * Each generation k: pair counts over vocab v(k-1), the deterministic
-    * argmax m(k), and the merged vocab v(k) via the same global leftmost
-    * double-space replace() the Spark side applies.
+  /** The Kneser-Ney count families (q188, reused by q193's scorer):
+    * bigram-type table with counts, left-context totals (c(w1·) and
+    * N₁₊(w1,·) in one aggregation), right continuation counts N₁₊(·,w2),
+    * and the scalar type total B. bg is materialized once; the other
+    * three are single aggregations off the cache.
     */
-  private def bpeOracleSql: String = {
-    val rounds = (1 to 4).map { k =>
+  private def knCountFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bg = Materialize(tableParallel(s, dir, "documents")
+      .select(tokens(col("text")).as("ws"))
+      // guard: sequence(1, 0) would count DOWN in Spark and index 0
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          | i -> struct(element_at(ws, i) AS w1,
+          |             element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+    val leftC = bg.groupBy("w1")
+      .agg(sum("c").as("n1"), count(lit(1)).as("r"))
+    val rightC = bg.groupBy("w2").agg(count(lit(1)).as("l"))
+    val btot = bg.agg(count(lit(1)).as("btot"))
+    (bg, leftC, rightC, btot)
+  }
+
+  /** The q188/q193 shared probability expression — textually identical
+    * on both engines so the IEEE double result is bit-identical.
+    */
+  private val pknExpr =
+    "(CAST(c AS DOUBLE) - 0.75) / n1 + 0.75 * r / n1 * (l / btot)"
+
+  /** The shared BPE trainer (q189 merges, q192 compression audit):
+    * one corpus pass builds the clean-word frequency dict, then per
+    * round a pair-count groupBy, a distributed top-1 argmax (O(1) rows
+    * to the driver), and a narrow double-space replace() merge. With
+    * `withStats`, each generation additionally runs a 1-row aggregation
+    * (Σ cnt·|syms|, Σ cnt) for the compression audit.
+    */
+  private def bpeTrain(s: SparkSession, dir: String, rounds: Int,
+                       withStats: Boolean)
+      : (Seq[(Int, String, String, String, Long)],
+         Seq[(Int, String, Long, Long)]) = {
+    var vocab = Materialize(tableParallel(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") &&
+        length(col("word")).between(2, 12))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", expr(
+        """concat_ws('  ', transform(sequence(1, length(word)),
+          | i -> substring(word, i, 1))) || '  </w>'""".stripMargin)))
+    def stats(gen: Int, merged: String): (Int, String, Long, Long) = {
+      val r = vocab.agg(
+        sum(expr("cnt * size(split(sym, '  '))")).as("ts"),
+        sum("cnt").as("tw")).head()
+      (gen, merged, r.getLong(0), r.getLong(0) * 1000 / r.getLong(1))
+    }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    val gens = Seq.newBuilder[(Int, String, Long, Long)]
+    if (withStats) gens += stats(0, "")
+    for (round <- 1 to rounds) {
+      val best = vocab
+        .select(col("cnt"), split(col("sym"), "  ").as("a"))
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            | i -> struct(element_at(a, i) AS lhs,
+            |             element_at(a, i + 1) AS rhs))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+        .limit(1).head()
+      val (l, r, pc) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, l, r, s"$l~$r", pc))
+      if (withStats || round < rounds) {
+        vocab = Materialize(vocab.withColumn("sym",
+          replace(col("sym"), lit(s"$l  $r"), lit(s"$l~$r"))))
+        if (withStats) gens += stats(round, s"$l~$r")
+      }
+    }
+    (merges.result(), gens.result())
+  }
+
+  /** The BPE merge rounds unrolled as DuckDB CTE generations (q189's and
+    * q192's oracles). Each generation k: pair counts over vocab v(k-1),
+    * the deterministic argmax m(k), and (when the caller needs v(k)) the
+    * merged vocab via the same global leftmost double-space replace()
+    * the Spark side applies.
+    */
+  private def bpeGenerationCtes(rounds: Int, applyAll: Boolean): String = {
+    val gens = (1 to rounds).map { k =>
       val prev = s"v${k - 1}"
       val apply =
-        if (k < 4)
+        if (applyAll || k < rounds)
           s""",v$k AS (SELECT word, cnt,
              |  replace(sym, m.lhs || '  ' || m.rhs,
              |          m.lhs || '~' || m.rhs) AS sym
@@ -70,10 +155,6 @@ object TextQueries {
          |,m$k AS (SELECT lhs, rhs, pc FROM p$k
          |  ORDER BY pc DESC, lhs, rhs LIMIT 1)""".stripMargin + apply
     }.mkString("\n")
-    val out = (1 to 4).map { k =>
-      s"""SELECT CAST($k AS INT) AS merge_round, lhs, rhs,
-         |  lhs || '~' || rhs AS merged, pc AS pair_count FROM m$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH v0 AS (
        |  SELECT word, cnt,
        |    array_to_string(list_transform(range(1, len(word) + 1),
@@ -83,10 +164,38 @@ object TextQueries {
        |        WHERE regexp_matches(word, '^[a-z]+$$')
        |          AND len(word) BETWEEN 2 AND 12
        |        GROUP BY 1))
-       |$rounds
+       |$gens""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val out = (1 to 4).map { k =>
+      s"""SELECT CAST($k AS INT) AS merge_round, lhs, rhs,
+         |  lhs || '~' || rhs AS merged, pc AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeGenerationCtes(4, applyAll = false)}
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_round""".stripMargin
+  }
+
+  private def bpeStatsOracleSql: String = {
+    def statsSel(gen: Int): String = {
+      val inner =
+        s"""(SELECT CAST(sum(cnt * len(string_split(sym, '  ')))
+           |    AS BIGINT) AS total_syms,
+           |  CAST(sum(cnt * len(string_split(sym, '  '))) * 1000
+           |    // sum(cnt) AS BIGINT) AS spw_milli FROM v$gen) s""".stripMargin
+      if (gen == 0)
+        s"""SELECT CAST(0 AS INT) AS generation, '' AS merged,
+           |  s.total_syms, s.spw_milli FROM $inner""".stripMargin
+      else
+        s"""SELECT CAST($gen AS INT), m.lhs || '~' || m.rhs,
+           |  s.total_syms, s.spw_milli FROM $inner CROSS JOIN m$gen m""".stripMargin
+    }
+    s"""${bpeGenerationCtes(4, applyAll = true)}
+       |SELECT * FROM (
+       |${(0 to 4).map(statsSel).mkString("\nUNION ALL\n")}
+       |) ORDER BY generation""".stripMargin
   }
 
   /** Exploded (doc_id, shingle_hash) table over `documents` — the shared
@@ -1938,28 +2047,12 @@ object TextQueries {
     // IEEE results), rounded to 6dp only at output.
     "q188_kneser_ney_bigram" -> QueryDef(
       (s, dir) => {
-        val bg = Materialize(tableParallel(s, dir, "documents")
-          .select(tokens(col("text")).as("ws"))
-          // guard: sequence(1, 0) would count DOWN in Spark and index 0
-          .filter(size(col("ws")) >= 2)
-          .select(explode(expr(
-            """transform(sequence(1, size(ws) - 1),
-              | i -> struct(element_at(ws, i) AS w1,
-              |             element_at(ws, i + 1) AS w2))""".stripMargin))
-            .as("b"))
-          .select(col("b.w1"), col("b.w2"))
-          .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
-        val leftC = bg.groupBy("w1")
-          .agg(sum("c").as("n1"), count(lit(1)).as("r"))
-        val rightC = bg.groupBy("w2").agg(count(lit(1)).as("l"))
-        val btot = bg.agg(count(lit(1)).as("btot"))
+        val (bg, leftC, rightC, btot) = knCountFrames(s, dir)
         val top = bg.orderBy(col("c").desc, col("w1"), col("w2")).limit(20)
         leftC.join(broadcast(top), "w1")
           .join(rightC, "w2")
           .crossJoin(broadcast(btot))
-          .withColumn("pkn", expr(
-            """round((CAST(c AS DOUBLE) - 0.75) / n1
-              | + 0.75 * r / n1 * (l / btot), 6)""".stripMargin))
+          .withColumn("pkn", expr(s"round($pknExpr, 6)"))
           .select(col("w1"), col("w2"), col("c"), col("n1"), col("r"),
             col("l"), col("pkn"))
           .orderBy(col("c").desc, col("w1"), col("w2"))
@@ -2010,40 +2103,96 @@ object TextQueries {
     // replace() semantics.
     "q189_bpe_merge_learning" -> QueryDef(
       (s, dir) => {
-        val vocab0 = Materialize(tableParallel(s, dir, "documents")
-          .select(explode(tokens(col("text"))).as("word"))
-          .filter(col("word").rlike("^[a-z]+$") &&
-            length(col("word")).between(2, 12))
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
-          .withColumn("sym", expr(
-            """concat_ws('  ', transform(sequence(1, length(word)),
-              | i -> substring(word, i, 1))) || '  </w>'""".stripMargin)))
-        var vocab = vocab0
-        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-        for (round <- 1 to 4) {
-          val best = vocab
-            .select(col("cnt"), split(col("sym"), "  ").as("a"))
-            .select(col("cnt"), explode(expr(
-              """transform(sequence(1, size(a) - 1),
-                | i -> struct(element_at(a, i) AS lhs,
-                |             element_at(a, i + 1) AS rhs))""".stripMargin))
-              .as("p"))
-            .groupBy(col("p.lhs"), col("p.rhs"))
-            .agg(sum("cnt").as("pc"))
-            .orderBy(col("pc").desc, col("lhs"), col("rhs"))
-            .limit(1).head()
-          val (l, r, pc) =
-            (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((round, l, r, s"$l~$r", pc))
-          if (round < 4)
-            vocab = Materialize(vocab.withColumn("sym",
-              replace(col("sym"), lit(s"$l  $r"), lit(s"$l~$r"))))
-        }
         import s.implicits._
-        merges.result()
+        bpeTrain(s, dir, rounds = 4, withStats = false)._1
           .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
           .orderBy("merge_round")
       },
       Some(bpeOracleSql)),
+
+    // ---- BPE compression audit (q189's merges, applied and measured) ------
+    // The acceptance test for a trained merge table: per generation, the
+    // corpus-weighted symbols-per-word (milli-units) — the number the
+    // tokenizer team watches as merges accumulate (monotonically non-
+    // increasing: a merge can only shorten encodings, pinned in
+    // TokenizerLmSpec). Same trainer loop as q189 plus ONE extra 1-row
+    // aggregation per generation over the dictionary-sized vocab; the
+    // oracle replays all four generations (v0..v4) and measures the same
+    // sums, so the audit itself — not just the merges — is hash-gated.
+    "q192_bpe_compression_audit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        bpeTrain(s, dir, rounds = 4, withStats = true)._2
+          .toDF("generation", "merged", "total_syms", "spw_milli")
+          .orderBy("generation")
+      },
+      Some(bpeStatsOracleSql)),
+
+    // ---- Kneser-Ney surprisal scoring (q188's model, applied per doc) -----
+    // Perplexity filtering with a properly smoothed LM — the upgrade of
+    // q161's unsmoothed char-bigram scorer: every document's word
+    // bigrams are scored under the q188 interpolated-KN model and the
+    // 20 most surprising documents surface (high average negative
+    // log-prob = noise/outlier candidates, the standard LM-based quality
+    // signal). Plan: the corpus bigram stream equi-joins the vocab-sized
+    // count tables (map-side partial aggregation upstream keeps "of
+    // the"-scale keys safe; AQE handles residual join skew), B rides a
+    // scalar broadcast; per-doc aggregation then ONE bounded top-k. The
+    // log is floor-scaled to integer micro-nats on both engines (the
+    // q160/q161 ln-parity pattern), so ordering and bucketing cannot
+    // float-drift; ranking ties break on doc_id.
+    "q193_kn_surprisal_outliers" -> QueryDef(
+      (s, dir) => {
+        val (bg, leftC, rightC, btot) = knCountFrames(s, dir)
+        val docBg = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              | i -> struct(element_at(ws, i) AS w1,
+              |             element_at(ws, i + 1) AS w2))""".stripMargin))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        docBg.join(bg, Seq("w1", "w2"))
+          .join(leftC, "w1")
+          .join(rightC, "w2")
+          .crossJoin(broadcast(btot))
+          .withColumn("lp",
+            expr(s"CAST(floor(ln($pknExpr) * 1e6) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lps"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("lps") * 1.0 / col("n_bigrams") / 1e6, 4)
+              .as("avg_logp"),
+            expr("(-lps) DIV (n_bigrams * 1000)").as("surprisal_m"))
+          .orderBy(col("surprisal_m").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |b AS (SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM w WHERE len(ws) >= 2),
+              |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+              |  FROM b GROUP BY 1, 2),
+              |lc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n1,
+              |    CAST(count(*) AS BIGINT) AS r
+              |  FROM bg GROUP BY 1),
+              |rc AS (SELECT w2, CAST(count(*) AS BIGINT) AS l
+              |  FROM bg GROUP BY 1),
+              |bt AS (SELECT CAST(count(*) AS BIGINT) AS btot FROM bg),
+              |scored AS (SELECT doc_id,
+              |    CAST(floor(ln((CAST(c AS DOUBLE) - 0.75) / n1
+              |      + 0.75 * r / n1 * (l / btot)) * 1e6) AS BIGINT) AS lp
+              |  FROM b JOIN bg USING (w1, w2) JOIN lc USING (w1)
+              |    JOIN rc USING (w2) CROSS JOIN bt),
+              |agg AS (SELECT doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_bigrams,
+              |    CAST(sum(lp) AS BIGINT) AS lps
+              |  FROM scored GROUP BY 1)
+              |SELECT doc_id, n_bigrams,
+              |  round(lps * 1.0 / n_bigrams / 1e6, 4) AS avg_logp,
+              |  CAST((-lps) // (n_bigrams * 1000) AS BIGINT) AS surprisal_m
+              |FROM agg
+              |ORDER BY surprisal_m DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -99,6 +99,45 @@ class TokenizerLmSpec extends AnyFunSuite {
     }
   }
 
+  test("q192 compression audit: symbols-per-word is monotone non-increasing " +
+      "and generations track q189's merges") {
+    val gens = SparkEntry.queries("q192_bpe_compression_audit")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(gens.length == 5 && gens.head._2 == "")
+    gens.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 < a._3, s"gen ${b._1}: total_syms did not shrink")
+        assert(b._4 <= a._4, s"gen ${b._1}: spw_milli increased")
+      case _ =>
+    }
+    val merges = SparkEntry.queries("q189_bpe_merge_learning")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(3))).toMap
+    gens.tail.foreach { case (g, merged, _, _) =>
+      assert(merges(g) == merged,
+        s"gen $g applied '$merged' but q189 learned '${merges(g)}'")
+    }
+  }
+
+  test("q193 surprisal output is internally consistent") {
+    val rows = SparkEntry.queries("q193_kn_surprisal_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, avgLogp, sm) =>
+      assert(n >= 1)
+      assert(avgLogp < 0, s"doc $doc: KN log-prob must be negative")
+      assert(sm > 0, s"doc $doc: surprisal must be positive")
+      // the two encodings of the same quantity agree (floor vs round
+      // differ by at most one milli-nat unit)
+      assert(math.abs(sm - (-avgLogp * 1000)) <= 1.0,
+        s"doc $doc: surprisal_m $sm vs avg_logp $avgLogp")
+    }
+    // ranking is by the integer surprisal, descending
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("q188 interpolated KN is a proper distribution (mass sums to 1)") {
     // Σ over the full right-vocab of P(w2|w1) =
     //   (n1 − D·r)/n1 + (D·r/n1)·(Σ_w2 N1+(·,w2))/B, and Σ N1+(·,w2) = B,
