@@ -2025,5 +2025,111 @@ object TrainingQueries {
              |  min(file_id) AS first_file,
              |  max(file_id) AS last_file
              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- manifest-pruned snapshot diff ------------------------------------
+    // The at-scale CDC pattern q69 stops short of: at 100 TB you never
+    // full-outer-join two whole snapshots — you diff their MANIFESTS
+    // first (metadata, one row per partition) and run the row-level diff
+    // only inside partitions whose fingerprint moved. This composes q191
+    // (the manifest, whose Σ-hash fp is exactly the change detector) with
+    // q69's SnapshotDiff: manifest full-outer join on the partition key →
+    // changed-partition list (metadata-sized, broadcast) → semi-join
+    // prunes both snapshots → row diff inside the ~1% that churned.
+    // Fixture: three partitions perturbed deterministically (src3 text
+    // edits → changed, src5 rows missing from old → added, src7 rows
+    // missing from cur → removed); 17 of 20 partitions are pruned before
+    // any row comparison. The oracle replays the entire chain — manifest
+    // fps included — so the PRUNING DECISION, not just the final counts,
+    // is hash-gated. A spec separately witnesses pruned ≡ unpruned.
+    // Scan budget 4 (whitelisted): two logical snapshots derive from one
+    // fixture table, each read once for its manifest and once for the
+    // pruned diff; in production these are reads of two separate tables,
+    // with manifests precomputed at export time (q191's output).
+    "q194_manifest_pruned_diff" -> QueryDef(
+      (s, dir) => {
+        val base = tableParallel(s, dir, "documents")
+          .select("doc_id", "source", "lang", "n_chars", "text")
+        val old = base
+          .filter(!(col("source") === "src5" && col("doc_id") % 13 === 0))
+          .withColumn("text",
+            when(col("source") === "src3" && col("doc_id") % 7 === 0,
+              concat(col("text"), lit("X"))).otherwise(col("text")))
+        val cur = base
+          .filter(!(col("source") === "src7" && col("doc_id") % 17 === 0))
+        def m(df: org.apache.spark.sql.DataFrame, sfx: String) =
+          manifestOf(df).select(col("source"),
+            col("n_rows").as(s"n_$sfx"), col("fp").as(s"fp_$sfx"))
+        val mj = Materialize(
+          m(old, "o").join(m(cur, "c"), Seq("source"), "full_outer"))
+        val chg = mj
+          .filter(!(col("fp_o") <=> col("fp_c")) ||
+            !(col("n_o") <=> col("n_c")))
+          .select("source")
+        val d = graft.operators.SnapshotDiff.diff(
+          old.join(broadcast(chg), Seq("source"), "left_semi"),
+          cur.join(broadcast(chg), Seq("source"), "left_semi"),
+          Seq("doc_id"))
+        d.groupBy(col("source").as("src"), col("change_type"))
+          .agg(count(lit(1)).as("n"))
+          .unionByName(chg.agg(count(lit(1)).as("n"))
+            .select(lit("_pruning").as("src"),
+              lit("partitions_row_diffed").as("change_type"), col("n")))
+          .unionByName(mj.agg(count(lit(1)).as("n"))
+            .select(lit("_pruning").as("src"),
+              lit("partitions_total").as("change_type"), col("n")))
+          .orderBy("src", "change_type")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, lang, n_chars, text
+             |             FROM documents),
+             |old AS (SELECT doc_id, source, lang, n_chars,
+             |    CASE WHEN source = 'src3' AND doc_id % 7 = 0
+             |         THEN text || 'X' ELSE text END AS text
+             |  FROM base WHERE NOT (source = 'src5' AND doc_id % 13 = 0)),
+             |cur AS (SELECT * FROM base
+             |  WHERE NOT (source = 'src7' AND doc_id % 17 = 0)),
+             |mo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_o,
+             |    CAST(sum(CAST(('0x' || substr(md5(
+             |      doc_id || '|' || lang || '|' || n_chars || '|' ||
+             |      md5(text)), 1, 8)) AS BIGINT)) % 1000000007 AS BIGINT)
+             |      AS fp_o
+             |  FROM old GROUP BY 1),
+             |mc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_c,
+             |    CAST(sum(CAST(('0x' || substr(md5(
+             |      doc_id || '|' || lang || '|' || n_chars || '|' ||
+             |      md5(text)), 1, 8)) AS BIGINT)) % 1000000007 AS BIGINT)
+             |      AS fp_c
+             |  FROM cur GROUP BY 1),
+             |mj AS (SELECT COALESCE(mo.source, mc.source) AS source,
+             |    n_o, fp_o, n_c, fp_c
+             |  FROM mo FULL OUTER JOIN mc ON mo.source = mc.source),
+             |chg AS (SELECT source FROM mj
+             |  WHERE fp_o IS DISTINCT FROM fp_c
+             |     OR n_o IS DISTINCT FROM n_c),
+             |po AS (SELECT * FROM old
+             |  WHERE source IN (SELECT source FROM chg)),
+             |pc AS (SELECT * FROM cur
+             |  WHERE source IN (SELECT source FROM chg)),
+             |d AS (SELECT
+             |    CASE WHEN c.doc_id IS NULL THEN o.source
+             |         ELSE c.source END AS src,
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN c.doc_id IS NULL THEN 'removed'
+             |         WHEN o.source IS NOT DISTINCT FROM c.source
+             |          AND o.lang IS NOT DISTINCT FROM c.lang
+             |          AND o.n_chars IS NOT DISTINCT FROM c.n_chars
+             |          AND o.text IS NOT DISTINCT FROM c.text
+             |           THEN 'unchanged'
+             |         ELSE 'changed' END AS change_type
+             |  FROM po o FULL OUTER JOIN pc c ON o.doc_id = c.doc_id)
+             |SELECT src, change_type, n FROM (
+             |  SELECT src, change_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM d GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT '_pruning', 'partitions_row_diffed',
+             |    CAST(count(*) AS BIGINT) FROM chg
+             |  UNION ALL
+             |  SELECT '_pruning', 'partitions_total',
+             |    CAST(count(*) AS BIGINT) FROM mj
+             |) ORDER BY src, change_type""".stripMargin)),
   )
 }

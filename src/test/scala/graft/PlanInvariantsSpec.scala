@@ -204,7 +204,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // three pushed event-type passes
       "q80_funnel_conversion" -> 3,
       // fused predicate pass + unique + ref-integrity per table
-      "q82_data_quality" -> 3)
+      "q82_data_quality" -> 3,
+      // two logical snapshots derived from ONE fixture table, each read
+      // once for its manifest and once for the pruned row diff; in
+      // production these are two separate tables (2 reads each, 1 with
+      // manifests precomputed at export)
+      "q194_manifest_pruned_diff" -> 4)
     SparkEntry.catalog.foreach { case (name, qd) =>
       val plan = qd.fn(spark, sf).queryExecution.sparkPlan
       val caches = scala.collection.mutable.ArrayBuffer[SparkPlan]()

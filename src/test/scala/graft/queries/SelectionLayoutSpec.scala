@@ -97,6 +97,36 @@ class SelectionLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 manifest pruning loses no changes vs the unpruned full diff") {
+    import graft.operators.SnapshotDiff
+    val base = tableParallel(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+    val old = base
+      .filter(!(col("source") === "src5" && col("doc_id") % 13 === 0))
+      .withColumn("text",
+        when(col("source") === "src3" && col("doc_id") % 7 === 0,
+          concat(col("text"), lit("X"))).otherwise(col("text")))
+    val cur = base
+      .filter(!(col("source") === "src7" && col("doc_id") % 17 === 0))
+    val full = SnapshotDiff.diff(old, cur, Seq("doc_id"))
+      .filter(col("change_type") =!= "unchanged")
+      .groupBy("source", "change_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(full.nonEmpty, "fixture must plant changes at this sf")
+    val out = SparkEntry.queries("q194_manifest_pruned_diff")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = out.filter(r => r._1 != "_pruning" && r._2 != "unchanged")
+      .toSet
+    assert(got == full,
+      s"pruned diff $got != unpruned non-unchanged classes $full")
+    // and the pruning really pruned: fewer partitions row-diffed than exist
+    val pruning = out.filter(_._1 == "_pruning")
+      .map(r => r._2 -> r._3).toMap
+    assert(pruning("partitions_row_diffed") < pruning("partitions_total"))
+  }
+
   test("q190 rollup row is consistent with the per-source rows") {
     val rows = SparkEntry.queries("q190_quality_filter_audit")(spark, sf)
       .collect()
