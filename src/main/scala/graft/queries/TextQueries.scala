@@ -46,6 +46,60 @@ object TextQueries {
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
 
+  /** The q190/q195 shared quality scorer: integer-weight linear
+    * classifier over per-doc features (length, lexical diversity,
+    * stopword density, gibberish and word-length signals), plus the
+    * threshold decision. One narrow codegen'd projection.
+    */
+  private def qualityScoredDocs(s: SparkSession, dir: String): DataFrame =
+    tableParallel(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+      .withColumn("toks", size(col("ws")).cast("long"))
+      .withColumn("uniq",
+        size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("stopc", expr(
+        """CAST(size(filter(ws, t -> t IN ('the','a','an','and','of',
+          |'to','in','is','that','it'))) AS BIGINT)""".stripMargin))
+      .withColumn("longw", expr(
+        "CAST(size(filter(ws, t -> length(t) > 12)) AS BIGINT)"))
+      .withColumn("wlen", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"))
+      .withColumn("uniq_bp", expr("uniq * 10000 DIV toks"))
+      .withColumn("stop_bp", expr("stopc * 10000 DIV toks"))
+      .withColumn("mwl_c", expr("wlen * 100 DIV toks"))
+      .withColumn("score", expr(
+        """2 * least(toks, 400) + uniq_bp DIV 4
+          | + least(stop_bp, 2000) DIV 2 - 100 * longw
+          | - abs(mwl_c - 500) DIV 2""".stripMargin))
+      .withColumn("pass",
+        when(col("score") >= 2000L, 1L).otherwise(0L))
+
+  /** The DuckDB twin of [[qualityScoredDocs]] — a CTE block ending in
+    * `qsc(doc_id, source, score, pass)`.
+    */
+  private val duckQualityCtes =
+    s"""qw AS (SELECT doc_id, source, $duckToks AS ws FROM documents),
+       |qf AS (SELECT doc_id, source,
+       |    CAST(len(ws) AS BIGINT) AS toks,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq,
+       |    CAST(len(list_filter(ws, t -> list_contains(
+       |      ['the','a','an','and','of','to','in','is','that','it'],
+       |      t))) AS BIGINT) AS stopc,
+       |    CAST(len(list_filter(ws, t -> len(t) > 12)) AS BIGINT)
+       |      AS longw,
+       |    CAST(list_sum(list_transform(ws, t -> len(t)))
+       |      AS BIGINT) AS wlen
+       |  FROM qw),
+       |qs AS (SELECT doc_id, source,
+       |    2 * least(toks, 400) + (uniq * 10000 // toks) // 4
+       |      + least(stopc * 10000 // toks, 2000) // 2
+       |      - 100 * longw
+       |      - abs(wlen * 100 // toks - 500) // 2 AS score
+       |  FROM qf),
+       |qsc AS (SELECT doc_id, source, score,
+       |    CASE WHEN score >= 2000 THEN 1 ELSE 0 END AS pass
+       |  FROM qs)""".stripMargin
+
   /** The Kneser-Ney count families (q188, reused by q193's scorer):
     * bigram-type table with counts, left-context totals (c(w1·) and
     * N₁₊(w1,·) in one aggregation), right continuation counts N₁₊(·,w2),
@@ -1967,27 +2021,7 @@ object TextQueries {
     // at any corpus scale, no joins.
     "q190_quality_filter_audit" -> QueryDef(
       (s, dir) => {
-        val d = tableParallel(s, dir, "documents")
-          .select(col("source"), tokens(col("text")).as("ws"))
-          .withColumn("toks", size(col("ws")).cast("long"))
-          .withColumn("uniq",
-            size(array_distinct(col("ws"))).cast("long"))
-          .withColumn("stopc", expr(
-            """CAST(size(filter(ws, t -> t IN ('the','a','an','and','of',
-              |'to','in','is','that','it'))) AS BIGINT)""".stripMargin))
-          .withColumn("longw", expr(
-            "CAST(size(filter(ws, t -> length(t) > 12)) AS BIGINT)"))
-          .withColumn("wlen", expr(
-            "aggregate(ws, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"))
-          .withColumn("uniq_bp", expr("uniq * 10000 DIV toks"))
-          .withColumn("stop_bp", expr("stopc * 10000 DIV toks"))
-          .withColumn("mwl_c", expr("wlen * 100 DIV toks"))
-          .withColumn("score", expr(
-            """2 * least(toks, 400) + uniq_bp DIV 4
-              | + least(stop_bp, 2000) DIV 2 - 100 * longw
-              | - abs(mwl_c - 500) DIV 2""".stripMargin))
-          .withColumn("pass",
-            when(col("score") >= 2000L, 1L).otherwise(0L))
+        val d = qualityScoredDocs(s, dir)
         d.rollup("source")
           .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
             expr("sum(pass) * 10000 DIV count(1)").as("pass_bp"),
@@ -1999,33 +2033,59 @@ object TextQueries {
             col("n_docs"), col("n_pass"), col("pass_bp"), col("sum_score"))
           .orderBy("src")
       },
-      Some(s"""WITH w AS (SELECT source, $duckToks AS ws FROM documents),
-              |f AS (SELECT source,
-              |    CAST(len(ws) AS BIGINT) AS toks,
-              |    CAST(len(list_distinct(ws)) AS BIGINT) AS uniq,
-              |    CAST(len(list_filter(ws, t -> list_contains(
-              |      ['the','a','an','and','of','to','in','is','that','it'],
-              |      t))) AS BIGINT) AS stopc,
-              |    CAST(len(list_filter(ws, t -> len(t) > 12)) AS BIGINT)
-              |      AS longw,
-              |    CAST(list_sum(list_transform(ws, t -> len(t)))
-              |      AS BIGINT) AS wlen
-              |  FROM w),
-              |sc AS (SELECT source,
-              |    2 * least(toks, 400) + (uniq * 10000 // toks) // 4
-              |      + least(stopc * 10000 // toks, 2000) // 2
-              |      - 100 * longw
-              |      - abs(wlen * 100 // toks - 500) // 2 AS score
-              |  FROM f),
-              |p AS (SELECT source, score,
-              |    CASE WHEN score >= 2000 THEN 1 ELSE 0 END AS pass
-              |  FROM sc)
+      Some(s"""WITH $duckQualityCtes
               |SELECT COALESCE(source, 'ALL') AS src,
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(pass) AS BIGINT) AS n_pass,
               |  CAST(sum(pass) * 10000 // count(*) AS BIGINT) AS pass_bp,
               |  CAST(sum(score) AS BIGINT) AS sum_score
-              |FROM p GROUP BY ROLLUP(source) ORDER BY src""".stripMargin)),
+              |FROM qsc GROUP BY ROLLUP(source) ORDER BY src""".stripMargin)),
+
+    // ---- curriculum staging audit -----------------------------------------
+    // Curriculum construction over the q190 quality scorer: the corpus is
+    // globally ordered by score (clean-first) and cut into 4 equal
+    // stages with ntile — a GLOBAL sort, which is the operator's
+    // semantics (a curriculum IS a total order; one range-partition
+    // shuffle, the same cost class as any sorted export). The audit per
+    // stage reports size, score mass, source diversity, and the largest
+    // single-source share in basis points — the dominance check that
+    // catches a stage degenerating into one source (the failure mode of
+    // score-correlated corpora). Tie-break on doc_id makes stage
+    // boundaries deterministic; all audit arithmetic is integer.
+    "q195_curriculum_stages" -> QueryDef(
+      (s, dir) => {
+        val r = qualityScoredDocs(s, dir)
+          .withColumn("stage",
+            ntile(4).over(Window.orderBy(col("score").desc, col("doc_id"))))
+        val st = r.groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+        val mix = r.groupBy("stage", "source")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("stage")
+          .agg(countDistinct("source").as("n_sources"), max("n").as("mx"))
+        st.join(mix, "stage")
+          .select(col("stage"), col("n_docs"), col("sum_score"),
+            col("n_sources"),
+            expr("mx * 10000 DIV n_docs").as("max_share_bp"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |r AS (SELECT doc_id, source, score,
+              |    CAST(ntile(4) OVER (ORDER BY score DESC, doc_id) AS INT)
+              |      AS stage
+              |  FROM qsc),
+              |st AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(score) AS BIGINT) AS sum_score
+              |  FROM r GROUP BY 1),
+              |ss AS (SELECT stage, source, CAST(count(*) AS BIGINT) AS n
+              |  FROM r GROUP BY 1, 2),
+              |mix AS (SELECT stage,
+              |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |    CAST(max(n) AS BIGINT) AS mx
+              |  FROM ss GROUP BY 1)
+              |SELECT st.stage, st.n_docs, st.sum_score, mix.n_sources,
+              |  mx * 10000 // n_docs AS max_share_bp
+              |FROM st JOIN mix USING (stage) ORDER BY st.stage""".stripMargin)),
 
     // ---- interpolated Kneser-Ney bigram LM --------------------------------
     // The smoothing upgrade over q127's add-one bigram model: interpolated

@@ -127,6 +127,33 @@ class SelectionLayoutSpec extends AnyFunSuite {
     assert(pruning("partitions_row_diffed") < pruning("partitions_total"))
   }
 
+  test("q195 stages are balanced and quality-ordered") {
+    val rows = SparkEntry.queries("q195_curriculum_stages")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // ntile balance: stage sizes differ by at most one
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // clean-first ordering: every doc in stage k scores >= every doc in
+    // stage k+1, so the stage AVERAGES are non-increasing
+    // (cross-multiplied to stay in exact integer arithmetic)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 * b._2 >= b._3 * a._2,
+          s"stage ${b._1} average score exceeds stage ${a._1}'s")
+      case _ =>
+    }
+    // total coverage and the share bound
+    val n = tableParallel(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (st, nd, _, nsrc, share) =>
+      assert(nsrc >= 1 && share >= 10000 / nd.max(1) && share <= 10000,
+        s"stage $st: implausible share $share")
+    }
+  }
+
   test("q190 rollup row is consistent with the per-source rows") {
     val rows = SparkEntry.queries("q190_quality_filter_audit")(spark, sf)
       .collect()
