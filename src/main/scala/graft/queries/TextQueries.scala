@@ -171,7 +171,10 @@ object TextQueries {
         .groupBy(col("p.lhs"), col("p.rhs"))
         .agg(sum("cnt").as("pc"))
         .orderBy(col("pc").desc, col("lhs"), col("rhs"))
-        .limit(1).head()
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"BPE round $round: no adjacent symbol pairs — the corpus has " +
+            "no clean [a-z]{2,12} words to train on"))
       val (l, r, pc) =
         (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((round, l, r, s"$l~$r", pc))

@@ -28,7 +28,11 @@ class ScalingSlopeSpec extends AnyFunSuite {
     "q115_pagerank_cooccur",
     "q104_corpus_pipeline_funnel",
     "q166_dedup_clusters_contraction",
-    "q179_retrieval_mmr_rerank")
+    "q179_retrieval_mmr_rerank",
+    // round-8 additions whose cost is corpus-bound (the BPE/KN trainers
+    // are vocab-bound — sub-linear in the corpus — so the interesting
+    // slope to tripwire is the per-document scorer's join chain)
+    "q193_kn_surprisal_outliers")
 
   private val MaxExponent = 1.25
   private val NoiseFloorSec = 0.2
