@@ -50,6 +50,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // parse the round override UP FRONT: a malformed value must fail
+    // before the hours of timed passes, not at archive-write time
+    val explicitRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map { v =>
+      v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_ROUND must be an integer, got '$v'"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -255,7 +261,6 @@ object Bench {
     val inferredRound = Option(repoRoot.list()).getOrElse(Array.empty[String])
       .flatMap("""BENCH_r(\d+)\.json""".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
-    val explicitRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
     val round = explicitRound.getOrElse(inferredRound)
     val archive = new java.io.File(repoRoot, f"bench_full_r$round%02d_" +
       s"${new java.io.File(sfDir).getName}.json")

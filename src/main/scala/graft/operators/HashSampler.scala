@@ -60,8 +60,9 @@ object HashSampler {
                         prefixBound: String = "08"): DataFrame = {
     val mirror = spark.read.parquet(mirrorPath)
     val pref = mirror.filter(col(HashCol) < lit(prefixBound))
-    // enough rows under the bound? (`limit(k+1)` caps the probe's work —
-    // with the pushed range this touches a handful of row groups)
+    // enough rows under the bound? limit(k) caps the probe's work (the
+    // count equals k iff at least k rows survive the pushed range, and
+    // the scan touches only the range's row groups)
     val enough = pref.limit(k).count() >= k
     val base = if (enough) pref else mirror
     base.orderBy(col(HashCol), col(idCol)).limit(k).drop(HashCol)

@@ -31,16 +31,24 @@ import graft.ingest.{Fixtures, NcdIngest}
   */
 object IngestQueries {
 
-  /** Ingest the fixture zip into a fresh temp warehouse under `db`,
-    * idempotently (the catalog entry is dropped first so Verify and both
-    * Bench passes can re-run in one session).
+  /** Ingest the fixture zip into a fresh temp warehouse under `db` —
+    * once per (SparkContext, db): the chain is deterministic and the
+    * warehouse immutable afterwards, so repeated invocations of the
+    * catalog fn (Bench warm-up + timed passes, plan-walking specs that
+    * only want `.queryExecution`) reuse the first ingest instead of
+    * re-running the drop/ingest/MSCK chain and leaking a temp dir + zip
+    * per call. The DROP on first touch keeps a stale same-name catalog
+    * entry from a previous JVM from shadowing the fresh warehouse.
     */
-  private def ingestFixture(spark: SparkSession, db: String): Unit = {
-    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    val wh = Files.createTempDirectory(s"${db}_wh_").toString
-    val ing = new NcdIngest(spark, wh, db = db)
-    ing.loadZip(Fixtures.tempZip().toString)
-  }
+  private val ingested = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def ingestFixture(spark: SparkSession, db: String): Unit =
+    ingested.computeIfAbsent(
+      s"${System.identityHashCode(spark.sparkContext)}_$db", _ => {
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        val wh = Files.createTempDirectory(s"${db}_wh_").toString
+        new NcdIngest(spark, wh, db = db).loadZip(Fixtures.tempZip().toString)
+        true
+      })
 
   val defs: Seq[(String, QueryDef)] = Seq(
 

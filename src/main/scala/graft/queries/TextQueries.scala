@@ -135,9 +135,24 @@ object TextQueries {
   /** The shared BPE trainer (q189 merges, q192 compression audit):
     * one corpus pass builds the clean-word frequency dict, then per
     * round a pair-count groupBy, a distributed top-1 argmax (O(1) rows
-    * to the driver), and a narrow double-space replace() merge. With
-    * `withStats`, each generation additionally runs a 1-row aggregation
-    * (Σ cnt·|syms|, Σ cnt) for the compression audit.
+    * to the driver), and a narrow replace() merge over a FULLY DELIMITED
+    * symbol encoding: every symbol is wrapped in parens — "(t)(h)(e)" —
+    * so the merge pattern "(l)(r)" can only ever match two complete
+    * adjacent symbols. This anchoring matters twice over: (a) overlap —
+    * in "(x)(x)(x)(x)" the consumed match leaves "(x)(x)", so
+    * occurrences merge non-overlapping left-first exactly like BPE's
+    * simultaneous pass; (b) boundaries — an UNDELIMITED encoding lets
+    * the pattern match a symbol's interior (after merging (t,h), a
+    * separator-joined "t~h e" contains the flat text of pair (h,e) —
+    * merging it there would corrupt the vocab, and since the oracle
+    * replays the same replace(), the hash gate alone could never catch
+    * it; the paren wrapping makes that match impossible because '(' and
+    * ')' occur nowhere inside a symbol, and the from-scratch greedy
+    * trainer in TokenizerLmSpec pins it on an adversarial fixture).
+    * With `withStats`, each generation additionally runs a 1-row
+    * aggregation (Σ cnt·|syms|, Σ cnt) for the compression audit.
+    * Superseded vocab generations are unpersisted as soon as the next
+    * materializes — the live working set is one dictionary, not R.
     */
   private def bpeTrain(s: SparkSession, dir: String, rounds: Int,
                        withStats: Boolean)
@@ -149,11 +164,16 @@ object TextQueries {
         length(col("word")).between(2, 12))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("sym", expr(
-        """concat_ws('  ', transform(sequence(1, length(word)),
-          | i -> substring(word, i, 1))) || '  </w>'""".stripMargin)))
+        """concat_ws('', transform(sequence(1, length(word)),
+          | i -> concat('(', substring(word, i, 1), ')'))) || '(</w>)'"""
+          .stripMargin)))
+    // symbol list from the delimited encoding: strip the outer parens,
+    // split on the ")(" boundary between adjacent symbols
+    val symList =
+      split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(")
     def stats(gen: Int, merged: String): (Int, String, Long, Long) = {
       val r = vocab.agg(
-        sum(expr("cnt * size(split(sym, '  '))")).as("ts"),
+        sum(col("cnt") * size(symList)).as("ts"),
         sum("cnt").as("tw")).head()
       (gen, merged, r.getLong(0), r.getLong(0) * 1000 / r.getLong(1))
     }
@@ -162,7 +182,7 @@ object TextQueries {
     if (withStats) gens += stats(0, "")
     for (round <- 1 to rounds) {
       val best = vocab
-        .select(col("cnt"), split(col("sym"), "  ").as("a"))
+        .select(col("cnt"), symList.as("a"))
         .select(col("cnt"), explode(expr(
           """transform(sequence(1, size(a) - 1),
             | i -> struct(element_at(a, i) AS lhs,
@@ -179,8 +199,10 @@ object TextQueries {
         (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((round, l, r, s"$l~$r", pc))
       if (withStats || round < rounds) {
+        val prev = vocab
         vocab = Materialize(vocab.withColumn("sym",
-          replace(col("sym"), lit(s"$l  $r"), lit(s"$l~$r"))))
+          replace(col("sym"), lit(s"($l)($r)"), lit(s"($l~$r)"))))
+        prev.unpersist(false)
         if (withStats) gens += stats(round, s"$l~$r")
       }
     }
@@ -190,7 +212,7 @@ object TextQueries {
   /** The BPE merge rounds unrolled as DuckDB CTE generations (q189's and
     * q192's oracles). Each generation k: pair counts over vocab v(k-1),
     * the deterministic argmax m(k), and (when the caller needs v(k)) the
-    * merged vocab via the same global leftmost double-space replace()
+    * merged vocab via the same global leftmost paren-delimited replace()
     * the Spark side applies.
     */
   private def bpeGenerationCtes(rounds: Int, applyAll: Boolean): String = {
@@ -199,14 +221,15 @@ object TextQueries {
       val apply =
         if (applyAll || k < rounds)
           s""",v$k AS (SELECT word, cnt,
-             |  replace(sym, m.lhs || '  ' || m.rhs,
-             |          m.lhs || '~' || m.rhs) AS sym
+             |  replace(sym, '(' || m.lhs || ')(' || m.rhs || ')',
+             |          '(' || m.lhs || '~' || m.rhs || ')') AS sym
              |  FROM $prev CROSS JOIN m$k m)""".stripMargin
         else ""
       s""",p$k AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pc
          |  FROM (SELECT cnt, unnest(a[1:len(a) - 1]) AS lhs,
          |          unnest(a[2:len(a)]) AS rhs
-         |        FROM (SELECT cnt, string_split(sym, '  ') AS a
+         |        FROM (SELECT cnt,
+         |            string_split(sym[2:len(sym) - 1], ')(') AS a
          |              FROM $prev))
          |  GROUP BY 1, 2)
          |,m$k AS (SELECT lhs, rhs, pc FROM p$k
@@ -215,7 +238,7 @@ object TextQueries {
     s"""WITH v0 AS (
        |  SELECT word, cnt,
        |    array_to_string(list_transform(range(1, len(word) + 1),
-       |      i -> word[i]), '  ') || '  </w>' AS sym
+       |      i -> '(' || word[i] || ')'), '') || '(</w>)' AS sym
        |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |        FROM (SELECT unnest($duckToks) AS word FROM documents)
        |        WHERE regexp_matches(word, '^[a-z]+$$')
@@ -238,9 +261,11 @@ object TextQueries {
   private def bpeStatsOracleSql: String = {
     def statsSel(gen: Int): String = {
       val inner =
-        s"""(SELECT CAST(sum(cnt * len(string_split(sym, '  ')))
+        s"""(SELECT CAST(sum(cnt *
+           |    len(string_split(sym[2:len(sym) - 1], ')(')))
            |    AS BIGINT) AS total_syms,
-           |  CAST(sum(cnt * len(string_split(sym, '  '))) * 1000
+           |  CAST(sum(cnt *
+           |    len(string_split(sym[2:len(sym) - 1], ')('))) * 1000
            |    // sum(cnt) AS BIGINT) AS spw_milli FROM v$gen) s""".stripMargin
       if (gen == 0)
         s"""SELECT CAST(0 AS INT) AS generation, '' AS merged,
@@ -2151,14 +2176,16 @@ object TextQueries {
     //   (2) deterministic argmax — a distributed top-1 (orderBy.limit(1)),
     //       ties broken (count desc, lhs, rhs); O(1) rows to the driver,
     //   (3) merge application — a narrow literal replace() on every sym.
-    // Symbols are joined with a DOUBLE space so one global leftmost
-    // replace of "l␣␣r" is exactly BPE's simultaneous left-to-right merge
-    // pass: in "x␣␣x␣␣x␣␣x" the consumed match leaves "␣␣x␣␣x", so
-    // overlapping occurrences merge non-overlapping left-first ([xx][xx],
-    // and [xx] x for a triple) — the single-space encoding gets this
-    // WRONG (the shared separator breaks the second match). Merged tokens
-    // join with '~', so no symbol ever contains a space and replace()
-    // can't cross symbol boundaries. The vocab frame is dictionary-sized
+    // Every symbol is wrapped in parens — "(t)(h)(e)(</w>)" — so the
+    // global leftmost replace of "(l)(r)" → "(l~r)" is exactly BPE's
+    // simultaneous left-to-right merge pass AND can only ever bind two
+    // complete adjacent symbols: '(' / ')' occur nowhere inside a
+    // symbol, so no separator is shared between adjacent occurrences
+    // ("(x)(x)(x)(x)" merges to "(x~x)(x~x)") and no pattern can match
+    // a longer symbol's interior (see bpeTrain's scaladoc for the
+    // boundary bug an undelimited encoding admits — one the oracle, which
+    // replays the same replace(), could never catch; TokenizerLmSpec pins
+    // it on an adversarial fixture). The vocab frame is dictionary-sized
     // (≤ |distinct clean words|, millions at 100 TB — distributed, but
     // 10⁶× smaller than the corpus), each round is one linear pass over
     // it, and the driver holds only the R winning pairs. The oracle

@@ -34,28 +34,15 @@ object TrainingQueries {
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
 
-  /** q191's manifest aggregation over any documents-shaped frame —
+  /** q191's manifest over any documents-shaped frame — delegates to the
+    * shared [[graft.operators.Manifest]] core (one row-hash definition
+    * for the batch query, the streaming twin, and q194's pruning);
     * factored out so specs can witness fingerprint sensitivity (one
     * changed row must flip exactly its partition's fp).
     */
   private[graft] def manifestOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val rowH = hash32(concat_ws("|",
-      col("doc_id").cast("string"), col("lang"),
-      col("n_chars").cast("string"), md5(col("text"))))
-    docs
-      .select(col("source"), col("doc_id"), col("lang"),
-        col("n_chars"), rowH.as("row_h"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_rows"),
-        min("doc_id").as("min_doc"),
-        max("doc_id").as("max_doc"),
-        countDistinct("lang").as("n_langs"),
-        sum("n_chars").as("total_chars"),
-        (sum(col("row_h").cast("decimal(38,0)")) % 1000000007L)
-          .cast("long").as("fp"))
-      .orderBy("source")
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Manifest.manifest(docs)
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -1976,8 +1963,11 @@ object TrainingQueries {
       (s, dir) => manifestOf(tableParallel(s, dir, "documents")),
       Some("""WITH r AS (SELECT source, doc_id, lang, n_chars,
              |    CAST(('0x' || substr(md5(
-             |      doc_id || '|' || lang || '|' || n_chars || '|' ||
-             |      md5(text)), 1, 8)) AS BIGINT) AS row_h
+             |      COALESCE(CAST(doc_id AS VARCHAR), '@null@') || '|' ||
+             |      COALESCE(lang, '@null@') || '|' ||
+             |      COALESCE(CAST(n_chars AS VARCHAR), '@null@') || '|' ||
+             |      COALESCE(md5(text), '@null@')), 1, 8)) AS BIGINT)
+             |      AS row_h
              |  FROM documents)
              |SELECT source,
              |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -2089,15 +2079,19 @@ object TrainingQueries {
              |  WHERE NOT (source = 'src7' AND doc_id % 17 = 0)),
              |mo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_o,
              |    CAST(sum(CAST(('0x' || substr(md5(
-             |      doc_id || '|' || lang || '|' || n_chars || '|' ||
-             |      md5(text)), 1, 8)) AS BIGINT)) % 1000000007 AS BIGINT)
-             |      AS fp_o
+             |      COALESCE(CAST(doc_id AS VARCHAR), '@null@') || '|' ||
+             |      COALESCE(lang, '@null@') || '|' ||
+             |      COALESCE(CAST(n_chars AS VARCHAR), '@null@') || '|' ||
+             |      COALESCE(md5(text), '@null@')), 1, 8))
+             |      AS BIGINT)) % 1000000007 AS BIGINT) AS fp_o
              |  FROM old GROUP BY 1),
              |mc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_c,
              |    CAST(sum(CAST(('0x' || substr(md5(
-             |      doc_id || '|' || lang || '|' || n_chars || '|' ||
-             |      md5(text)), 1, 8)) AS BIGINT)) % 1000000007 AS BIGINT)
-             |      AS fp_c
+             |      COALESCE(CAST(doc_id AS VARCHAR), '@null@') || '|' ||
+             |      COALESCE(lang, '@null@') || '|' ||
+             |      COALESCE(CAST(n_chars AS VARCHAR), '@null@') || '|' ||
+             |      COALESCE(md5(text), '@null@')), 1, 8))
+             |      AS BIGINT)) % 1000000007 AS BIGINT) AS fp_c
              |  FROM cur GROUP BY 1),
              |mj AS (SELECT COALESCE(mo.source, mc.source) AS source,
              |    n_o, fp_o, n_c, fp_c

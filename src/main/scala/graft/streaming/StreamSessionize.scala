@@ -275,21 +275,9 @@ object StreamSessionize {
     * unbounded input, and an exact distinct would make state grow with
     * the stream — the parity gate compares the shared columns.
     */
-  def manifestStream(docs: DataFrame): DataFrame = {
-    val rowH = graft.functions.TextOps.hash32(concat_ws("|",
-      col("doc_id").cast("string"), col("lang"),
-      col("n_chars").cast("string"), md5(col("text"))))
-    docs
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        rowH.as("row_h"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_rows"),
-        min("doc_id").as("min_doc"),
-        max("doc_id").as("max_doc"),
-        sum("n_chars").as("total_chars"),
-        (sum(col("row_h").cast("decimal(38,0)")) % 1000000007L)
-          .cast("long").as("fp"))
-  }
+  def manifestStream(docs: DataFrame): DataFrame =
+    graft.operators.Manifest.manifest(docs,
+      withLangs = false, ordered = false)
 
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side

@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Scaling-slope tripwire (round-7 verdict #8): SCALE.md argues the
   * catalog's most expensive queries are linear-with-bounded-constants;
-  * this spec MEASURES it. Each of the five historically-costliest queries
+  * this spec MEASURES it. Each of the historically-costliest queries (plus each
+  * round's new corpus-bound heavyweights)
   * runs at sf0.01 and sf0.1 (10x the data) and the fitted power-law
   * exponent log10(t₁₀ₓ/t₁ₓ) must stay ≤ 1.25 — a plan that picked up an
   * accidental quadratic term (an unblocked self-join, a lost df cut, a
@@ -50,7 +51,7 @@ class ScalingSlopeSpec extends AnyFunSuite {
     } finally spark.sqlContext.clearCache()
   }
 
-  test("top-5 most expensive queries scale ~linearly from sf0.01 to sf0.1 " +
+  test("most expensive queries scale ~linearly from sf0.01 to sf0.1 " +
       f"(fitted exponent <= $MaxExponent%.2f)") {
     val rows = targets.map { name =>
       val t1 = timeOne(name, "/root/testdata/sf0.01")

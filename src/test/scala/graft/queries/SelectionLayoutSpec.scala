@@ -97,6 +97,21 @@ class SelectionLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest row hash distinguishes NULL fields from empty ones and " +
+      "never drops a null-field row") {
+    import spark.implicits._
+    import graft.operators.Manifest
+    def fp(lang: String): Long =
+      Manifest.manifest(Seq((1L, "body", lang, 4L, "s0"))
+          .toDF("doc_id", "text", "lang", "n_chars", "source"))
+        .collect().head.getAs[Long]("fp")
+    val (nullFp, emptyFp, realFp) = (fp(null), fp(""), fp("en"))
+    // concat_ws would have skipped the null field, making NULL hash like
+    // '' AND (with a null text) dropping the row from the Σ entirely
+    assert(nullFp != emptyFp, "NULL lang hashes identically to empty")
+    assert(nullFp != realFp && emptyFp != realFp)
+  }
+
   test("q194 manifest pruning loses no changes vs the unpruned full diff") {
     import graft.operators.SnapshotDiff
     val base = tableParallel(spark, sf, "documents")

@@ -22,19 +22,28 @@ class TokenizerLmSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = TestSpark.spark
 
-  /** Reference BPE: word-frequency dict in, merges out. Merge application
-    * is the definitional greedy left-to-right scan over the symbol list —
-    * deliberately NOT the double-space replace() encoding the operator
-    * uses, so the spec fails if that encoding ever diverges from BPE
-    * semantics (e.g. on overlapping pairs like x x x x).
+  /** Reference BPE: word-frequency dict in, merges (and per-generation
+    * vocab stats) out. Merge application is the definitional greedy
+    * left-to-right scan over the symbol LIST — deliberately not the
+    * paren-delimited replace() string encoding the operator uses, so the
+    * spec fails if that encoding ever diverges from BPE semantics
+    * (overlapping pairs like x x x x, or a pattern binding a longer
+    * symbol's interior).
     */
   private def refBpe(words: Map[String, Long], rounds: Int)
-      : Seq[(String, String, Long)] = {
+      : (Seq[(String, String, Long)], Seq[(Long, Long)]) = {
     var vocab: Seq[(Vector[String], Long)] =
       words.toSeq.map { case (w, c) =>
         (w.map(_.toString).toVector :+ "</w>", c)
       }
-    (1 to rounds).map { _ =>
+    def genStats: (Long, Long) = {
+      val ts = vocab.map { case (syms, c) => syms.length * c }.sum
+      val tw = vocab.map(_._2).sum
+      (ts, ts * 1000 / tw)
+    }
+    val stats = Seq.newBuilder[(Long, Long)]
+    stats += genStats
+    val merges = (1 to rounds).map { _ =>
       val counts = mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
       vocab.foreach { case (syms, c) =>
@@ -54,8 +63,10 @@ class TokenizerLmSpec extends AnyFunSuite {
         }
         (out.result(), c)
       }
+      stats += genStats
       (l, r, pc)
     }
+    (merges, stats.result())
   }
 
   test("q189 merges equal a from-scratch greedy BPE trainer's") {
@@ -65,12 +76,51 @@ class TokenizerLmSpec extends AnyFunSuite {
         length(col("word")).between(2, 12))
       .groupBy("word").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val expected = refBpe(words, 4)
+    val expected = refBpe(words, 4)._1
     val got = SparkEntry.queries("q189_bpe_merge_learning")(spark, sf)
       .collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
     assert(got == expected,
       s"operator merges $got != reference BPE $expected")
+  }
+
+  test("q189/q192 boundary anchoring: a merged symbol's interior cannot " +
+      "be re-matched (adversarial fixture)") {
+    // Fixture engineered so round 1 merges (t,h) and round 2 merges
+    // (h,e) while 'the' is already encoded as [t~h, e, </w>]: an
+    // encoding that lets the (h,e) pattern match INSIDE the merged
+    // symbol t~h would corrupt 'the' to [t~h~e, </w>] — and because the
+    // oracle replays the identical replace(), only this reference
+    // comparison can see it. Word weights: (t,h)=170 beats (h,e)=150 in
+    // round 1; in round 2 (h,e)=120 stands alone because hex/hey/hem
+    // spread their (e,·) successors three ways.
+    val weights = Seq("tho" -> 90, "tha" -> 50, "the" -> 30,
+      "hex" -> 40, "hey" -> 40, "hem" -> 40)
+    val text = weights.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_adversarial_").toString
+    import spark.implicits._
+    Seq((0L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (refMerges, refStats) =
+      refBpe(weights.map { case (w, n) => w -> n.toLong }.toMap, 4)
+    // the fixture really is adversarial: (t,h) then (h,e)
+    assert(refMerges.take(2).map(m => (m._1, m._2)) ==
+      Seq(("t", "h"), ("h", "e")))
+    val gotMerges = SparkEntry.queries("q189_bpe_merge_learning")(spark, dir)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(gotMerges == refMerges,
+      s"adversarial merges $gotMerges != reference $refMerges")
+    // the vocab STATE after each merge is what the boundary bug corrupts
+    // first — compare every generation's symbol totals too
+    val gotStats = SparkEntry.queries("q192_bpe_compression_audit")(
+        spark, dir)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(gotStats == refStats,
+      s"generation stats $gotStats != reference $refStats")
   }
 
   test("q188 rows satisfy the Kneser-Ney count identities and recompose") {
