@@ -1952,6 +1952,101 @@ object SimilarityQueries {
               |    AS ndcg_pm
               |FROM actual a JOIN ideal i ON a.qid = i.qid
               |ORDER BY a.qid""".stripMargin)),
+
+    // ---- incremental IVF maintenance audit --------------------------------
+    // The index-refresh decision every ANN deployment faces: new vectors
+    // keep arriving, re-training on every batch is wasteful, so deltas
+    // are assigned to the EXISTING coarse cells and the index is only
+    // rebuilt when the audit says the geometry drifted. This operator is
+    // that audit: centroids sampled from the BASE corpus (the index as
+    // built, before the delta existed), both base and delta assigned to
+    // them, and per cell the member growth (basis points) plus the mean
+    // quantized L2² of base vs delta members — a delta population that
+    // lands farther from its centroids than the base did is the drift
+    // signal that triggers re-training (q66's machinery). Shapes: the
+    // centroid frame is the fixed-cardinality hashSample broadcast (the
+    // plan-invariant contract every ANN entry obeys), each assignment is
+    // one narrow linear pass, means accumulate in DECIMAL(38,0) so
+    // per-cell d2 sums cannot wrap at any membership. Missing-side cells
+    // surface -1 means rather than NULL (exact cross-engine compare).
+    // Scan budget 3 (whitelisted like q46/q162/q170): sample pass + the
+    // two disjoint pushed assignment slices.
+    "q196_ivf_incremental_assign" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.LongVectorL2
+        import org.apache.spark.sql.DataFrame
+        LongVectorL2.register(s)
+        val e = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1000000).cast("long")).as("vq"))
+        val base = e.filter(col("vec_id") < 400)
+        val delta = e.filter(col("vec_id") >= 400)
+        // materialized once: both assignment passes broadcast the SAME
+        // 64-row cached sample instead of re-running the draw
+        val cent = broadcast(graft.operators.Materialize(
+          hashSample(base, IvfNlist)
+            .select(col("vec_id").as("cid"), col("vq").as("cq"))))
+        def perCell(x: DataFrame, n: String, mean: String) = x.join(cent)
+          .withColumn("d2", LongVectorL2.l2(col("vq"), col("cq")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("m.cid").as("cid"), col("m.d2").as("d2"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as(n),
+            expr("CAST(sum(CAST(d2 AS DECIMAL(38,0))) DIV count(1) " +
+              s"AS BIGINT)").as(mean))
+        perCell(base, "n_base", "mean_d2_base")
+          .join(perCell(delta, "n_delta", "mean_d2_delta"),
+            Seq("cid"), "full_outer")
+          .select(col("cid"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            expr("""coalesce(n_delta, CAST(0 AS BIGINT)) * 10000
+                   | DIV greatest(coalesce(n_base, CAST(0 AS BIGINT)), 1)"""
+              .stripMargin).as("growth_bp"),
+            coalesce(col("mean_d2_base"), lit(-1L)).as("mean_d2_base"),
+            coalesce(col("mean_d2_delta"), lit(-1L)).as("mean_d2_delta"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding::DOUBLE[],
+              |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq
+              |  FROM embeddings),
+              |base AS (SELECT * FROM e WHERE vec_id < 400),
+              |delta AS (SELECT * FROM e WHERE vec_id >= 400),
+              |cent AS (SELECT vec_id AS cid, vq AS cq FROM base
+              |  ${hashSampleSql(IvfNlist)}),
+              |bd AS (SELECT b.vec_id, c.cid,
+              |    list_sum(list_transform(range(1, 65),
+              |      d -> (b.vq[d] - c.cq[d]) * (b.vq[d] - c.cq[d]))) AS d2
+              |  FROM base b CROSS JOIN cent c),
+              |ba AS (SELECT cid, d2 FROM (SELECT *, row_number()
+              |    OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              |  FROM bd) WHERE rn = 1),
+              |dd AS (SELECT x.vec_id, c.cid,
+              |    list_sum(list_transform(range(1, 65),
+              |      d -> (x.vq[d] - c.cq[d]) * (x.vq[d] - c.cq[d]))) AS d2
+              |  FROM delta x CROSS JOIN cent c),
+              |da AS (SELECT cid, d2 FROM (SELECT *, row_number()
+              |    OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              |  FROM dd) WHERE rn = 1),
+              |pb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base,
+              |    CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2_base
+              |  FROM ba GROUP BY 1),
+              |pd AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta,
+              |    CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2_delta
+              |  FROM da GROUP BY 1)
+              |SELECT COALESCE(pb.cid, pd.cid) AS cid,
+              |  COALESCE(n_base, 0) AS n_base,
+              |  COALESCE(n_delta, 0) AS n_delta,
+              |  CAST(COALESCE(n_delta, 0) * 10000
+              |    // GREATEST(COALESCE(n_base, 0), 1) AS BIGINT)
+              |    AS growth_bp,
+              |  COALESCE(mean_d2_base, -1) AS mean_d2_base,
+              |  COALESCE(mean_d2_delta, -1) AS mean_d2_delta
+              |FROM pb FULL OUTER JOIN pd ON pb.cid = pd.cid
+              |ORDER BY cid""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -195,6 +195,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // sample pass + corpus pass + bounded query slice
       "q46_ann_ivf" -> 3, "q162_pq_ann_adc" -> 3,
       "q170_ivfpq_residual_ann" -> 3,
+      // sample pass + two disjoint pushed assignment slices (base/delta)
+      "q196_ivf_incremental_assign" -> 3,
       // set-op / gapfill branches are semantically distinct scans
       "q96_set_ops_all" -> 4, "q99_date_spine_gapfill" -> 3,
       // blocked self-join sides + stats pass
