@@ -2125,5 +2125,81 @@ object TrainingQueries {
              |  SELECT '_pruning', 'partitions_total',
              |    CAST(count(*) AS BIGINT) FROM mj
              |) ORDER BY src, change_type""".stripMargin)),
+
+    // ---- shard rebalancing audit (rendezvous vs mod) ----------------------
+    // q171 assigns shards; this audits what happens when the shard COUNT
+    // changes (8 → 10, the scale-out event): under mod hashing nearly
+    // every key moves (only keys with doc_id%8 == doc_id%10 stay — the
+    // lcm-aligned ~1/40 sliver plus coincidences), while rendezvous
+    // (highest-random-weight) hashing moves EXACTLY the keys whose new
+    // argmax landed on a new shard — 2/10 in expectation — because
+    // existing shards' weights are unchanged by adding candidates. That
+    // ~80-point gap is why a 100 TB shard map uses rendezvous: a
+    // scale-out that moves 20% of the data instead of 97% is the
+    // difference between a rebalance and a re-ingest. All weights are
+    // md5-derived integers (the oracle replays them bit-identically);
+    // argmax ties break first-index on both engines (array_position /
+    // list_position both return the first occurrence). One narrow pass
+    // per method (two pushed scans of the same table), one aggregation
+    // each; max_share_bp audits the NEW map's balance.
+    "q197_shard_rebalance_audit" -> QueryDef(
+      (s, dir) => {
+        def rdv(n: Int) = {
+          val hs = transform(sequence(lit(0), lit(n - 1)), sc =>
+            hash32(concat(col("doc_id").cast("string"), lit("_"),
+              sc.cast("string"))))
+          (array_position(hs, array_max(hs)) - 1).cast("long")
+        }
+        val docs = tableParallel(s, dir, "documents")
+        val modA = docs.select(lit("mod").as("method"),
+          expr("doc_id % 8").as("old"), expr("doc_id % 10").as("nw"))
+        val rdvA = docs.select(lit("rendezvous").as("method"),
+          rdv(8).as("old"), rdv(10).as("nw"))
+        val a = modA.unionByName(rdvA)
+          .withColumn("moved", when(col("old") =!= col("nw"), 1L)
+            .otherwise(0L))
+        val agg = a.groupBy("method")
+          .agg(count(lit(1)).as("n_docs"), sum("moved").as("n_moved"),
+            expr("sum(moved) * 10000 DIV count(1)").as("moved_bp"))
+        val share = a.groupBy("method", "nw")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("method")
+          .agg(expr("max(n) * 10000 DIV sum(n)").as("max_share_bp"))
+        agg.join(share, "method")
+          .select("method", "n_docs", "n_moved", "moved_bp",
+            "max_share_bp")
+          .orderBy("method")
+      },
+      Some("""WITH m AS (
+             |  SELECT 'mod' AS method, doc_id % 8 AS old,
+             |    doc_id % 10 AS nw
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'rendezvous',
+             |    CAST(list_position(h8, list_max(h8)) - 1 AS BIGINT),
+             |    CAST(list_position(h10, list_max(h10)) - 1 AS BIGINT)
+             |  FROM (SELECT
+             |      list_transform(range(0, 8), s ->
+             |        CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 8))
+             |          AS BIGINT)) AS h8,
+             |      list_transform(range(0, 10), s ->
+             |        CAST(('0x' || substr(md5(doc_id || '_' || s), 1, 8))
+             |          AS BIGINT)) AS h10
+             |    FROM documents)),
+             |a AS (SELECT method, old, nw,
+             |    CASE WHEN old <> nw THEN 1 ELSE 0 END AS moved
+             |  FROM m),
+             |agg AS (SELECT method, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(moved) AS BIGINT) AS n_moved,
+             |    CAST(sum(moved) * 10000 // count(*) AS BIGINT)
+             |      AS moved_bp
+             |  FROM a GROUP BY 1),
+             |sh AS (SELECT method, CAST(count(*) AS BIGINT) AS n
+             |  FROM a GROUP BY method, nw),
+             |mx AS (SELECT method,
+             |    CAST(max(n) * 10000 // sum(n) AS BIGINT) AS max_share_bp
+             |  FROM sh GROUP BY 1)
+             |SELECT agg.method, n_docs, n_moved, moved_bp, max_share_bp
+             |FROM agg JOIN mx USING (method) ORDER BY agg.method""".stripMargin)),
   )
 }

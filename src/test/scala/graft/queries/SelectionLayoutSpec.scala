@@ -169,6 +169,22 @@ class SelectionLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 rendezvous moves a small fraction where mod moves nearly all") {
+    val rows = SparkEntry.queries("q197_shard_rebalance_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val (modBp, rdvBp) = (rows("mod")._3, rows("rendezvous")._3)
+    // theory: mod ~ 39/40 moved, rendezvous ~ 2/10 — the audit must show
+    // the structural gap, not just any difference
+    assert(rdvBp < 4000, s"rendezvous moved $rdvBp bp — expected ~2000")
+    assert(modBp > 7000, s"mod moved only $modBp bp — expected ~9750")
+    assert(rdvBp * 2 < modBp)
+    rows.values.foreach { case (n, moved, _, share) =>
+      assert(moved <= n && share >= 1000,
+        "10-shard max share below the uniform floor")
+    }
+  }
+
   test("q190 rollup row is consistent with the per-source rows") {
     val rows = SparkEntry.queries("q190_quality_filter_audit")(spark, sf)
       .collect()
