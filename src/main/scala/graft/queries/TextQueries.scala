@@ -49,10 +49,13 @@ object TextQueries {
   /** The q190/q195 shared quality scorer: integer-weight linear
     * classifier over per-doc features (length, lexical diversity,
     * stopword density, gibberish and word-length signals), plus the
-    * threshold decision. One narrow codegen'd projection.
+    * threshold decision. One narrow codegen'd projection — stateless, so
+    * the same column program scores a STREAM (the
+    * `StreamSessionize.qualityScreenStream` ingest-time screen, parity-
+    * gated against this batch path).
     */
-  private def qualityScoredDocs(s: SparkSession, dir: String): DataFrame =
-    tableParallel(s, dir, "documents")
+  private[graft] def qualityScored(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
       .withColumn("toks", size(col("ws")).cast("long"))
       .withColumn("uniq",
@@ -74,7 +77,7 @@ object TextQueries {
       .withColumn("pass",
         when(col("score") >= 2000L, 1L).otherwise(0L))
 
-  /** The DuckDB twin of [[qualityScoredDocs]] — a CTE block ending in
+  /** The DuckDB twin of [[qualityScored]] — a CTE block ending in
     * `qsc(doc_id, source, score, pass)`.
     */
   private val duckQualityCtes =
@@ -2049,7 +2052,7 @@ object TextQueries {
     // at any corpus scale, no joins.
     "q190_quality_filter_audit" -> QueryDef(
       (s, dir) => {
-        val d = qualityScoredDocs(s, dir)
+        val d = qualityScored(tableParallel(s, dir, "documents"))
         d.rollup("source")
           .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
             expr("sum(pass) * 10000 DIV count(1)").as("pass_bp"),
@@ -2082,7 +2085,7 @@ object TextQueries {
     // boundaries deterministic; all audit arithmetic is integer.
     "q195_curriculum_stages" -> QueryDef(
       (s, dir) => {
-        val r = qualityScoredDocs(s, dir)
+        val r = qualityScored(tableParallel(s, dir, "documents"))
           .withColumn("stage",
             ntile(4).over(Window.orderBy(col("score").desc, col("doc_id"))))
         val st = r.groupBy("stage")

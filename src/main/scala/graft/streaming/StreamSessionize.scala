@@ -279,6 +279,19 @@ object StreamSessionize {
     graft.operators.Manifest.manifest(docs,
       withLangs = false, ordered = false)
 
+  /** Ingest-time quality screen — the q190 classifier as a STATELESS
+    * stream filter (the same shape as `decontamScreenStream`: a narrow
+    * per-row column program, no state, no watermark), emitting the
+    * accepted documents with their scores. Because the scorer is one
+    * codegen'd projection shared verbatim with the batch q190/q195 path
+    * (`TextQueries.qualityScored`), any micro-batch split of a replay
+    * must produce exactly the batch-accepted set — parity-gated.
+    */
+  def qualityScreenStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.qualityScored(docs)
+      .filter(col("pass") === 1L)
+      .select(col("doc_id"), col("source"), col("score"))
+
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side
     * per batch; broadcast keeps it a map-side hash join — the standard

@@ -928,4 +928,36 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed !== corrupt)
     }
   }
+
+  test("file-replay qualityScreenStream == q190 batch-accepted set " +
+      "(stateless ingest-time screen)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("quality_replay_").toString
+      val ckpt = Files.createTempDirectory("quality_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = qualityScreenStream(stream)
+        .writeStream.format("memory").queryName("quality_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val streamed = spark.table("quality_replay").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.TextQueries.qualityScored(docs)
+        .filter(col("pass") === 1L)
+        .select("doc_id", "source", "score")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      // the screen has teeth on this fixture: it accepts SOME and
+      // rejects SOME (an all-pass or all-reject run proves nothing)
+      assert(streamed.nonEmpty && streamed.size < docs.count())
+    }
+  }
 }
