@@ -103,6 +103,115 @@ object TextQueries {
        |    CASE WHEN score >= 2000 THEN 1 ELSE 0 END AS pass
        |  FROM qs)""".stripMargin
 
+  /** DSIR hashed-feature space size (q199, the streaming screen, and the
+    * spec all share it). 64 buckets keeps the log-ratio table a
+    * FIXED-cardinality broadcast — the importance model's entire state is
+    * 64 rows at any corpus size, the same bounded-interface rule the ANN
+    * family pins in `PlanInvariantsSpec`.
+    */
+  private[graft] val DsirBuckets = 64L
+
+  /** DSIR (data selection by importance resampling) log-ratio table over
+    * hashed unigram features: bucket b's weight is the smoothed log of
+    * target-vs-raw probability, lr_m = floor(ln((ct+1)(R+64) /
+    * ((cr+1)(T+64))) · 1e6) micro-nats, where target = the `lang = 'en'`
+    * sub-corpus and raw = everything. Built DENSE (range(64) left-joined
+    * with the counts) so every possible bucket has a row — a stream doc
+    * arriving later can never miss a lookup, and the table's cardinality
+    * is a constant 64 independent of the corpus. ONE linear pass over the
+    * token stream computes both distributions (conditional sum + count in
+    * the same aggregation); everything after is 64-row arithmetic. The
+    * doubles feeding ln derive from identical integers in identical
+    * textual order on both engines (the q193 convention), so the
+    * micro-nat floor replays exactly in DuckDB.
+    */
+  private[graft] def dsirBucketTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    // materialized: the 64-row count table feeds both the dense left
+    // join and the totals aggregate — without the cache the full token
+    // scan underneath would run twice
+    val counts = Materialize(docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .select(
+        (hash32(concat(lit("dsir_"), col("w"))) % DsirBuckets).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("t"))
+      .groupBy("bucket")
+      .agg(sum("t").as("ct"), count(lit(1)).as("cr")))
+    s.range(DsirBuckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(
+        counts.agg(sum("ct").as("ctot"), sum("cr").as("rtot"))))
+      // CAST AS DOUBLE up front (the q193 convention): a bare `+ 1.0`
+      // would make the arithmetic DECIMAL on both engines, and their
+      // decimal division rules differ — with the cast every operation
+      // is IEEE double over identical operands in identical order
+      .withColumn("lr_m", expr(
+        s"""CAST(floor(ln(CAST(ct + 1 AS DOUBLE) * (rtot + $DsirBuckets)
+           | / (CAST(cr + 1 AS DOUBLE) * (ctot + $DsirBuckets))) * 1e6)
+           | AS BIGINT)""".stripMargin))
+      .select("bucket", "lr_m")
+  }
+
+  /** Per-document DSIR importance: each token looked up in the (dense,
+    * broadcast) bucket table, weights summed — w_sum > 0 means the
+    * document looks more like the target domain than the raw mixture.
+    * Exact BIGINT micro-nat sums, so the oracle hashes the full decision
+    * vector. The batch plan is explode → 64-row broadcast join → one
+    * doc-keyed aggregation; the streaming twin
+    * (`StreamSessionize.dsirScreenStream`) computes the SAME w_sum
+    * statelessly via a map-literal lookup inside `aggregate()` — the
+    * parity gate pins the two physically different plans to each other.
+    */
+  private[graft] def dsirDocScores(docs: DataFrame, lr: DataFrame)
+      : DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        (hash32(concat(lit("dsir_"), col("w"))) % DsirBuckets).as("bucket"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"), sum("lr_m").as("w_sum"))
+
+  /** The bucket table folded to a ONE-row map frame (bucket -> lr_m) for
+    * the stateless streaming screen: a 64-entry map literal crossJoin'd
+    * (broadcast) into the stream lets `aggregate()` score a document
+    * without exploding it — no shuffle, no state.
+    */
+  private[graft] def dsirLrMap(lr: DataFrame): DataFrame =
+    lr.agg(map_from_entries(
+      collect_list(struct(col("bucket"), col("lr_m")))).as("lr_map"))
+
+  /** The DuckDB twin of [[dsirBucketTable]] + [[dsirDocScores]] — CTEs
+    * ending in `dscored(doc_id, source, n_toks, w_sum)`.
+    */
+  private val duckDsirCtes =
+    s"""dtok AS (SELECT doc_id, source, lang, unnest($duckToks) AS w
+       |  FROM documents),
+       |dbuck AS (SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5('dsir_' || w), 1, 8)) AS BIGINT) % 64
+       |      AS bucket,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+       |  FROM dtok),
+       |dcounts AS (SELECT bucket, CAST(sum(t) AS BIGINT) AS ct,
+       |    CAST(count(*) AS BIGINT) AS cr
+       |  FROM dbuck GROUP BY 1),
+       |dtot AS (SELECT CAST(sum(ct) AS BIGINT) AS ctot,
+       |    CAST(sum(cr) AS BIGINT) AS rtot FROM dcounts),
+       |ddense AS (SELECT r.range AS bucket, coalesce(ct, 0) AS ct,
+       |    coalesce(cr, 0) AS cr
+       |  FROM range(0, 64) r LEFT JOIN dcounts ON dcounts.bucket = r.range),
+       |dlr AS (SELECT bucket,
+       |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE) * (rtot + 64)
+       |      / (CAST(cr + 1 AS DOUBLE) * (ctot + 64))) * 1e6)
+       |      AS BIGINT) AS lr_m
+       |  FROM ddense, dtot),
+       |dscored AS (SELECT doc_id, source,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(lr_m) AS BIGINT) AS w_sum
+       |  FROM dbuck JOIN dlr USING (bucket) GROUP BY 1, 2)""".stripMargin
+
   /** The Kneser-Ney count families (q188, reused by q193's scorer):
     * bigram-type table with counts, left-context totals (c(w1·) and
     * N₁₊(w1,·) in one aggregation), right continuation counts N₁₊(·,w2),
@@ -2287,5 +2396,140 @@ object TextQueries {
               |  CAST((-lps) // (n_bigrams * 1000) AS BIGINT) AS surprisal_m
               |FROM agg
               |ORDER BY surprisal_m DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- DSIR importance weighting ----------------------------------------
+    // Data selection by importance resampling (hashed n-gram features):
+    // every token hashes into one of 64 buckets, the 64-row table of
+    // smoothed target-vs-raw log-ratios is broadcast back, and each
+    // document's importance is the exact integer micro-nat sum of its
+    // tokens' ratios — the standard cheap proxy for "does this document
+    // look like the target domain" used to pre-filter web-scale corpora.
+    // Scale shape: ONE linear token pass builds the (fixed 64-row) model,
+    // one more scores the corpus through a broadcast join — no shuffle
+    // wider than the per-document aggregation, model state O(1) in the
+    // corpus. Output is per-source audit rows: exact BIGINT weight sums
+    // plus the target-like share, so the oracle hash-checks the full
+    // decision vector. The stateless streaming twin
+    // (`dsirScreenStream`) scores arriving documents against the same
+    // table via a map-literal lookup — parity gate twenty.
+    "q199_dsir_importance" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val lr = dsirBucketTable(docs)
+        dsirDocScores(docs, lr)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_toks"),
+            sum("w_sum").as("sum_lr"),
+            sum(when(col("w_sum") > 0, 1L).otherwise(0L))
+              .as("n_target_like"))
+          .withColumn("target_bp",
+            expr("n_target_like * 10000 DIV n_docs"))
+          .withColumn("avg_lr",
+            round(col("sum_lr") * 1.0 / col("n_toks") / 1e6, 4))
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckDsirCtes
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+              |  CAST(sum(w_sum) AS BIGINT) AS sum_lr,
+              |  CAST(sum(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_target_like,
+              |  CAST(sum(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) * 10000
+              |    // count(*) AS BIGINT) AS target_bp,
+              |  round(sum(w_sum) * 1.0 / sum(n_toks) / 1e6, 4) AS avg_lr
+              |FROM dscored GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- MinHash banding design audit (the S-curve) -----------------------
+    // Before committing 100 TB to one (bands, rows-per-band) choice, the
+    // index designer wants the detection probability 1-(1-j^r)^b
+    // evaluated against the corpus's OWN pair-similarity distribution —
+    // not the textbook curve. This audit takes every shingle-sharing pair
+    // in a pushed bounded slice (the q159 pattern: the predicate reaches
+    // the scan, so the self-join is constant-size at any corpus scale),
+    // computes its exact Jaccard in integer micro-units, and pushes it
+    // through the S-curve for four 16-signature layouts. All powers are
+    // fixed-point repeated squaring with DIV 1e6 after every multiply —
+    // deterministic integer arithmetic, bit-identical in DuckDB, no
+    // float pow anywhere. Output: per layout, the expected detection
+    // mass plus caught/false-alarm counts against the j >= 0.5 design
+    // target — on this corpus the r=1 layout's false-alarm flood and the
+    // r=8 layout's missed-detection risk are both visible in the counts.
+    "q200_lsh_scurve_design" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val slice = 200L
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None)
+          .filter(col("doc_id") < slice))
+        val pairs = jaccardPairs(sh, 0.0)
+          .select(col("doc_a"), col("doc_b"),
+            expr("i * 1000000 DIV (na + nb - i)").as("j_u"))
+        val grid = Seq((2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L))
+          .toDF("bands", "rpb")
+        pairs.crossJoin(broadcast(grid))
+          .withColumn("jr", expr(microPow("j_u", "rpb", "DIV")))
+          .withColumn("qq", expr("1000000 - jr"))
+          .withColumn("pd",
+            expr(s"1000000 - ${microPow("qq", "bands", "DIV")}"))
+          .groupBy("bands", "rpb")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(pd) DIV (count(1) * 1000)").as("avg_p_m"),
+            sum(when(col("j_u") >= 500000, 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("j_u") >= 500000 && col("pd") >= 500000, 1L)
+              .otherwise(0L)).as("n_caught"),
+            sum(when(col("j_u") < 500000 && col("pd") >= 500000, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+          .orderBy("bands")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents
+              |           WHERE doc_id < 200),
+              |hss AS (SELECT * FROM (SELECT doc_id, $duckHs AS hs FROM ws)
+              |        WHERE len(hs) > 0),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh FROM hss),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh
+              |          GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b,
+              |    CAST(i * 1000000 // (sa.n + sb.n - i) AS BIGINT) AS j_u
+              |  FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b),
+              |grid AS (SELECT CAST(c0 AS BIGINT) AS bands,
+              |    CAST(c1 AS BIGINT) AS rpb
+              |  FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) v(c0, c1)),
+              |e1 AS (SELECT bands, rpb, j_u,
+              |    ${microPow("j_u", "rpb", "//")} AS jr
+              |  FROM pairs, grid),
+              |e2 AS (SELECT bands, rpb, j_u, 1000000 - jr AS qq FROM e1),
+              |e3 AS (SELECT bands, rpb, j_u,
+              |    1000000 - ${microPow("qq", "bands", "//")} AS pd
+              |  FROM e2)
+              |SELECT bands, rpb, CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(pd) // (count(*) * 1000) AS BIGINT) AS avg_p_m,
+              |  CAST(sum(CASE WHEN j_u >= 500000 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_true,
+              |  CAST(sum(CASE WHEN j_u >= 500000 AND pd >= 500000
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+              |  CAST(sum(CASE WHEN j_u < 500000 AND pd >= 500000
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+              |FROM e3 GROUP BY 1, 2 ORDER BY bands""".stripMargin)),
   )
+
+  /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
+    * squaring, with an integer division by 1e6 after EVERY multiply — the
+    * intermediate never exceeds 1e12, and because both engines replay the
+    * identical truncation sequence (`DIV` here, `//` in DuckDB — operands
+    * are non-negative, where the two operators agree), the result is
+    * bit-identical without any float `pow`.
+    */
+  private def microPow(base: String, expCol: String, divOp: String)
+      : String = {
+    def sq(x: String) = s"((($x) * ($x)) $divOp 1000000)"
+    val p2 = sq(base); val p4 = sq(p2); val p8 = sq(p4); val p16 = sq(p8)
+    s"CASE $expCol WHEN 1 THEN $base WHEN 2 THEN $p2 WHEN 4 THEN $p4 " +
+      s"WHEN 8 THEN $p8 WHEN 16 THEN $p16 END"
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2155,9 +2156,13 @@ object TrainingQueries {
           expr("doc_id % 8").as("old"), expr("doc_id % 10").as("nw"))
         val rdvA = docs.select(lit("rendezvous").as("method"),
           rdv(8).as("old"), rdv(10).as("nw"))
-        val a = modA.unionByName(rdvA)
+        // materialized: the assignment frame feeds BOTH the movement
+        // aggregate and the balance aggregate — without the cache each
+        // consumer would re-run both corpus scans (4 total; the plan
+        // invariant pins the budget at 2)
+        val a = Materialize(modA.unionByName(rdvA)
           .withColumn("moved", when(col("old") =!= col("nw"), 1L)
-            .otherwise(0L))
+            .otherwise(0L)))
         val agg = a.groupBy("method")
           .agg(count(lit(1)).as("n_docs"), sum("moved").as("n_moved"),
             expr("sum(moved) * 10000 DIV count(1)").as("moved_bp"))
@@ -2201,5 +2206,142 @@ object TrainingQueries {
              |  FROM sh GROUP BY 1)
              |SELECT agg.method, n_docs, n_moved, moved_bp, max_share_bp
              |FROM agg JOIN mx USING (method) ORDER BY agg.method""".stripMargin)),
+
+    // ---- padding-waste batching audit -------------------------------------
+    // The other half of the q183 dataloader story: q183 audits
+    // concat-and-chunk packing; this audits PADDED batching — batches of
+    // 8 padded to the longest member — under the two orders a loader can
+    // actually use: arrival order vs length-bucketed (sorted by length
+    // inside the worker's shard, the standard bucketing trick). Waste =
+    // Σ_batches count·max(len) − Σ len, in exact integers and basis
+    // points. Scale shape: each strategy is one narrow projection plus a
+    // window partitioned BY SHARD — the per-shard sort is precisely the
+    // shard-local sort the loader itself performs, so there is no global
+    // sort anywhere; two linear passes, output two rows. The bucketed
+    // strategy's waste is provably ≤ arrival's per shard (sorting
+    // minimizes Σ max within consecutive fixed-size groups) — the spec
+    // pins that invariant, the oracle pins the exact numbers.
+    "q198_padding_waste_audit" -> QueryDef(
+      (s, dir) => {
+        val base = tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("toks"))
+          .withColumn("shard",
+            hash32(concat(lit("pad_"), col("doc_id"))) % 16)
+        def strat(name: String, order: Seq[Column]) = base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("shard").orderBy(order: _*)))
+          .withColumn("strategy", lit(name))
+        val both = strat("arrival", Seq(col("doc_id")))
+          .unionByName(strat("bucketed", Seq(col("toks"), col("doc_id"))))
+        both.withColumn("batch", expr("(rn - 1) DIV 8"))
+          .groupBy("strategy", "shard", "batch")
+          .agg(count(lit(1)).as("cnt"), max("toks").as("mx"),
+            sum("toks").as("real"))
+          .groupBy("strategy")
+          .agg(count(lit(1)).as("n_batches"),
+            sum(expr("cnt * mx")).as("padded_tokens"),
+            sum("real").as("real_tokens"))
+          .withColumn("waste_tokens",
+            expr("padded_tokens - real_tokens"))
+          .withColumn("waste_bp",
+            expr("waste_tokens * 10000 DIV padded_tokens"))
+          .orderBy("strategy")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)),
+             |      '\s+')) AS BIGINT) AS toks,
+             |    CAST(('0x' || substr(md5('pad_' || doc_id), 1, 8))
+             |      AS BIGINT) % 16 AS shard
+             |  FROM documents),
+             |r AS (
+             |  SELECT 'arrival' AS strategy, shard, toks,
+             |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+             |      AS rn
+             |  FROM d
+             |  UNION ALL
+             |  SELECT 'bucketed', shard, toks,
+             |    row_number() OVER (PARTITION BY shard
+             |      ORDER BY toks, doc_id)
+             |  FROM d),
+             |b AS (SELECT strategy, shard, (rn - 1) // 8 AS batch,
+             |    count(*) AS cnt, max(toks) AS mx, sum(toks) AS real
+             |  FROM r GROUP BY 1, 2, 3),
+             |a AS (SELECT strategy,
+             |    CAST(count(*) AS BIGINT) AS n_batches,
+             |    CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens,
+             |    CAST(sum(real) AS BIGINT) AS real_tokens
+             |  FROM b GROUP BY 1)
+             |SELECT strategy, n_batches, padded_tokens, real_tokens,
+             |  padded_tokens - real_tokens AS waste_tokens,
+             |  CAST((padded_tokens - real_tokens) * 10000
+             |    // padded_tokens AS BIGINT) AS waste_bp
+             |FROM a ORDER BY strategy""".stripMargin)),
+
+    // ---- train/test split leakage audit -----------------------------------
+    // Behavioral data must be split BY USER, not by time: a time split
+    // puts the same user's early events in train and late events in test,
+    // and any model that memorizes user identity leaks. This audit runs
+    // both strategies on the same events and measures what each one
+    // leaks: test events whose user also has train events. The hash
+    // split's leakage is zero BY CONSTRUCTION (every user lands wholly on
+    // one side) — the audit proves it with the same counters that expose
+    // the time split's near-total leakage, the q197-style two-strategy
+    // contrast. The cutoff compares unix_micros against a literal UTC
+    // instant (2024-01-24T00:00:00Z), immune to session-timezone drift on
+    // either engine. Scale shape: one groupBy(user) per strategy — two
+    // equi-shuffles on a well-distributed key, aggregate state one row
+    // per user, output two rows.
+    "q201_split_leakage_audit" -> QueryDef(
+      (s, dir) => {
+        val cutUs = 1706054400000000L // 2024-01-24T00:00:00Z in micros
+        val ev = table(s, dir, "events").select(col("user_id"), col("ts"))
+        def audit(name: String, isTrain: Column) = ev
+          .withColumn("tr", when(isTrain, 1L).otherwise(0L))
+          .groupBy(lit(name).as("strategy"), col("user_id"))
+          .agg(sum("tr").as("n_train_u"),
+            sum(lit(1L) - col("tr")).as("n_test_u"))
+        audit("time", expr(s"unix_micros(ts) < $cutUs"))
+          .unionByName(audit("user",
+            hash32(concat(lit("split_"), col("user_id"))) % 100 < 80))
+          .groupBy("strategy")
+          .agg(sum("n_train_u").as("n_train"),
+            sum("n_test_u").as("n_test"),
+            sum(when(col("n_train_u") > 0 && col("n_test_u") > 0, 1L)
+              .otherwise(0L)).as("n_overlap_users"),
+            sum(when(col("n_train_u") > 0, col("n_test_u"))
+              .otherwise(0L)).as("n_leaked_test"))
+          .withColumn("leak_bp",
+            expr("n_leaked_test * 10000 DIV n_test"))
+          .orderBy("strategy")
+      },
+      Some("""WITH e AS (SELECT user_id, ts FROM events),
+             |u AS (
+             |  SELECT 'time' AS strategy, user_id,
+             |    CAST(sum(CASE WHEN epoch_us(ts) < 1706054400000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train_u,
+             |    CAST(sum(CASE WHEN epoch_us(ts) < 1706054400000000
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n_test_u
+             |  FROM e GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'user', user_id,
+             |    CAST(sum(CASE WHEN CAST(('0x' ||
+             |      substr(md5('split_' || user_id), 1, 8)) AS BIGINT)
+             |      % 100 < 80 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(sum(CASE WHEN CAST(('0x' ||
+             |      substr(md5('split_' || user_id), 1, 8)) AS BIGINT)
+             |      % 100 < 80 THEN 0 ELSE 1 END) AS BIGINT)
+             |  FROM e GROUP BY 2)
+             |SELECT strategy,
+             |  CAST(sum(n_train_u) AS BIGINT) AS n_train,
+             |  CAST(sum(n_test_u) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN n_train_u > 0 AND n_test_u > 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_users,
+             |  CAST(sum(CASE WHEN n_train_u > 0 THEN n_test_u
+             |    ELSE 0 END) AS BIGINT) AS n_leaked_test,
+             |  CAST(sum(CASE WHEN n_train_u > 0 THEN n_test_u
+             |    ELSE 0 END) * 10000 // sum(n_test_u) AS BIGINT)
+             |    AS leak_bp
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

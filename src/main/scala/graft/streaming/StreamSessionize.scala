@@ -292,6 +292,37 @@ object StreamSessionize {
       .filter(col("pass") === 1L)
       .select(col("doc_id"), col("source"), col("score"))
 
+  /** Ingest-time DSIR importance screen — q199's per-document weight
+    * computed STATELESSLY on the stream: the 64-entry bucket→log-ratio
+    * table arrives as a ONE-row map frame (`TextQueries.dsirLrMap`,
+    * built from the dense `dsirBucketTable`, so every possible bucket
+    * has an entry and a lookup can never miss), crossJoin-broadcast into
+    * each micro-batch, and the document's micro-nat weight folds inside
+    * `aggregate()` over its token array — no explode, no shuffle, no
+    * state, so any micro-batch split is exactly the batch answer by
+    * construction. This is a DIFFERENT physical plan from the batch
+    * explode → broadcast-join → groupBy in `dsirDocScores` computing the
+    * same integer sum — the parity gate pins the two to each other
+    * pair-for-pair (the decontam-screen cross-plan pattern). At scale
+    * the static side is a constant 64 entries and each arriving document
+    * costs one pass over its own tokens.
+    */
+  def dsirScreenStream(docs: DataFrame, lrMapRow: DataFrame,
+                       minW: Long = 0L): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextOps.tokens(col("text")).as("ws"))
+      .crossJoin(broadcast(lrMapRow))
+      .withColumn("n_toks", size(col("ws")).cast("long"))
+      .withColumn("w_sum", expr(
+        s"""aggregate(ws, CAST(0 AS BIGINT), (acc, w) ->
+           | acc + element_at(lr_map,
+           |   CAST(conv(substring(md5(concat('dsir_', w)), 1, 8), 16, 10)
+           |     AS BIGINT) % ${graft.queries.TextQueries.DsirBuckets}))"""
+          .stripMargin))
+      .filter(col("w_sum") >= minW)
+      .select("doc_id", "source", "n_toks", "w_sum")
+
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side
     * per batch; broadcast keeps it a map-side hash join — the standard

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+import graft.Tables.tableParallel
+
+/** Independent cross-checks for the importance/design additions
+  * (q198/q199/q200/q201): the DSIR model's fixed-cardinality and
+  * direction, the S-curve's shape properties against the closed form,
+  * the padding-waste dominance of bucketed batching, and the split
+  * strategies' leakage identities. These pin what the DuckDB oracle
+  * can't: the oracle proves both engines compute the same numbers; these
+  * prove the numbers mean what the operators claim.
+  */
+class ImportanceDesignSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("q199 DSIR bucket table is dense and fixed-cardinality (64 rows " +
+      "for ANY input, every bucket present exactly once)") {
+    val docs = tableParallel(spark, sf, "documents")
+    // full corpus AND a 10-doc sliver: the model's state must be the
+    // same constant 64 rows regardless of input size — the bounded-
+    // broadcast interface the 100 TB posture rests on
+    Seq(docs, docs.filter(col("doc_id") < 10)).foreach { d =>
+      val lr = TextQueries.dsirBucketTable(d).collect()
+      assert(lr.length == 64)
+      assert(lr.map(_.getLong(0)).toSet == (0L until 64L).toSet)
+    }
+  }
+
+  test("q199 DSIR weights point TOWARD the target domain: mean per-token " +
+      "weight of lang='en' docs exceeds the non-en mean") {
+    val docs = tableParallel(spark, sf, "documents")
+    val lr = TextQueries.dsirBucketTable(docs)
+    val scored = TextQueries.dsirDocScores(docs, lr)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg((sum("w_sum") / sum("n_toks")).as("mean_w"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(scored(true) > scored(false),
+      s"en mean ${scored(true)} should exceed non-en ${scored(false)}")
+  }
+
+  test("q200 S-curve: fixed-point detection probability is monotone in j, " +
+      "exact at the endpoints, and within quantization error of the " +
+      "closed form") {
+    import spark.implicits._
+    val js = (0L to 100L).map(_ * 10000L) // 0 .. 1e6 in 1%-steps
+    val grid = Seq((2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L))
+    val frame = js.toDF("j_u")
+      .crossJoin(grid.toDF("bands", "rpb"))
+      .withColumn("jr", expr(
+        """CASE rpb WHEN 1 THEN j_u
+          | WHEN 2 THEN ((j_u * j_u) DIV 1000000)
+          | WHEN 4 THEN ((((j_u * j_u) DIV 1000000) *
+          |   ((j_u * j_u) DIV 1000000)) DIV 1000000)
+          | WHEN 8 THEN ((((((j_u * j_u) DIV 1000000) *
+          |   ((j_u * j_u) DIV 1000000)) DIV 1000000) *
+          |   ((((j_u * j_u) DIV 1000000) *
+          |   ((j_u * j_u) DIV 1000000)) DIV 1000000)) DIV 1000000)
+          | END""".stripMargin))
+      .withColumn("qq", expr("1000000 - jr"))
+      .withColumn("q2", expr("(qq * qq) DIV 1000000"))
+      .withColumn("q4", expr("(q2 * q2) DIV 1000000"))
+      .withColumn("q8", expr("(q4 * q4) DIV 1000000"))
+      .withColumn("q16", expr("(q8 * q8) DIV 1000000"))
+      .withColumn("pd", expr(
+        """1000000 - CASE bands WHEN 2 THEN q2 WHEN 4 THEN q4
+          | WHEN 8 THEN q8 WHEN 16 THEN q16 END""".stripMargin))
+      .select("bands", "rpb", "j_u", "pd")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getLong(3)))
+    grid.foreach { case (b, r) =>
+      val curve = frame.filter(_._1 == (b, r)).sortBy(_._2).toSeq
+      // monotone non-decreasing in j
+      curve.sliding(2).foreach { case Seq((_, j1, p1), (_, j2, p2)) =>
+        assert(p2 >= p1, s"($b,$r): p($j2)=$p2 < p($j1)=$p1")
+      }
+      // exact endpoints: j=0 -> 0, j=1 -> 1 (no quantization slack)
+      assert(curve.head._3 == 0L && curve.last._3 == 1000000L)
+      // within quantization error of the closed form 1-(1-j^r)^b: each
+      // DIV truncates at most 1e-6, and errors compound through r-1+b-1
+      // multiplies plus the b-fold amplification of the inner truncation
+      curve.foreach { case (_, j, p) =>
+        val exact = 1.0 - math.pow(1.0 - math.pow(j / 1e6, r.toDouble),
+          b.toDouble)
+        assert(math.abs(p / 1e6 - exact) < 1e-4 * (b + r),
+          s"($b,$r) at j=$j: fixed-point ${p / 1e6} vs closed $exact")
+      }
+    }
+  }
+
+  test("q198 bucketed batching never wastes more than arrival order " +
+      "(per shard, the sorted-batching dominance), and the accounting " +
+      "identity holds") {
+    val rows = SparkEntry.queries("q198_padding_waste_audit")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (padA, realA, wasteA) = rows("arrival")
+    val (padB, realB, wasteB) = rows("bucketed")
+    assert(realA == realB) // same docs, same real tokens
+    assert(wasteA == padA - realA && wasteB == padB - realB)
+    assert(wasteB <= wasteA,
+      s"bucketed waste $wasteB should not exceed arrival waste $wasteA")
+  }
+
+  test("q201 split leakage: the user-hash split leaks ZERO by " +
+      "construction; both strategies partition the same event set") {
+    val rows = SparkEntry.queries("q201_split_leakage_audit")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      .toMap
+    val total = tableParallel(spark, sf, "events").count()
+    val (trT, teT, _, leakT, leakBpT) = rows("time")
+    val (trU, teU, ovU, leakU, leakBpU) = rows("user")
+    assert(trT + teT == total && trU + teU == total)
+    assert(ovU == 0L && leakU == 0L && leakBpU == 0L,
+      s"user-hash split must leak nothing, got overlap=$ovU leak=$leakU")
+    // the contrast the operator exists to expose: the time split leaks
+    assert(leakT > 0L && leakBpT > 0L)
+  }
+}

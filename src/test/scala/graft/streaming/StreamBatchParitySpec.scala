@@ -960,4 +960,42 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed.size < docs.count())
     }
   }
+
+  test("file-replay dsirScreenStream == q199 batch dsirDocScores " +
+      "(cross-plan: map-literal aggregate() vs explode-join-groupBy)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("dsir_replay_").toString
+      val ckpt = Files.createTempDirectory("dsir_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      // the model table is built batch-side from the same corpus (the
+      // ingest-screen deployment shape: train once, screen the stream)
+      val lr = graft.queries.TextQueries.dsirBucketTable(docs)
+      val lrMap = graft.queries.TextQueries.dsirLrMap(lr)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = dsirScreenStream(stream, lrMap)
+        .writeStream.format("memory").queryName("dsir_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val streamed = spark.table("dsir_replay").collect().map(key).toSet
+      // batch twin: a PHYSICALLY DIFFERENT plan (explode → broadcast
+      // join → groupBy) computing the same integer micro-nat sum — the
+      // gate pins the two plans to each other, not a plan to itself
+      val batch = graft.queries.TextQueries.dsirDocScores(docs, lr)
+        .filter(col("w_sum") >= 0L)
+        .select("doc_id", "source", "n_toks", "w_sum")
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      // teeth: the screen passes SOME and drops SOME on this fixture
+      assert(streamed.nonEmpty && streamed.size < docs.count())
+    }
+  }
 }
