@@ -2047,6 +2047,94 @@ object SimilarityQueries {
               |  COALESCE(mean_d2_delta, -1) AS mean_d2_delta
               |FROM pb FULL OUTER JOIN pd ON pb.cid = pd.cid
               |ORDER BY cid""".stripMargin)),
+
+    // ---- semi-hard negative mining (triplet construction) -----------------
+    // Metric-learning data prep: for each anchor, find its nearest
+    // SAME-label positive, then the negatives in the semi-hard band —
+    // farther than the positive but within the margin (the FaceNet
+    // mining rule: d(a,p) < d(a,n) < d(a,p) + m). Violating ("hard")
+    // negatives are counted too; training batches want the band, not the
+    // violators. Scale shape: the anchor set is a parameter-sized
+    // broadcast (q45's bounded-probe pattern); the corpus projection is
+    // cached once and feeds the positive pass and the negative pass (one
+    // scan); the negative frame is re-projected NARROW (ids + scaled
+    // distances, no vectors) and cached so the band stats and the top-3
+    // ranking share one distance computation. All distances are
+    // floor-scaled integer micro-units with q175's exact tie-breaks, so
+    // the oracle replays the mining decision bit-for-bit.
+    "q202_semihard_negatives" -> QueryDef(
+      (s, dir) => {
+        val margin = 500000L // 0.5 in L2² micro-units
+        val e = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"), col("label"),
+            dot(s)(col("embedding"), col("embedding")).as("vv")))
+        val anc = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("aid"), col("v").as("av"),
+            col("label").as("albl"), col("vv").as("avv")))
+        val pairs = e.join(anc, col("vec_id") =!= col("aid"))
+          .withColumn("d2s",
+            floor((col("avv") - lit(2.0) * dot(s)(col("av"), col("v"))
+              + col("vv")) * lit(1000000)).cast("long"))
+        val pos = broadcast(pairs.filter(col("label") === col("albl"))
+          .groupBy("aid")
+          .agg(min(struct(col("d2s"), col("vec_id"))).as("m"))
+          .select(col("aid"), col("m.d2s").as("pos_d2s"),
+            col("m.vec_id").as("pos_id")))
+        val neg = Materialize(pairs.filter(col("label") =!= col("albl"))
+          .join(pos, "aid")
+          .select(col("aid"), col("vec_id"), col("d2s"),
+            col("pos_d2s"), col("pos_id")))
+        val semiCond = col("d2s") > col("pos_d2s") &&
+          col("d2s") < col("pos_d2s") + margin
+        val stats = neg.groupBy("aid").agg(
+          sum(when(col("d2s") <= col("pos_d2s"), 1L).otherwise(0L))
+            .as("n_hard"),
+          sum(when(semiCond, 1L).otherwise(0L)).as("n_semihard"))
+        val wr = Window.partitionBy("aid")
+          .orderBy(asc("d2s"), asc("vec_id"))
+        neg.filter(semiCond)
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .join(broadcast(stats), "aid")
+          .select(col("aid").as("query_id"), col("pos_id"),
+            col("pos_d2s"), col("n_hard"), col("n_semihard"),
+            col("vec_id").as("neg_id"), col("d2s").as("neg_d2s"),
+            col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+             |    AS vv
+             |  FROM embeddings),
+             |anc AS (SELECT vec_id AS aid, v AS av, label AS albl,
+             |    vv AS avv FROM e WHERE vec_id < 8),
+             |p AS (SELECT aid, albl, b.vec_id AS bid, b.label AS blbl,
+             |    CAST(floor((avv - 2 * list_dot_product(av, b.v) + b.vv)
+             |      * 1000000) AS BIGINT) AS d2s
+             |  FROM anc JOIN e b ON b.vec_id <> aid),
+             |pos AS (SELECT aid, d2s AS pos_d2s, bid AS pos_id FROM (
+             |    SELECT aid, d2s, bid, row_number() OVER (
+             |      PARTITION BY aid ORDER BY d2s, bid) AS rn
+             |    FROM p WHERE blbl = albl) WHERE rn = 1),
+             |neg AS (SELECT p.aid, bid, d2s, pos_d2s, pos_id
+             |  FROM p JOIN pos ON p.aid = pos.aid WHERE blbl <> albl),
+             |st AS (SELECT aid,
+             |    CAST(sum(CASE WHEN d2s <= pos_d2s THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hard,
+             |    CAST(sum(CASE WHEN d2s > pos_d2s
+             |      AND d2s < pos_d2s + 500000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_semihard
+             |  FROM neg GROUP BY 1),
+             |band AS (SELECT aid, bid, d2s, pos_d2s, pos_id,
+             |    CAST(row_number() OVER (PARTITION BY aid
+             |      ORDER BY d2s, bid) AS INT) AS rnk
+             |  FROM neg
+             |  WHERE d2s > pos_d2s AND d2s < pos_d2s + 500000)
+             |SELECT s.aid AS query_id, pos_id, pos_d2s, n_hard,
+             |  n_semihard, bid AS neg_id, d2s AS neg_d2s, rnk
+             |FROM band s JOIN st ON st.aid = s.aid
+             |WHERE rnk <= 3
+             |ORDER BY query_id, rnk""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -183,6 +183,66 @@ object TextQueries {
     lr.agg(map_from_entries(
       collect_list(struct(col("bucket"), col("lr_m")))).as("lr_map"))
 
+  /** Per-(source, bucket) hashed-token counts over the DSIR feature
+    * space — the shared count kernel of the streaming drift monitor
+    * (`StreamSessionize.driftCountsStream`). One stateless projection +
+    * one aggregation, so the SAME code path runs batch and streaming;
+    * on a stream the aggregation state is O(sources × 64) counters,
+    * bounded whatever the corpus, and counts are commutative so any
+    * micro-batch split converges to the batch answer.
+    */
+  private[graft] def bucketCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"),
+        (hash32(concat(lit("dsir_"), col("w"))) % DsirBuckets).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+
+  /** The drift monitor's reference distribution: DENSE corpus-wide
+    * bucket counts (bucket, rc, rtot) — 64 rows + the scalar total,
+    * broadcastable at any corpus size. Built once from a reference
+    * corpus snapshot; the live stream is compared against it.
+    */
+  private[graft] def driftRef(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val counts = Materialize(docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .select(
+        (hash32(concat(lit("dsir_"), col("w"))) % DsirBuckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("rc")))
+    s.range(DsirBuckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("rc"))
+      .crossJoin(broadcast(counts.agg(sum("rc").as("rtot"))))
+  }
+
+  /** KL(source ‖ reference) in integer micro-nats from (source, bucket)
+    * counts against a [[driftRef]] frame — the projection half of the
+    * drift monitor (the q160 estimator on the bounded 64-bucket feature
+    * space instead of the unbounded vocabulary, which is what makes the
+    * streaming state finite). Smoothed with the reference's +1 rule so
+    * a stream bucket unseen in the reference stays finite. The log is
+    * applied to CONVERGED integer counts in the output projection —
+    * aggregation state stays integer and commutative.
+    */
+  private[graft] def klFromCounts(counts: DataFrame, ref: DataFrame)
+      : DataFrame =
+    // the source total comes from a window over the counts frame itself
+    // (≤ sources × 64 rows — bounded, so the window is cheap), not a
+    // groupBy self-join: the frame may be a streaming memory sink whose
+    // lineage a self-join cannot deduplicate
+    counts.join(broadcast(ref), Seq("bucket"))
+      .withColumn("st",
+        sum("c").over(Window.partitionBy("source")))
+      .withColumn("lp", expr(
+        s"""CAST(floor(ln(CAST(c AS DOUBLE) * (rtot + $DsirBuckets)
+           | / (CAST(st AS DOUBLE) * (rc + 1))) * 1e6) AS BIGINT)"""
+          .stripMargin))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        sum(expr("c * lp")).as("kl_num"))
+      .select(col("source"), col("n_tokens"),
+        expr("kl_num DIV n_tokens").as("kl_micro"))
+
   /** The DuckDB twin of [[dsirBucketTable]] + [[dsirDocScores]] — CTEs
     * ending in `dscored(doc_id, source, n_toks, w_sum)`.
     */
@@ -2516,6 +2576,84 @@ object TextQueries {
               |  CAST(sum(CASE WHEN j_u < 500000 AND pd >= 500000
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
               |FROM e3 GROUP BY 1, 2 ORDER BY bands""".stripMargin)),
+
+    // ---- corpus datacard --------------------------------------------------
+    // The datasheet a training run ships with: one audited row per
+    // source — volume (docs, tokens, mean length), quality acceptance
+    // (the q190 scorer, shared fragment), exact-duplicate exposure
+    // (corpus-wide md5 groups, the q40 rule), and language composition
+    // (count, dominant language, dominance share). A composition, not a
+    // new algorithm: its value is that every number comes from the SAME
+    // shared fragments the dedicated operators use, so the card cannot
+    // drift from the operators it summarizes. Scale shape: the per-doc
+    // feature frame is built once (two scans: the scorer pass and the
+    // lang/md5 projection, joined on doc_id) and cached; everything
+    // after is one window on the text-hash (equi-shuffle, exact-dedup's
+    // own shape) and source-keyed aggregations. Output rows = #sources.
+    "q203_corpus_datacard" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val f = Materialize(
+          qualityScored(docs)
+            .select(col("doc_id"), col("source"), col("toks"), col("pass"))
+            .join(docs.select(col("doc_id"), col("lang"),
+              md5(col("text")).as("h")), "doc_id"))
+        val dupw = Window.partitionBy("h")
+        val perSource = f
+          .withColumn("dup",
+            when(count(lit(1)).over(dupw) > 1, 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            sum("pass").as("n_pass"), sum("dup").as("n_dup"))
+        val langCounts = f.groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+        val wl = Window.partitionBy("source").orderBy(desc("c"), asc("lang"))
+        val langStats = langCounts
+          .withColumn("rn", row_number().over(wl))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_langs"),
+            max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+            max(when(col("rn") === 1, col("c"))).as("top_lang_c"))
+        perSource.join(langStats, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens DIV n_docs").as("mean_toks"),
+            expr("n_pass * 10000 DIV n_docs").as("pass_bp"),
+            expr("n_dup * 10000 DIV n_docs").as("dup_bp"),
+            col("n_langs"), col("top_lang"),
+            expr("top_lang_c * 10000 DIV n_docs").as("top_lang_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |fd AS (SELECT q.doc_id, q.source, qf.toks, q.pass,
+              |    d.lang, md5(d.text) AS h
+              |  FROM qsc q
+              |  JOIN qf ON qf.doc_id = q.doc_id
+              |  JOIN documents d ON d.doc_id = q.doc_id),
+              |dd AS (SELECT *, CASE WHEN cnt > 1 THEN 1 ELSE 0 END AS dup
+              |  FROM (SELECT fd.*, count(*) OVER (PARTITION BY h) AS cnt
+              |        FROM fd)),
+              |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+              |    CAST(sum(pass) AS BIGINT) AS n_pass,
+              |    CAST(sum(dup) AS BIGINT) AS n_dup
+              |  FROM dd GROUP BY 1),
+              |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+              |  FROM fd GROUP BY 1, 2),
+              |ls AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+              |    max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+              |    max(CASE WHEN rn = 1 THEN c END) AS top_lang_c
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+              |      ORDER BY c DESC, lang) AS rn FROM lc)
+              |  GROUP BY 1)
+              |SELECT ps.source, n_docs, n_tokens,
+              |  CAST(n_tokens // n_docs AS BIGINT) AS mean_toks,
+              |  CAST(n_pass * 10000 // n_docs AS BIGINT) AS pass_bp,
+              |  CAST(n_dup * 10000 // n_docs AS BIGINT) AS dup_bp,
+              |  n_langs, top_lang,
+              |  CAST(top_lang_c * 10000 // n_docs AS BIGINT)
+              |    AS top_lang_bp
+              |FROM ps JOIN ls ON ls.source = ps.source
+              |ORDER BY ps.source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -323,6 +323,21 @@ object StreamSessionize {
       .filter(col("w_sum") >= minW)
       .select("doc_id", "source", "n_toks", "w_sum")
 
+  /** Live corpus-mix drift monitor — the streaming half of q160's KL
+    * diagnostic, made state-finite by the 64-bucket DSIR feature space:
+    * arriving documents fold into per-(source, bucket) counters (state
+    * O(sources × 64) whatever the stream length; counts are commutative,
+    * so ANY micro-batch split converges to the batch counts — complete
+    * output mode). The KL projection (`TextQueries.klFromCounts` against
+    * a static `driftRef` reference snapshot) runs on the CONVERGED
+    * integer counts — the `mixingStatsStream + projection` gate pattern,
+    * because chaining a second stateful aggregation onto the stream is
+    * both unsupported and unnecessary: the counts frame IS the state a
+    * drift dashboard polls. Parity gate twenty-one.
+    */
+  def driftCountsStream(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.bucketCounts(docs)
+
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side
     * per batch; broadcast keeps it a map-side hash join — the standard

@@ -125,4 +125,65 @@ class ImportanceDesignSpec extends AnyFunSuite {
     // the contrast the operator exists to expose: the time split leaks
     assert(leakT > 0L && leakBpT > 0L)
   }
+
+  test("q202 semi-hard mining matches a brute-force replay of the " +
+      "FaceNet band rule (collected reference on the small fixture)") {
+    val rows = SparkEntry.queries("q202_semihard_negatives")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    // brute-force reference: exact doubles floored the same way
+    val e = tableParallel(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def d2s(a: Array[Double], b: Array[Double]): Long = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        aa += a(i) * a(i); ab += a(i) * b(i); bb += b(i) * b(i); i += 1
+      }
+      math.floor((aa - 2.0 * ab + bb) * 1000000).toLong
+    }
+    e.filter(_._1 < 8).foreach { case (aid, av, albl) =>
+      val others = e.filter(_._1 != aid)
+      val (posId, posD2s) = others.filter(_._3 == albl)
+        .map { case (bid, bv, _) => (bid, d2s(av, bv)) }
+        .minBy { case (bid, d) => (d, bid) }
+      val negs = others.filter(_._3 != albl)
+        .map { case (bid, bv, _) => (bid, d2s(av, bv)) }
+      val semi = negs.filter { case (_, d) =>
+        d > posD2s && d < posD2s + 500000L }
+      val expectedTop = semi.sortBy { case (bid, d) => (d, bid) }.take(3)
+      val got = rows.filter(_._1 == aid)
+      got.foreach { case (_, pId, pD2s, nHard, nSemi, _, _, _) =>
+        assert(pId == posId && pD2s == posD2s)
+        assert(nSemi == semi.length)
+        assert(nHard == negs.count(_._2 <= posD2s))
+      }
+      assert(got.sortBy(_._8).map(r => (r._6, r._7)).toSeq ===
+        expectedTop.toSeq)
+    }
+  }
+
+  test("q203 datacard is internally consistent and agrees with the " +
+      "operators it summarizes") {
+    val card = SparkEntry.queries("q203_corpus_datacard")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(6), r.getString(7), r.getLong(8)))
+    val docs = tableParallel(spark, sf, "documents")
+    // volume identity: card rows partition the corpus
+    assert(card.map(_._2).sum == docs.count())
+    // acceptance agrees with the q190 scorer aggregated the same way
+    val pass = TextQueries.qualityScored(docs)
+      .groupBy("source")
+      .agg((sum("pass") * 10000L / count(lit(1))).cast("long").as("bp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach { case (src, _, _, passBp, nLangs, _, topBp) =>
+      assert(passBp == pass(src), s"$src pass_bp mismatch")
+      assert(nLangs >= 1 && topBp >= 10000 / nLangs && topBp <= 10000)
+    }
+  }
 }

@@ -998,4 +998,37 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed.size < docs.count())
     }
   }
+
+  test("file-replay driftCountsStream + klFromCounts == batch KL drift " +
+      "(state-finite 64-bucket monitor, complete mode)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("drift_replay_").toString
+      val ckpt = Files.createTempDirectory("drift_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      val ref = graft.queries.TextQueries.driftRef(docs)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = driftCountsStream(stream)
+        .writeStream.format("memory").queryName("drift_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def kl(counts: org.apache.spark.sql.DataFrame) =
+        graft.queries.TextQueries.klFromCounts(counts, ref)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = kl(spark.table("drift_replay"))
+      val batch = kl(graft.queries.TextQueries.bucketCounts(docs))
+      assert(streamed === batch)
+      // teeth: multiple sources, and the monitor measures REAL drift on
+      // at least one of them (a uniformly-zero KL would prove nothing)
+      assert(streamed.size > 1)
+      assert(streamed.exists(_._3 > 0L))
+    }
+  }
 }
