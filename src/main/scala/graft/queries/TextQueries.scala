@@ -272,6 +272,53 @@ object TextQueries {
        |    CAST(sum(lr_m) AS BIGINT) AS w_sum
        |  FROM dbuck JOIN dlr USING (bucket) GROUP BY 1, 2)""".stripMargin
 
+  /** The q161/q206 shared char-bigram LM scorer: corpus-trained
+    * conditional bigram model (dimension-sized, broadcast), per-document
+    * integer-scaled log-prob sums — (doc_id, n_bigrams, lps). The bigram
+    * explode is materialized because the model build and the scoring
+    * pass both consume it.
+    */
+  private def charBigramScores(s: SparkSession, dir: String): DataFrame = {
+    val bg = Materialize(
+      tableParallel(s, dir, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("bg")))
+    val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    val ctx = cnt.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum("c").as("n"))
+    val model = broadcast(
+      cnt.withColumn("c1", substring(col("bg"), 1, 1))
+        .join(ctx, "c1")
+        .select(col("bg"),
+          floor(log(col("c") * 1.0 / col("n")) * 1e6).cast("long")
+            .as("lp")))
+    bg.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lps"))
+  }
+
+  /** The DuckDB twin of [[charBigramScores]] — CTEs ending in
+    * `scored(doc_id, n_bigrams, lps)`.
+    */
+  private val duckCharBigramCtes =
+    """d AS (SELECT doc_id, lower(trim(text)) AS t
+      |      FROM documents WHERE length(lower(trim(text))) >= 2),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, length(t)),
+      |         i -> substr(t, i, 2))) AS bg FROM d),
+      |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+      |ctx AS (SELECT substr(bg, 1, 1) AS c1,
+      |          CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |model AS (SELECT bg,
+      |            CAST(floor(ln(c * 1.0 / n) * 1e6) AS BIGINT) AS lp
+      |          FROM cnt JOIN ctx ON substr(cnt.bg, 1, 1) = ctx.c1),
+      |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+      |             CAST(sum(lp) AS BIGINT) AS lps
+      |           FROM bg JOIN model USING (bg) GROUP BY doc_id)"""
+      .stripMargin
+
   /** The Kneser-Ney count families (q188, reused by q193's scorer):
     * bigram-type table with counts, left-context totals (c(w1·) and
     * N₁₊(w1,·) in one aggregation), right continuation counts N₁₊(·,w2),
@@ -2033,26 +2080,9 @@ object TextQueries {
     // bucket boundaries cannot float-drift between engines.
     "q161_doc_perplexity" -> QueryDef(
       (s, dir) => {
-        val bg = Materialize(
-          tableParallel(s, dir, "documents")
-            .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-            .filter(length(col("t")) >= 2)
-            .select(col("doc_id"), explode(expr(
-              "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-              .as("bg")))
-        val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
-        val ctx = cnt.groupBy(substring(col("bg"), 1, 1).as("c1"))
-          .agg(sum("c").as("n"))
-        val model = broadcast(
-          cnt.withColumn("c1", substring(col("bg"), 1, 1))
-            .join(ctx, "c1")
-            .select(col("bg"),
-              floor(log(col("c") * 1.0 / col("n")) * 1e6).cast("long")
-                .as("lp")))
-        bg.join(model, "bg")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-               sum("lp").as("logp_sum_scaled"))
+        charBigramScores(s, dir)
+          .select(col("doc_id"), col("n_bigrams"),
+            col("lps").as("logp_sum_scaled"))
           .select(col("doc_id"), col("n_bigrams"),
             round(col("logp_sum_scaled") * 1.0 / col("n_bigrams") / 1e6, 4)
               .as("avg_logp"),
@@ -2061,23 +2091,11 @@ object TextQueries {
               .as("ppl_bucket"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, lower(trim(text)) AS t
-             |           FROM documents WHERE length(lower(trim(text))) >= 2),
-             |bg AS (SELECT doc_id, unnest(list_transform(range(1, length(t)),
-             |         i -> substr(t, i, 2))) AS bg FROM d),
-             |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
-             |ctx AS (SELECT substr(bg, 1, 1) AS c1,
-             |          CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-             |model AS (SELECT bg,
-             |            CAST(floor(ln(c * 1.0 / n) * 1e6) AS BIGINT) AS lp
-             |          FROM cnt JOIN ctx ON substr(cnt.bg, 1, 1) = ctx.c1),
-             |scored AS (SELECT doc_id, count(*) AS n_bigrams,
-             |             CAST(sum(lp) AS BIGINT) AS lps
-             |           FROM bg JOIN model USING (bg) GROUP BY doc_id)
-             |SELECT doc_id, n_bigrams,
-             |  round(lps * 1.0 / n_bigrams / 1e6, 4) AS avg_logp,
-             |  CAST((-lps) // (n_bigrams * 500000) AS BIGINT) AS ppl_bucket
-             |FROM scored ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $duckCharBigramCtes
+              |SELECT doc_id, n_bigrams,
+              |  round(lps * 1.0 / n_bigrams / 1e6, 4) AS avg_logp,
+              |  CAST((-lps) // (n_bigrams * 500000) AS BIGINT) AS ppl_bucket
+              |FROM scored ORDER BY doc_id""".stripMargin)),
 
     // ---- dedup clustering through the O(log n) contraction path -----------
     // q48's pipeline with the star-contraction component labeler FORCED
@@ -2654,6 +2672,240 @@ object TextQueries {
               |    AS top_lang_bp
               |FROM ps JOIN ls ON ls.source = ps.source
               |ORDER BY ps.source""".stripMargin)),
+
+    // ---- KMV sketch distinct-overlap audit --------------------------------
+    // Pairwise distinct-vocabulary overlap between sources via K-minimum-
+    // values (theta) sketches — the mergeable-sketch answer to a question
+    // HLL cannot compose (HLL unions; it cannot intersect). Per source,
+    // the sketch is the K smallest distinct token hashes (bounded state K
+    // whatever the vocabulary); union sketches combine two sources'
+    // hashes and re-take K; intersections come from inclusion-exclusion
+    // on the three estimates. The estimator (k_eff−1)·2³² DIV h_k is pure
+    // integer arithmetic, so every estimate replays exactly in DuckDB —
+    // and because the fixture vocabulary is small enough to count
+    // exactly, the audit reports the TRUE pairwise overlap next to the
+    // estimate (the q159 estimate-vs-exact pattern). Scale shape: one
+    // linear token pass to distinct (source, hash); everything after
+    // runs on sources·K rows. The exact-overlap column joins on the
+    // token hash — vocabulary-sized, which is what makes the exact
+    // column affordable HERE and the sketch necessary at 100 TB.
+    "q204_kmv_overlap_audit" -> QueryDef(
+      (s, dir) => {
+        val K = 16
+        val M = 4294967296L // 2^32: the hash32 value space
+        val tok = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .select(col("source"),
+            hash32(concat(lit("kmv_"), col("w"))).as("h"))
+          .distinct())
+        val wk = Window.partitionBy("source").orderBy("h")
+        val sk = Materialize(tok
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= K))
+        def estOf(df: DataFrame, keys: Seq[String]) = df
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("k_eff"), max("h").as("hk"))
+          .withColumn("est",
+            expr(s"(k_eff - 1) * $M DIV GREATEST(hk, 1)"))
+        val estS = estOf(sk, Seq("source"))
+        val pairs = broadcast(estS
+          .select(col("source").as("src_a"), col("est").as("est_a"))
+          // broadcast the inner side explicitly: a bare crossJoin of two
+          // un-hinted aggregates plans a CartesianProduct (catalog-banned)
+          .crossJoin(broadcast(estS.select(col("source").as("src_b"),
+            col("est").as("est_b"))))
+          .filter(col("src_a") < col("src_b")))
+        val uniH = pairs.select("src_a", "src_b")
+          .join(broadcast(sk.withColumnRenamed("source", "sm")),
+            col("sm") === col("src_a") || col("sm") === col("src_b"))
+          .select("src_a", "src_b", "h").distinct()
+        val wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+        val estU = estOf(
+          uniH.withColumn("rn", row_number().over(wu))
+            .filter(col("rn") <= K), Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("est").as("est_union"))
+        val exact = tok.select(col("source").as("src_a"), col("h"))
+          .join(tok.select(col("source").as("src_b"), col("h")), Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("exact_inter"))
+        pairs.join(estU, Seq("src_a", "src_b"))
+          .join(exact, Seq("src_a", "src_b"))
+          .withColumn("est_inter",
+            expr("GREATEST(est_a + est_b - est_union, 0)"))
+          .withColumn("err_bp", expr(
+            """abs(est_inter - exact_inter) * 10000
+              | DIV GREATEST(exact_inter, 1)""".stripMargin))
+          .select("src_a", "src_b", "est_a", "est_b", "est_union",
+            "est_inter", "exact_inter", "err_bp")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tok AS (SELECT DISTINCT source,
+             |    CAST(('0x' || substr(md5('kmv_' || w), 1, 8)) AS BIGINT)
+             |      AS h
+             |  FROM (SELECT source,
+             |      unnest(regexp_split_to_array(lower(trim(text)),
+             |        '\s+')) AS w
+             |    FROM documents)),
+             |sk AS (SELECT source, h FROM (
+             |    SELECT source, h, row_number() OVER (
+             |      PARTITION BY source ORDER BY h) AS rn FROM tok)
+             |  WHERE rn <= 16),
+             |es AS (SELECT source, count(*) AS k_eff, max(h) AS hk,
+             |    CAST((count(*) - 1) * 4294967296 // GREATEST(max(h), 1)
+             |      AS BIGINT) AS est
+             |  FROM sk GROUP BY 1),
+             |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    a.est AS est_a, b.est AS est_b
+             |  FROM es a JOIN es b ON a.source < b.source),
+             |uh AS (SELECT DISTINCT src_a, src_b, h
+             |  FROM pr JOIN sk ON sk.source = src_a OR sk.source = src_b),
+             |uk AS (SELECT src_a, src_b, h FROM (
+             |    SELECT src_a, src_b, h, row_number() OVER (
+             |      PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh)
+             |  WHERE rn <= 16),
+             |eu AS (SELECT src_a, src_b,
+             |    CAST((count(*) - 1) * 4294967296 // GREATEST(max(h), 1)
+             |      AS BIGINT) AS est_union
+             |  FROM uk GROUP BY 1, 2),
+             |ex AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(count(*) AS BIGINT) AS exact_inter
+             |  FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT pr.src_a, pr.src_b, est_a, est_b, est_union,
+             |  CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT)
+             |    AS est_inter,
+             |  exact_inter,
+             |  CAST(abs(GREATEST(est_a + est_b - est_union, 0)
+             |    - exact_inter) * 10000 // GREATEST(exact_inter, 1)
+             |    AS BIGINT) AS err_bp
+             |FROM pr
+             |JOIN eu ON eu.src_a = pr.src_a AND eu.src_b = pr.src_b
+             |JOIN ex ON ex.src_a = pr.src_a AND ex.src_b = pr.src_b
+             |ORDER BY pr.src_a, pr.src_b""".stripMargin)),
+
+    // ---- decoding-loop artifact audit -------------------------------------
+    // Synthetic / model-generated text screening: degenerate decoding
+    // shows up as runs of one repeated token ("the the the") and
+    // period-2 cycles ("yes no yes no") — both detectable with pure
+    // window arithmetic, no pattern library. Runs come from the
+    // classic gaps-and-islands trick (boundary flag where w ≠ lag(w),
+    // prefix-sum run ids, run length = group count); cycles are the same
+    // trick over lag(w, 2), where a group of size c spans c+1 tokens of
+    // alternation. Scale shape: one narrow posexplode, windows
+    // partitioned per document (the loader's natural unit — no global
+    // sort), three source-keyed aggregations. Thresholds (run ≥ 3,
+    // cycle span ≥ 4) flag real repetition on this corpus while the
+    // exact counts land under the oracle hash.
+    "q205_loop_artifact_audit" -> QueryDef(
+      (s, dir) => {
+        val t = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            posexplode(tokens(col("text"))))
+          .withColumnRenamed("col", "w")
+        val wd = Window.partitionBy("doc_id").orderBy("pos")
+        val l = t
+          .withColumn("nr",
+            when(col("w") === lag("w", 1).over(wd), 0L).otherwise(1L))
+          .withColumn("nr2",
+            when(col("w") === lag("w", 2).over(wd), 0L).otherwise(1L))
+          .withColumn("rid", sum("nr").over(wd))
+          .withColumn("rid2", sum("nr2").over(wd))
+        val runs = l.groupBy("doc_id", "source", "rid")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("doc_id", "source")
+          .agg(max("len").as("max_run"))
+        val cycs = l.groupBy("doc_id", "rid2")
+          .agg((count(lit(1)) + 1).as("span"))
+          .groupBy("doc_id")
+          .agg(max("span").as("max_cyc"))
+        runs.join(cycs, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            max("max_run").as("max_run"),
+            sum(when(col("max_run") >= 3, 1L).otherwise(0L))
+              .as("n_run_flagged"),
+            max("max_cyc").as("max_cyc"),
+            sum(when(col("max_cyc") >= 4, 1L).otherwise(0L))
+              .as("n_cyc_flagged"))
+          .withColumn("run_bp", expr("n_run_flagged * 10000 DIV n_docs"))
+          .withColumn("cyc_bp", expr("n_cyc_flagged * 10000 DIV n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             |      AS w,
+             |    generate_subscripts(regexp_split_to_array(
+             |      lower(trim(text)), '\s+'), 1) AS pos
+             |  FROM documents),
+             |l AS (SELECT doc_id, source, pos,
+             |    CASE WHEN w = lag(w, 1) OVER (PARTITION BY doc_id
+             |      ORDER BY pos) THEN 0 ELSE 1 END AS nr,
+             |    CASE WHEN w = lag(w, 2) OVER (PARTITION BY doc_id
+             |      ORDER BY pos) THEN 0 ELSE 1 END AS nr2
+             |  FROM t),
+             |r AS (SELECT doc_id, source,
+             |    sum(nr) OVER (PARTITION BY doc_id ORDER BY pos) AS rid,
+             |    sum(nr2) OVER (PARTITION BY doc_id ORDER BY pos) AS rid2,
+             |    pos
+             |  FROM l),
+             |runs AS (SELECT doc_id, source, max(len) AS max_run FROM (
+             |    SELECT doc_id, source, rid, count(*) AS len
+             |    FROM r GROUP BY 1, 2, 3) GROUP BY 1, 2),
+             |cycs AS (SELECT doc_id, max(span) AS max_cyc FROM (
+             |    SELECT doc_id, rid2, count(*) + 1 AS span
+             |    FROM r GROUP BY 1, 2) GROUP BY 1)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(max(max_run) AS BIGINT) AS max_run,
+             |  CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_run_flagged,
+             |  CAST(max(max_cyc) AS BIGINT) AS max_cyc,
+             |  CAST(sum(CASE WHEN max_cyc >= 4 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_cyc_flagged,
+             |  CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) * 10000
+             |    // count(*) AS BIGINT) AS run_bp,
+             |  CAST(sum(CASE WHEN max_cyc >= 4 THEN 1 ELSE 0 END) * 10000
+             |    // count(*) AS BIGINT) AS cyc_bp
+             |FROM runs JOIN cycs USING (doc_id)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- CCNet-style perplexity buckets -----------------------------------
+    // The CCNet pipeline step: per source, rank documents by language-
+    // model surprisal and cut into head / middle / tail terciles (head =
+    // most fluent; training recipes keep head+middle and drop or
+    // down-weight tail). The LM is the q161 shared char-bigram scorer;
+    // the per-doc metric is integer micro-nats per bigram with a doc_id
+    // tie-break, so the ntile cut points are a total order both engines
+    // agree on exactly. Scale shape: model build + scoring off one
+    // materialized bigram explode (dimension-sized model broadcast), one
+    // per-source window for the tercile assignment, output 3 rows per
+    // source.
+    "q206_perplexity_buckets" -> QueryDef(
+      (s, dir) => {
+        val sc = charBigramScores(s, dir)
+          .join(tableParallel(s, dir, "documents")
+            .select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("s_m", expr("(-lps) DIV n_bigrams"))
+        val wt = Window.partitionBy("source")
+          .orderBy(col("s_m"), col("doc_id"))
+        sc.withColumn("bucket", ntile(3).over(wt))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bigrams").as("n_bigrams"),
+            min("s_m").as("min_s"), max("s_m").as("max_s"))
+          .orderBy("source", "bucket")
+      },
+      Some(s"""WITH $duckCharBigramCtes,
+              |sc AS (SELECT s.doc_id, d.source, s.n_bigrams,
+              |    CAST((-lps) // n_bigrams AS BIGINT) AS s_m
+              |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+              |b AS (SELECT *, ntile(3) OVER (PARTITION BY source
+              |    ORDER BY s_m, doc_id) AS bucket FROM sc)
+              |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+              |  CAST(min(s_m) AS BIGINT) AS min_s,
+              |  CAST(max(s_m) AS BIGINT) AS max_s
+              |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

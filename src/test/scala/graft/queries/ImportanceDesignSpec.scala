@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
 import graft.Tables.tableParallel
+import graft.functions.TextOps.tokens
 
 /** Independent cross-checks for the importance/design additions
   * (q198/q199/q200/q201): the DSIR model's fixed-cardinality and
@@ -164,6 +165,85 @@ class ImportanceDesignSpec extends AnyFunSuite {
       }
       assert(got.sortBy(_._8).map(r => (r._6, r._7)).toSeq ===
         expectedTop.toSeq)
+    }
+  }
+
+  test("q204 KMV sketch estimates match a from-scratch replay of the " +
+      "k-minimum-values algorithm on collected tokens") {
+    val rows = SparkEntry.queries("q204_kmv_overlap_audit")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))))
+      .toMap
+    assert(rows.nonEmpty)
+    // reference: the same md5-derived hash space, pure Scala
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val bySource = tableParallel(spark, sf, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (s, ws) => s -> ws.map(p => h32("kmv_" + p._2)).toSet }
+    def est(hs: Set[Long], k: Int): Long = {
+      val sk = hs.toSeq.sorted.take(k)
+      (sk.length - 1).toLong * 4294967296L / math.max(sk.max, 1L)
+    }
+    rows.foreach { case ((a, b), (estA, estB, estU, estI, exact)) =>
+      assert(estA == est(bySource(a), 16), s"($a,$b) est_a")
+      assert(estB == est(bySource(b), 16), s"($a,$b) est_b")
+      assert(estU == est(bySource(a) ++ bySource(b), 16), s"($a,$b) union")
+      assert(estI == math.max(estA + estB - estU, 0L))
+      assert(exact == (bySource(a) & bySource(b)).size.toLong)
+    }
+  }
+
+  test("q205 loop-artifact runs and cycles match a brute-force scan of " +
+      "the token sequences") {
+    val rows = SparkEntry.queries("q205_loop_artifact_audit")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    val docs = tableParallel(spark, sf, "documents")
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    def maxRun(ws: Seq[String], gap: Int): Long = {
+      var best = 1L; var cur = 1L
+      (gap until ws.length).foreach { i =>
+        if (ws(i) == ws(i - gap)) cur += 1 else cur = 1
+        best = math.max(best, cur)
+      }
+      best // = 1 + longest streak of matches at distance `gap`
+    }
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val expRun = ds.map { case (_, ws) => maxRun(ws, 1) }.max
+      val expCyc = ds.map { case (_, ws) => maxRun(ws, 2) + 1 }.max
+      val (gotRun, gotCyc) = rows(src)
+      assert(gotRun == expRun, s"$src max_run $gotRun != $expRun")
+      assert(gotCyc == expCyc, s"$src max_cyc $gotCyc != $expCyc")
+    }
+  }
+
+  test("q206 perplexity terciles partition each source in surprisal " +
+      "order (bucket ranges non-overlapping and ordered)") {
+    val rows = SparkEntry.queries("q206_perplexity_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    val perSource = rows.groupBy(_._1)
+    val scoredDocs = tableParallel(spark, sf, "documents")
+      .filter(length(lower(trim(col("text")))) >= 2).count()
+    assert(rows.map(_._3).sum == scoredDocs)
+    perSource.foreach { case (src, bs) =>
+      val ordered = bs.sortBy(_._2).toSeq
+      assert(ordered.map(_._2).toSeq == Seq(1, 2, 3), s"$src buckets")
+      ordered.sliding(2).foreach { case Seq((_, _, _, _, hi), (_, _, _, lo2, _)) =>
+        assert(hi <= lo2, s"$src tercile ranges overlap: $hi > $lo2")
+      }
     }
   }
 
