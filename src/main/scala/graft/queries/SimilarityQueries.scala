@@ -102,6 +102,38 @@ object SimilarityQueries {
   private def hashSampleSql(k: Int): String =
     s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
 
+  /** The q174 greedy farthest-point loop, factored so the coverage audit
+    * (q213) selects with EXACTLY the argmax the catalog entry pins: k
+    * driver rounds, each one linear pass over the cached candidates
+    * against a ≤k-row broadcast, integer floor-micro argmax with vec_id
+    * tie-break. Returns (picked (id, vector, ‖v‖²) in pick order, the
+    * (rank, id, radius_s) audit rows).
+    */
+  private def kcenterPicks(s: SparkSession, cand: DataFrame, k: Int)
+      : (Vector[(Long, Array[Float], Double)], Vector[(Int, Long, Long)]) = {
+    import s.implicits._
+    val seed = cand.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("v"), col("vv")).head()
+    var picked = Vector((seed.getAs[Long]("vec_id"),
+      seed.getAs[Seq[Float]]("v").toArray, seed.getAs[Double]("vv")))
+    var out = Vector((1, 0L, 0L))
+    for (t <- 2 to k) {
+      val sel = broadcast(picked.toDF("svec_id", "sv", "svv"))
+      val top = cand.filter(!col("vec_id").isin(picked.map(_._1): _*))
+        .crossJoin(sel)
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("vv")).as("vv"),
+          min(floor((col("vv") - lit(2.0) * dot(s)(col("v"), col("sv"))
+            + col("svv")) * lit(1000000)).cast("long")).as("mind_s"))
+        .orderBy(desc("mind_s"), asc("vec_id"))
+        .limit(1).head()
+      out :+= ((t, top.getAs[Long]("vec_id"), top.getAs[Long]("mind_s")))
+      picked :+= ((top.getAs[Long]("vec_id"),
+        top.getAs[Seq[Float]]("v").toArray, top.getAs[Double]("vv")))
+    }
+    (picked, out)
+  }
+
   /** q158's recall gate, parameterized on `nlist` so IvfRecallSpec can
     * prove the floors and the hashSample index machinery hold at more
     * than one parameter point (the catalog entry pins SliceNlist; the
@@ -1523,35 +1555,147 @@ object SimilarityQueries {
     "q174_kcenter_coreset" -> QueryDef(
       (s, dir) => {
         import graft.operators.Materialize
-        val e = tableParallel(s, dir, "embeddings")
+        val cand = Materialize(tableParallel(s, dir, "embeddings")
           .filter(col("vec_id") < 300)
           .select(col("vec_id"), col("embedding").as("v"),
-            dot(s)(col("embedding"), col("embedding")).as("vv"))
-        val cand = Materialize(e)
-        val seed = cand.filter(col("vec_id") === 0)
-          .select(col("vec_id"), col("v"), col("vv")).head()
-        var picked = Vector((seed.getAs[Long]("vec_id"),
-          seed.getAs[Seq[Float]]("v").toArray, seed.getAs[Double]("vv")))
-        var out = Vector((1, 0L, 0L))
-        for (t <- 2 to MmrK) {
-          import s.implicits._
-          val sel = broadcast(picked.toDF("svec_id", "sv", "svv"))
-          val top = cand.filter(!col("vec_id").isin(picked.map(_._1): _*))
-            .crossJoin(sel)
-            .groupBy(col("vec_id"))
-            .agg(first(col("v")).as("v"), first(col("vv")).as("vv"),
-              min(floor((col("vv") - lit(2.0) * dot(s)(col("v"), col("sv"))
-                + col("svv")) * lit(1000000)).cast("long")).as("mind_s"))
-            .orderBy(desc("mind_s"), asc("vec_id"))
-            .limit(1).head()
-          out :+= ((t, top.getAs[Long]("vec_id"), top.getAs[Long]("mind_s")))
-          picked :+= ((top.getAs[Long]("vec_id"),
-            top.getAs[Seq[Float]]("v").toArray, top.getAs[Double]("vv")))
-        }
+            dot(s)(col("embedding"), col("embedding")).as("vv")))
+        val (_, out) = kcenterPicks(s, cand, MmrK)
         import s.implicits._
         out.toDF("rnk", "vec_id", "radius_s").orderBy("rnk")
       },
       Some(kcenterOracleSql(MmrK))),
+
+    // ---- coreset coverage audit: k-center vs hash-random -------------------
+    // Does the farthest-point coreset actually COVER better than a
+    // blind sample of the same budget? The audit a selection pipeline
+    // runs before trusting q174's picks: both strategies select k = 10
+    // points from the same candidate slice (greedy via the EXACT q174
+    // loop, shared in `kcenterPicks`; baseline via the family's
+    // hash-deterministic `hashSample` draw), then ONE linear pass per
+    // strategy scores every candidate's min-L2² to its nearest selected
+    // point through a ≤k-row broadcast — O(k·N) with no corpus
+    // self-join, the q174 execution shape. Coverage radius (max of the
+    // min-distances) and mean min-distance land as the same
+    // floor-micro-scaled exact integers both engines compare; the
+    // greedy 2-approximation should and does dominate the random
+    // baseline's radius on this fixture (spec-pinned direction).
+    "q213_coreset_coverage_audit" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val cand = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"),
+            dot(s)(col("embedding"), col("embedding")).as("vv")))
+        val (picked, _) = kcenterPicks(s, cand, MmrK)
+        import s.implicits._
+        val rand = hashSample(cand, MmrK)
+          .select(col("vec_id"), col("v"), col("vv")).collect()
+          .map(r => (r.getAs[Long]("vec_id"),
+            r.getAs[Seq[Float]]("v").toArray, r.getAs[Double]("vv")))
+          .toVector
+        def coverage(tag: String,
+                     sel: Vector[(Long, Array[Float], Double)]) = {
+          val selDf = broadcast(sel.toDF("svec_id", "sv", "svv"))
+          cand.crossJoin(selDf)
+            .groupBy(col("vec_id"))
+            .agg(min(floor((col("vv") - lit(2.0) * dot(s)(col("v"), col("sv"))
+              + col("svv")) * lit(1000000)).cast("long")).as("mind_s"))
+            .agg(count(lit(1)).as("n_points"),
+              max("mind_s").as("radius_s"),
+              expr("sum(mind_s) DIV count(1)").as("mean_s"))
+            .withColumn("strategy", lit(tag))
+        }
+        coverage("kcenter", picked).unionByName(coverage("random", rand))
+          .select("strategy", "n_points", "radius_s", "mean_s")
+          .orderBy("strategy")
+      },
+      Some(coresetCoverageOracleSql(MmrK))),
+
+    // ---- Johnson–Lindenstrauss projection distortion audit ----------------
+    // Random ±1 sign projection 64 → 16 dims (the cheap JL family:
+    // E[‖Rx‖²] = m‖x‖², no Gaussian sampling, no float matrix), audited
+    // on a pushed bounded slice: per vector pair, the projected L2² over
+    // m·(original L2²) in basis points, histogrammed — the evidence a
+    // pipeline needs before swapping full embeddings for sketches in its
+    // dedup/ANN stages. Everything is exact integers: components quantize
+    // to milli-units via the same double→floor on both engines, the sign
+    // matrix is a DETERMINISTIC md5-parity function of (j, i) — a
+    // constant m×64-row broadcast at any corpus size, no RNG state to
+    // ship — and projections/distances are integer sums, so ratios are
+    // bit-exact under the oracle. The audit's pair stage is quadratic
+    // and therefore slice-bounded (the q159/q200 pattern: the predicate
+    // reaches the scan); the projection itself is one equi-join +
+    // groupBy, linear in the corpus when applied corpus-wide.
+    "q211_jl_projection_audit" -> QueryDef(
+      (s, dir) => {
+        val m = 16
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "i", "xm"))
+        val signs = broadcast(
+          s.range(m).toDF("j")
+            .crossJoin(s.range(64).toDF("i"))
+            .withColumn("sgn", when(
+              graft.functions.TextOps.hash32(concat(lit("jl_"),
+                col("j").cast("string"), lit("_"),
+                col("i").cast("string"))) % 2 === 0, 1L).otherwise(-1L)))
+        val proj = Materialize(comps.join(signs, "i")
+          .groupBy("vec_id", "j")
+          .agg(sum(col("sgn") * col("xm")).as("p")))
+        val dOrig = comps.as("a").join(comps.as("b"),
+            col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum((col("a.xm") - col("b.xm")) *
+            (col("a.xm") - col("b.xm"))).as("d2o"))
+        val dProj = proj.as("a").join(proj.as("b"),
+            col("a.j") === col("b.j") && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum((col("a.p") - col("b.p")) *
+            (col("a.p") - col("b.p"))).as("d2p"))
+        dOrig.join(dProj, Seq("va", "vb"))
+          .filter(col("d2o") > 0)
+          .withColumn("ratio_bp", expr(s"d2p * 10000 DIV ($m * d2o)"))
+          .withColumn("bucket",
+            expr("least(ratio_bp DIV 2500, CAST(7 AS BIGINT))"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            min("ratio_bp").as("min_ratio_bp"),
+            max("ratio_bp").as("max_ratio_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 100),
+             |comps AS (SELECT vec_id, i,
+             |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xm
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+             |signs AS (SELECT j, i,
+             |    CASE WHEN CAST(('0x' || substr(md5('jl_' || j || '_' || i),
+             |      1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM (SELECT unnest(range(0, 16)) AS j) a
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b),
+             |proj AS (SELECT c.vec_id, s.j,
+             |    CAST(sum(s.sgn * c.xm) AS BIGINT) AS p
+             |  FROM comps c JOIN signs s ON s.i = c.i GROUP BY 1, 2),
+             |do2 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |    CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2o
+             |  FROM comps a JOIN comps b
+             |    ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+             |dp2 AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |    CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2p
+             |  FROM proj a JOIN proj b
+             |    ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2),
+             |r AS (SELECT d2p * 10000 // (16 * d2o) AS ratio_bp
+             |  FROM do2 JOIN dp2 ON do2.va = dp2.va AND do2.vb = dp2.vb
+             |  WHERE d2o > 0)
+             |SELECT CAST(least(ratio_bp // 2500, 7) AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(min(ratio_bp) AS BIGINT) AS min_ratio_bp,
+             |  CAST(max(ratio_bp) AS BIGINT) AS max_ratio_bp
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- kNN label-noise audit --------------------------------------------
     // Confident-learning-style label QA: a point whose k-nearest-neighbor
@@ -2142,10 +2286,16 @@ object SimilarityQueries {
     * L2² against sel(t−1) and takes the max with the vec_id tie-break.
     * Every stage CTE is MATERIALIZED for the same inlining reason.
     */
-  private def kcenterOracleSql(k: Int): String = {
+  /** The shared unrolled-greedy-selection CTE block (q174 + q213's
+    * coverage audit): candidate slice `e`, then per round the re-score /
+    * argmax / accumulate stages, ending with `sel{k}` = the k selected
+    * centers. Greedy selection is inherently sequential, so the oracle
+    * is the loop spelled out (the kmeansOracleSql technique).
+    */
+  private def kcenterSelCtes(k: Int): String = {
     val d2 = "c.vv - 2 * list_dot_product(c.v, s.v) + s.vv"
     val base =
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
         |  FROM embeddings WHERE vec_id < 300),
         |sel1 AS MATERIALIZED (SELECT vec_id, v, vv FROM e WHERE vec_id = 0),
@@ -2163,11 +2313,40 @@ object SimilarityQueries {
          |sel$t AS MATERIALIZED (SELECT vec_id, v, vv FROM sel${t - 1}
          |          UNION ALL SELECT vec_id, v, vv FROM s$t)""".stripMargin
     }
+    (base +: stages).mkString(",\n")
+  }
+
+  private def kcenterOracleSql(k: Int): String = {
     val unions = ("SELECT 1 AS rnk, vec_id, radius_s FROM s1" +:
       (2 to k).map(t =>
         s"SELECT $t AS rnk, vec_id, mind_s AS radius_s FROM s$t").toVector)
       .mkString("\nUNION ALL\n")
-    (base +: stages).mkString(",\n") + s"\n$unions\nORDER BY rnk"
+    s"WITH ${kcenterSelCtes(k)}\n$unions\nORDER BY rnk"
+  }
+
+  /** DuckDB twin of the q213 coverage audit: the q174 selection CTEs
+    * verbatim, the hash-deterministic random draw, then one min-distance
+    * aggregation per strategy over the identical floor-micro expression.
+    */
+  private def coresetCoverageOracleSql(k: Int): String = {
+    val d2 = "c.vv - 2 * list_dot_product(c.v, s.v) + s.vv"
+    def cov(sel: String) =
+      s"""SELECT c.vec_id,
+         |  min(CAST(floor(($d2) * 1000000) AS BIGINT)) AS mind_s
+         |FROM e c CROSS JOIN $sel s GROUP BY 1""".stripMargin
+    s"""WITH ${kcenterSelCtes(k)},
+       |rand AS MATERIALIZED (SELECT vec_id, v, vv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |covk AS (${cov(s"sel$k")}),
+       |covr AS (${cov("rand")})
+       |SELECT 'kcenter' AS strategy, CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(max(mind_s) AS BIGINT) AS radius_s,
+       |  CAST(sum(mind_s) // count(*) AS BIGINT) AS mean_s FROM covk
+       |UNION ALL
+       |SELECT 'random', CAST(count(*) AS BIGINT),
+       |  CAST(max(mind_s) AS BIGINT),
+       |  CAST(sum(mind_s) // count(*) AS BIGINT) FROM covr
+       |ORDER BY strategy""".stripMargin
   }
 
   /** DuckDB twin of the q172 greedy loop: the k rounds unrolled as CTE

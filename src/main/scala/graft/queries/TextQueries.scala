@@ -2906,6 +2906,168 @@ object TextQueries {
               |  CAST(min(s_m) AS BIGINT) AS min_s,
               |  CAST(max(s_m) AS BIGINT) AS max_s
               |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin)),
+
+    // ---- multiplicative-weights mixture reweighting -----------------------
+    // Group-DRO/DoReMi-flavored source reweighting: per-source mean
+    // surprisal under the corpus's own char-bigram LM (micro-nats per
+    // bigram, exact integer DIV) is the "loss", and four rounds of
+    // multiplicative weights UP-weight sources whose loss exceeds the
+    // CURRENT mixture's weighted average — genuinely iterative, because
+    // the weighted average moves as the weights move. All arithmetic is
+    // integer fixed-point: the update factor is 1e6 ± (excess DIV 10)
+    // ppm clamped to [0.5×, 2×] (the sign split keeps every division's
+    // numerator non-negative — Spark's DIV truncates toward zero while
+    // DuckDB's // floors, and they only agree on non-negative operands),
+    // and weights renormalize to a 1e9 pool each round so truncation
+    // never compounds. Scale: ONE corpus pass builds the per-source
+    // loss; every round is two scalar aggregates and a broadcast over
+    // the S-row weight frame — state O(sources) whatever the corpus.
+    // The oracle unrolls all four rounds as CTEs.
+    "q208_mixture_reweight" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "source")
+        // the S-row loss/weight frames are materialized once per round:
+        // each round reads its predecessor three times (weighted average,
+        // update, renormalization), so an unmaterialized fold doubles the
+        // logical plan per round — O(2^T) copies of the corpus subtree by
+        // round T. Cutting the lineage at the S-row boundary keeps every
+        // round's plan constant-depth and the corpus scanned exactly once.
+        val loss = Materialize(charBigramScores(s, dir)
+          .join(docs, "doc_id")
+          .groupBy("source")
+          .agg((-sum("lps")).as("nlps"), sum("n_bigrams").as("nb"))
+          .withColumn("loss_m", expr("nlps DIV nb"))
+          .select("source", "loss_m"))
+        val w0 = loss.withColumn("w", lit(1000000000L))
+        val wT = (1 to 4).foldLeft(w0) { (cur, _) =>
+          val stats = cur.agg(expr("sum(w * loss_m) DIV sum(w)").as("wavg"))
+          val upd = cur.crossJoin(broadcast(stats))
+            .withColumn("factor", expr(
+              """least(greatest(1000000 + CASE WHEN loss_m >= wavg
+                |  THEN (loss_m - wavg) DIV 10
+                |  ELSE -((wavg - loss_m) DIV 10) END,
+                | CAST(500000 AS BIGINT)), CAST(2000000 AS BIGINT))"""
+                .stripMargin))
+            .withColumn("w", expr("w * factor DIV 1000000"))
+          val z = upd.agg(sum("w").as("z"))
+          Materialize(upd.crossJoin(broadcast(z))
+            .withColumn("w", expr("w * 1000000000 DIV z"))
+            .select("source", "loss_m", "w"))
+        }
+        val zf = wT.agg(sum("w").as("z"), count(lit(1)).as("n_src"))
+        wT.crossJoin(broadcast(zf))
+          .withColumn("w_ppm", expr("w * 1000000 DIV z"))
+          .withColumn("delta_ppm", expr("w_ppm - 1000000 DIV n_src"))
+          .select("source", "loss_m", "w_ppm", "delta_ppm")
+          .orderBy("source")
+      },
+      Some {
+        // one CTE pair per round: the update against the current weighted
+        // average, then the 1e9-pool renormalization
+        val rounds = (0 until 4).map { i =>
+          s"""a$i AS (SELECT CAST(sum(w * loss_m) // sum(w) AS BIGINT)
+             |         AS wavg FROM w$i),
+             |u$i AS (SELECT source, loss_m,
+             |        w * least(greatest(1000000 + CASE WHEN loss_m >= wavg
+             |            THEN (loss_m - wavg) // 10
+             |            ELSE -((wavg - loss_m) // 10) END,
+             |          500000), 2000000) // 1000000 AS w
+             |      FROM w$i CROSS JOIN a$i),
+             |z$i AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM u$i),
+             |w${i + 1} AS (SELECT source, loss_m,
+             |        CAST(w * 1000000000 // z AS BIGINT) AS w
+             |      FROM u$i CROSS JOIN z$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckCharBigramCtes,
+           |dl AS (SELECT d.source, s.lps, s.n_bigrams
+           |       FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+           |l AS (SELECT source,
+           |        CAST((-sum(lps)) // sum(n_bigrams) AS BIGINT) AS loss_m
+           |      FROM dl GROUP BY 1),
+           |w0 AS (SELECT source, loss_m,
+           |         CAST(1000000000 AS BIGINT) AS w FROM l),
+           |$rounds,
+           |zf AS (SELECT CAST(sum(w) AS BIGINT) AS z,
+           |         CAST(count(*) AS BIGINT) AS n_src FROM w4)
+           |SELECT source, loss_m,
+           |  CAST(w * 1000000 // z AS BIGINT) AS w_ppm,
+           |  CAST(w * 1000000 // z - 1000000 // n_src AS BIGINT)
+           |    AS delta_ppm
+           |FROM w4 CROSS JOIN zf ORDER BY source""".stripMargin
+      }),
+
+    // ---- quality-filter calibration audit (ECE) ---------------------------
+    // Is the q190 classifier's score CALIBRATED — does a document scored
+    // near the top of the range actually get kept by an independent
+    // reference rule more often than one scored near the threshold? The
+    // reliability-diagram audit every learned quality filter ships with:
+    // scores clamp to a 0–10000 bp confidence, bin into 10 fixed bins,
+    // and each bin compares mean confidence against the empirical
+    // keep-rate under a deliberately DIFFERENT reference heuristic
+    // (char-level: alphabetic-character density ≥ 70% and ≥ 200 chars —
+    // the token-level scorer never sees characters). Expected
+    // calibration error is the n-weighted mean absolute gap. Everything
+    // is exact integers (bp confidences, bp rates, DIV), so the oracle
+    // replays ECE bit-for-bit; the corpus is touched twice (scorer +
+    // reference rule), both narrow projections, and the audit output is
+    // 10 bounded rows.
+    "q209_calibration_audit" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val scored = qualityScored(docs).select("doc_id", "score")
+        val gold = docs
+          .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
+          .filter(length(col("lt")) > 0)
+          .withColumn("gold", when(
+            expr("length(regexp_replace(lt, '[^a-z]', '')) * 10000" +
+              " DIV length(lt)") >= 7000L && length(col("lt")) >= 200,
+            1L).otherwise(0L))
+          .select("doc_id", "gold")
+        val perBin = scored.join(gold, "doc_id")
+          .withColumn("conf_bp", expr(
+            """least(greatest(score, CAST(0 AS BIGINT)),
+              | CAST(4000 AS BIGINT)) * 10000 DIV 4000""".stripMargin))
+          .withColumn("bin", expr(
+            "least(conf_bp DIV 1000, CAST(9 AS BIGINT))"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(conf_bp) DIV count(1)").as("avg_conf_bp"),
+            expr("sum(gold) * 10000 DIV count(1)").as("gold_bp"))
+          .withColumn("gap_bp", abs(col("avg_conf_bp") - col("gold_bp")))
+        val ece = perBin.agg(
+          expr("sum(n * gap_bp) DIV sum(n)").as("ece_bp"))
+        perBin.crossJoin(broadcast(ece))
+          .select("bin", "n", "avg_conf_bp", "gold_bp", "gap_bp", "ece_bp")
+          .orderBy("bin")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |g AS (SELECT doc_id, lower(trim(text)) AS lt
+              |      FROM documents WHERE length(lower(trim(text))) > 0),
+              |gl AS (SELECT doc_id,
+              |        CASE WHEN length(regexp_replace(lt, '[^a-z]', '',
+              |            'g')) * 10000 // length(lt) >= 7000
+              |          AND length(lt) >= 200 THEN 1 ELSE 0 END AS gold
+              |      FROM g),
+              |b AS (SELECT qsc.doc_id,
+              |        least(greatest(score, 0), 4000) * 10000 // 4000
+              |          AS conf_bp,
+              |        gold
+              |      FROM qsc JOIN gl ON qsc.doc_id = gl.doc_id),
+              |bb AS (SELECT CAST(least(conf_bp // 1000, 9) AS BIGINT)
+              |         AS bin, conf_bp, gold FROM b),
+              |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              |        CAST(sum(conf_bp) // count(*) AS BIGINT)
+              |          AS avg_conf_bp,
+              |        CAST(sum(gold) * 10000 // count(*) AS BIGINT)
+              |          AS gold_bp
+              |      FROM bb GROUP BY 1),
+              |pg AS (SELECT *, abs(avg_conf_bp - gold_bp) AS gap_bp
+              |       FROM pb),
+              |e AS (SELECT CAST(sum(n * gap_bp) // sum(n) AS BIGINT)
+              |        AS ece_bp FROM pg)
+              |SELECT bin, n, avg_conf_bp, gold_bp,
+              |  CAST(gap_bp AS BIGINT) AS gap_bp, ece_bp
+              |FROM pg CROSS JOIN e ORDER BY bin""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

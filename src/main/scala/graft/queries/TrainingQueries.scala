@@ -35,6 +35,34 @@ object TrainingQueries {
        |   s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin
 
+  /** The q61 PII/blocklist detectors as a per-document projection —
+    * email-regex and term-blocklist match counts plus a hash witness of
+    * the SCRUBBED text (so consumers verify the replacement output, not
+    * just the counts). One narrow codegen'd projection, stateless —
+    * shared verbatim by the batch q61 audit (which aggregates it per
+    * source) and the `StreamSessionize.piiScreenStream` ingest-time
+    * screen (parity-gated against this batch path). Regexes are
+    * RE2-safe (no lookaround) so Java and DuckDB agree.
+    */
+  private[graft] def piiPerDoc(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val termRe = "\\b(key|table|spark)\\b"
+    docs
+      .select(col("doc_id"), col("source"), lower(col("text")).as("lt"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("lt"), lit(emailRe), lit(0)))
+          .cast("long"))
+      .withColumn("n_terms",
+        size(regexp_extract_all(col("lt"), lit(termRe), lit(0)))
+          .cast("long"))
+      .withColumn("scrub_h",
+        hash32(regexp_replace(
+          regexp_replace(col("lt"), emailRe, "[EMAIL]"),
+          termRe, "[REDACTED]")))
+      .select("doc_id", "source", "n_emails", "n_terms", "scrub_h")
+  }
+
   /** q191's manifest over any documents-shaped frame — delegates to the
     * shared [[graft.operators.Manifest]] core (one row-hash definition
     * for the batch query, the streaming twin, and q194's pruning);
@@ -341,26 +369,14 @@ object TrainingQueries {
     // DuckDB agree.
     "q61_pii_scrub" -> QueryDef(
       (s, dir) => {
-        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-        val termRe = "\\b(key|table|spark)\\b"
-        tableParallel(s, dir, "documents")
-          .select(col("source"), lower(col("text")).as("lt"))
-          .withColumn("n_emails",
-            size(regexp_extract_all(col("lt"), lit(emailRe), lit(0)))
-              .cast("long"))
-          .withColumn("n_terms",
-            size(regexp_extract_all(col("lt"), lit(termRe), lit(0)))
-              .cast("long"))
-          .withColumn("scrubbed",
-            regexp_replace(regexp_replace(col("lt"), emailRe, "[EMAIL]"),
-              termRe, "[REDACTED]"))
+        piiPerDoc(tableParallel(s, dir, "documents"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
                sum("n_emails").as("total_emails"),
                sum("n_terms").as("total_terms"),
                sum(when(col("n_terms") > 0, 1L).otherwise(0L))
                  .as("docs_touched"),
-               sum(hash32(col("scrubbed"))).as("scrub_checksum"))
+               sum("scrub_h").as("scrub_checksum"))
           .orderBy("source")
       },
       Some("""SELECT source, count(*) AS n_docs,
@@ -2343,5 +2359,256 @@ object TrainingQueries {
              |    ELSE 0 END) * 10000 // sum(n_test_u) AS BIGINT)
              |    AS leak_bp
              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Kolmogorov–Smirnov source drift test -----------------------------
+    // Distribution-level drift: for every source, the exact two-sample KS
+    // statistic between that source's document-length distribution and
+    // the rest of the corpus — the test a mix monitor runs when a
+    // provider silently changes extraction (mean-based z-tests miss
+    // shape changes; binned chi-square depends on the binning; KS is the
+    // sup over the whole ECDF). Everything is exact integer arithmetic:
+    // the corpus collapses to per-(source, value) counts in ONE pass
+    // (cardinality bounded by sources × length domain, never corpus
+    // rows), ECDFs are running sums over a dense source × value grid,
+    // and D is kept as the integer numerator d = max|cum_s·n_rest −
+    // cum_rest·n_s| over the common denominator n_s·n_rest, so both
+    // engines agree bit-for-bit. The rejection decision multiplies in
+    // DECIMAL(38,0) — d²·10⁶ > c²·(n_s+n_rest)·n_s·n_rest with
+    // c²(α=0.05) = 1.844430 ppm-scaled — no sqrt, no float. Windows
+    // partition by source over the value domain (bounded frames); the
+    // single global-ECDF window runs over the value-domain frame only.
+    "q207_ks_source_drift" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("source", "n_chars")
+        val perVal = docs.groupBy("source", "n_chars")
+          .agg(count(lit(1)).as("c"))
+        val glob = perVal.groupBy("n_chars").agg(sum("c").as("gc"))
+        val wAll = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val globCum = glob
+          .withColumn("cum_all", sum("gc").over(wAll))
+          .select("n_chars", "cum_all")
+        val perSrc = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_s"))
+        val nAll = docs.agg(count(lit(1)).as("n_all"))
+        val wSrc = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perSrc
+          .crossJoin(broadcast(glob.select("n_chars")))
+          .join(perVal, Seq("source", "n_chars"), "left")
+          .na.fill(0L, Seq("c"))
+          .withColumn("cum_s", sum("c").over(wSrc))
+          .join(broadcast(globCum), Seq("n_chars"))
+          .crossJoin(broadcast(nAll))
+          .withColumn("n_rest", col("n_all") - col("n_s"))
+          .withColumn("dv", abs(
+            col("cum_s") * col("n_rest") -
+              (col("cum_all") - col("cum_s")) * col("n_s")))
+          .groupBy("source", "n_s", "n_rest")
+          .agg(max("dv").as("d_num"))
+          .withColumn("d_bp", expr("d_num * 10000 DIV (n_s * n_rest)"))
+          .withColumn("reject",
+            col("d_num").cast("decimal(38,0)") * col("d_num") *
+              lit(1000000L) >
+              lit(1844430L).cast("decimal(38,0)") *
+                (col("n_s") + col("n_rest")) * col("n_s") * col("n_rest"))
+          .select("source", "n_s", "n_rest", "d_num", "d_bp", "reject")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, n_chars FROM documents),
+             |pv AS (SELECT source, n_chars, count(*) AS c
+             |       FROM d GROUP BY 1, 2),
+             |g AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS gc
+             |      FROM pv GROUP BY 1),
+             |ga AS (SELECT n_chars, CAST(sum(gc) OVER (ORDER BY n_chars
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS BIGINT) AS cum_all FROM g),
+             |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+             |       FROM d GROUP BY 1),
+             |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+             |grid AS (SELECT ps.source, ps.n_s, g.n_chars
+             |         FROM ps CROSS JOIN g),
+             |j AS (SELECT grid.source, grid.n_s, grid.n_chars,
+             |        COALESCE(pv.c, 0) AS c
+             |      FROM grid LEFT JOIN pv
+             |        ON pv.source = grid.source
+             |       AND pv.n_chars = grid.n_chars),
+             |cums AS (SELECT source, n_s, n_chars,
+             |        CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS cum_s
+             |      FROM j),
+             |dd AS (SELECT c.source, c.n_s,
+             |        (SELECT n_all FROM na) - c.n_s AS n_rest,
+             |        abs(c.cum_s * ((SELECT n_all FROM na) - c.n_s)
+             |          - (ga.cum_all - c.cum_s) * c.n_s) AS dv
+             |      FROM cums c JOIN ga ON c.n_chars = ga.n_chars),
+             |mx AS (SELECT source, n_s, n_rest,
+             |         CAST(max(dv) AS BIGINT) AS d_num
+             |       FROM dd GROUP BY 1, 2, 3)
+             |SELECT source, n_s, n_rest, d_num,
+             |  CAST(d_num * 10000 // (n_s * n_rest) AS BIGINT) AS d_bp,
+             |  CAST(d_num AS HUGEINT) * d_num * 1000000 >
+             |    CAST(1844430 AS HUGEINT) * (n_s + n_rest) * n_s * n_rest
+             |    AS reject
+             |FROM mx ORDER BY source""".stripMargin)),
+
+    // ---- CUSUM changepoint detection --------------------------------------
+    // Sustained-shift detection on the daily event volume — the monitor
+    // that catches a slow drift a per-day control chart (q154) never
+    // flags, because CUSUM accumulates small deviations until they cross
+    // a decision threshold. The textbook recursion S_t = max(0, S_{t-1}
+    // + dev_t) looks inherently sequential, but it has an exact
+    // prefix-scan form: S_t = P_t − min(0, min_{j≤t} P_j) (and the
+    // downward side N_t = max(0, max_{j≤t} P_j) − P_t), where P is the
+    // running sum of deviations — three window functions over the
+    // per-day frame, no recursion, no driver loop. The per-day frame is
+    // bounded by the calendar (one row per day whatever the corpus), so
+    // the unpartitioned windows are over a domain-sized frame, not the
+    // corpus; the corpus itself is touched once by the day groupBy. A
+    // deterministic +50% volume shift is injected after the midpoint day
+    // so the fixture witnesses a real detection (both alarms fire a few
+    // days into their regime, not before); target μ and threshold μ are
+    // exact integer derivations of the same data.
+    "q210_cusum_changepoint" -> QueryDef(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+          .groupBy("day_idx").agg(count(lit(1)).as("n_raw"))
+        val span = daily.agg(min("day_idx").as("d0"), max("day_idx").as("d1"))
+        val shifted = daily.crossJoin(broadcast(span))
+          .withColumn("n", expr(
+            """n_raw + CASE WHEN day_idx >= (d0 + d1) DIV 2
+              | THEN n_raw DIV 2 ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        val mu = shifted.agg(expr("sum(n) DIV count(1)").as("mu"))
+        val w = Window.orderBy("day_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        shifted.crossJoin(broadcast(mu))
+          .withColumn("dev", col("n") - col("mu"))
+          .withColumn("p", sum("dev").over(w))
+          .withColumn("minp", min("p").over(w))
+          .withColumn("maxp", max("p").over(w))
+          .withColumn("cusum_pos", expr("p - least(minp, CAST(0 AS BIGINT))"))
+          .withColumn("cusum_neg",
+            expr("greatest(maxp, CAST(0 AS BIGINT)) - p"))
+          .withColumn("alarm_pos", col("cusum_pos") > col("mu"))
+          .withColumn("alarm_neg", col("cusum_neg") > col("mu"))
+          .select("day_idx", "n_raw", "n", "dev",
+            "cusum_pos", "cusum_neg", "alarm_pos", "alarm_neg")
+          .orderBy("day_idx")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx
+             |           FROM events),
+             |daily AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS n_raw
+             |          FROM e GROUP BY 1),
+             |span AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1
+             |         FROM daily),
+             |sh AS (SELECT day_idx, n_raw,
+             |        CAST(n_raw + CASE WHEN day_idx >= (d0 + d1) // 2
+             |          THEN n_raw // 2 ELSE 0 END AS BIGINT) AS n
+             |      FROM daily CROSS JOIN span),
+             |m AS (SELECT CAST(sum(n) // count(*) AS BIGINT) AS mu FROM sh),
+             |pp AS (SELECT day_idx, n_raw, n, mu,
+             |        CAST(n - mu AS BIGINT) AS dev,
+             |        CAST(sum(n - mu) OVER (ORDER BY day_idx
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS p
+             |      FROM sh CROSS JOIN m),
+             |q AS (SELECT *,
+             |        min(p) OVER (ORDER BY day_idx
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS minp,
+             |        max(p) OVER (ORDER BY day_idx
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS maxp
+             |      FROM pp)
+             |SELECT day_idx, n_raw, n, dev,
+             |  CAST(p - least(minp, 0) AS BIGINT) AS cusum_pos,
+             |  CAST(greatest(maxp, 0) - p AS BIGINT) AS cusum_neg,
+             |  p - least(minp, 0) > mu AS alarm_pos,
+             |  greatest(maxp, 0) - p > mu AS alarm_neg
+             |FROM q ORDER BY day_idx""".stripMargin)),
+
+    // ---- distribution matching via hash rejection sampling ----------------
+    // Reshape the corpus's length distribution to a reference profile
+    // (here: the `lang = 'en'` sub-corpus — the DSIR target convention)
+    // without sorting or global coordination: per 100-char length bucket,
+    // the accept rate is the target/actual density ratio normalized so
+    // the most-underrepresented bucket keeps everything (the maximal
+    // subsample under exact matching), and each document's keep decision
+    // is a pure hash threshold — reproducible under reruns, retries, and
+    // repartitioning, the q57 rule. The rate table is fixed-cardinality
+    // (length-domain buckets) and broadcast; the corpus is touched once
+    // to build the histogram and once to decide — no shuffle beyond two
+    // bucket groupBys. All rates/shares are exact integer ppm/bp, so the
+    // oracle replays every keep decision and the achieved-vs-target
+    // shares bit-for-bit.
+    "q212_dist_match_sample" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars DIV 100").as("bucket"))
+        val hist = docs.groupBy("bucket")
+          .agg(count(lit(1)).as("a_b"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+          .withColumn("r_b", expr("t_b * 1000000 DIV a_b"))
+        val rmax = hist.agg(max("r_b").as("r_max"))
+        val rates = Materialize(hist.crossJoin(broadcast(rmax))
+          .withColumn("accept_ppm", expr("r_b * 1000000 DIV r_max"))
+          .select("bucket", "a_b", "t_b", "accept_ppm"))
+        val dec = docs
+          .join(broadcast(rates.select("bucket", "accept_ppm")),
+            Seq("bucket"))
+          .withColumn("acc",
+            (hash32(concat(lit("dm_"), col("doc_id").cast("string")))
+              % 1000000 < col("accept_ppm")).cast("long"))
+        val accAgg = dec.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("acc").as("n_accepted"))
+        val tAcc = accAgg.agg(sum("n_accepted").as("n_acc"))
+        val tAll = rates.agg(sum("a_b").as("n_all"), sum("t_b").as("n_t"))
+        accAgg.join(rates, "bucket")
+          .crossJoin(broadcast(tAcc)).crossJoin(broadcast(tAll))
+          .withColumn("share_before_bp", expr("n_docs * 10000 DIV n_all"))
+          .withColumn("share_after_bp",
+            expr("n_accepted * 10000 DIV n_acc"))
+          .withColumn("target_share_bp", expr("t_b * 10000 DIV n_t"))
+          .select(col("bucket"), col("n_docs"), col("t_b").as("n_target"),
+            col("accept_ppm"), col("n_accepted"),
+            col("share_before_bp"), col("share_after_bp"),
+            col("target_share_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars // 100 AS bucket
+             |           FROM documents),
+             |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS a_b,
+             |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS t_b
+             |      FROM d GROUP BY 1),
+             |hr AS (SELECT *, t_b * 1000000 // a_b AS r_b FROM h),
+             |mx AS (SELECT max(r_b) AS r_max FROM hr),
+             |rates AS (SELECT bucket, a_b, t_b,
+             |        CAST(r_b * 1000000 // r_max AS BIGINT) AS accept_ppm
+             |      FROM hr CROSS JOIN mx),
+             |dec AS (SELECT d.bucket,
+             |        CASE WHEN CAST(('0x' || substr(md5('dm_' || doc_id),
+             |          1, 8)) AS BIGINT) % 1000000 < r.accept_ppm
+             |          THEN 1 ELSE 0 END AS acc
+             |      FROM d JOIN rates r ON d.bucket = r.bucket),
+             |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |        CAST(sum(acc) AS BIGINT) AS n_accepted
+             |      FROM dec GROUP BY 1),
+             |t1 AS (SELECT CAST(sum(n_accepted) AS BIGINT) AS n_acc
+             |       FROM agg),
+             |t2 AS (SELECT CAST(sum(a_b) AS BIGINT) AS n_all,
+             |         CAST(sum(t_b) AS BIGINT) AS n_t FROM rates)
+             |SELECT a.bucket, a.n_docs, r.t_b AS n_target, r.accept_ppm,
+             |  a.n_accepted,
+             |  CAST(a.n_docs * 10000 // n_all AS BIGINT) AS share_before_bp,
+             |  CAST(a.n_accepted * 10000 // n_acc AS BIGINT)
+             |    AS share_after_bp,
+             |  CAST(r.t_b * 10000 // n_t AS BIGINT) AS target_share_bp
+             |FROM agg a JOIN rates r ON a.bucket = r.bucket
+             |CROSS JOIN t1 CROSS JOIN t2
+             |ORDER BY a.bucket""".stripMargin)),
   )
 }

@@ -292,6 +292,20 @@ object StreamSessionize {
       .filter(col("pass") === 1L)
       .select(col("doc_id"), col("source"), col("score"))
 
+  /** Ingest-time PII screen — q61's pattern detectors on the live feed:
+    * per arriving document the email-regex and blocklist match counts
+    * plus a hash witness of the SCRUBBED text, via the projection shared
+    * verbatim with the batch audit (`TrainingQueries.piiPerDoc`).
+    * Stateless — no state, no watermark — so any micro-batch split of a
+    * replay equals the batch projection row-for-row; the per-source
+    * audit q61 publishes is one groupBy over this stream's sink. This is
+    * the screen that runs BEFORE data lands: a document whose
+    * `n_emails + n_terms > 0` can be quarantined at ingest time rather
+    * than scrubbed in a later batch sweep.
+    */
+  def piiScreenStream(docs: DataFrame): DataFrame =
+    graft.queries.TrainingQueries.piiPerDoc(docs)
+
   /** Ingest-time DSIR importance screen — q199's per-document weight
     * computed STATELESSLY on the stream: the 64-entry bucket→log-ratio
     * table arrives as a ONE-row map frame (`TextQueries.dsirLrMap`,

@@ -961,6 +961,39 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay piiScreenStream == q61 batch per-doc projection " +
+      "(stateless ingest-time PII screen)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("pii_replay_").toString
+      val ckpt = Files.createTempDirectory("pii_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = piiScreenStream(stream)
+        .writeStream.format("memory").queryName("pii_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val streamed = spark.table("pii_replay").collect().map(key).toSet
+      val batch = graft.queries.TrainingQueries.piiPerDoc(docs)
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      // teeth: the detectors FIRE on this fixture (some doc carries a
+      // blocklist term) and stay quiet on others — an all-zero or
+      // all-hit replay would prove only that zero == zero
+      val hits = streamed.count(t => t._3 + t._4 > 0)
+      assert(hits > 0 && hits < streamed.size)
+    }
+  }
+
   test("file-replay dsirScreenStream == q199 batch dsirDocScores " +
       "(cross-plan: map-literal aggregate() vs explode-join-groupBy)") {
     failAfter(Span(300, Seconds)) {
