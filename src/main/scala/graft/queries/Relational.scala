@@ -112,6 +112,53 @@ object Relational {
       |  CAST(sum(node) AS BIGINT) AS node_id_sum
       |FROM lv GROUP BY level ORDER BY level""".stripMargin
 
+  /** Rare-context cells of the bipartite user–context graph: distinct
+    * (event_type, hour, value-bucket-of-50) cells touched by 2..8
+    * distinct users, each with its sorted user set. The blocking basis
+    * for q214/q215 — the user-behavior analogue of the stop-shingle df
+    * cut: crowded cells are non-discriminative AND quadratic, so the cap
+    * bounds per-cell pair fan-out at 64 regardless of corpus size, and
+    * the hour×bucket granularity keeps cell sizes stable as event
+    * density grows (a day-level cell saturates at 10× data; an
+    * hour×value cell splits instead).
+    */
+  private[graft] def rareContextUsers(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hr"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("vb"),
+        col("user_id"))
+      .distinct()
+      .groupBy("event_type", "hr", "vb")
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .filter(size(col("us")).between(2, 8))
+
+  /** Map-side i<j user pairs from each rare context cell (the coPairs
+    * shape): one groupBy shuffle total, fan-out ≤ 8·7/2 per cell.
+    */
+  private def contextPairs(grouped: DataFrame): DataFrame =
+    grouped.select(
+        size(col("us")).cast("long").as("ctx_size"),
+        explode(expr(
+          """flatten(transform(us, (x, i) ->
+            |  transform(slice(us, i + 2, size(us)),
+            |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(col("p.u"), col("p.v"), col("ctx_size"))
+
+  /** Shared oracle CTEs for the rare-context construction: `r` is the
+    * (cell, user, n_users) incidence restricted to cells with 2..8
+    * users — the SQL twin of [[rareContextUsers]].
+    */
+  private val rareContextCtes =
+    """ctx AS (SELECT DISTINCT event_type,
+      |          epoch_us(ts) // 3600000000 AS hr,
+      |          CAST(floor(value / 50) AS BIGINT) AS vb, user_id
+      |        FROM events),
+      |sz AS (SELECT event_type, hr, vb, count(*) AS n_users
+      |       FROM ctx GROUP BY 1, 2, 3
+      |       HAVING count(*) BETWEEN 2 AND 8),
+      |r AS (SELECT c.event_type, c.hr, c.vb, c.user_id, s.n_users
+      |      FROM ctx c JOIN sz s USING (event_type, hr, vb))""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- scan / projection / filter (pushdown-visible) ------------------
@@ -2094,5 +2141,130 @@ object Relational {
              |  round(CAST(sum(term) AS BIGINT) * 1.0 / 1e6, 4)
              |    AS decayed_value
              |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- link prediction: rare-context common neighbors -------------------
+    // Which user pairs behave alike? Candidate pairs are enumerated ONLY
+    // inside rare contexts — (event_type, hour, value-bucket) cells with
+    // 2..8 distinct users — the df-cut rationale from the shingle dedup
+    // family applied to a bipartite user–context graph: crowded contexts
+    // carry no discriminative signal and are exactly where pair fan-out
+    // turns quadratic, so they are cut, and per-cell fan-out is bounded
+    // by CAP²=64 whatever the corpus. Pairs are generated MAP-SIDE from
+    // one context groupBy (the coPairs shape — sorted user set, i<j
+    // combinations), never a self-join. Scores are the two classic
+    // common-neighbor indices, exact in integers: neighborhood Jaccard
+    // in bp, and the resource-allocation index Σ_w 1/deg(w) over shared
+    // contexts as Σ 1000000 DIV ctx_size ppm (Zhou et al. 2009 — the RA
+    // index; deg(w) of the shared context node IS its user count). Only
+    // pairs with ≥2 shared contexts surface — one shared cell is chance,
+    // two is structure — which also bounds the output.
+    "q214_linkpred_common_contexts" -> QueryDef(
+      (s, dir) => {
+        val grouped = rareContextUsers(table(s, dir, "events"))
+        val deg = grouped.select(explode(col("us")).as("user_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("deg"))
+        val pairs = contextPairs(grouped)
+        pairs.groupBy("u", "v")
+          .agg(count(lit(1)).as("common"),
+            sum(expr("1000000 DIV ctx_size")).as("ra_ppm"))
+          .filter(col("common") >= 2)
+          .join(deg.select(col("user_id").as("u"), col("deg").as("deg_u")),
+            Seq("u"))
+          .join(deg.select(col("user_id").as("v"), col("deg").as("deg_v")),
+            Seq("v"))
+          .withColumn("jaccard_bp",
+            expr("common * 10000 DIV (deg_u + deg_v - common)"))
+          .select("u", "v", "common", "deg_u", "deg_v", "jaccard_bp",
+            "ra_ppm")
+          .orderBy("u", "v")
+      },
+      Some(s"""WITH $rareContextCtes,
+             |deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS deg
+             |        FROM r GROUP BY 1),
+             |p AS (SELECT a.user_id AS u, b.user_id AS v,
+             |        CAST(count(*) AS BIGINT) AS common,
+             |        CAST(sum(1000000 // a.n_users) AS BIGINT) AS ra_ppm
+             |      FROM r a JOIN r b ON a.event_type = b.event_type
+             |        AND a.hr = b.hr AND a.vb = b.vb
+             |        AND a.user_id < b.user_id
+             |      GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT p.u, p.v, p.common, du.deg AS deg_u, dv.deg AS deg_v,
+             |  CAST(p.common * 10000 // (du.deg + dv.deg - p.common)
+             |    AS BIGINT) AS jaccard_bp,
+             |  p.ra_ppm
+             |FROM p JOIN deg du ON p.u = du.user_id
+             |JOIN deg dv ON p.v = dv.user_id
+             |ORDER BY u, v""".stripMargin)),
+
+    // ---- label propagation communities ------------------------------------
+    // Community detection over the strong-tie graph (q214's pairs with
+    // ≥2 shared rare contexts): three SYNCHRONOUS label-propagation
+    // rounds with the deterministic update "new label = most frequent
+    // neighbor label, ties to the smallest" — the tie-break is what
+    // makes LPA replayable at all (textbook LPA randomizes; a
+    // distributed engine must not). Each round is ONE shuffle join
+    // (symmetrized edges against the current label frame) + one groupBy
+    // + a per-node window over a neighbor-label frame bounded by degree
+    // — exactly how LPA scales on a 1000-executor cluster, with rounds
+    // fixed so the plan is statically unrolled, never iterate-to-
+    // convergence (synchronous LPA can oscillate; a fixed horizon is
+    // both deterministic and the standard production cut). The oracle
+    // replays all three rounds as unrolled CTEs.
+    "q215_label_propagation" -> QueryDef(
+      (s, dir) => {
+        val grouped = rareContextUsers(table(s, dir, "events"))
+        val strong = contextPairs(grouped)
+          .groupBy("u", "v").agg(count(lit(1)).as("common"))
+          .filter(col("common") >= 2)
+        val sym = graft.operators.Materialize(
+          strong.select(col("u").as("src"), col("v").as("dst"))
+            .unionAll(strong.select(col("v").as("src"), col("u").as("dst"))))
+        var labels = sym.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        val w = Window.partitionBy("src").orderBy(desc("c"), asc("label"))
+        for (_ <- 1 to 3) {
+          labels = sym.as("e")
+            .join(labels.as("l"), col("e.dst") === col("l.node"))
+            .groupBy(col("e.src").as("src"), col("l.label").as("label"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("label"))
+        }
+        val sizes = labels.groupBy("label")
+          .agg(count(lit(1)).as("community_size"))
+        labels.join(sizes, Seq("label"))
+          .select(col("node").as("user_id"), col("label"),
+            col("community_size"))
+          .orderBy("user_id")
+      },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (SELECT s.src, l.label, count(*) AS c
+             |      FROM sym s JOIN l${i - 1} l ON s.dst = l.node
+             |      GROUP BY 1, 2),
+             |l$i AS (SELECT src AS node, label FROM (
+             |        SELECT src, label, row_number() OVER (PARTITION BY src
+             |          ORDER BY c DESC, label ASC) AS rn FROM c$i)
+             |      WHERE rn = 1)"""
+        s"""WITH $rareContextCtes,
+           |p AS (SELECT a.user_id AS u, b.user_id AS v
+           |      FROM r a JOIN r b ON a.event_type = b.event_type
+           |        AND a.hr = b.hr AND a.vb = b.vb
+           |        AND a.user_id < b.user_id
+           |      GROUP BY 1, 2 HAVING count(*) >= 2),
+           |sym AS (SELECT u AS src, v AS dst FROM p
+           |        UNION ALL SELECT v, u FROM p),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |cs AS (SELECT label, CAST(count(*) AS BIGINT)
+           |         AS community_size
+           |       FROM l3 GROUP BY 1)
+           |SELECT l3.node AS user_id, l3.label, cs.community_size
+           |FROM l3 JOIN cs USING (label)
+           |ORDER BY user_id""".stripMargin
+      }),
   )
 }

@@ -2610,5 +2610,70 @@ object TrainingQueries {
              |FROM agg a JOIN rates r ON a.bucket = r.bucket
              |CROSS JOIN t1 CROSS JOIN t2
              |ORDER BY a.bucket""".stripMargin)),
+
+    // ---- seasonal-trend decomposition -------------------------------------
+    // Classical additive decomposition of the daily event volume —
+    // n = trend + seasonal + remainder — the de-seasonalized view every
+    // volume monitor (q154 p-chart, q210 CUSUM) should really run on,
+    // since a weekly rhythm inflates both control limits and CUSUM
+    // drift. Trend is the centered 7-day moving average over a RANGE
+    // frame (a missing calendar day leaves a hole, not a shifted
+    // window), defined only where all 7 days exist, so edges and gaps
+    // are honestly null rather than biased. Seasonal is the per-
+    // day-of-week mean of the detrended series over exactly the
+    // trend-defined rows. Every step is integer DIV — truncation
+    // semantics agree between the engines even on negative detrends
+    // (both truncate toward zero) — so the oracle replays the
+    // decomposition bit-for-bit. Scale: the corpus is touched ONCE by
+    // the day groupBy; everything after runs on the per-day frame,
+    // bounded by the calendar whatever the corpus (the q210 posture),
+    // and the dow profile is a 7-row broadcast.
+    "q216_seasonal_decompose" -> QueryDef(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+          .groupBy("day_idx").agg(count(lit(1)).as("n"))
+        val w7 = Window.orderBy("day_idx").rangeBetween(-3, 3)
+        val tr = daily
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .withColumn("sum7", sum("n").over(w7))
+          .withColumn("trend",
+            when(col("cnt7") === 7, expr("sum7 DIV 7")))
+          .withColumn("dow", expr("day_idx % 7"))
+          .withColumn("detrend", col("n") - col("trend"))
+        val seas = tr.filter(col("trend").isNotNull)
+          .groupBy("dow")
+          .agg(expr("sum(detrend) DIV count(1)").as("seasonal"))
+        tr.join(broadcast(seas), Seq("dow"), "left")
+          .withColumn("seasonal",
+            when(col("trend").isNotNull, col("seasonal")))
+          .withColumn("remainder",
+            col("n") - col("trend") - col("seasonal"))
+          .select("day_idx", "dow", "n", "trend", "seasonal", "remainder")
+          .orderBy("day_idx")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx
+             |           FROM events),
+             |daily AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS n
+             |          FROM e GROUP BY 1),
+             |tr AS (SELECT day_idx, n,
+             |        count(*) OVER w AS cnt7,
+             |        CAST(sum(n) OVER w AS BIGINT) AS sum7
+             |      FROM daily WINDOW w AS (ORDER BY day_idx
+             |        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |t2 AS (SELECT day_idx, day_idx % 7 AS dow, n,
+             |        CASE WHEN cnt7 = 7
+             |          THEN CAST(sum7 // 7 AS BIGINT) END AS trend
+             |      FROM tr),
+             |t3 AS (SELECT *, n - trend AS detrend FROM t2),
+             |seas AS (SELECT dow,
+             |          CAST(sum(detrend) // count(*) AS BIGINT) AS seasonal
+             |        FROM t3 WHERE trend IS NOT NULL GROUP BY 1)
+             |SELECT t3.day_idx, t3.dow, t3.n, t3.trend,
+             |  CASE WHEN t3.trend IS NOT NULL THEN s.seasonal END
+             |    AS seasonal,
+             |  CAST(t3.n - t3.trend - s.seasonal AS BIGINT) AS remainder
+             |FROM t3 LEFT JOIN seas s USING (dow)
+             |ORDER BY day_idx""".stripMargin)),
   )
 }
