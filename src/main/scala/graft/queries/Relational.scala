@@ -2266,5 +2266,85 @@ object Relational {
            |FROM l3 JOIN cs USING (label)
            |ORDER BY user_id""".stripMargin
       }),
+
+    // ---- HITS hubs and authorities ----------------------------------------
+    // Kleinberg's HITS on the DIRECTED customer→supplier purchase graph
+    // (who buys from whom): hubs are broad buyers, authorities are
+    // widely-bought-from suppliers — the two-sided centrality PageRank's
+    // single score conflates on bipartite-ish graphs. Two full
+    // hub/authority rounds in scaled-integer math: each half-step is one
+    // equi-join + one aggregation over the edge list (the same shuffle
+    // shape as q115's PageRank — how HITS actually runs at 100 TB), and
+    // the usual L2 normalization is replaced by max-normalization to
+    // 10⁶ (scores in [0, 10⁶], sums bounded by |V|·10⁶ — no sqrt, no
+    // float, so the trajectory replays exactly). The per-step max is a
+    // one-row broadcast. Top-10 each side under a total tie-break.
+    "q219_hits_hub_authority" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        val edges = graft.operators.Materialize(
+          o.join(li, o("o_orderkey") === li("l_orderkey"))
+            .select(col("o_custkey").as("cust"),
+              col("l_suppkey").as("supp"))
+            .distinct())
+        def normalized(df: DataFrame, c: String): DataFrame = {
+          val mx = df.agg(max(col(c)).as("mx"))
+          df.crossJoin(broadcast(mx))
+            .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx")
+        }
+        val h0 = edges.select("cust").distinct()
+          .withColumn("h", lit(1000000L))
+        val a1 = normalized(edges.join(h0, "cust")
+          .groupBy("supp").agg(sum("h").as("a")), "a")
+        val h1 = normalized(edges.join(a1, "supp")
+          .groupBy("cust").agg(sum("a").as("h")), "h")
+        val a2 = normalized(edges.join(h1, "cust")
+          .groupBy("supp").agg(sum("h").as("a")), "a")
+        val h2 = normalized(edges.join(a2, "supp")
+          .groupBy("cust").agg(sum("a").as("h")), "h")
+        a2.select(lit("authority").as("side"),
+            col("supp").as("node_id"), col("a").as("score_scaled"))
+          .orderBy(desc("score_scaled"), asc("node_id")).limit(10)
+          .unionAll(
+            h2.select(lit("hub").as("side"),
+                col("cust").as("node_id"), col("h").as("score_scaled"))
+              .orderBy(desc("score_scaled"), asc("node_id")).limit(10))
+          .orderBy(col("side"), desc("score_scaled"), asc("node_id"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS cust,
+             |            l_suppkey AS supp
+             |          FROM orders JOIN lineitem
+             |            ON o_orderkey = l_orderkey),
+             |h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h
+             |       FROM e),
+             |a1r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS a
+             |        FROM e JOIN h0 USING (cust) GROUP BY 1),
+             |a1 AS (SELECT supp, CAST(a * 1000000 //
+             |         (SELECT max(a) FROM a1r) AS BIGINT) AS a FROM a1r),
+             |h1r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS h
+             |        FROM e JOIN a1 USING (supp) GROUP BY 1),
+             |h1 AS (SELECT cust, CAST(h * 1000000 //
+             |         (SELECT max(h) FROM h1r) AS BIGINT) AS h FROM h1r),
+             |a2r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS a
+             |        FROM e JOIN h1 USING (cust) GROUP BY 1),
+             |a2 AS (SELECT supp, CAST(a * 1000000 //
+             |         (SELECT max(a) FROM a2r) AS BIGINT) AS a FROM a2r),
+             |h2r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS h
+             |        FROM e JOIN a2 USING (supp) GROUP BY 1),
+             |h2 AS (SELECT cust, CAST(h * 1000000 //
+             |         (SELECT max(h) FROM h2r) AS BIGINT) AS h FROM h2r),
+             |ranked AS (
+             |  SELECT 'authority' AS side, supp AS node_id,
+             |    a AS score_scaled,
+             |    row_number() OVER (ORDER BY a DESC, supp) AS rn
+             |  FROM a2
+             |  UNION ALL
+             |  SELECT 'hub', cust, h,
+             |    row_number() OVER (ORDER BY h DESC, cust)
+             |  FROM h2)
+             |SELECT side, node_id, score_scaled FROM ranked
+             |WHERE rn <= 10
+             |ORDER BY side, score_scaled DESC, node_id""".stripMargin)),
   )
 }

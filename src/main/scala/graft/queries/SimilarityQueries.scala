@@ -2279,6 +2279,145 @@ object SimilarityQueries {
              |FROM band s JOIN st ON st.aid = s.aid
              |WHERE rnk <= 3
              |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- multi-probe LSH: probes for tables -------------------------------
+    // The index-memory lever Lv et al. (VLDB'07) introduced: instead of
+    // adding hash tables to recover recall, probe the NEIGHBOR buckets
+    // of the ones a query lands in. Three strategies over the q47 SRP
+    // machinery on the bounded q64 slice, under ONE frame: 4 bands with
+    // exact probes (the q47 baseline), 2 bands exact (half the index
+    // memory, recall collapses), and 2 bands probing each key plus its
+    // four Hamming-1 neighbors (same halved index, 5 probes). Probing is
+    // an EXPLODE on the query side only — the stored index is untouched,
+    // which is the entire point: at 100 TB the bands table is the
+    // persisted/shuffled asset and probe fan-out is a 5× map-side
+    // multiplier on the (tiny) probe stream, so candidate generation
+    // stays one equi-join either way. Candidate sets are supersets by
+    // construction (multi ⊇ single at equal bands), so the recall
+    // ordering the spec pins is structural; the oracle replays all three
+    // strategies bit-for-bit with recall in integer bp.
+    "q217_multiprobe_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.SrpBandKeys
+        SrpBandKeys.register(s)
+        val e = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", norm(s)(col("v"))))
+        val exact = Materialize(e.as("a")
+          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .filter(dot(s)(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")) >= 0.4)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")))
+        val bands = Materialize(e
+          .select(col("vec_id"), posexplode(SrpBandKeys.of(col("v"))))
+          .toDF("vec_id", "band_id", "bkey"))
+        def strategyRow(name: String, nBands: Int,
+                        multi: Boolean): DataFrame = {
+          val idx = bands.filter(col("band_id") < nBands)
+          val probes =
+            if (multi) idx.select(col("vec_id"), col("band_id"),
+              explode(expr("array(bkey, bkey ^ 1, bkey ^ 2, bkey ^ 4, " +
+                "bkey ^ 8)")).as("bkey"))
+            else idx
+          val cand = probes.as("a")
+            .join(idx.as("b"),
+              col("a.band_id") === col("b.band_id") &&
+                col("a.bkey") === col("b.bkey") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("vec_a"),
+              col("b.vec_id").as("vec_b"))
+            .distinct()
+          val ver = cand
+            .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+              col("nrm").as("na")), Seq("vec_a"))
+            .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+              col("nrm").as("nb")), Seq("vec_b"))
+            .filter(dot(s)(col("va"), col("vb")) /
+              (col("na") * col("nb")) >= 0.4)
+            .select("vec_a", "vec_b")
+          val nCand = cand.agg(count(lit(1)).as("n_cand"))
+          exact
+            .join(ver.withColumn("hit", lit(1)),
+              Seq("vec_a", "vec_b"), "left")
+            .agg(count(lit(1)).as("n_exact"),
+              sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+            .crossJoin(broadcast(nCand))
+            .select(lit(name).as("strategy"),
+              lit(nBands.toLong).as("n_tables"), col("n_cand"),
+              col("n_exact"), col("n_hit"),
+              expr("n_hit * 10000 DIV n_exact").as("recall_bp"))
+        }
+        strategyRow("a_single_4band", 4, multi = false)
+          .unionAll(strategyRow("b_single_2band", 2, multi = false))
+          .unionAll(strategyRow("c_multi_2band", 2, multi = true))
+          .orderBy("strategy")
+      },
+      Some {
+        def strategy(tag: String, nBands: Int, multi: Boolean) = {
+          val probeSrc =
+            if (multi)
+              s"""(SELECT vec_id, band_id,
+                 |    unnest([bkey, xor(bkey, 1), xor(bkey, 2),
+                 |            xor(bkey, 4), xor(bkey, 8)]) AS bkey
+                 |  FROM bands WHERE band_id < $nBands)"""
+            else s"(SELECT * FROM bands WHERE band_id < $nBands)"
+          s"""cand_$tag AS (
+             |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM $probeSrc a
+             |  JOIN bands b ON b.band_id = a.band_id AND b.bkey = a.bkey
+             |    AND a.vec_id < b.vec_id
+             |  WHERE b.band_id < $nBands),
+             |ver_$tag AS (
+             |  SELECT vec_a, vec_b FROM cand_$tag
+             |  JOIN n na ON na.vec_id = vec_a
+             |  JOIN n nb ON nb.vec_id = vec_b
+             |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+             |    >= 0.4),
+             |row_$tag AS (
+             |  SELECT '$tag' AS strategy, CAST($nBands AS BIGINT)
+             |      AS n_tables,
+             |    (SELECT count(*) FROM cand_$tag) AS n_cand,
+             |    (SELECT count(*) FROM exact) AS n_exact,
+             |    (SELECT count(*) FROM exact e JOIN ver_$tag v
+             |       ON v.vec_a = e.vec_a AND v.vec_b = e.vec_b)
+             |      AS n_hit)"""
+        }
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |          FROM embeddings WHERE vec_id < 300),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+           |      FROM e),
+           |exact AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+           |planes AS (
+           |  SELECT p, list_transform(range(0, 64), d ->
+           |    ((CAST(('0x' || substr(md5(p || '_' || d), 1, 8)) AS BIGINT)
+           |      % 2001) - 1000) / 1000.0) AS w
+           |  FROM range(16) t(p)),
+           |sig AS (
+           |  SELECT e.vec_id, planes.p,
+           |    CASE WHEN list_sum(list_transform(range(1, 65),
+           |      d -> v[d] * w[d])) >= 0 THEN 1 ELSE 0 END AS bit
+           |  FROM e CROSS JOIN planes),
+           |bands AS (
+           |  SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+           |    CAST(sum(bit << (p % 4)) AS INT) AS bkey
+           |  FROM sig GROUP BY vec_id, p // 4),
+           |${strategy("a_single_4band", 4, multi = false)},
+           |${strategy("b_single_2band", 2, multi = false)},
+           |${strategy("c_multi_2band", 2, multi = true)}
+           |SELECT strategy, n_tables,
+           |  CAST(n_cand AS BIGINT) AS n_cand,
+           |  CAST(n_exact AS BIGINT) AS n_exact,
+           |  CAST(n_hit AS BIGINT) AS n_hit,
+           |  CAST(n_hit * 10000 // n_exact AS BIGINT) AS recall_bp
+           |FROM (SELECT * FROM row_a_single_4band
+           |  UNION ALL SELECT * FROM row_b_single_2band
+           |  UNION ALL SELECT * FROM row_c_multi_2band)
+           |ORDER BY strategy""".stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

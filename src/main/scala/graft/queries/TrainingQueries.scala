@@ -2675,5 +2675,54 @@ object TrainingQueries {
              |  CAST(t3.n - t3.trend - s.seasonal AS BIGINT) AS remainder
              |FROM t3 LEFT JOIN seas s USING (dow)
              |ORDER BY day_idx""".stripMargin)),
+
+    // ---- context-length truncation sweep ----------------------------------
+    // The OTHER dataloader loss channel: q198 measures pad slots wasted
+    // on short documents, q183 measures packed-chunk breakage — this
+    // measures the tail tokens a fixed context window DISCARDS from long
+    // documents, per source, swept over three candidate lengths in one
+    // pass. The decision it feeds: pick the context length (or the
+    // long-doc chunking policy) by looking at where each source's loss
+    // curve bends. Shape: ONE narrow token-count projection over the
+    // corpus, a map-side ×3 explode of the candidate lengths (no
+    // broadcast, no second scan), one groupBy on (ctx_len, source) —
+    // linear whatever the corpus, output 3×sources rows. Integer bp
+    // throughout.
+    "q218_truncation_waste_audit" -> QueryDef(
+      (s, dir) => {
+        graft.Tables.tableParallel(s, dir, "documents")
+          .select(col("source"),
+            size(split(lower(trim(col("text"))), "\\s+"))
+              .cast("long").as("n_tok"))
+          .withColumn("ctx_len",
+            explode(array(lit(32L), lit(64L), lit(96L))))
+          .groupBy("ctx_len", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tok") > col("ctx_len"), 1L).otherwise(0L))
+              .as("n_truncated"),
+            sum("n_tok").as("tokens_total"),
+            sum(greatest(col("n_tok") - col("ctx_len"), lit(0L)))
+              .as("tokens_lost"))
+          .withColumn("lost_bp",
+            expr("tokens_lost * 10000 DIV tokens_total"))
+          .orderBy("ctx_len", "source")
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CAST(len(regexp_split_to_array(lower(trim(text)),
+             |      '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |x AS (SELECT CAST(t.ctx_len AS BIGINT) AS ctx_len, d.source,
+             |        d.n_tok
+             |      FROM d CROSS JOIN (VALUES (32), (64), (96))
+             |        t(ctx_len))
+             |SELECT ctx_len, source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_truncated,
+             |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+             |  CAST(sum(greatest(n_tok - ctx_len, 0)) AS BIGINT)
+             |    AS tokens_lost,
+             |  CAST(sum(greatest(n_tok - ctx_len, 0)) * 10000
+             |    // sum(n_tok) AS BIGINT) AS lost_bp
+             |FROM x GROUP BY 1, 2 ORDER BY ctx_len, source""".stripMargin)),
   )
 }
