@@ -2724,5 +2724,231 @@ object TrainingQueries {
              |  CAST(sum(greatest(n_tok - ctx_len, 0)) * 10000
              |    // sum(n_tok) AS BIGINT) AS lost_bp
              |FROM x GROUP BY 1, 2 ORDER BY ctx_len, source""".stripMargin)),
+
+    // ---- Theil–Sen robust trend vs OLS ------------------------------------
+    // The robust daily-volume trend: the median of all pairwise slopes
+    // (Theil–Sen) shrugs off the very spike days that drag the OLS line
+    // — demonstrated in-fixture by injecting a deterministic 5× spike on
+    // the LAST five days (trailing contamination has maximal leverage on
+    // OLS — a periodic spike pattern would be symmetric and cancel) and
+    // reporting BOTH estimators from the same frame; the spec pins that
+    // the robust estimator's contamination response is a fraction of
+    // OLS's at every scale.
+    // Everything is exact integer: slopes in milli-units under
+    // truncating DIV (identical in both engines, negatives included),
+    // the median as the mean of the two middle order statistics
+    // (row_number over the slope order — duplicate slope VALUES make
+    // position ties harmless), the OLS slope as the closed-form integer
+    // ratio, and the intercept as the median residual at the robust
+    // slope. Scale posture: the corpus collapses to the per-day frame in
+    // ONE pass; the pairwise slope set is calendar² — bounded by the day
+    // DOMAIN like q210's windows, never by corpus rows — and x is
+    // re-based to day offsets so no product leaves the long range.
+    "q220_theilsen_trend" -> QueryDef(
+      (s, dir) => {
+        val daily0 = table(s, dir, "events")
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+          .groupBy("day_idx").agg(count(lit(1)).as("n_raw"))
+        val d0 = daily0.agg(min("day_idx").as("d0"),
+          max("day_idx").as("d1"))
+        val daily = Materialize(daily0.crossJoin(broadcast(d0))
+          .select((col("day_idx") - col("d0")).as("x"),
+            expr("""CASE WHEN day_idx > d1 - 5 THEN n_raw * 5
+                   | ELSE n_raw END""".stripMargin).as("y")))
+        val m = daily.agg(count(lit(1)).as("n_days"))
+        val slopes = daily.as("a").join(daily.as("b"),
+            col("a.x") < col("b.x"))
+          .select(expr("(b.y - a.y) * 1000 DIV (b.x - a.x)").as("sl"))
+        val wS = Window.orderBy("sl")
+        val ts = slopes
+          .withColumn("rn", row_number().over(wS))
+          .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+          .filter(col("rn") === expr("(n_pairs + 1) DIV 2") ||
+            col("rn") === expr("n_pairs DIV 2 + 1"))
+          .agg(expr("sum(sl) DIV count(1)").as("ts_slope_milli"),
+            max("n_pairs").as("n_pairs"))
+        val ols = daily.agg(
+          expr("""(count(1) * sum(x * y) - sum(x) * sum(y)) * 1000
+                 | DIV (count(1) * sum(x * x) - sum(x) * sum(x))"""
+            .stripMargin).as("ols_slope_milli"))
+        val resid = daily.crossJoin(broadcast(ts))
+          .select(expr("y * 1000 - ts_slope_milli * x").as("r"))
+        val wR = Window.orderBy("r")
+        val icpt = resid
+          .withColumn("rn", row_number().over(wR))
+          .crossJoin(broadcast(resid.agg(count(lit(1)).as("nd"))))
+          .filter(col("rn") === expr("(nd + 1) DIV 2") ||
+            col("rn") === expr("nd DIV 2 + 1"))
+          .agg(expr("sum(r) DIV count(1)").as("ts_intercept_milli"))
+        m.crossJoin(broadcast(ts)).crossJoin(broadcast(ols))
+          .crossJoin(broadcast(icpt))
+          .select("n_days", "n_pairs", "ts_slope_milli",
+            "ols_slope_milli", "ts_intercept_milli")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx
+             |           FROM events),
+             |d0 AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS n_raw
+             |       FROM e GROUP BY 1),
+             |mn AS (SELECT min(day_idx) AS dmin, max(day_idx) AS dmax
+             |       FROM d0),
+             |daily AS (SELECT CAST(day_idx - dmin AS BIGINT) AS x,
+             |        CAST(CASE WHEN day_idx > dmax - 5 THEN n_raw * 5
+             |          ELSE n_raw END AS BIGINT) AS y
+             |      FROM d0 CROSS JOIN mn),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+             |sl AS (SELECT CAST((b.y - a.y) * 1000 // (b.x - a.x)
+             |          AS BIGINT) AS sl
+             |       FROM daily a JOIN daily b ON a.x < b.x),
+             |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl),
+             |sr AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn
+             |       FROM sl),
+             |ts AS (SELECT CAST(sum(sl) // count(*) AS BIGINT)
+             |         AS ts_slope_milli
+             |       FROM sr CROSS JOIN np
+             |       WHERE rn = (n_pairs + 1) // 2
+             |          OR rn = n_pairs // 2 + 1),
+             |ols AS (SELECT CAST((count(*) * sum(x * y) - sum(x) * sum(y))
+             |          * 1000 // (count(*) * sum(x * x) - sum(x) * sum(x))
+             |          AS BIGINT) AS ols_slope_milli
+             |        FROM daily),
+             |res AS (SELECT y * 1000 - ts_slope_milli * x AS r
+             |        FROM daily CROSS JOIN ts),
+             |rr AS (SELECT r, row_number() OVER (ORDER BY r) AS rn
+             |       FROM res),
+             |icpt AS (SELECT CAST(sum(r) // count(*) AS BIGINT)
+             |           AS ts_intercept_milli
+             |         FROM rr CROSS JOIN m
+             |         WHERE rn = (n_days + 1) // 2
+             |            OR rn = n_days // 2 + 1)
+             |SELECT n_days, n_pairs, ts_slope_milli, ols_slope_milli,
+             |  ts_intercept_milli
+             |FROM m CROSS JOIN np CROSS JOIN ts CROSS JOIN ols
+             |CROSS JOIN icpt""".stripMargin)),
+
+    // ---- incremental aggregate maintenance (IVM) --------------------------
+    // The view-maintenance identity that makes dashboard aggregates
+    // affordable at 100 TB: maintain a per-group (count, Σcents) view
+    // from the old aggregate plus the CDC DELTA ONLY — never rescanning
+    // the new snapshot — and audit it against a full recompute in the
+    // same frame. The delta carries before/after images (the Debezium
+    // convention; SnapshotDiff's sparse delta lacks before-images
+    // exactly because applyDelta doesn't need them — IVM does, since a
+    // changed row may MOVE GROUPS): each delta row contributes −1/−cents
+    // under its before-group and +1/+cents under its after-group, one
+    // map-side ×2 explode. The fixture exercises every path: every 3rd
+    // key absent from old (adds), every 11th absent from cur (removes),
+    // every 5th price-shifted in old (in-group change), every 7th
+    // status-flipped to 'X' in cur (cross-group move creating a NEW
+    // group). Cost shape: one aggregate over the OLD view inputs (in
+    // production: already materialized), one over the delta (change-
+    // sized), one group-cardinality merge join; the recompute is the
+    // audit, not the path. Exact cents integers; `ivm_matches` is
+    // oracled AND spec-pinned all-true.
+    "q221_incremental_agg_maintenance" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val old = base.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("cents",
+            when(col("o_orderkey") % 5 === 0, col("cents") + 100L)
+              .otherwise(col("cents")))
+        val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        val aggOld = old.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_old"), sum("cents").as("cents_old"))
+        // before/after delta rows (changed keys only)
+        val d = old.select(col("o_orderkey"),
+            col("o_orderstatus").as("bs"), col("cents").as("bc"))
+          .join(cur.select(col("o_orderkey"),
+            col("o_orderstatus").as("as_"), col("cents").as("ac")),
+            Seq("o_orderkey"), "full_outer")
+          .filter(!(col("bs") <=> col("as_") && col("bc") <=> col("ac")))
+        val contrib = d.select(explode(array(
+            struct(col("bs").as("g"), lit(-1L).as("dn"),
+              (-col("bc")).as("dc")),
+            struct(col("as_").as("g"), lit(1L).as("dn"),
+              col("ac").as("dc")))).as("x"))
+          .select("x.*").filter(col("g").isNotNull)
+        val dAgg = contrib.groupBy("g")
+          .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        val ivm = aggOld.join(dAgg,
+            aggOld("o_orderstatus") === dAgg("g"), "full_outer")
+          .select(
+            coalesce(col("o_orderstatus"), col("g")).as("o_orderstatus"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("dn"), lit(0L)).as("dn"),
+            (coalesce(col("n_old"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_ivm"),
+            (coalesce(col("cents_old"), lit(0L)) +
+              coalesce(col("dc"), lit(0L))).as("cents_ivm"))
+        val rec = cur.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rec"), sum("cents").as("cents_rec"))
+        ivm.join(rec, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"), col("n_old"), col("dn"),
+            coalesce(col("n_ivm"), lit(0L)).as("n_ivm"),
+            coalesce(col("n_rec"), lit(0L)).as("n_rec"),
+            coalesce(col("cents_ivm"), lit(0L)).as("cents_ivm"),
+            coalesce(col("cents_rec"), lit(0L)).as("cents_rec"))
+          .withColumn("ivm_matches",
+            col("n_ivm") === col("n_rec") &&
+              col("cents_ivm") === col("cents_rec"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderstatus,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |old AS (SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN cents + 100
+             |         ELSE cents END AS cents
+             |  FROM base WHERE o_orderkey % 3 <> 0),
+             |cur AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+             |         ELSE o_orderstatus END AS o_orderstatus, cents
+             |  FROM base WHERE o_orderkey % 11 <> 0),
+             |agg_old AS (SELECT o_orderstatus,
+             |    CAST(count(*) AS BIGINT) AS n_old,
+             |    CAST(sum(cents) AS BIGINT) AS cents_old
+             |  FROM old GROUP BY 1),
+             |d AS (SELECT o.o_orderstatus AS bs, o.cents AS bc,
+             |        c.o_orderstatus AS as_, c.cents AS ac
+             |      FROM old o FULL OUTER JOIN cur c
+             |        ON o.o_orderkey = c.o_orderkey
+             |      WHERE NOT (o.o_orderstatus IS NOT DISTINCT FROM
+             |          c.o_orderstatus
+             |        AND o.cents IS NOT DISTINCT FROM c.cents)),
+             |contrib AS (
+             |  SELECT bs AS g, -1 AS dn, -bc AS dc FROM d
+             |    WHERE bs IS NOT NULL
+             |  UNION ALL
+             |  SELECT as_, 1, ac FROM d WHERE as_ IS NOT NULL),
+             |d_agg AS (SELECT g, CAST(sum(dn) AS BIGINT) AS dn,
+             |    CAST(sum(dc) AS BIGINT) AS dc
+             |  FROM contrib GROUP BY 1),
+             |ivm AS (SELECT COALESCE(o_orderstatus, g) AS o_orderstatus,
+             |    COALESCE(n_old, 0) AS n_old, COALESCE(dn, 0) AS dn,
+             |    COALESCE(n_old, 0) + COALESCE(dn, 0) AS n_ivm,
+             |    COALESCE(cents_old, 0) + COALESCE(dc, 0) AS cents_ivm
+             |  FROM agg_old FULL OUTER JOIN d_agg
+             |    ON agg_old.o_orderstatus = d_agg.g),
+             |rec AS (SELECT o_orderstatus,
+             |    CAST(count(*) AS BIGINT) AS n_rec,
+             |    CAST(sum(cents) AS BIGINT) AS cents_rec
+             |  FROM cur GROUP BY 1)
+             |SELECT COALESCE(i.o_orderstatus, r.o_orderstatus)
+             |    AS o_orderstatus,
+             |  i.n_old, i.dn,
+             |  CAST(COALESCE(i.n_ivm, 0) AS BIGINT) AS n_ivm,
+             |  CAST(COALESCE(r.n_rec, 0) AS BIGINT) AS n_rec,
+             |  CAST(COALESCE(i.cents_ivm, 0) AS BIGINT) AS cents_ivm,
+             |  CAST(COALESCE(r.cents_rec, 0) AS BIGINT) AS cents_rec,
+             |  COALESCE(i.n_ivm, 0) = COALESCE(r.n_rec, 0)
+             |    AND COALESCE(i.cents_ivm, 0) = COALESCE(r.cents_rec, 0)
+             |    AS ivm_matches
+             |FROM ivm i FULL OUTER JOIN rec r
+             |  ON i.o_orderstatus = r.o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
   )
 }
