@@ -2950,5 +2950,54 @@ object TrainingQueries {
              |FROM ivm i FULL OUTER JOIN rec r
              |  ON i.o_orderstatus = r.o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- Benford first-digit audit ----------------------------------------
+    // The forensic data-quality screen: the leading-digit distribution
+    // of a naturally-occurring numeric column against Benford's law
+    // (P(d) = log10(1 + 1/d)). Heavy deviation flags fabricated,
+    // truncated, or unit-capped values — here the audit itself is the
+    // operator, and the synthetic fixture's uniform-ish prices SHOULD
+    // deviate hard (a near-zero deviation on this data would mean the
+    // audit measures nothing; the spec pins a large L1 gap and replays
+    // the shares). Expected shares are integer-ppm literals on both
+    // sides, the observed shares exact integer ppm of one linear groupBy
+    // over the leading digit (a 9-bucket key — no skew possible), so the
+    // whole audit is one aggregation pass whatever the corpus.
+    "q222_benford_digit_audit" -> QueryDef(
+      (s, dir) => {
+        val benford = "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 " +
+          "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+          "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 " +
+          "ELSE 45757 END"
+        val d = table(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice") * 100)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_d"))
+        val tot = d.agg(sum("n_d").as("n"))
+        d.crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("n_d * 1000000 DIV n"))
+          .withColumn("benford_ppm", expr(benford).cast("long"))
+          .withColumn("dev_ppm", expr("share_ppm - benford_ppm"))
+          .select("digit", "n_d", "share_ppm", "benford_ppm", "dev_ppm")
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(
+             |      o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             |      AS BIGINT) AS digit
+             |    FROM orders),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d
+             |      FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c)
+             |SELECT digit, n_d,
+             |  CAST(n_d * 1000000 // n AS BIGINT) AS share_ppm,
+             |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+             |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+             |    ELSE 45757 END AS BIGINT) AS benford_ppm,
+             |  CAST(n_d * 1000000 // n - CASE digit WHEN 1 THEN 301030
+             |    WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
+             |    WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+             |    WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS dev_ppm
+             |FROM c CROSS JOIN t ORDER BY digit""".stripMargin)),
   )
 }

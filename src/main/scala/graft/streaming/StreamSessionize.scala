@@ -619,4 +619,46 @@ object StreamSessionize {
           LatestRow(uid, s.n, s.event_id, s.us, s.event_type, s.value)
       }
   }
+
+  /** One signed group-aggregate contribution from a CDC before/after
+    * delta (the q221 representation): −1/−cents under the row's BEFORE
+    * group, +1/+cents under its AFTER group. */
+  final case class AggDelta(g: String, dn: Long, dc: Long)
+  final case class AggState(n: Long, cents: Long, n_deltas: Long)
+  /** The maintained per-group view: running count and Σcents, plus how
+    * many delta contributions have folded in. */
+  final case class AggView(g: String, n: Long, cents: Long, n_deltas: Long)
+
+  /** Streaming incremental view maintenance — the `mapGroupsWithState`
+    * twin of batch q221: a per-group (count, Σcents) view is SEEDED from
+    * the existing materialized aggregate (`initialState` — the view
+    * itself is the state, loaded without rescanning any history) and then
+    * maintained from signed delta contributions alone. The fold is pure
+    * addition — commutative and associative — so ANY split of the
+    * contribution stream across micro-batches, and any arrival order
+    * within them, converges to the same view (the parity gate replays an
+    * adversarial file split and matches the batch recompute group-for-
+    * group). State is O(groups) — exactly the materialized view's
+    * cardinality, independent of delta volume; at 100 TB groups shard by
+    * key across executors and a changed row's cross-group move arrives
+    * as two independent contributions that need no coordination (each
+    * lands on its own group's state).
+    */
+  def ivmAggStream(deltas: Dataset[AggDelta],
+                   initView: Dataset[AggView]): Dataset[AggView] = {
+    import deltas.sparkSession.implicits._
+    val init = initView.groupByKey(_.g)
+      .mapValues(v => AggState(v.n, v.cents, v.n_deltas))
+    deltas.groupByKey(_.g)
+      .mapGroupsWithState[AggState, AggView](
+        GroupStateTimeout.NoTimeout(), init) {
+        case (g, it, state: GroupState[AggState]) =>
+          var s = state.getOption.getOrElse(AggState(0L, 0L, 0L))
+          it.foreach { d =>
+            s = AggState(s.n + d.dn, s.cents + d.dc, s.n_deltas + 1)
+          }
+          state.update(s)
+          AggView(g, s.n, s.cents, s.n_deltas)
+      }
+  }
 }

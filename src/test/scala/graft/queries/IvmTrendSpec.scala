@@ -103,4 +103,28 @@ class IvmTrendSpec extends AnyFunSuite {
     assert(x.exists(r => r.getLong(1) == 0 && r.getLong(3) > 0))
     assert(rows.map(_.getString(0)).toSet == (aggOld.keySet ++ aggCur.keySet))
   }
+
+  test("q222 Benford shares equal the naive digit replay, partition the " +
+      "corpus, and the synthetic prices deviate hard from Benford") {
+    val cents = table(spark, sf, "orders")
+      .selectExpr("CAST(floor(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0))
+    val expected = cents.groupBy(_.toString.head.asDigit.toLong).view
+      .mapValues(_.length.toLong).toMap
+    val rows = run("q222_benford_digit_audit").collect()
+    assert(rows.map(_.getLong(1)).sum == cents.length.toLong)
+    val benford = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+      8L -> 51153L, 9L -> 45757L)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == expected.getOrElse(d, 0L), s"count digit $d")
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / cents.length)
+      assert(r.getLong(3) == benford(d))
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    // teeth: uniform-ish synthetic prices are NOT Benford — the audit
+    // must measure a large L1 gap, not vacuously pass everything
+    assert(rows.map(_.getLong(4).abs).sum > 100000L)
+  }
 }

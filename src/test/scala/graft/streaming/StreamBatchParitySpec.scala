@@ -1064,4 +1064,79 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.exists(_._3 > 0L))
     }
   }
+
+  test("file-replay ivmAggStream seeded from the old view == full batch " +
+      "recompute, group-for-group (q221 fixture, cross-group move incl.)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("ivm_replay_").toString
+      val ckpt = Files.createTempDirectory("ivm_ckpt_").toString
+      import spark.implicits._
+      // the q221 synthetic: adds (÷3 keys absent from old), removes (÷11
+      // absent from cur), in-group price changes (÷5), and a cross-group
+      // status flip to 'X' (÷7) — the move that forces ± contributions
+      // on two different groups' state
+      val base = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val old = base.filter(col("k") % 3 =!= 0)
+        .withColumn("cents", when(col("k") % 5 === 0, col("cents") + 100L)
+          .otherwise(col("cents")))
+      val cur = base.filter(col("k") % 11 =!= 0)
+        .withColumn("g", when(col("k") % 7 === 0, lit("X"))
+          .otherwise(col("g")))
+      // signed contributions from the before/after delta (q221's explode)
+      val d = old.select(col("k"), col("g").as("bg"),
+          col("cents").as("bc"))
+        .join(cur.select(col("k"), col("g").as("ag"),
+          col("cents").as("ac")), Seq("k"), "full_outer")
+        .filter(!(col("bg") <=> col("ag") && col("bc") <=> col("ac")))
+      d.select(explode(array(
+          struct(col("bg").as("g"), lit(-1L).as("dn"),
+            (-col("bc")).as("dc")),
+          struct(col("ag").as("g"), lit(1L).as("dn"),
+            col("ac").as("dc")))).as("x"))
+        .select("x.*").filter(col("g").isNotNull)
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val initView = old.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          lit(0L).as("n_deltas")).as[AggView]
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[AggDelta]
+      val q = ivmAggStream(stream, initView)
+        .writeStream.format("memory").queryName("ivm_replay")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // converged view per group = the row that folded the most deltas;
+      // groups the feed never touched keep their seeded view
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("n_deltas"))
+      val emitted = spark.table("ivm_replay")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("g", "n", "cents")
+      val untouched = initView.toDF()
+        .join(emitted.select("g"), Seq("g"), "left_anti")
+        .select("g", "n", "cents")
+      val streamView = emitted.unionByName(untouched)
+        .filter(col("n") > 0)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      val recompute = cur.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      assert(streamView === recompute)
+      // teeth: the delta actually moved mass across groups — the feed-
+      // born 'X' group exists and did not exist in the seed
+      assert(recompute.contains("X"))
+      assert(!initView.collect().map(_.g).contains("X"))
+      assert(streamView.size > 1)
+    }
+  }
 }
