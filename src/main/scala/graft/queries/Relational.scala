@@ -2346,5 +2346,103 @@ object Relational {
              |SELECT side, node_id, score_scaled FROM ranked
              |WHERE rn <= 10
              |ORDER BY side, score_scaled DESC, node_id""".stripMargin)),
+
+    // ---- k-core peeling ---------------------------------------------------
+    // The density filter graph pipelines run before expensive per-node
+    // work: iteratively strip nodes of degree < k until only the k-core
+    // survives. k is DATA-DERIVED — the lower-quartile degree (an exact
+    // order statistic with a total tie-break), because a fixed absolute
+    // k is meaningless across scales: this co-occurrence graph's density
+    // moves with sf, and a constant that peels nothing at one scale
+    // guts the graph at another (the probe that chose p25 showed
+    // exactly that). Three peel rounds, statically unrolled like
+    // LPA/BFS: each round is one degree aggregation + two semi-joins,
+    // the shuffle shape k-core has at 100 TB; per-round edge frames are
+    // materialized once (each feeds a degree agg AND both semi-join
+    // sides). The degree frame rides the pushed pk < 800 slice here; at
+    // corpus scale the exact order statistic would come from the q129
+    // mergeable quantile sketch instead — the peeling itself is
+    // slice-free. Fixpoint-or-empty are both legitimate outcomes; the
+    // output reports the full trajectory.
+    "q223_kcore_peeling" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val e0 = Materialize(
+          coPairs(table(s, dir, "lineitem")
+            .filter(col("l_partkey") < 800)).distinct())
+        def degrees(e: DataFrame): DataFrame =
+          e.select(col("pa").as("node"))
+            .unionAll(e.select(col("pb").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+        val d0 = Materialize(degrees(e0))
+        val kf = Materialize(d0
+          .withColumn("rn", row_number().over(
+            Window.orderBy(asc("deg"), asc("node"))))
+          .crossJoin(broadcast(d0.agg(count(lit(1)).as("nn"))))
+          .filter(col("rn") === expr("(nn + 1) DIV 4 + 1"))
+          .select(col("deg").as("k")))
+        def peel(e: DataFrame): DataFrame = {
+          val alive = degrees(e).crossJoin(broadcast(kf))
+            .filter(col("deg") >= col("k")).select("node")
+          Materialize(e
+            .join(alive.select(col("node").as("pa")), Seq("pa"), "left_semi")
+            .join(alive.select(col("node").as("pb")), Seq("pb"), "left_semi")
+            .select("pa", "pb"))
+        }
+        val e1 = peel(e0); val e2 = peel(e1); val e3 = peel(e2)
+        def statsRow(r: Int, e: DataFrame): DataFrame =
+          degrees(e).agg(count(lit(1)).as("n_nodes"))
+            .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+            .crossJoin(broadcast(kf))
+            .select(lit(r.toLong).as("round"), col("k"),
+              col("n_nodes"), col("n_edges"))
+        statsRow(0, e0).unionAll(statsRow(1, e1))
+          .unionAll(statsRow(2, e2)).unionAll(statsRow(3, e3))
+          .orderBy("round")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+             |            l_partkey AS pk
+             |          FROM lineitem WHERE l_partkey < 800),
+             |e0 AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |d0 AS (SELECT node, count(*) AS deg FROM (
+             |         SELECT pa AS node FROM e0
+             |         UNION ALL SELECT pb FROM e0) GROUP BY 1),
+             |kf AS (SELECT CAST(deg AS BIGINT) AS k FROM (
+             |         SELECT deg, row_number() OVER (ORDER BY deg, node)
+             |           AS rn FROM d0)
+             |       WHERE rn = (SELECT count(*) + 1 FROM d0) // 4 + 1),
+             |a1 AS (SELECT node FROM d0 CROSS JOIN kf WHERE deg >= k),
+             |e1 AS (SELECT pa, pb FROM e0
+             |       WHERE pa IN (SELECT node FROM a1)
+             |         AND pb IN (SELECT node FROM a1)),
+             |d1 AS (SELECT node, count(*) AS deg FROM (
+             |         SELECT pa AS node FROM e1
+             |         UNION ALL SELECT pb FROM e1) GROUP BY 1),
+             |a2 AS (SELECT node FROM d1 CROSS JOIN kf WHERE deg >= k),
+             |e2 AS (SELECT pa, pb FROM e1
+             |       WHERE pa IN (SELECT node FROM a2)
+             |         AND pb IN (SELECT node FROM a2)),
+             |d2 AS (SELECT node, count(*) AS deg FROM (
+             |         SELECT pa AS node FROM e2
+             |         UNION ALL SELECT pb FROM e2) GROUP BY 1),
+             |a3 AS (SELECT node FROM d2 CROSS JOIN kf WHERE deg >= k),
+             |e3 AS (SELECT pa, pb FROM e2
+             |       WHERE pa IN (SELECT node FROM a3)
+             |         AND pb IN (SELECT node FROM a3)),
+             |d3 AS (SELECT node, count(*) AS deg FROM (
+             |         SELECT pa AS node FROM e3
+             |         UNION ALL SELECT pb FROM e3) GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS round, k,
+             |    (SELECT count(*) FROM d0) AS n_nodes,
+             |    (SELECT count(*) FROM e0) AS n_edges FROM kf
+             |  UNION ALL SELECT 1, k, (SELECT count(*) FROM d1),
+             |    (SELECT count(*) FROM e1) FROM kf
+             |  UNION ALL SELECT 2, k, (SELECT count(*) FROM d2),
+             |    (SELECT count(*) FROM e2) FROM kf
+             |  UNION ALL SELECT 3, k, (SELECT count(*) FROM d3),
+             |    (SELECT count(*) FROM e3) FROM kf)
+             |ORDER BY round""".stripMargin)),
   )
 }

@@ -3068,6 +3068,92 @@ object TextQueries {
               |SELECT bin, n, avg_conf_bp, gold_bp,
               |  CAST(gap_bp AS BIGINT) AS gap_bp, ece_bp
               |FROM pg CROSS JOIN e ORDER BY bin""".stripMargin)),
+
+    // ---- precision/recall threshold sweep ---------------------------------
+    // The operating-point picker for the q190 quality filter: sweep five
+    // candidate score thresholds in ONE pass and report the confusion
+    // counts plus precision / recall / F1 against the q209 char-level
+    // reference labels (deliberately feature-disjoint from the token
+    // scorer — the same independence that makes the ECE audit mean
+    // something). The threshold sweep is a map-side ×5 explode over the
+    // scored-and-labeled frame, then one groupBy on the 5-row threshold
+    // key — no second scan, no driver loop. All confusion counts are
+    // exact integers; P/R/F1 are integer bp with CASE-guarded
+    // denominators (an empty predicted-positive set reports null, not a
+    // crash) so the oracle replays every cell bit-for-bit.
+    "q225_pr_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val scored = qualityScored(docs).select("doc_id", "score")
+        val gold = docs
+          .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
+          .filter(length(col("lt")) > 0)
+          .withColumn("gold", when(
+            expr("length(regexp_replace(lt, '[^a-z]', '')) * 10000" +
+              " DIV length(lt)") >= 7000L && length(col("lt")) >= 200,
+            1L).otherwise(0L))
+          .select("doc_id", "gold")
+        scored.join(gold, "doc_id")
+          .withColumn("threshold", explode(array(
+            lit(1000L), lit(1500L), lit(2000L), lit(2500L), lit(3000L))))
+          .withColumn("pred",
+            when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .groupBy("threshold")
+          .agg(
+            sum(expr("CASE WHEN pred = 1 AND gold = 1 THEN 1 ELSE 0 END"))
+              .as("tp"),
+            sum(expr("CASE WHEN pred = 1 AND gold = 0 THEN 1 ELSE 0 END"))
+              .as("fp"),
+            sum(expr("CASE WHEN pred = 0 AND gold = 1 THEN 1 ELSE 0 END"))
+              .as("fn"),
+            sum(expr("CASE WHEN pred = 0 AND gold = 0 THEN 1 ELSE 0 END"))
+              .as("tn"))
+          .withColumn("precision_bp", expr(
+            "CASE WHEN tp + fp > 0 THEN tp * 10000 DIV (tp + fp) END"))
+          .withColumn("recall_bp", expr(
+            "CASE WHEN tp + fn > 0 THEN tp * 10000 DIV (tp + fn) END"))
+          .withColumn("f1_bp", expr(
+            """CASE WHEN 2 * tp + fp + fn > 0
+              | THEN 2 * tp * 10000 DIV (2 * tp + fp + fn) END"""
+              .stripMargin))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |g AS (SELECT doc_id, lower(trim(text)) AS lt
+              |      FROM documents WHERE length(lower(trim(text))) > 0),
+              |gl AS (SELECT doc_id,
+              |        CASE WHEN length(regexp_replace(lt, '[^a-z]', '',
+              |            'g')) * 10000 // length(lt) >= 7000
+              |          AND length(lt) >= 200 THEN 1 ELSE 0 END AS gold
+              |      FROM g),
+              |j AS (SELECT qsc.score, gl.gold
+              |      FROM qsc JOIN gl ON qsc.doc_id = gl.doc_id),
+              |x AS (SELECT CAST(t.threshold AS BIGINT) AS threshold,
+              |        CASE WHEN j.score >= t.threshold THEN 1 ELSE 0 END
+              |          AS pred, j.gold
+              |      FROM j CROSS JOIN (VALUES (1000), (1500), (2000),
+              |        (2500), (3000)) t(threshold)),
+              |cf AS (SELECT threshold,
+              |    CAST(sum(CASE WHEN pred = 1 AND gold = 1 THEN 1
+              |      ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN pred = 1 AND gold = 0 THEN 1
+              |      ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN pred = 0 AND gold = 1 THEN 1
+              |      ELSE 0 END) AS BIGINT) AS fn,
+              |    CAST(sum(CASE WHEN pred = 0 AND gold = 0 THEN 1
+              |      ELSE 0 END) AS BIGINT) AS tn
+              |  FROM x GROUP BY 1)
+              |SELECT threshold, tp, fp, fn, tn,
+              |  CASE WHEN tp + fp > 0
+              |    THEN CAST(tp * 10000 // (tp + fp) AS BIGINT) END
+              |    AS precision_bp,
+              |  CASE WHEN tp + fn > 0
+              |    THEN CAST(tp * 10000 // (tp + fn) AS BIGINT) END
+              |    AS recall_bp,
+              |  CASE WHEN 2 * tp + fp + fn > 0
+              |    THEN CAST(2 * tp * 10000 // (2 * tp + fp + fn)
+              |      AS BIGINT) END AS f1_bp
+              |FROM cf ORDER BY threshold""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

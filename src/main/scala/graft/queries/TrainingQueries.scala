@@ -2999,5 +2999,75 @@ object TrainingQueries {
              |    WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
              |    WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS dev_ppm
              |FROM c CROSS JOIN t ORDER BY digit""".stripMargin)),
+
+    // ---- Markov next-event model: held-out accuracy -----------------------
+    // The train/eval composition over q138's transition machinery: fit
+    // the first-order model (per state, the argmax next state with a
+    // total tie-break) on transitions BEFORE the q201 epoch split, score
+    // top-1 accuracy on transitions strictly after it. Pairs straddling
+    // the boundary belong to NEITHER split (prev < T ≤ cur) — the same
+    // leakage discipline q201 audits: a pair whose context was observed
+    // in training must not count as held-out. One lag window per user
+    // (the per-user frame, q138's shape), one bounded-domain count table
+    // (states × states), a broadcast model join — the eval pass is
+    // linear and the model is dimension-sized at any corpus. All exact
+    // integers, accuracy in bp.
+    "q224_markov_heldout_accuracy" -> QueryDef(
+      (s, dir) => {
+        val T = 1706054400000000L
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val pairs = Materialize(table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("us"), col("event_type").as("b"))
+          .withColumn("a", lag("b", 1).over(w))
+          .withColumn("prev_us", lag("us", 1).over(w))
+          .filter(col("a").isNotNull)
+          .select("a", "b", "us", "prev_us"))
+        val trainCnt = pairs.filter(col("us") < T)
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val wm = Window.partitionBy("a").orderBy(desc("c"), asc("b"))
+        val model = trainCnt
+          .withColumn("rn", row_number().over(wm))
+          .filter(col("rn") === 1)
+          .join(broadcast(trainCnt.groupBy("a")
+            .agg(sum("c").as("n_train_pairs"))), Seq("a"))
+          .select(col("a"), col("b").as("predicted"), col("n_train_pairs"))
+        pairs.filter(col("prev_us") >= T)
+          .join(broadcast(model), Seq("a"), "left")
+          .groupBy(col("a").as("state"), col("predicted"),
+            col("n_train_pairs"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("b") === col("predicted"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc_bp", expr("n_correct * 10000 DIV n_test"))
+          .orderBy("state")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+             |    epoch_us(ts) AS us, event_type AS b,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS a,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS prev_us
+             |  FROM events),
+             |pairs AS (SELECT a, b, us, prev_us FROM ev
+             |          WHERE a IS NOT NULL),
+             |tc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+             |       FROM pairs WHERE us < 1706054400000000
+             |       GROUP BY 1, 2),
+             |tt AS (SELECT a, CAST(sum(c) AS BIGINT) AS n_train_pairs
+             |       FROM tc GROUP BY 1),
+             |model AS (SELECT tc.a, tc.b AS predicted, tt.n_train_pairs
+             |          FROM (SELECT a, b, row_number() OVER (PARTITION
+             |              BY a ORDER BY c DESC, b ASC) AS rn FROM tc) tc
+             |          JOIN tt ON tc.a = tt.a WHERE tc.rn = 1)
+             |SELECT p.a AS state, m.predicted, m.n_train_pairs,
+             |  count(*) AS n_test,
+             |  CAST(sum(CASE WHEN p.b = m.predicted THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  CAST(sum(CASE WHEN p.b = m.predicted THEN 1 ELSE 0 END)
+             |    * 10000 // count(*) AS BIGINT) AS acc_bp
+             |FROM pairs p LEFT JOIN model m ON p.a = m.a
+             |WHERE p.prev_us >= 1706054400000000
+             |GROUP BY 1, 2, 3 ORDER BY state""".stripMargin)),
   )
 }
