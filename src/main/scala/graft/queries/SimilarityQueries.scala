@@ -2418,6 +2418,79 @@ object SimilarityQueries {
            |  UNION ALL SELECT * FROM row_c_multi_2band)
            |ORDER BY strategy""".stripMargin
       }),
+
+    // ---- per-dimension affine int8 quantization audit ---------------------
+    // The evidence a pipeline needs before swapping float32 embeddings
+    // for int8 (4× memory, SIMD distance kernels): per-DIMENSION min/max
+    // affine quantization to 255 levels, reconstruction, and the error
+    // accounting. q90 audits the other standard scheme (per-VECTOR
+    // symmetric max-abs scaling) through float similarity preservation;
+    // this audit decides between them with exact integers — per-dim
+    // affine is what feature columns with offset distributions need, and
+    // its error envelope is provable, not sampled. All in the q211
+    // exact-integer milli-unit space, so
+    // both engines replay the identical truncation sequence and the
+    // oracle hashes every error value. Per dimension the audit reports
+    // the quantized-level range (pinned to [-127, 127] — the int8
+    // envelope is the CLAIM being audited), mean/max absolute
+    // reconstruction error, and the theoretical step bound
+    // range DIV 254 + 1 that max_err can never exceed (spec-pinned, and
+    // visible side by side in the output). Scale: one corpus pass
+    // explodes components (64 rows/vector), the range frame is a
+    // CONSTANT 64-row broadcast whatever the corpus, and quantize +
+    // reconstruct + error is a narrow codegen'd projection — the audit
+    // costs one scan and one 64-group aggregation at any scale.
+    "q231_affine_quant_audit" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "i", "xm"))
+        val rng = comps.groupBy("i")
+          .agg(min("xm").as("mn"), max("xm").as("mx"))
+          .withColumn("rg", expr("greatest(mx - mn, CAST(1 AS BIGINT))"))
+        comps.join(broadcast(rng), "i")
+          .withColumn("qv", expr("(xm - mn) * 254 DIV rg - 127"))
+          .withColumn("xr", expr("(qv + 127) * rg DIV 254 + mn"))
+          .withColumn("err", expr("abs(xm - xr)"))
+          .groupBy("i")
+          .agg(count(lit(1)).as("n"),
+            min("mn").as("mn"), min("mx").as("mx"),
+            min("qv").as("min_q"), max("qv").as("max_q"),
+            sum("err").as("sum_err_milli"),
+            max("err").as("max_err_milli"))
+          .withColumn("step_milli",
+            expr("greatest(mx - mn, CAST(1 AS BIGINT)) DIV 254 + 1"))
+          .withColumn("mean_err_milli", expr("sum_err_milli DIV n"))
+          .select("i", "n", "mn", "mx", "min_q", "max_q", "step_milli",
+            "mean_err_milli", "max_err_milli", "sum_err_milli")
+          .orderBy("i")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |comps AS (SELECT vec_id, i,
+             |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xm
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+             |rng AS (SELECT i, min(xm) AS mn, max(xm) AS mx,
+             |    greatest(max(xm) - min(xm), 1) AS rg
+             |  FROM comps GROUP BY 1),
+             |q AS (SELECT c.vec_id, c.i, c.xm, r.mn, r.mx, r.rg,
+             |    (c.xm - r.mn) * 254 // r.rg - 127 AS qv
+             |  FROM comps c JOIN rng r ON c.i = r.i),
+             |x AS (SELECT *, (qv + 127) * rg // 254 + mn AS xr FROM q),
+             |er AS (SELECT *, abs(xm - xr) AS err FROM x)
+             |SELECT CAST(i AS INT) AS i, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(mn) AS BIGINT) AS mn, CAST(min(mx) AS BIGINT) AS mx,
+             |  CAST(min(qv) AS BIGINT) AS min_q,
+             |  CAST(max(qv) AS BIGINT) AS max_q,
+             |  CAST(greatest(min(mx) - min(mn), 1) // 254 + 1 AS BIGINT)
+             |    AS step_milli,
+             |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err_milli,
+             |  CAST(max(err) AS BIGINT) AS max_err_milli,
+             |  CAST(sum(err) AS BIGINT) AS sum_err_milli
+             |FROM er GROUP BY i ORDER BY i""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -182,6 +182,70 @@ object TextQueries {
   private[graft] def dsirLrMap(lr: DataFrame): DataFrame =
     lr.agg(map_from_entries(
       collect_list(struct(col("bucket"), col("lr_m")))).as("lr_map"))
+
+  /** Bloom-filter geometry shared by q226 and the streaming screen:
+    * M bits packed 32 per 64-bit word (so no shift reaches the sign bit
+    * and DuckDB's int64 `<<`/`&` replays every word exactly), K=3
+    * md5-derived probes. The filter is CONSTANT size — M/32 = 128 words
+    * whatever the member-set cardinality — which is the whole point of
+    * shipping it to a corpus scan.
+    */
+  private[graft] val BloomBits = 4096L
+  private[graft] val BloomWordBits = 32L
+
+  /** Normalized-text fingerprint (the q40 exact-dup rule) — the Bloom
+    * member/probe key. */
+  private[graft] def bloomFp(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+
+  /** Probe i's bit position for fingerprint `fp`. */
+  private[graft] def bloomBit(i: Column, fp: Column): Column =
+    hash32(concat(lit("bloom"), i, lit("_"), fp)) % BloomBits
+
+  /** The packed filter words over a member fingerprint set: ≤ M/32 rows
+    * of (word index, OR-folded mask) — one bounded aggregation over the
+    * (small) member set, broadcast-joinable into any probe scan.
+    */
+  private[graft] def bloomWords(ev: DataFrame): DataFrame =
+    ev.select(col("fp"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("i"))
+      .withColumn("bit", bloomBit(col("i"), col("fp")))
+      .select(expr(s"bit DIV $BloomWordBits").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(bit % $BloomWordBits AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("wd"))
+
+  /** The filter folded to a ONE-row map frame (word -> packed bits) for
+    * the stateless streaming screen — the `dsirLrMap` shape: a ≤128-entry
+    * map literal crossJoin'd (broadcast) into the stream lets a pure
+    * column program probe each arriving document with no join at all.
+    */
+  private[graft] def bloomWordMap(fw: DataFrame): DataFrame =
+    fw.agg(map_from_entries(
+      collect_list(struct(col("word"), col("wd")))).as("bw"))
+
+  /** Per-document Bloom probe verdict via the batch plan (K-way explode →
+    * broadcast word join → min-fold): every column of `d` except `fp`
+    * rides through to the output next to `flagged`. The streaming screen
+    * computes the same verdict through a map-literal column program — a
+    * physically different plan the parity gate pins to this one.
+    */
+  private[graft] def bloomFlags(d: DataFrame, fw: DataFrame): DataFrame = {
+    val carry = d.columns.filterNot(_ == "fp").map(col)
+    d.select(carry :+ col("fp") :+
+        explode(array(lit(1L), lit(2L), lit(3L))).as("i"): _*)
+      .withColumn("bit", bloomBit(col("i"), col("fp")))
+      .withColumn("word", expr(s"bit DIV $BloomWordBits"))
+      .withColumn("mask", expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(bit % $BloomWordBits AS INT))"))
+      .join(broadcast(fw), Seq("word"), "left")
+      .withColumn("hit", when(
+        expr("(coalesce(wd, CAST(0 AS BIGINT)) & mask) = mask"), 1L)
+        .otherwise(0L))
+      .groupBy(carry: _*)
+      .agg(min("hit").as("flagged"))
+  }
 
   /** Per-(source, bucket) hashed-token counts over the DSIR feature
     * space — the shared count kernel of the streaming drift monitor
@@ -560,6 +624,30 @@ object TextQueries {
     s"""sh AS (SELECT * FROM sh0 WHERE sh NOT IN (
        |  SELECT sh FROM (SELECT sh, count(*) AS d FROM sh0 GROUP BY sh)
        |  WHERE d > $maxDf))""".stripMargin
+
+  /** q232's stage unit costs and the candidate orderings under audit.
+    * Stage 1 (token-count check) is cheapest; stage 3 (char-class scan)
+    * and stage 4 (set-membership scan) are the expensive ones.
+    */
+  private val CascadeCosts = Map(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 5L)
+  private val CascadeOrders: Seq[(String, List[Int])] = Seq(
+    "o1_declared" -> List(1, 2, 3, 4),
+    "o2_reverse" -> List(4, 3, 2, 1),
+    "o3_scan_first" -> List(3, 4, 1, 2),
+    "o4_mixed" -> List(2, 4, 1, 3))
+
+  /** The evaluate-until-first-rejection cost chain for one stage
+    * ordering, as a nested-CASE SQL string valid on BOTH engines (pure
+    * `+`/CASE over the f1..f4 flag columns — no division, no engine-
+    * specific syntax), so Spark and the DuckDB oracle share it verbatim.
+    */
+  private def cascadeChain(p: List[Int]): String = p match {
+    case a :: Nil => CascadeCosts(a).toString
+    case a :: rest =>
+      s"${CascadeCosts(a)} + CASE WHEN f$a = 1 THEN ${cascadeChain(rest)}" +
+        " ELSE 0 END"
+    case Nil => "0"
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -3154,6 +3242,528 @@ object TextQueries {
               |    THEN CAST(2 * tp * 10000 // (2 * tp + fp + fn)
               |      AS BIGINT) END AS f1_bp
               |FROM cf ORDER BY threshold""".stripMargin)),
+
+    // ---- Bloom-filter membership screen -----------------------------------
+    // The decontamination primitive that actually ships to a 1000-executor
+    // scan: a fixed M-bit Bloom filter over the eval set's normalized-text
+    // fingerprints (the q40 md5 rule), broadcast to the corpus, each
+    // document probed with K md5-derived bit positions. Unlike the q182
+    // shingle screen (overlap attribution) this is exact-membership
+    // screening with a CONSTANT-size index: M=4096 bits packed 32/word in
+    // 128 longs — the filter costs the same whether the eval set is 30
+    // docs or 30M, and the probe is a narrow map-side projection (the
+    // filter-word join is a ≤128-row broadcast). Bits are 32/word so no
+    // shift ever reaches the sign bit and the word values replay exactly
+    // in DuckDB's int64 `<<`/`&`/`bit_or`. The audit reports, per source,
+    // flagged vs TRUE membership (exact fp join): n_missed is structurally
+    // 0 — a Bloom filter has no false negatives — and the oracle hashes
+    // that guarantee; false positives are the price of constant size,
+    // reported in bp of the non-member population. The same filter words,
+    // re-shaped into a one-row map literal, run STATELESSLY on the ingest
+    // stream (`StreamSessionize.bloomScreenStream`, parity-gated — the
+    // dsir-screen cross-plan pattern).
+    "q226_bloom_decontam_screen" -> QueryDef(
+      (s, dir) => {
+        val d = Materialize(bloomFp(tableParallel(s, dir, "documents")))
+        val ev = Materialize(d.filter(col("doc_id") % 17 === 3)
+          .select("fp").distinct())
+        val fw = bloomWords(ev)
+        val member = d.join(
+            broadcast(ev.withColumn("is_m", lit(1L))), Seq("fp"), "left")
+          .select(col("doc_id"), col("source"), col("fp"),
+            coalesce(col("is_m"), lit(0L)).as("member"))
+        bloomFlags(member, fw)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("member").as("n_members"),
+            sum("flagged").as("n_flagged"),
+            sum(when(col("member") === 1L && col("flagged") === 0L, 1L)
+              .otherwise(0L)).as("n_missed"),
+            sum(when(col("member") === 0L && col("flagged") === 1L, 1L)
+              .otherwise(0L)).as("n_false_pos"))
+          .withColumn("fp_bp", expr(
+            """CASE WHEN n_docs - n_members > 0
+              | THEN n_false_pos * 10000 DIV (n_docs - n_members) END"""
+              .stripMargin))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              |      AS fp
+              |  FROM documents),
+              |ev AS (SELECT DISTINCT fp FROM d WHERE doc_id % 17 = 3),
+              |ks AS (SELECT unnest([1, 2, 3]) AS i),
+              |fw AS (SELECT bit // $BloomWordBits AS word,
+              |    bit_or(CAST(1 AS BIGINT)
+              |      << CAST(bit % $BloomWordBits AS INT)) AS wd
+              |  FROM (SELECT CAST(('0x' ||
+              |      substr(md5('bloom' || i || '_' || fp), 1, 8))
+              |      AS BIGINT) % $BloomBits AS bit
+              |    FROM ev CROSS JOIN ks)
+              |  GROUP BY 1),
+              |md AS (SELECT d.doc_id, d.source, d.fp,
+              |    CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END AS member
+              |  FROM d LEFT JOIN ev ON d.fp = ev.fp),
+              |pr AS (SELECT doc_id, source, member,
+              |    CAST(('0x' || substr(md5('bloom' || i || '_' || fp), 1, 8))
+              |      AS BIGINT) % $BloomBits AS bit
+              |  FROM md CROSS JOIN ks),
+              |ht AS (SELECT p.doc_id, p.source, p.member,
+              |    CASE WHEN fw.wd IS NOT NULL AND (fw.wd &
+              |        (CAST(1 AS BIGINT)
+              |         << CAST(p.bit % $BloomWordBits AS INT)))
+              |      = (CAST(1 AS BIGINT)
+              |         << CAST(p.bit % $BloomWordBits AS INT))
+              |    THEN 1 ELSE 0 END AS hit
+              |  FROM pr p LEFT JOIN fw ON p.bit // $BloomWordBits = fw.word),
+              |pd AS (SELECT doc_id, source, member,
+              |    CAST(min(hit) AS BIGINT) AS flagged
+              |  FROM ht GROUP BY 1, 2, 3)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(member) AS BIGINT) AS n_members,
+              |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+              |  CAST(sum(CASE WHEN member = 1 AND flagged = 0
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+              |  CAST(sum(CASE WHEN member = 0 AND flagged = 1
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+              |  CAST(CASE WHEN count(*) - sum(member) > 0
+              |    THEN sum(CASE WHEN member = 0 AND flagged = 1
+              |      THEN 1 ELSE 0 END)
+              |      * 10000 // (count(*) - sum(member)) END AS BIGINT)
+              |    AS fp_bp
+              |FROM pd GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- asymmetric containment near-dup ----------------------------------
+    // The duplicate class symmetric Jaccard structurally misses: a short
+    // document CONTAINED in a much longer one (quote expansion, boiler-
+    // plate wrapping, excerpt reposts) has tiny Jaccard — the union is
+    // dominated by the long doc — but containment |A∩B| / min(|A|,|B|)
+    // is near 1. Same physical shape as the q42 Jaccard family: shingle
+    // equi-join + pair groupBy, riding the pipeline-default stop-shingle
+    // df cut (per-shingle fan-out ≤ df² at any corpus scale — this query
+    // is NOT in the uncut whitelist and must never be). Both metrics are
+    // reported side by side in exact bp; the top-20 cut is a
+    // TakeOrderedAndProject under a total order (cont desc, inter desc,
+    // pair), with the rank column applied to the already-bounded 20-row
+    // frame — no global window over the pair set.
+    "q228_containment_dedup" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf =
+          Some(graft.operators.CorpusPipeline.DefaultStopShingleDf)))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val top = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .withColumn("cont_bp", expr("inter * 10000 DIV least(na, nb)"))
+          .withColumn("jacc_bp",
+            expr("inter * 10000 DIV (na + nb - inter)"))
+          .orderBy(desc("cont_bp"), desc("inter"), asc("doc_a"),
+            asc("doc_b"))
+          .limit(20)
+        top.withColumn("rk", row_number().over(
+            Window.orderBy(desc("cont_bp"), desc("inter"), asc("doc_a"),
+              asc("doc_b"))).cast("long"))
+          .select("rk", "doc_a", "doc_b", "na", "nb", "inter", "cont_bp",
+            "jacc_bp")
+          .orderBy("rk")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |sh0 AS (SELECT doc_id, unnest(hs) AS sh
+              |        FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |${duckStopShingles(graft.operators.CorpusPipeline.DefaultStopShingleDf)},
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(count(*) AS BIGINT) AS inter
+              |  FROM sh a JOIN sh b
+              |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sc AS (SELECT i.doc_a, i.doc_b,
+              |    CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+              |    i.inter,
+              |    CAST(i.inter * 10000 // least(sa.n, sb.n) AS BIGINT)
+              |      AS cont_bp,
+              |    CAST(i.inter * 10000 // (sa.n + sb.n - i.inter)
+              |      AS BIGINT) AS jacc_bp
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.doc_a
+              |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+              |SELECT CAST(row_number() OVER (ORDER BY cont_bp DESC,
+              |    inter DESC, doc_a, doc_b) AS BIGINT) AS rk,
+              |  doc_a, doc_b, na, nb, inter, cont_bp, jacc_bp
+              |FROM sc
+              |ORDER BY cont_bp DESC, inter DESC, doc_a, doc_b
+              |LIMIT 20""".stripMargin)),
+
+    // ---- Good–Turing frequency smoothing ----------------------------------
+    // The count-of-counts estimator KN (q188) discounts by a constant;
+    // Good–Turing reads the discount off the data itself: r* =
+    // (r+1)·N_{r+1}/N_r, where N_r is the number of BIGRAM types seen
+    // exactly r times (bigrams, not unigrams: the synthetic generator's
+    // closed unigram vocabulary has no rare types — min count 26 at
+    // sf0.01 — while the bigram spectrum has genuine hapaxes, and
+    // count-of-counts over bigram types is exactly the table KN's own
+    // discount is derived from). The r=1 row's raw mass share N_1/N is
+    // simultaneously the Good–Turing estimate of the UNSEEN mass — the
+    // number an open-vocabulary pipeline needs before trusting its
+    // per-event probabilities. All integer micro/ppm arithmetic; the
+    // low-r rows (r ≤ 5) are the ones GT is trusted for in practice and
+    // the only ones reported. Scale: one corpus pass to bigram counts
+    // (bigram-type-sized groupBy), then EVERYTHING runs on the
+    // frequency-of-frequencies frame — bounded by the distinct count
+    // values, dozens of rows at any corpus size; totals come from that
+    // same frame (Σ r·N_r ≡ bigram-position count — the GT identity the
+    // spec pins), not a second corpus scan.
+    "q229_good_turing" -> QueryDef(
+      (s, dir) => {
+        val wc = tableParallel(s, dir, "documents")
+          .select(tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(ws) - 2),
+              | i -> concat_ws(' ', ws[i], ws[i+1]))""".stripMargin))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("r"))
+        val ff = Materialize(wc.groupBy("r").agg(count(lit(1)).as("n_r")))
+        val tot = ff.agg(sum(expr("r * n_r")).as("n_tok"),
+          sum("n_r").as("n_types"))
+        val nxt = ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+        ff.filter(col("r") <= 5)
+          .join(nxt, Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("rstar_micro", expr(
+            """CASE WHEN n_r1 IS NOT NULL
+              | THEN (r + 1) * n_r1 * 1000000 DIV n_r END""".stripMargin))
+          .withColumn("mass_ppm", expr("r * n_r * 1000000 DIV n_tok"))
+          .withColumn("smoothed_mass_ppm", expr(
+            """CASE WHEN n_r1 IS NOT NULL
+              | THEN ((r + 1) * n_r1 * 1000000 DIV n_r) * n_r DIV n_tok
+              | END""".stripMargin))
+          .select("r", "n_r", "n_r1", "n_tok", "n_types", "rstar_micro",
+            "mass_ppm", "smoothed_mass_ppm")
+          .orderBy("r")
+      },
+      Some(s"""WITH tw AS (SELECT $duckToks AS ws FROM documents),
+              |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r
+              |  FROM (SELECT unnest(
+              |      [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+              |      AS w
+              |    FROM tw WHERE len(ws) >= 2)
+              |  GROUP BY 1),
+              |ff AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+              |  FROM wc GROUP BY 1),
+              |t AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tok,
+              |    CAST(sum(n_r) AS BIGINT) AS n_types FROM ff),
+              |nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM ff)
+              |SELECT f.r, f.n_r, nxt.n_r1, t.n_tok, t.n_types,
+              |  CAST(CASE WHEN nxt.n_r1 IS NOT NULL
+              |    THEN (f.r + 1) * nxt.n_r1 * 1000000 // f.n_r END
+              |    AS BIGINT) AS rstar_micro,
+              |  CAST(f.r * f.n_r * 1000000 // t.n_tok AS BIGINT)
+              |    AS mass_ppm,
+              |  CAST(CASE WHEN nxt.n_r1 IS NOT NULL
+              |    THEN ((f.r + 1) * nxt.n_r1 * 1000000 // f.n_r) * f.n_r
+              |      // t.n_tok END AS BIGINT) AS smoothed_mass_ppm
+              |FROM ff f LEFT JOIN nxt ON f.r = nxt.r CROSS JOIN t
+              |WHERE f.r <= 5 ORDER BY f.r""".stripMargin)),
+
+    // ---- cross-document duplicated-span share -----------------------------
+    // The exact-substring duplication signal (Lee et al. 2022, "Dedupli-
+    // cating Training Data Makes Language Models Better"): a rolling
+    // 5-token window hash per position, a window marked DUPLICATED when
+    // the same hash occurs in ≥ 2 distinct documents, and the per-doc
+    // duplicated-position share rolled up by source. This is the
+    // corpus-internal cross-doc twin of q205 (intra-doc repetition) and
+    // q182 (eval-set overlap): it catches shared boilerplate and syndi-
+    // cated spans that whole-doc fingerprints (q40) and symmetric
+    // Jaccard both dilute. Multiplicity counts: a doc that repeats a
+    // cross-doc-duplicated span pays for every position. Scale: the
+    // window table is ~tokens-sized (one narrow transform + posexplode),
+    // the dup-hash set is one groupBy with an early n_docs ≥ 2 cut, and
+    // the marking join is an equi-shuffle on the window hash — no pair
+    // enumeration anywhere, so cost is linear in corpus tokens. Docs
+    // under 5 tokens have no windows and are deliberately outside the
+    // denominator.
+    "q230_dup_span_share" -> QueryDef(
+      (s, dir) => {
+        val win = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"), col("source"),
+            explode(expr(
+              """transform(sequence(0, size(ws) - 5), i ->
+                | CAST(conv(substring(md5(concat_ws(' ', ws[i], ws[i+1],
+                |   ws[i+2], ws[i+3], ws[i+4])), 1, 8), 16, 10)
+                |   AS BIGINT))""".stripMargin)).as("wh")))
+        val dup = win.groupBy("wh")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("wh"), lit(1L).as("isd"))
+        win.join(dup, Seq("wh"), "left")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_win"),
+            sum(coalesce(col("isd"), lit(0L))).as("n_dup"))
+          .withColumn("dup_bp", expr("n_dup * 10000 DIV n_win"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_win").as("n_windows"),
+            sum("n_dup").as("n_dup_windows"),
+            sum(when(col("dup_bp") >= 5000L, 1L).otherwise(0L))
+              .as("n_docs_majority_dup"))
+          .withColumn("dup_share_bp",
+            expr("n_dup_windows * 10000 DIV n_windows"))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, $duckToks AS ws
+              |  FROM documents),
+              |win AS (SELECT doc_id, source, unnest(
+              |    [CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
+              |       || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]),
+              |       1, 8)) AS BIGINT)
+              |     for i in range(1, len(ws) - 3)]) AS wh
+              |  FROM w WHERE len(ws) >= 5),
+              |dup AS (SELECT wh, 1 AS isd FROM
+              |    (SELECT wh, count(DISTINCT doc_id) AS nd
+              |     FROM win GROUP BY 1)
+              |  WHERE nd >= 2),
+              |pd AS (SELECT doc_id, source,
+              |    CAST(count(*) AS BIGINT) AS n_win,
+              |    CAST(sum(CASE WHEN d.isd IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_dup
+              |  FROM win LEFT JOIN dup d ON win.wh = d.wh
+              |  GROUP BY 1, 2)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_win) AS BIGINT) AS n_windows,
+              |  CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+              |  CAST(sum(CASE WHEN n_dup * 10000 // n_win >= 5000
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_majority_dup,
+              |  CAST(sum(n_dup) * 10000 // sum(n_win) AS BIGINT)
+              |    AS dup_share_bp
+              |FROM pd GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- filter-cascade ordering audit ------------------------------------
+    // The predicate-ordering question Catalyst answers for WHERE clauses,
+    // asked of a quality-filter CASCADE whose stages have real unit
+    // costs (a length check is cheap; a char-class scan is not): for
+    // each candidate stage ordering, the expected probe cost per
+    // document is Σ costs of the stages actually evaluated — evaluation
+    // stops at the first rejection, so putting high-rejection cheap
+    // stages first dominates. Flags are computed ONCE per document (the
+    // audit's whole point is that outcome is order-INDEPENDENT — the
+    // accepted set is pinned identical across orderings, in the oracle
+    // and the spec); the four cost chains are pure nested-CASE column
+    // programs over those flags shared verbatim with the oracle via
+    // [[cascadeChain]], and `stack()` unpivots ordering × doc map-side —
+    // one corpus scan, one 4-group aggregation, at any scale.
+    "q232_filter_cascade_order" -> QueryDef(
+      (s, dir) => {
+        val chains = CascadeOrders.map { case (nm, p) =>
+          (nm, cascadeChain(p)) }
+        tableParallel(s, dir, "documents")
+          .select(col("source"), lower(trim(col("text"))).as("lt"),
+            tokens(col("text")).as("ws"))
+          .filter(length(col("lt")) > 0)
+          .withColumn("f1",
+            when(size(col("ws")) >= 10, 1L).otherwise(0L))
+          .withColumn("f2", when(
+            expr("size(filter(ws, t -> length(t) > 20)) = 0"), 1L)
+            .otherwise(0L))
+          .withColumn("f3", when(
+            expr("length(regexp_replace(lt, '[^a-z]', '')) * 10" +
+              " >= 6 * length(lt)"), 1L).otherwise(0L))
+          .withColumn("f4", when(
+            expr("""size(filter(ws, t -> t IN ('the','a','an','and','of',
+              |'to','in','is','that','it'))) >= 2""".stripMargin), 1L)
+            .otherwise(0L))
+          .withColumn("accept", expr(
+            "CASE WHEN f1 = 1 AND f2 = 1 AND f3 = 1 AND f4 = 1" +
+              " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+          .selectExpr("accept",
+            s"stack(4, ${chains.map { case (nm, c) =>
+              s"'$nm', CAST($c AS BIGINT)" }.mkString(", ")})" +
+              " AS (ordering, probe_cost)")
+          .groupBy("ordering")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("accept").as("n_accepted"),
+            sum("probe_cost").as("total_cost"))
+          .withColumn("cost_per_doc_milli",
+            expr("total_cost * 1000 DIV n_docs"))
+          .withColumn("cost_per_accept_milli", expr(
+            """CASE WHEN n_accepted > 0
+              | THEN total_cost * 1000 DIV n_accepted END""".stripMargin))
+          .orderBy("ordering")
+      },
+      Some(s"""WITH d AS (SELECT source, lower(trim(text)) AS lt,
+              |    $duckToks AS ws
+              |  FROM documents WHERE length(lower(trim(text))) > 0),
+              |fl AS (SELECT
+              |    CASE WHEN len(ws) >= 10 THEN 1 ELSE 0 END AS f1,
+              |    CASE WHEN len(list_filter(ws, t -> length(t) > 20)) = 0
+              |      THEN 1 ELSE 0 END AS f2,
+              |    CASE WHEN length(regexp_replace(lt, '[^a-z]', '', 'g'))
+              |      * 10 >= 6 * length(lt) THEN 1 ELSE 0 END AS f3,
+              |    CASE WHEN len(list_filter(ws, t -> t IN ('the','a','an',
+              |      'and','of','to','in','is','that','it'))) >= 2
+              |      THEN 1 ELSE 0 END AS f4
+              |  FROM d),
+              |pc AS (${CascadeOrders.map { case (nm, p) =>
+                s"""SELECT '$nm' AS ordering,
+                   |    CASE WHEN f1 = 1 AND f2 = 1 AND f3 = 1 AND f4 = 1
+                   |      THEN 1 ELSE 0 END AS accept,
+                   |    ${cascadeChain(p)} AS probe_cost FROM fl"""
+                  .stripMargin }
+                .mkString("\nUNION ALL\n")})
+              |SELECT ordering, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(accept) AS BIGINT) AS n_accepted,
+              |  CAST(sum(probe_cost) AS BIGINT) AS total_cost,
+              |  CAST(sum(probe_cost) * 1000 // count(*) AS BIGINT)
+              |    AS cost_per_doc_milli,
+              |  CAST(CASE WHEN sum(accept) > 0 THEN sum(probe_cost) * 1000
+              |    // sum(accept) END AS BIGINT) AS cost_per_accept_milli
+              |FROM pc GROUP BY ordering ORDER BY ordering""".stripMargin)),
+
+    // ---- Cohen's kappa filter-agreement audit -----------------------------
+    // Chance-corrected agreement between the q190 token-level filter and
+    // the q209/q225 char-level reference rule, per source: raw accuracy
+    // flatters any pair of classifiers that both mostly say "accept", so
+    // the datacard metric is κ = (p_o − p_e) / (1 − p_e) with the
+    // expected-agreement term from the marginals. All integer: p_o and
+    // p_e ride the common n² denominator, and the final division is
+    // SIGN-SPLIT (κ < 0 — agreement below chance — is representable, and
+    // Spark DIV truncates while DuckDB // floors; they agree only on
+    // non-negative operands, the q208 lesson). One scan feeds both
+    // classifiers; the confusion table is one groupBy on source.
+    "q233_kappa_agreement" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val scored = qualityScored(docs)
+          .select(col("doc_id"), col("source"), col("pass").as("pred"))
+        val gold = docs
+          .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
+          .filter(length(col("lt")) > 0)
+          .withColumn("gold", when(
+            expr("length(regexp_replace(lt, '[^a-z]', '')) * 10000" +
+              " DIV length(lt)") >= 7000L && length(col("lt")) >= 200,
+            1L).otherwise(0L))
+          .select("doc_id", "gold")
+        scored.join(gold, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN pred = 1 AND gold = 1 THEN 1 ELSE 0 END"))
+              .as("tp"),
+            sum(expr("CASE WHEN pred = 1 AND gold = 0 THEN 1 ELSE 0 END"))
+              .as("fp"),
+            sum(expr("CASE WHEN pred = 0 AND gold = 1 THEN 1 ELSE 0 END"))
+              .as("fn"),
+            sum(expr("CASE WHEN pred = 0 AND gold = 0 THEN 1 ELSE 0 END"))
+              .as("tn"))
+          .withColumn("acc_bp", expr("(tp + tn) * 10000 DIV n"))
+          .withColumn("pe_num",
+            expr("(tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)"))
+          .withColumn("kappa_bp", expr(
+            """CASE WHEN n * n - pe_num > 0 THEN
+              |  CASE WHEN (tp + tn) * n - pe_num >= 0
+              |    THEN ((tp + tn) * n - pe_num) * 10000
+              |      DIV (n * n - pe_num)
+              |    ELSE -((pe_num - (tp + tn) * n) * 10000
+              |      DIV (n * n - pe_num)) END
+              |END""".stripMargin))
+          .select("source", "n", "tp", "fp", "fn", "tn", "acc_bp",
+            "kappa_bp")
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |gold AS (SELECT doc_id, CASE WHEN
+              |    length(regexp_replace(lower(trim(text)), '[^a-z]', '',
+              |      'g')) * 10000 // length(lower(trim(text))) >= 7000
+              |    AND length(lower(trim(text))) >= 200
+              |    THEN 1 ELSE 0 END AS gold
+              |  FROM documents WHERE length(lower(trim(text))) > 0),
+              |j AS (SELECT q.source, q.pass AS pred, g.gold
+              |  FROM qsc q JOIN gold g ON q.doc_id = g.doc_id),
+              |cf AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN pred = 1 AND gold = 1 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN pred = 1 AND gold = 0 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN pred = 0 AND gold = 1 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS fn,
+              |    CAST(sum(CASE WHEN pred = 0 AND gold = 0 THEN 1 ELSE 0
+              |      END) AS BIGINT) AS tn
+              |  FROM j GROUP BY 1)
+              |SELECT source, n, tp, fp, fn, tn,
+              |  CAST((tp + tn) * 10000 // n AS BIGINT) AS acc_bp,
+              |  CAST(CASE WHEN n * n -
+              |      ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) > 0
+              |    THEN CASE WHEN (tp + tn) * n -
+              |        ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) >= 0
+              |      THEN ((tp + tn) * n - ((tp + fp) * (tp + fn)
+              |        + (fn + tn) * (fp + tn))) * 10000
+              |        // (n * n - ((tp + fp) * (tp + fn)
+              |        + (fn + tn) * (fp + tn)))
+              |      ELSE -((((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+              |        - (tp + tn) * n) * 10000
+              |        // (n * n - ((tp + fp) * (tp + fn)
+              |        + (fn + tn) * (fp + tn)))) END
+              |  END AS BIGINT) AS kappa_bp
+              |FROM cf ORDER BY source""".stripMargin)),
+
+    // ---- distinct-n diversity ---------------------------------------------
+    // The generation-diversity metric (distinct-1/2/3, Li et al. 2016):
+    // per source, unique n-grams over total n-gram positions in bp —
+    // near-zero distinct-2 is the signature of templated or looped text
+    // that per-doc screens (q205) miss when the repetition is ACROSS
+    // documents. Three map-side gram explodes (n = 1, 2, 3) union into
+    // ONE shuffle; total positions count multiplicity while uniqueness
+    // is a distinct aggregate on the same key — linear in corpus tokens,
+    // output 3 rows per source.
+    "q234_distinct_ngram_diversity" -> QueryDef(
+      (s, dir) => {
+        val base = tableParallel(s, dir, "documents")
+          .select(col("source"), tokens(col("text")).as("ws"))
+        val parts = (1 to 3).map { n =>
+          val g = (0 until n).map(k => s"ws[i+$k]")
+            .mkString("concat_ws(' ', ", ", ", ")")
+          base.filter(size(col("ws")) >= n)
+            .select(col("source"), lit(n.toLong).as("n"),
+              explode(expr(
+                s"transform(sequence(0, size(ws) - $n), i -> $g)"))
+                .as("g"))
+        }
+        parts.reduce(_ unionAll _)
+          .groupBy("source", "n")
+          .agg(count(lit(1)).as("total_grams"),
+            countDistinct("g").as("distinct_grams"))
+          .withColumn("distinct_bp",
+            expr("distinct_grams * 10000 DIV total_grams"))
+          .orderBy("source", "n")
+      },
+      Some(s"""WITH w AS (SELECT source, $duckToks AS ws FROM documents),
+              |g1 AS (SELECT source, 1 AS n, unnest(ws) AS g FROM w
+              |  WHERE len(ws) >= 1),
+              |g2 AS (SELECT source, 2 AS n, unnest(
+              |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+              |    AS g
+              |  FROM w WHERE len(ws) >= 2),
+              |g3 AS (SELECT source, 3 AS n, unnest(
+              |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              |     for i in range(1, len(ws) - 1)]) AS g
+              |  FROM w WHERE len(ws) >= 3),
+              |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+              |  UNION ALL SELECT * FROM g3)
+              |SELECT source, CAST(n AS BIGINT) AS n,
+              |  CAST(count(*) AS BIGINT) AS total_grams,
+              |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+              |  CAST(count(DISTINCT g) * 10000 // count(*) AS BIGINT)
+              |    AS distinct_bp
+              |FROM u GROUP BY 1, 2 ORDER BY source, n""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

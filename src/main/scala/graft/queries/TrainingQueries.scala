@@ -3069,5 +3069,101 @@ object TrainingQueries {
              |FROM pairs p LEFT JOIN model m ON p.a = m.a
              |WHERE p.prev_us >= 1706054400000000
              |GROUP BY 1, 2, 3 ORDER BY state""".stripMargin)),
+
+    // ---- PPS sampling with largest-remainder apportionment ----------------
+    // Probability-proportional-to-size eval-set construction: a fixed
+    // document budget apportioned across sources by CHARACTER MASS (the
+    // resource a context window actually spends), not headcount — the
+    // q57 reproducibility rule (hash-ranked draws, never rand()) applied
+    // to a stratified design. Apportionment is Hamilton's largest-
+    // remainder method in exact integers: floor quotas n·mass_h DIV T,
+    // then the leftover seats go to the largest remainders under a total
+    // (remainder desc, source) order — Σ n_alloc = n exactly, every
+    // |n_alloc − quota| < 1, both spec-pinned. The within-stratum draw is
+    // rank-by-md5 ≤ n_alloc: deterministic, repartition-stable, and the
+    // oracle replays the exact drawn set (drawn_id_sum hashes it). Scale:
+    // one corpus pass builds the strata frame (sources-sized); the
+    // apportionment windows run on THAT bounded frame, never the corpus;
+    // the draw is one per-source rank window (the loader's own per-shard
+    // sort) against a broadcast allocation. achieved_bp vs target_bp is
+    // the audit: PPS puts the sample's mass share where the corpus's
+    // mass share is.
+    "q227_pps_sample_apportion" -> QueryDef(
+      (s, dir) => {
+        val n = 60L
+        val docs = Materialize(table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            hash32(concat(lit("pps_"), col("doc_id"))).as("h")))
+        val strata = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("mass"))
+        val tot = strata.agg(sum("mass").as("t_mass"))
+        val quotas = Materialize(strata.crossJoin(broadcast(tot))
+          .withColumn("floor_h", expr(s"$n * mass DIV t_mass"))
+          .withColumn("rem", expr(s"($n * mass) % t_mass")))
+        val fsum = quotas.agg(sum("floor_h").as("fsum"))
+        val alloc = Materialize(quotas.crossJoin(broadcast(fsum))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(desc("rem"), asc("source"))))
+          .withColumn("n_alloc", col("floor_h") +
+            when(col("rk") <= lit(n) - col("fsum"), 1L).otherwise(0L)))
+        val drawn = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(asc("h"), asc("doc_id"))))
+          .join(broadcast(alloc.select("source", "n_alloc")), Seq("source"))
+          .filter(col("rn") <= col("n_alloc"))
+        val dAgg = drawn.groupBy("source")
+          .agg(count(lit(1)).as("n_drawn"),
+            sum("n_chars").as("drawn_mass"),
+            sum("doc_id").as("drawn_id_sum"))
+        val dTot = dAgg.agg(sum("drawn_mass").as("td"))
+        alloc.join(dAgg, Seq("source"), "left")
+          .crossJoin(broadcast(dTot))
+          .select(col("source"), col("n_docs"), col("mass"),
+            expr("mass * 10000 DIV t_mass").as("target_bp"),
+            col("floor_h"), col("n_alloc"),
+            coalesce(col("n_drawn"), lit(0L)).as("n_drawn"),
+            coalesce(col("drawn_mass"), lit(0L)).as("drawn_mass"),
+            expr("coalesce(drawn_mass, CAST(0 AS BIGINT)) * 10000 DIV td")
+              .as("achieved_bp"),
+            coalesce(col("drawn_id_sum"), lit(0L)).as("drawn_id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH dd AS (SELECT doc_id, source, n_chars,
+             |    CAST(('0x' || substr(md5('pps_' || doc_id), 1, 8))
+             |      AS BIGINT) AS h
+             |  FROM documents),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS mass FROM dd GROUP BY 1),
+             |t AS (SELECT CAST(sum(mass) AS BIGINT) AS t_mass FROM st),
+             |q AS (SELECT st.*, t_mass,
+             |    CAST(60 * mass // t_mass AS BIGINT) AS floor_h,
+             |    CAST((60 * mass) % t_mass AS BIGINT) AS rem
+             |  FROM st CROSS JOIN t),
+             |f AS (SELECT CAST(sum(floor_h) AS BIGINT) AS fsum FROM q),
+             |al AS (SELECT q.*, floor_h + CASE WHEN
+             |      row_number() OVER (ORDER BY rem DESC, source)
+             |        <= 60 - fsum THEN 1 ELSE 0 END AS n_alloc
+             |  FROM q CROSS JOIN f),
+             |rk AS (SELECT dd.*, row_number() OVER
+             |      (PARTITION BY source ORDER BY h, doc_id) AS rn
+             |  FROM dd),
+             |dr AS (SELECT rk.* FROM rk JOIN al ON rk.source = al.source
+             |  WHERE rk.rn <= al.n_alloc),
+             |da AS (SELECT source, CAST(count(*) AS BIGINT) AS n_drawn,
+             |    CAST(sum(n_chars) AS BIGINT) AS drawn_mass,
+             |    CAST(sum(doc_id) AS BIGINT) AS drawn_id_sum
+             |  FROM dr GROUP BY 1),
+             |dt AS (SELECT CAST(sum(drawn_mass) AS BIGINT) AS td FROM da)
+             |SELECT al.source, al.n_docs, al.mass,
+             |  CAST(al.mass * 10000 // al.t_mass AS BIGINT) AS target_bp,
+             |  al.floor_h, CAST(al.n_alloc AS BIGINT) AS n_alloc,
+             |  COALESCE(da.n_drawn, 0) AS n_drawn,
+             |  COALESCE(da.drawn_mass, 0) AS drawn_mass,
+             |  CAST(COALESCE(da.drawn_mass, 0) * 10000 // td AS BIGINT)
+             |    AS achieved_bp,
+             |  COALESCE(da.drawn_id_sum, 0) AS drawn_id_sum
+             |FROM al LEFT JOIN da ON al.source = da.source
+             |CROSS JOIN dt
+             |ORDER BY al.source""".stripMargin)),
   )
 }

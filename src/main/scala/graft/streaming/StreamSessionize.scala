@@ -337,6 +337,41 @@ object StreamSessionize {
       .filter(col("w_sum") >= minW)
       .select("doc_id", "source", "n_toks", "w_sum")
 
+  /** Ingest-time Bloom decontamination screen — q226's membership
+    * verdict computed STATELESSLY on the stream: the packed filter words
+    * arrive as a ONE-row ≤128-entry map frame
+    * (`TextQueries.bloomWordMap`), crossJoin-broadcast into each
+    * micro-batch, and the K=3 probe checks run as a pure column program
+    * (element_at lookups + shift/AND) — no explode, no join, no state,
+    * so any micro-batch split is exactly the batch answer by
+    * construction. This is a DIFFERENT physical plan from the batch
+    * explode → broadcast word-join → min-fold in
+    * `TextQueries.bloomFlags`; the parity gate pins the two to each
+    * other (the dsir-screen cross-plan pattern). At scale the static
+    * side is a constant 128 words whatever the member-set size — the
+    * property that makes Bloom screens the ingest decontamination
+    * primitive — and each arriving document costs three md5 probes.
+    * Emits the flagged (suspect-member) documents for quarantine.
+    */
+  def bloomScreenStream(docs: DataFrame, wordMapRow: DataFrame): DataFrame = {
+    import graft.queries.TextQueries.{BloomBits, BloomWordBits}
+    val checks = (1 to 3).map { i =>
+      val bit = s"(CAST(conv(substring(md5(concat('bloom', $i, '_', fp))," +
+        s" 1, 8), 16, 10) AS BIGINT) % $BloomBits)"
+      val mask = s"shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST($bit % $BloomWordBits AS INT))"
+      s"((coalesce(element_at(bw, $bit DIV $BloomWordBits), " +
+        s"CAST(0 AS BIGINT)) & $mask) = $mask)"
+    }.mkString(" AND ")
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("fp"))
+      .crossJoin(broadcast(wordMapRow))
+      .filter(expr(checks))
+      .select("doc_id", "source")
+  }
+
   /** Live corpus-mix drift monitor — the streaming half of q160's KL
     * diagnostic, made state-finite by the 64-bucket DSIR feature space:
     * arriving documents fold into per-(source, bucket) counters (state

@@ -76,12 +76,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     SparkEntry.catalog.foreach { case (name, qd) =>
       val plan = qd.fn(spark, sf).queryExecution.sparkPlan
       val carts = collectAll(plan) { case c: CartesianProductExec => c }
-      assert(carts.isEmpty,
-        s"$name plans a CartesianProduct — quadratic in the corpus:\n$plan")
+      // clue strings render the FULL plan tree — build them only on
+      // failure (ScalaTest's assert clue is by-value, and rendering 220
+      // large plans dominates this suite's wall time otherwise)
+      if (carts.nonEmpty)
+        fail(s"$name plans a CartesianProduct — quadratic in the " +
+          s"corpus:\n$plan")
       collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
         .foreach { j =>
-          assert(isBounded(buildSide(j)),
-            s"$name broadcasts an UNFILTERED side in a nested-loop join:\n$plan")
+          if (!isBounded(buildSide(j)))
+            fail(s"$name broadcasts an UNFILTERED side in a nested-loop " +
+              s"join:\n$plan")
         }
       spark.sqlContext.clearCache()
     }
@@ -170,9 +175,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
           assert(bcastSides.nonEmpty,
             s"$name: expected hinted broadcast index-state joins")
         bcastSides.foreach { b =>
-          assert(isFixedCardinality(b),
-            s"$name broadcasts a side whose cardinality can scale with " +
-              s"the corpus:\n$b")
+          if (!isFixedCardinality(b))
+            fail(s"$name broadcasts a side whose cardinality can scale " +
+              s"with the corpus:\n$b")
         }
         spark.sqlContext.clearCache()
       }

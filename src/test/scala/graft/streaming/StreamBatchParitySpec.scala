@@ -1032,6 +1032,49 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("file-replay bloomScreenStream == q226 batch bloomFlags " +
+      "(cross-plan: map-literal column program vs explode-join-fold)") {
+    failAfter(Span(300, Seconds)) {
+      import graft.queries.TextQueries
+      val dir = Files.createTempDirectory("bloom_replay_").toString
+      val ckpt = Files.createTempDirectory("bloom_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      // filter built batch-side from the eval slice (the deployment
+      // shape: index the benchmark once, screen the ingest stream)
+      val d = TextQueries.bloomFp(docs)
+      val ev = d.filter(col("doc_id") % 17 === 3).select("fp").distinct()
+      val fw = TextQueries.bloomWords(ev)
+      val wordMap = TextQueries.bloomWordMap(fw)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = bloomScreenStream(stream, wordMap)
+        .writeStream.format("memory").queryName("bloom_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+      val streamed = spark.table("bloom_replay").collect().map(key).toSet
+      // batch twin: a PHYSICALLY DIFFERENT plan (K-way explode →
+      // broadcast word join → min-fold) computing the same verdict
+      val batch = TextQueries.bloomFlags(d, fw)
+        .filter(col("flagged") === 1L)
+        .select("doc_id", "source")
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      // teeth: every eval-slice doc is flagged (no false negatives) and
+      // the screen does not flag everything
+      val evalIds = docs.filter(col("doc_id") % 17 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(evalIds.subsetOf(streamed.map(_._1)))
+      assert(streamed.size < docs.count())
+    }
+  }
+
   test("file-replay driftCountsStream + klFromCounts == batch KL drift " +
       "(state-finite 64-bucket monitor, complete mode)") {
     failAfter(Span(300, Seconds)) {
