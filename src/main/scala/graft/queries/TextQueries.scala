@@ -3764,6 +3764,284 @@ object TextQueries {
               |  CAST(count(DISTINCT g) * 10000 // count(*) AS BIGINT)
               |    AS distinct_bp
               |FROM u GROUP BY 1, 2 ORDER BY source, n""".stripMargin)),
+
+    // ---- token-budget epoch planner ---------------------------------------
+    // The mixture-planning arithmetic a training run does before it
+    // starts: a fixed token budget spread across sources proportional to
+    // QUALITY-WEIGHTED mass (mass × q190 acceptance rate — the shared
+    // scorer again), with a hard repetition cap (4 epochs: past that,
+    // repeated data stops helping and starts hurting). Fixed-point
+    // micro-epochs keep it exact; capped sources return their unused
+    // budget, which is redistributed ONCE pro-rata among the uncapped
+    // (the unrolled-waterfill round, q208's materialize-each-round
+    // rule), then re-capped. Σ tokens_final ≤ budget is PROVABLE (the
+    // bonus pool is exactly the leftover; truncation only shrinks), and
+    // the spec pins it plus the cap. Everything after one corpus pass
+    // (the scorer's own) runs on the sources-sized frame.
+    "q235_token_budget_plan" -> QueryDef(
+      (s, dir) => {
+        val B = 200000L
+        val CapMicro = 4000000L
+        val st = Materialize(
+          qualityScored(tableParallel(s, dir, "documents"))
+            .groupBy("source")
+            .agg(sum("toks").as("mass"), sum("pass").as("n_acc"),
+              count(lit(1)).as("n_docs"))
+            .withColumn("accept_bp", expr("n_acc * 10000 DIV n_docs"))
+            .withColumn("w", expr("mass * accept_bp")))
+        val tw = st.agg(sum("w").as("w_tot"))
+        val r1 = Materialize(st.crossJoin(broadcast(tw))
+          .withColumn("target", expr(s"$B * w DIV w_tot"))
+          .withColumn("epochs_micro", expr(
+            s"least(CAST($CapMicro AS BIGINT), target * 1000000 DIV mass)"))
+          .withColumn("planned", expr("epochs_micro * mass DIV 1000000"))
+          .withColumn("capped", expr(
+            s"""CASE WHEN target * 1000000 DIV mass > $CapMicro
+               | THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               | END""".stripMargin)))
+        val lrem = r1.agg((lit(B) - sum("planned")).as("leftover"),
+          sum(expr("CASE WHEN capped = 0 THEN w ELSE 0 END")).as("w_unc"))
+        r1.crossJoin(broadcast(lrem))
+          .withColumn("bonus", expr(
+            """CASE WHEN capped = 0 AND w_unc > 0
+              | THEN leftover * w DIV w_unc
+              | ELSE CAST(0 AS BIGINT) END""".stripMargin))
+          .withColumn("epochs2_micro", expr(
+            s"""least(CAST($CapMicro AS BIGINT),
+               | (planned + bonus) * 1000000 DIV mass)""".stripMargin))
+          .withColumn("tokens_final",
+            expr("epochs2_micro * mass DIV 1000000"))
+          .select("source", "n_docs", "mass", "accept_bp", "target",
+            "epochs_micro", "capped", "bonus", "epochs2_micro",
+            "tokens_final")
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |st AS (SELECT qf.source,
+              |    CAST(sum(qf.toks) AS BIGINT) AS mass,
+              |    CAST(sum(qsc.pass) AS BIGINT) AS n_acc,
+              |    CAST(count(*) AS BIGINT) AS n_docs
+              |  FROM qf JOIN qsc ON qf.doc_id = qsc.doc_id
+              |  GROUP BY 1),
+              |sw AS (SELECT *, n_acc * 10000 // n_docs AS accept_bp,
+              |    mass * (n_acc * 10000 // n_docs) AS w FROM st),
+              |tw AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM sw),
+              |r1 AS (SELECT sw.*, w_tot,
+              |    200000 * w // w_tot AS target,
+              |    least(4000000, (200000 * w // w_tot) * 1000000 // mass)
+              |      AS epochs_micro,
+              |    least(4000000, (200000 * w // w_tot) * 1000000 // mass)
+              |      * mass // 1000000 AS planned,
+              |    CASE WHEN (200000 * w // w_tot) * 1000000 // mass
+              |      > 4000000 THEN 1 ELSE 0 END AS capped
+              |  FROM sw CROSS JOIN tw),
+              |lr AS (SELECT 200000 - CAST(sum(planned) AS BIGINT)
+              |      AS leftover,
+              |    CAST(sum(CASE WHEN capped = 0 THEN w ELSE 0 END)
+              |      AS BIGINT) AS w_unc
+              |  FROM r1)
+              |SELECT source, n_docs, mass, CAST(accept_bp AS BIGINT)
+              |    AS accept_bp,
+              |  CAST(target AS BIGINT) AS target,
+              |  CAST(epochs_micro AS BIGINT) AS epochs_micro,
+              |  CAST(capped AS BIGINT) AS capped,
+              |  CAST(CASE WHEN capped = 0 AND w_unc > 0
+              |    THEN leftover * w // w_unc ELSE 0 END AS BIGINT)
+              |    AS bonus,
+              |  CAST(least(4000000, (planned + CASE WHEN capped = 0
+              |      AND w_unc > 0 THEN leftover * w // w_unc ELSE 0 END)
+              |    * 1000000 // mass) AS BIGINT) AS epochs2_micro,
+              |  CAST(least(4000000, (planned + CASE WHEN capped = 0
+              |      AND w_unc > 0 THEN leftover * w // w_unc ELSE 0 END)
+              |    * 1000000 // mass) * mass // 1000000 AS BIGINT)
+              |    AS tokens_final
+              |FROM r1 CROSS JOIN lr ORDER BY source""".stripMargin)),
+
+    // ---- acceptance-disparity audit (exact chi-square) --------------------
+    // Does the quality filter treat languages differently? Per language,
+    // the acceptance rate vs the REST of the corpus, tested with the
+    // exact two-proportion chi-square decision at α = 0.05 (df 1):
+    // χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) > 3.841, decided by
+    // cross-multiplication in DECIMAL(38,0) — N·(ad−bc)²·1000 vs
+    // 3841·(row and column products) — with no division and no float
+    // (the q207 trick), so the verdict replays exactly at any corpus
+    // size where int64 would already have overflowed. The disparate-
+    // impact column (each language's rate against the best rate, in bp)
+    // is the four-fifths-rule number reviewers ask for. One corpus pass
+    // (the shared scorer), then a languages-sized frame and two scalar
+    // broadcasts.
+    "q236_accept_disparity" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val byLang = Materialize(
+          qualityScored(docs)
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n"), sum("pass").as("n_acc"))
+            .withColumn("rate_bp", expr("n_acc * 10000 DIV n")))
+        val tot = byLang.agg(sum("n").as("nt"), sum("n_acc").as("at"))
+        val mx = byLang.agg(max("rate_bp").as("max_rate_bp"))
+        byLang.crossJoin(broadcast(tot)).crossJoin(broadcast(mx))
+          .withColumn("rest_n", expr("nt - n"))
+          .withColumn("rest_acc", expr("at - n_acc"))
+          .withColumn("rest_rate_bp",
+            expr("(at - n_acc) * 10000 DIV (nt - n)"))
+          .withColumn("diff",
+            expr("n_acc * (rest_n - rest_acc) - (n - n_acc) * rest_acc"))
+          .withColumn("sig", expr(
+            """CASE WHEN CAST(nt AS DECIMAL(38,0))
+              |    * CAST(diff AS DECIMAL(38,0))
+              |    * CAST(diff AS DECIMAL(38,0)) * 1000
+              |  > CAST(3841 AS DECIMAL(38,0))
+              |    * CAST(n AS DECIMAL(38,0))
+              |    * CAST(rest_n AS DECIMAL(38,0))
+              |    * CAST(n_acc + rest_acc AS DECIMAL(38,0))
+              |    * CAST(nt - n_acc - rest_acc AS DECIMAL(38,0))
+              |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+              |  END""".stripMargin))
+          .withColumn("rate_vs_max_bp", expr(
+            """CASE WHEN max_rate_bp > 0
+              | THEN rate_bp * 10000 DIV max_rate_bp END""".stripMargin))
+          .select("lang", "n", "n_acc", "rate_bp", "rest_n", "rest_acc",
+            "rest_rate_bp", "sig", "rate_vs_max_bp")
+          .orderBy("lang")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |bl AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(q.pass) AS BIGINT) AS n_acc
+              |  FROM qsc q JOIN documents d ON q.doc_id = d.doc_id
+              |  GROUP BY 1),
+              |rl AS (SELECT *, n_acc * 10000 // n AS rate_bp FROM bl),
+              |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+              |    CAST(sum(n_acc) AS BIGINT) AS at FROM rl),
+              |m AS (SELECT CAST(max(rate_bp) AS BIGINT) AS max_rate_bp
+              |  FROM rl)
+              |SELECT lang, n, n_acc, CAST(rate_bp AS BIGINT) AS rate_bp,
+              |  CAST(nt - n AS BIGINT) AS rest_n,
+              |  CAST(at - n_acc AS BIGINT) AS rest_acc,
+              |  CAST((at - n_acc) * 10000 // (nt - n) AS BIGINT)
+              |    AS rest_rate_bp,
+              |  CAST(CASE WHEN CAST(nt AS HUGEINT)
+              |      * CAST(n_acc * ((nt - n) - (at - n_acc))
+              |          - (n - n_acc) * (at - n_acc) AS HUGEINT)
+              |      * CAST(n_acc * ((nt - n) - (at - n_acc))
+              |          - (n - n_acc) * (at - n_acc) AS HUGEINT) * 1000
+              |    > CAST(3841 AS HUGEINT) * CAST(n AS HUGEINT)
+              |      * CAST(nt - n AS HUGEINT) * CAST(at AS HUGEINT)
+              |      * CAST(nt - at AS HUGEINT)
+              |    THEN 1 ELSE 0 END AS BIGINT) AS sig,
+              |  CAST(CASE WHEN max_rate_bp > 0
+              |    THEN rate_bp * 10000 // max_rate_bp END AS BIGINT)
+              |    AS rate_vs_max_bp
+              |FROM rl CROSS JOIN t CROSS JOIN m
+              |ORDER BY lang""".stripMargin)),
+
+    // ---- incremental delta dedup ------------------------------------------
+    // The maintenance twin of q41: a NEW batch (a hash-drawn 20% of
+    // documents — the q57 rule, decorrelated from the source layout —
+    // simulating the next crawl drop) deduplicated against the existing
+    // corpus and against itself, without re-deduplicating the base. The
+    // base band table is the persisted index at 100 TB — building it is
+    // amortized across drops — so the incremental cost is two equi-joins
+    // keyed on the delta's band keys: delta ⋈ base (any collision drops
+    // the newcomer) and delta ⋈ earlier-delta (first-id-wins inside the
+    // batch, the q40 keep-min discipline). Decisions per document roll
+    // up per source with an id-sum witness so the oracle hashes the full
+    // decision vector. Same signature machinery as q41 — one native
+    // shingle+minhash pass, materialized once, band fan-out 4.
+    "q237_delta_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        ShingleHashes.register(s)
+        MinhashBandKeys.register(s)
+        val bands = Materialize(docs
+          .select(col("doc_id"), col("source"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), col("source"),
+            expr("""CASE WHEN CAST(conv(substring(md5(concat('delta_',
+              |   doc_id)), 1, 8), 16, 10) AS BIGINT) % 5 = 0
+              | THEN 1 ELSE 0 END""".stripMargin).as("is_delta"),
+            posexplode(MinhashBandKeys.of(col("hs"))))
+          .toDF("doc_id", "source", "is_delta", "band_id", "key"))
+        val base = bands.filter(col("is_delta") === 0)
+        val delta = bands.filter(col("is_delta") === 1)
+        val vsBase = delta.as("d").join(base.as("b"),
+            col("d.band_id") === col("b.band_id") &&
+              col("d.key") === col("b.key"))
+          .select(col("d.doc_id").as("doc_id")).distinct()
+          .withColumn("hit_base", lit(1L))
+        val intra = delta.as("a").join(delta.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.key") === col("b.key") &&
+              col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id").as("doc_id")).distinct()
+          .withColumn("hit_intra", lit(1L))
+        delta.select("doc_id", "source").distinct()
+          .join(vsBase, Seq("doc_id"), "left")
+          .join(intra, Seq("doc_id"), "left")
+          .withColumn("decision", expr(
+            """CASE WHEN hit_base IS NOT NULL THEN 'drop_vs_base'
+              | WHEN hit_intra IS NOT NULL THEN 'drop_intra'
+              | ELSE 'keep' END""".stripMargin))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_delta"),
+            sum(when(col("decision") === "drop_vs_base", 1L)
+              .otherwise(0L)).as("n_drop_base"),
+            sum(when(col("decision") === "drop_intra", 1L)
+              .otherwise(0L)).as("n_drop_intra"),
+            sum(when(col("decision") === "keep", 1L).otherwise(0L))
+              .as("n_keep"),
+            sum(when(col("decision") =!= "keep", col("doc_id"))
+              .otherwise(0L)).as("dropped_id_sum"))
+          .orderBy("source")
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bands = (0 until 4).map { b =>
+          s"SELECT doc_id, source, is_delta, $b AS band_id, " +
+            s"m${2 * b}::VARCHAR || ',' || m${2 * b + 1}::VARCHAR AS key " +
+            "FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""WITH ws AS (SELECT doc_id, source, $duckToks AS ws
+           |  FROM documents),
+           |hss AS (SELECT * FROM
+           |    (SELECT doc_id, source,
+           |       CASE WHEN CAST(('0x' || substr(md5('delta_' || doc_id),
+           |           1, 8)) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END
+           |         AS is_delta, $duckHs AS hs FROM ws)
+           |  WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, source, is_delta, $minhashes FROM hss),
+           |bands AS ($bands),
+           |vb AS (SELECT DISTINCT d.doc_id FROM bands d JOIN bands b
+           |    ON d.band_id = b.band_id AND d.key = b.key
+           |  WHERE d.is_delta = 1 AND b.is_delta = 0),
+           |ia AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.key = b.key
+           |      AND b.doc_id < a.doc_id
+           |  WHERE a.is_delta = 1 AND b.is_delta = 1),
+           |dd AS (SELECT DISTINCT doc_id, source FROM bands
+           |  WHERE is_delta = 1),
+           |dec AS (SELECT dd.doc_id, dd.source,
+           |    CASE WHEN vb.doc_id IS NOT NULL THEN 'drop_vs_base'
+           |      WHEN ia.doc_id IS NOT NULL THEN 'drop_intra'
+           |      ELSE 'keep' END AS decision
+           |  FROM dd LEFT JOIN vb ON dd.doc_id = vb.doc_id
+           |    LEFT JOIN ia ON dd.doc_id = ia.doc_id)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_delta,
+           |  CAST(sum(CASE WHEN decision = 'drop_vs_base' THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_drop_base,
+           |  CAST(sum(CASE WHEN decision = 'drop_intra' THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_drop_intra,
+           |  CAST(sum(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_keep,
+           |  CAST(sum(CASE WHEN decision <> 'keep' THEN doc_id ELSE 0
+           |    END) AS BIGINT) AS dropped_id_sum
+           |FROM dec GROUP BY source ORDER BY source""".stripMargin
+      }),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
