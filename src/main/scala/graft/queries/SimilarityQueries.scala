@@ -2491,6 +2491,101 @@ object SimilarityQueries {
              |  CAST(max(err) AS BIGINT) AS max_err_milli,
              |  CAST(sum(err) AS BIGINT) AS sum_err_milli
              |FROM er GROUP BY i ORDER BY i""".stripMargin)),
+
+    // ---- Davies–Bouldin cluster-quality audit ------------------------------
+    // Is the label clustering (and by proxy any IVF partitioning trained
+    // on it) geometrically tight? The Davies–Bouldin index with squared
+    // L2 (documented variant — no sqrt keeps every step exact integers):
+    // per cluster the scatter S²_i = mean squared distance to the
+    // QUANTIZED centroid (components shifted non-negative and floored to
+    // milli, centroids floored to micro — both divisions run on
+    // non-negative operands, where Spark DIV and DuckDB // agree), then
+    // R_ij = (S²_i + S²_j)/d²(c_i, c_j) in basis points and DB_i =
+    // max_{j≠i} R_ij (ties → smallest j). Scale shape: ONE linear
+    // component pass to the k×64 centroid frame (fixed cardinality —
+    // broadcast back for the scatter pass), the pair stage runs on the
+    // k²-row centroid frame only, and the argmax window partitions a
+    // k²-row frame. Integer widths audited: points ≤ 2e6 micro, so the
+    // scatter sum stays under 2.6e14·n — int64-safe past sf1.
+    "q241_davies_bouldin_audit" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xv",
+            (floor((col("x").cast("double") + lit(1.0)) * 1000) * 1000)
+              .cast("long"))
+          .select("vec_id", "label", "i", "xv"))
+        val cent = Materialize(comps.groupBy("label", "i")
+          .agg(sum("xv").as("sv"), count(lit(1)).as("n"))
+          .withColumn("cu", expr("sv DIV n")))
+        val s2 = Materialize(comps
+          .join(broadcast(cent.select("label", "i", "cu", "n")),
+            Seq("label", "i"))
+          .withColumn("d2", expr("(xv - cu) * (xv - cu)"))
+          .groupBy("label")
+          .agg(sum("d2").as("ss"), max("n").as("n"))
+          .withColumn("s2q", expr("ss DIV n")))
+        val cd = cent.as("a").join(cent.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.label") =!= col("b.label"))
+          .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+          .agg(sum(expr("(a.cu - b.cu) * (a.cu - b.cu)")).as("d2c"))
+        val rw = Window.partitionBy("la")
+          .orderBy(col("r_bp").desc, col("lb").asc)
+        val top = cd
+          .join(broadcast(s2.select(col("label").as("la"),
+            col("s2q").as("s2a"), col("n").as("n"))), "la")
+          .join(broadcast(s2.select(col("label").as("lb"),
+            col("s2q").as("s2b"))), "lb")
+          .withColumn("r_bp",
+            expr("(s2a + s2b) * 10000 DIV greatest(d2c, 1)"))
+          .withColumn("rn", row_number().over(rw))
+          .filter(col("rn") === 1)
+        val db = top.agg(expr("sum(r_bp) DIV count(1)")
+          .as("db_mean_bp"))
+        top.crossJoin(broadcast(db))
+          .select(col("la").as("label"), col("n"), col("s2q"),
+            col("lb").as("worst_label"), col("r_bp"), col("db_mean_bp"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |    embedding::DOUBLE[] AS v FROM embeddings),
+             |comps AS (SELECT vec_id, label, i,
+             |    CAST(floor((v[i + 1] + 1.0) * 1000) * 1000 AS BIGINT)
+             |      AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+             |cent AS (SELECT label, i, CAST(sum(xv) AS BIGINT) AS sv,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(xv) // count(*) AS BIGINT) AS cu
+             |  FROM comps GROUP BY 1, 2),
+             |s2 AS (SELECT c.label,
+             |    CAST(sum((c.xv - ct.cu) * (c.xv - ct.cu)) AS BIGINT)
+             |      AS ss,
+             |    CAST(max(ct.n) AS BIGINT) AS n,
+             |    CAST(sum((c.xv - ct.cu) * (c.xv - ct.cu)) // max(ct.n)
+             |      AS BIGINT) AS s2q
+             |  FROM comps c JOIN cent ct
+             |    ON c.label = ct.label AND c.i = ct.i
+             |  GROUP BY 1),
+             |cd AS (SELECT a.label AS la, b.label AS lb,
+             |    CAST(sum((a.cu - b.cu) * (a.cu - b.cu)) AS BIGINT)
+             |      AS d2c
+             |  FROM cent a JOIN cent b
+             |    ON a.i = b.i AND a.label <> b.label
+             |  GROUP BY 1, 2),
+             |r AS (SELECT la, lb, sa.n, sa.s2q AS s2a, sb.s2q AS s2b,
+             |    (sa.s2q + sb.s2q) * 10000 // greatest(d2c, 1) AS r_bp
+             |  FROM cd JOIN s2 sa ON cd.la = sa.label
+             |    JOIN s2 sb ON cd.lb = sb.label),
+             |top AS (SELECT *, row_number() OVER (PARTITION BY la
+             |    ORDER BY r_bp DESC, lb ASC) AS rn FROM r),
+             |t1 AS (SELECT * FROM top WHERE rn = 1),
+             |db AS (SELECT CAST(sum(r_bp) // count(*) AS BIGINT)
+             |    AS db_mean_bp FROM t1)
+             |SELECT la AS label, n, s2q AS s2q, lb AS worst_label,
+             |  CAST(r_bp AS BIGINT) AS r_bp, db_mean_bp
+             |FROM t1 CROSS JOIN db ORDER BY label""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -4042,6 +4042,242 @@ object TextQueries {
            |    END) AS BIGINT) AS dropped_id_sum
            |FROM dec GROUP BY source ORDER BY source""".stripMargin
       }),
+
+    // ---- PMI collocation mining --------------------------------------------
+    // Pointwise mutual information over adjacent bigrams — the standard
+    // collocation extractor (and the building block of PMI-filtered
+    // phrase vocabularies): pmi = ln(p(w1,w2) / (p(w1)·p(w2))) with the
+    // bigram probability over total bigram mass and the unigram
+    // probabilities over total token mass, reported in exact floor'd
+    // micro-nats (the q199/q193 fixed-point rule — both engines evaluate
+    // the IDENTICAL double expression, so the floor is bit-stable). A
+    // minimum-count cut (c12 ≥ 5) removes the degenerate high-PMI
+    // singletons every PMI ranking drowns in. Scale shape: one linear
+    // bigram explode into a groupBy, one unigram groupBy, two vocab-sized
+    // equi-joins back onto the (already aggregated, vocab²-bounded)
+    // bigram frame, two scalar broadcasts, and a top-25 that compiles to
+    // TakeOrderedAndProject — no global sort, no corpus-sized window.
+    "q238_pmi_collocations" -> QueryDef(
+      (s, dir) => {
+        val toks = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+        val bg = Materialize(toks.filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              | i -> struct(element_at(ws, i) AS w1,
+              |             element_at(ws, i + 1) AS w2))""".stripMargin))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+        val ug = Materialize(toks
+          .select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu")))
+        val nb = bg.agg(sum("c12").as("nb"))
+        val nu = ug.agg(sum("cu").as("nu"))
+        bg.filter(col("c12") >= 5)
+          .join(ug.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+          .join(ug.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+          .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+          .withColumn("pmi_m", expr(
+            """CAST(floor(ln(CAST(c12 AS DOUBLE) * nu * nu
+              | / (CAST(nb AS DOUBLE) * c1 * c2)) * 1e6) AS BIGINT)"""
+              .stripMargin))
+          .select("w1", "w2", "c12", "c1", "c2", "pmi_m")
+          .orderBy(col("pmi_m").desc, col("w1"), col("w2"))
+          .limit(25)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS ws FROM documents),
+              |b AS (SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM w WHERE len(ws) >= 2),
+              |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              |  FROM b GROUP BY 1, 2),
+              |ug AS (SELECT unnest(ws) AS w FROM w),
+              |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+              |  FROM ug GROUP BY 1),
+              |nbt AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bg),
+              |nut AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uc)
+              |SELECT w1, w2, c12, u1.cu AS c1, u2.cu AS c2,
+              |  CAST(floor(ln(CAST(c12 AS DOUBLE) * nu * nu
+              |    / (CAST(nb AS DOUBLE) * u1.cu * u2.cu)) * 1e6)
+              |    AS BIGINT) AS pmi_m
+              |FROM bg JOIN uc u1 ON bg.w1 = u1.w
+              |  JOIN uc u2 ON bg.w2 = u2.w
+              |  CROSS JOIN nbt CROSS JOIN nut
+              |WHERE c12 >= 5
+              |ORDER BY pmi_m DESC, w1, w2 LIMIT 25""".stripMargin)),
+
+    // ---- corpus concentration (Lorenz / Gini / HHI) ------------------------
+    // How concentrated is the token mass across sources? The mixture-
+    // design prerequisite: a corpus whose mass is one source in disguise
+    // defeats every downstream mixing knob. Per source: token mass, its
+    // basis-point share, the Lorenz cumulative share (sources ranked
+    // ascending by mass — the curve the Gini integrates), and two
+    // corpus-level constants on every row: the exact integer Gini
+    // gini_bp = (2·Σ rk·mass − (n+1)·T)·10000 / (n·T) (non-negative by
+    // the rearrangement inequality, so DIV and // agree) and the
+    // Herfindahl–Hirschman index hhi_bp = Σ share_bp² / 10000. Scale
+    // shape: ONE corpus pass to the per-source frame; every window and
+    // aggregate after that runs on the sources-sized frame only (the
+    // q227 rule) — the unpartitioned window is over sources, never rows.
+    "q239_source_concentration" -> QueryDef(
+      (s, dir) => {
+        val st = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"),
+            size(tokens(col("text"))).cast("long").as("t"))
+          .groupBy("source").agg(sum("t").as("mass")))
+        val tot = st.agg(sum("mass").as("total"),
+          count(lit(1)).as("n_src"))
+        val wAsc = Window.orderBy(col("mass").asc, col("source").asc)
+        val ranked = Materialize(st.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(wAsc).cast("long"))
+          .withColumn("cum_mass", sum(col("mass")).over(
+            wAsc.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("share_bp", expr("mass * 10000 DIV total"))
+          .withColumn("cum_share_bp",
+            expr("cum_mass * 10000 DIV total")))
+        val consts = ranked.agg(
+          expr("""(2 * sum(rk * mass) - (max(n_src) + 1) * max(total))
+                | * 10000 DIV (max(n_src) * max(total))""".stripMargin)
+            .as("gini_bp"),
+          expr("sum(share_bp * share_bp) DIV 10000").as("hhi_bp"))
+        ranked.crossJoin(broadcast(consts))
+          .select("source", "mass", "rk", "share_bp", "cum_share_bp",
+            "n_src", "total", "gini_bp", "hhi_bp")
+          .orderBy("rk")
+      },
+      Some(s"""WITH w AS (SELECT source,
+              |    CAST(len($duckToks) AS BIGINT) AS t FROM documents),
+              |st AS (SELECT source, CAST(sum(t) AS BIGINT) AS mass
+              |  FROM w GROUP BY 1),
+              |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total,
+              |    CAST(count(*) AS BIGINT) AS n_src FROM st),
+              |rkd AS (SELECT source, mass, total, n_src,
+              |    CAST(row_number() OVER
+              |      (ORDER BY mass ASC, source ASC) AS BIGINT) AS rk,
+              |    sum(mass) OVER (ORDER BY mass ASC, source ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS cum_mass,
+              |    mass * 10000 // total AS share_bp,
+              |    sum(mass) OVER (ORDER BY mass ASC, source ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      * 10000 // total AS cum_share_bp
+              |  FROM st CROSS JOIN tot),
+              |cst AS (SELECT
+              |    CAST((2 * sum(rk * mass) - (max(n_src) + 1)
+              |        * max(total)) * 10000
+              |      // (max(n_src) * max(total)) AS BIGINT) AS gini_bp,
+              |    CAST(sum(share_bp * share_bp) // 10000 AS BIGINT)
+              |      AS hhi_bp
+              |  FROM rkd)
+              |SELECT source, mass, rk,
+              |  CAST(share_bp AS BIGINT) AS share_bp,
+              |  CAST(cum_share_bp AS BIGINT) AS cum_share_bp,
+              |  n_src, total, gini_bp, hhi_bp
+              |FROM rkd CROSS JOIN cst ORDER BY rk""".stripMargin)),
+
+    // ---- Mann–Whitney U quality comparison ---------------------------------
+    // Does source X's quality-score distribution genuinely differ from
+    // the rest of the corpus, without assuming normality? The
+    // rank-sum test, computed WITHOUT a global rank: U's counting form
+    // Σ_v x_v·(rest strictly below v) + x_v·(rest tied at v)/2 needs
+    // only per-DISTINCT-VALUE counts and their cumulative sums — and the
+    // scorer's integer range bounds the distinct-value frame by
+    // construction, so the unpartitioned window runs over a
+    // score-range-sized frame, never the corpus (doubling to 2U keeps
+    // the tie half-credits integer). The z² decision at α = 0.05 is the
+    // exact cross-multiplication 3·(2U − nm)²·N(N−1)·10⁴ >
+    // 38416·nm·((N+1)N(N−1) − Σ(t³−t)) in DECIMAL(38,0)/HUGEINT — the
+    // tie-corrected normal approximation with no division, no sqrt, no
+    // float (the q236 discipline). rank-biserial effect size in bp
+    // (sign-safe: the DIV runs on the non-negative 2U·10⁴/(nm) before
+    // the shift, where DIV and // agree).
+    "q240_mannwhitney_quality" -> QueryDef(
+      (s, dir) => {
+        val sc = Materialize(
+          qualityScored(tableParallel(s, dir, "documents"))
+            .select(col("source"), col("score")))
+        val tv = Materialize(
+          sc.groupBy("score").agg(count(lit(1)).as("t")))
+        val wAll = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tvc = tv.withColumn("ctb",
+          coalesce(sum(col("t")).over(wAll), lit(0L)))
+        val wSrc = Window.partitionBy("source").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val svc = sc.groupBy("source", "score")
+          .agg(count(lit(1)).as("x"))
+          .withColumn("csb",
+            coalesce(sum(col("x")).over(wSrc), lit(0L)))
+        val perSrc = svc.join(tvc, "score")
+          .withColumn("contrib",
+            expr("2 * x * (ctb - csb) + x * (t - x)"))
+          .groupBy("source")
+          .agg(sum("x").as("n"), sum("contrib").as("u2"))
+        val nt = sc.agg(count(lit(1)).as("nt"))
+        val ties = tv.agg(sum(expr("t * t * t - t")).as("s_ties"))
+        perSrc.crossJoin(broadcast(nt)).crossJoin(broadcast(ties))
+          .withColumn("m", expr("nt - n"))
+          .withColumn("rb_bp", expr("u2 * 10000 DIV (n * m) - 10000"))
+          .withColumn("sig", expr(
+            """CASE WHEN CAST(3 AS DECIMAL(38,0))
+              |    * CAST(u2 - n * m AS DECIMAL(38,0))
+              |    * CAST(u2 - n * m AS DECIMAL(38,0))
+              |    * CAST(nt AS DECIMAL(38,0))
+              |    * CAST(nt - 1 AS DECIMAL(38,0)) * 10000
+              |  > CAST(38416 AS DECIMAL(38,0))
+              |    * CAST(n AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
+              |    * (CAST(nt + 1 AS DECIMAL(38,0))
+              |        * CAST(nt AS DECIMAL(38,0))
+              |        * CAST(nt - 1 AS DECIMAL(38,0))
+              |      - CAST(s_ties AS DECIMAL(38,0)))
+              |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+              |  END""".stripMargin))
+          .select("source", "n", "m", "u2", "rb_bp", "sig")
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |sc AS (SELECT source, score FROM qsc),
+              |tv AS (SELECT score, CAST(count(*) AS BIGINT) AS t
+              |  FROM sc GROUP BY 1),
+              |tvc AS (SELECT score, t,
+              |    COALESCE(sum(t) OVER (ORDER BY score
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS ctb
+              |  FROM tv),
+              |sv AS (SELECT source, score,
+              |    CAST(count(*) AS BIGINT) AS x
+              |  FROM sc GROUP BY 1, 2),
+              |svc AS (SELECT source, score, x,
+              |    COALESCE(sum(x) OVER (PARTITION BY source
+              |      ORDER BY score
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) AS csb
+              |  FROM sv),
+              |ps AS (SELECT source, CAST(sum(x) AS BIGINT) AS n,
+              |    CAST(sum(2 * x * (ctb - csb) + x * (t - x))
+              |      AS BIGINT) AS u2
+              |  FROM svc JOIN tvc USING (score) GROUP BY 1),
+              |ntt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM sc),
+              |stt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT)
+              |    AS s_ties FROM tv)
+              |SELECT source, n, CAST(nt - n AS BIGINT) AS m, u2,
+              |  CAST(u2 * 10000 // (n * (nt - n)) - 10000 AS BIGINT)
+              |    AS rb_bp,
+              |  CAST(CASE WHEN CAST(3 AS HUGEINT)
+              |      * CAST(u2 - n * (nt - n) AS HUGEINT)
+              |      * CAST(u2 - n * (nt - n) AS HUGEINT)
+              |      * CAST(nt AS HUGEINT) * CAST(nt - 1 AS HUGEINT)
+              |      * 10000
+              |    > CAST(38416 AS HUGEINT) * CAST(n AS HUGEINT)
+              |      * CAST(nt - n AS HUGEINT)
+              |      * (CAST(nt + 1 AS HUGEINT) * CAST(nt AS HUGEINT)
+              |          * CAST(nt - 1 AS HUGEINT)
+              |        - CAST(s_ties AS HUGEINT))
+              |    THEN 1 ELSE 0 END AS BIGINT) AS sig
+              |FROM ps CROSS JOIN ntt CROSS JOIN stt
+              |ORDER BY source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
