@@ -30,4 +30,23 @@ object Materialize {
     p.count()
     p
   }
+
+  /** Eager serialized localCheckpoint: materializes like [[apply]] but
+    * also TRUNCATES the logical lineage — the returned frame's plan is a
+    * flat scan of the checkpointed blocks.
+    *
+    * When each is required: `apply` is right for a fragment consumed
+    * more than once within ONE plan (self-join sides, a projection
+    * feeding two aggregations) — caching dedups the physical work and
+    * the logical plan stays small. But in an ITERATIVE loop where round
+    * t's frame references round t−1's frame k>1 times, persist alone
+    * leaves the analyzed logical plan growing O(k^T): Catalyst re-analyzes
+    * the full lineage every round even though execution hits the cache,
+    * and past ~4 rounds driver-side analysis dominates wall-clock
+    * (observed: 70s for a 4-round × 3-ref loop at sf0.1, >15 min at
+    * sf0.01 cold). Any frame referenced by its own successor in a loop
+    * MUST go through `checkpointed` at the end of each round.
+    */
+  def checkpointed(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 }

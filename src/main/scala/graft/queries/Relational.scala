@@ -2160,7 +2160,13 @@ object Relational {
     // two is structure — which also bounds the output.
     "q214_linkpred_common_contexts" -> QueryDef(
       (s, dir) => {
-        val grouped = rareContextUsers(table(s, dir, "events"))
+        // the rare-cell frame feeds the pair generator once and the
+        // degree frame, which is itself joined twice (deg_u/deg_v) —
+        // uncached that re-derives the context groupBy from the events
+        // scan three times; materialized the scan runs once and the
+        // cache is only O(rare cells)
+        val grouped = graft.operators.Materialize(
+          rareContextUsers(table(s, dir, "events")))
         val deg = grouped.select(explode(col("us")).as("user_id"))
           .groupBy("user_id").agg(count(lit(1)).as("deg"))
         val pairs = contextPairs(grouped)
@@ -2288,10 +2294,15 @@ object Relational {
             .select(col("o_custkey").as("cust"),
               col("l_suppkey").as("supp"))
             .distinct())
+        // each half-step consumes its input twice (max + join), so the
+        // chain a1→h1→a2→h2 grows the analyzed plan O(2^rounds) unless
+        // each round's frame is lineage-cut; the score frames are
+        // O(|V|)-bounded, so the eager checkpoint is cheap
         def normalized(df: DataFrame, c: String): DataFrame = {
           val mx = df.agg(max(col(c)).as("mx"))
-          df.crossJoin(broadcast(mx))
-            .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx")
+          graft.operators.Materialize.checkpointed(
+            df.crossJoin(broadcast(mx))
+              .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx"))
         }
         val h0 = edges.select("cust").distinct()
           .withColumn("h", lit(1000000L))
@@ -2381,10 +2392,14 @@ object Relational {
           .crossJoin(broadcast(d0.agg(count(lit(1)).as("nn"))))
           .filter(col("rn") === expr("(nn + 1) DIV 4 + 1"))
           .select(col("deg").as("k")))
+        // each round references its predecessor 4× (degree agg ×2 via
+        // the unionAll, plus both semi-join sides) and statsRow re-reads
+        // every generation, so the per-round edge frame must be
+        // lineage-cut, not just cached — see Materialize.checkpointed
         def peel(e: DataFrame): DataFrame = {
           val alive = degrees(e).crossJoin(broadcast(kf))
             .filter(col("deg") >= col("k")).select("node")
-          Materialize(e
+          Materialize.checkpointed(e
             .join(alive.select(col("node").as("pa")), Seq("pa"), "left_semi")
             .join(alive.select(col("node").as("pb")), Seq("pb"), "left_semi")
             .select("pa", "pb"))

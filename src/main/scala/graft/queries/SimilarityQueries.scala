@@ -2505,8 +2505,12 @@ object SimilarityQueries {
     // component pass to the k×64 centroid frame (fixed cardinality —
     // broadcast back for the scatter pass), the pair stage runs on the
     // k²-row centroid frame only, and the argmax window partitions a
-    // k²-row frame. Integer widths audited: points ≤ 2e6 micro, so the
-    // scatter sum stays under 2.6e14·n — int64-safe past sf1.
+    // k²-row frame. Integer widths audited: component deviation for
+    // unit-norm inputs is realistically ≤ ~1.2e6 micro (worst case 2e6),
+    // so the per-point scatter contribution is ≤ ~9.2e13 (worst 2.56e14)
+    // and the int64 sum holds to ~1e5 maximally-spread points per label
+    // (~3.6e4 at the absolute worst case) — ample at sf1 (~20k vectors)
+    // and bounded by the label cardinality, not the corpus size.
     "q241_davies_bouldin_audit" -> QueryDef(
       (s, dir) => {
         val comps = Materialize(tableParallel(s, dir, "embeddings")
@@ -2545,7 +2549,8 @@ object SimilarityQueries {
         val db = top.agg(expr("sum(r_bp) DIV count(1)")
           .as("db_mean_bp"))
         top.crossJoin(broadcast(db))
-          .select(col("la").as("label"), col("n"), col("s2q"),
+          .select(col("la").as("label"), col("n"),
+            col("s2a").as("s2q"),
             col("lb").as("worst_label"), col("r_bp"), col("db_mean_bp"))
           .orderBy("label")
       },
@@ -2583,7 +2588,7 @@ object SimilarityQueries {
              |t1 AS (SELECT * FROM top WHERE rn = 1),
              |db AS (SELECT CAST(sum(r_bp) // count(*) AS BIGINT)
              |    AS db_mean_bp FROM t1)
-             |SELECT la AS label, n, s2q AS s2q, lb AS worst_label,
+             |SELECT la AS label, n, s2a AS s2q, lb AS worst_label,
              |  CAST(r_bp AS BIGINT) AS r_bp, db_mean_bp
              |FROM t1 CROSS JOIN db ORDER BY label""".stripMargin)),
   )

@@ -3014,12 +3014,14 @@ object TextQueries {
     "q208_mixture_reweight" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents").select("doc_id", "source")
-        // the S-row loss/weight frames are materialized once per round:
         // each round reads its predecessor three times (weighted average,
-        // update, renormalization), so an unmaterialized fold doubles the
-        // logical plan per round — O(2^T) copies of the corpus subtree by
-        // round T. Cutting the lineage at the S-row boundary keeps every
-        // round's plan constant-depth and the corpus scanned exactly once.
+        // update, renormalization), so the per-round frame must not just
+        // be cached but have its LINEAGE CUT: a plain persist leaves the
+        // analyzed logical plan holding O(3^T) copies of the corpus
+        // subtree and driver-side Catalyst analysis dominates wall-clock.
+        // Materialize.checkpointed truncates the plan at the S-row
+        // boundary, keeping every round's plan constant-depth and the
+        // corpus scanned exactly once.
         val loss = Materialize(charBigramScores(s, dir)
           .join(docs, "doc_id")
           .groupBy("source")
@@ -3038,7 +3040,7 @@ object TextQueries {
                 .stripMargin))
             .withColumn("w", expr("w * factor DIV 1000000"))
           val z = upd.agg(sum("w").as("z"))
-          Materialize(upd.crossJoin(broadcast(z))
+          Materialize.checkpointed(upd.crossJoin(broadcast(z))
             .withColumn("w", expr("w * 1000000000 DIV z"))
             .select("source", "loss_m", "w"))
         }
@@ -3111,7 +3113,10 @@ object TextQueries {
               " DIV length(lt)") >= 7000L && length(col("lt")) >= 200,
             1L).otherwise(0L))
           .select("doc_id", "gold")
-        val perBin = scored.join(gold, "doc_id")
+        // the 10-row reliability frame feeds both the ECE scalar and the
+        // output; uncached that re-runs the scorer + reference-rule scans
+        // per consumer (4 corpus scans instead of 2)
+        val perBin = graft.operators.Materialize(scored.join(gold, "doc_id")
           .withColumn("conf_bp", expr(
             """least(greatest(score, CAST(0 AS BIGINT)),
               | CAST(4000 AS BIGINT)) * 10000 DIV 4000""".stripMargin))
@@ -3121,7 +3126,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n"),
             expr("sum(conf_bp) DIV count(1)").as("avg_conf_bp"),
             expr("sum(gold) * 10000 DIV count(1)").as("gold_bp"))
-          .withColumn("gap_bp", abs(col("avg_conf_bp") - col("gold_bp")))
+          .withColumn("gap_bp", abs(col("avg_conf_bp") - col("gold_bp"))))
         val ece = perBin.agg(
           expr("sum(n * gap_bp) DIV sum(n)").as("ece_bp"))
         perBin.crossJoin(broadcast(ece))
@@ -3720,24 +3725,32 @@ object TextQueries {
     // per source, unique n-grams over total n-gram positions in bp —
     // near-zero distinct-2 is the signature of templated or looped text
     // that per-doc screens (q205) miss when the repetition is ACROSS
-    // documents. Three map-side gram explodes (n = 1, 2, 3) union into
-    // ONE shuffle; total positions count multiplicity while uniqueness
-    // is a distinct aggregate on the same key — linear in corpus tokens,
-    // output 3 rows per source.
+    // documents. All three gram sizes (n = 1, 2, 3) emit from ONE fused
+    // map-side explode over a single corpus scan — the per-row gram
+    // array is built once per document and feeds one shuffle; total
+    // positions count multiplicity while uniqueness is a distinct
+    // aggregate on the same key — linear in corpus tokens, output 3
+    // rows per source.
     "q234_distinct_ngram_diversity" -> QueryDef(
       (s, dir) => {
         val base = tableParallel(s, dir, "documents")
           .select(col("source"), tokens(col("text")).as("ws"))
-        val parts = (1 to 3).map { n =>
-          val g = (0 until n).map(k => s"ws[i+$k]")
-            .mkString("concat_ws(' ', ", ", ", ")")
-          base.filter(size(col("ws")) >= n)
-            .select(col("source"), lit(n.toLong).as("n"),
-              explode(expr(
-                s"transform(sequence(0, size(ws) - $n), i -> $g)"))
-                .as("g"))
-        }
-        parts.reduce(_ unionAll _)
+        base.filter(size(col("ws")) >= 1)
+          .select(col("source"), explode(expr(
+            """flatten(array(
+              |  transform(sequence(0, size(ws) - 1),
+              |    i -> named_struct('n', CAST(1 AS BIGINT),
+              |      'g', ws[i])),
+              |  transform(filter(sequence(0, size(ws) - 1),
+              |      i -> i <= size(ws) - 2),
+              |    i -> named_struct('n', CAST(2 AS BIGINT),
+              |      'g', concat_ws(' ', ws[i], ws[i+1]))),
+              |  transform(filter(sequence(0, size(ws) - 1),
+              |      i -> i <= size(ws) - 3),
+              |    i -> named_struct('n', CAST(3 AS BIGINT),
+              |      'g', concat_ws(' ', ws[i], ws[i+1], ws[i+2])))))"""
+              .stripMargin)).as("x"))
+          .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
           .groupBy("source", "n")
           .agg(count(lit(1)).as("total_grams"),
             countDistinct("g").as("distinct_grams"))
@@ -4188,11 +4201,23 @@ object TextQueries {
     // score-range-sized frame, never the corpus (doubling to 2U keeps
     // the tie half-credits integer). The z² decision at α = 0.05 is the
     // exact cross-multiplication 3·(2U − nm)²·N(N−1)·10⁴ >
-    // 38416·nm·((N+1)N(N−1) − Σ(t³−t)) in DECIMAL(38,0)/HUGEINT — the
-    // tie-corrected normal approximation with no division, no sqrt, no
-    // float (the q236 discipline). rank-biserial effect size in bp
-    // (sign-safe: the DIV runs on the non-negative 2U·10⁴/(nm) before
-    // the shift, where DIV and // agree).
+    // 38416·nm·((N+1)N(N−1) − Σ(t³−t)), computed with the common
+    // factor 96 cancelled first — W = N(N−1) DIV 2 and V =
+    // (N(N²−1) − Σ(t³−t)) DIV 6 are EXACT integer divisions (both
+    // numerators are always divisible: consecutive-integer product and
+    // t³−t ≡ 0 mod 6), leaving 625·(2U−nm)²·W > 2401·nm·V in
+    // DECIMAL(38,0)/HUGEINT — the tie-corrected normal approximation
+    // with no division-truncation, no sqrt, no float (the q236
+    // discipline). Width bound: the worst case 625·(nm)²·N²/2 ≈
+    // 19.5·N⁶ stays inside DECIMAL(38,0) to N ≈ 2·10⁶ docs; past that
+    // the exact decision must run on a uniform sample or per shard — a
+    // 10⁶-doc sample already saturates the test's power, so the cap is
+    // a sampling contract, not a correctness cliff (and the engines
+    // agree bit-for-bit everywhere the contract holds). rank-biserial
+    // effect size in bp, computed in DECIMAL(38,0) so 2U·10⁴ cannot
+    // wrap int64 at nm > 4.6e14 (sign-safe: the DIV runs on the
+    // non-negative 2U·10⁴/(nm) before the shift, where DIV and //
+    // agree; decimal DIV truncates like the integer twin).
     "q240_mannwhitney_quality" -> QueryDef(
       (s, dir) => {
         val sc = Materialize(
@@ -4219,19 +4244,22 @@ object TextQueries {
         val ties = tv.agg(sum(expr("t * t * t - t")).as("s_ties"))
         perSrc.crossJoin(broadcast(nt)).crossJoin(broadcast(ties))
           .withColumn("m", expr("nt - n"))
-          .withColumn("rb_bp", expr("u2 * 10000 DIV (n * m) - 10000"))
+          .withColumn("rb_bp", expr(
+            """CAST(CAST(u2 AS DECIMAL(38,0)) * 10000
+              |  DIV (CAST(n AS DECIMAL(38,0)) * m) AS BIGINT)
+              |  - 10000""".stripMargin))
           .withColumn("sig", expr(
-            """CASE WHEN CAST(3 AS DECIMAL(38,0))
+            """CASE WHEN CAST(625 AS DECIMAL(38,0))
               |    * CAST(u2 - n * m AS DECIMAL(38,0))
               |    * CAST(u2 - n * m AS DECIMAL(38,0))
-              |    * CAST(nt AS DECIMAL(38,0))
-              |    * CAST(nt - 1 AS DECIMAL(38,0)) * 10000
-              |  > CAST(38416 AS DECIMAL(38,0))
+              |    * (CAST(nt AS DECIMAL(38,0))
+              |        * CAST(nt - 1 AS DECIMAL(38,0)) DIV 2)
+              |  > CAST(2401 AS DECIMAL(38,0))
               |    * CAST(n AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
-              |    * (CAST(nt + 1 AS DECIMAL(38,0))
-              |        * CAST(nt AS DECIMAL(38,0))
-              |        * CAST(nt - 1 AS DECIMAL(38,0))
-              |      - CAST(s_ties AS DECIMAL(38,0)))
+              |    * ((CAST(nt + 1 AS DECIMAL(38,0))
+              |         * CAST(nt AS DECIMAL(38,0))
+              |         * CAST(nt - 1 AS DECIMAL(38,0))
+              |       - CAST(s_ties AS DECIMAL(38,0))) DIV 6)
               |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
               |  END""".stripMargin))
           .select("source", "n", "m", "u2", "rb_bp", "sig")
@@ -4263,18 +4291,19 @@ object TextQueries {
               |stt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT)
               |    AS s_ties FROM tv)
               |SELECT source, n, CAST(nt - n AS BIGINT) AS m, u2,
-              |  CAST(u2 * 10000 // (n * (nt - n)) - 10000 AS BIGINT)
+              |  CAST(CAST(u2 AS HUGEINT) * 10000
+              |    // (CAST(n AS HUGEINT) * (nt - n)) - 10000 AS BIGINT)
               |    AS rb_bp,
-              |  CAST(CASE WHEN CAST(3 AS HUGEINT)
+              |  CAST(CASE WHEN CAST(625 AS HUGEINT)
               |      * CAST(u2 - n * (nt - n) AS HUGEINT)
               |      * CAST(u2 - n * (nt - n) AS HUGEINT)
-              |      * CAST(nt AS HUGEINT) * CAST(nt - 1 AS HUGEINT)
-              |      * 10000
-              |    > CAST(38416 AS HUGEINT) * CAST(n AS HUGEINT)
+              |      * (CAST(nt AS HUGEINT) * CAST(nt - 1 AS HUGEINT)
+              |         // 2)
+              |    > CAST(2401 AS HUGEINT) * CAST(n AS HUGEINT)
               |      * CAST(nt - n AS HUGEINT)
-              |      * (CAST(nt + 1 AS HUGEINT) * CAST(nt AS HUGEINT)
-              |          * CAST(nt - 1 AS HUGEINT)
-              |        - CAST(s_ties AS HUGEINT))
+              |      * ((CAST(nt + 1 AS HUGEINT) * CAST(nt AS HUGEINT)
+              |           * CAST(nt - 1 AS HUGEINT)
+              |         - CAST(s_ties AS HUGEINT)) // 6)
               |    THEN 1 ELSE 0 END AS BIGINT) AS sig
               |FROM ps CROSS JOIN ntt CROSS JOIN stt
               |ORDER BY source""".stripMargin)),

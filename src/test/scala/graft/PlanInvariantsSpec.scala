@@ -61,6 +61,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       collectAll(build) {
         case l: org.apache.spark.sql.execution.LocalTableScanExec => l
       }.nonEmpty ||
+      // a literal Range(0, k) has constant cardinality whatever the
+      // corpus — the generated-parameter-grid pattern (q211's m×64 JL
+      // sign matrix built from two crossed literal ranges)
+      collectAll(build) {
+        case r: org.apache.spark.sql.execution.RangeExec => r
+      }.nonEmpty ||
       // a LIMIT-k subtree emits at most k rows whatever the corpus — the
       // fixed-cardinality index-sample pattern (hashSample's
       // TakeOrderedAndProject: nlist/codebook entries, never a fraction
