@@ -264,14 +264,28 @@ object Bench {
     val round = explicitRound.getOrElse(inferredRound)
     val archive = new java.io.File(repoRoot, f"bench_full_r$round%02d_" +
       s"${new java.io.File(sfDir).getName}.json")
-    if (explicitRound.isDefined || !archive.isFile)
+    val clean = failed.isEmpty && partial.isEmpty && regressions.isEmpty
+    // write-once per round, with one escape hatch: a CLEAN full run may
+    // supersede an archive left by an earlier errored or smaller-catalog
+    // run of the same round. Round-8 lesson: a mid-round run claimed the
+    // archive at 190 queries, then the end-of-round 236-query run was
+    // refused and the round's true per-query map was lost. A clean run
+    // can only add information; a dirty run still never rewrites history.
+    val supersedesStale = clean && archive.isFile && {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(archive.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val priorN = """"n_queries":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(0)
+      txt.contains("\"errors\":[\"") || priorN < names.size
+    }
+    if (explicitRound.isDefined || !archive.isFile || supersedesStale)
       java.nio.file.Files.write(archive.toPath,
         jsonLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     else
       System.err.println(s"[bench] round-stamped archive ${archive.getName} " +
         "already exists — NOT overwriting (set SPARK_GRAFT_BENCH_ROUND to " +
         "force a specific round's archive)")
-    val clean = failed.isEmpty && partial.isEmpty && regressions.isEmpty
     if (clean) {
       // next round diffs against THIS run's minima
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),

@@ -108,4 +108,38 @@ object Fixtures {
   }
 
   def tempZip(): Path = writeZip(Files.createTempDirectory("ncd_fixture_"))
+
+  // -------------------------------------------------------------------
+  // Second-release zip: the multi-zip accumulation fixture. Carries a
+  // REVISED gs_case_FLM.txt (one row, caseid 6) and a brand-new
+  // gs_case_NY.txt, and NO court-hist/global/lookup members. Loading it
+  // after [[writeZip]] must (reference semantics, athena.py:92-111):
+  // replace ONLY the FLM partition, leave CT untouched, add NY, and not
+  // touch any table the zip has no files for.
+  // -------------------------------------------------------------------
+  val gsCaseFlmRev: String = Seq(
+    caseLine("0000000006", "FLM", "02-DEC-2017", "21:USC:841", "99.25"),
+  ).mkString("", "\n", "\n")
+
+  val gsCaseNy: String = Seq(
+    caseLine("0000000007", "NY", "03-MAR-2018", "18:USC:1962", "42.00"),
+  ).mkString("", "\n", "\n")
+
+  /** Write the second-release zip and return its path. */
+  def writeZipB(dir: Path): Path = {
+    val zipPath = dir.resolve("ncd_fixture_b.zip")
+    val out = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    def add(name: String, content: String): Unit = {
+      out.putNextEntry(new ZipEntry(name))
+      out.write(content.getBytes(StandardCharsets.ISO_8859_1))
+      out.closeEntry()
+    }
+    add("README.TXT", readme)
+    add("gs_case_FLM.txt", gsCaseFlmRev)
+    add("gs_case_NY.txt", gsCaseNy)
+    out.close()
+    zipPath
+  }
+
+  def tempZipB(): Path = writeZipB(Files.createTempDirectory("ncd_fixture_b_"))
 }

@@ -65,7 +65,16 @@ object Sink {
   def writeJson(df: DataFrame, location: String,
                 partitioned: Boolean): Unit = {
     val writer = df.write.mode("overwrite").option("compression", "gzip")
-    if (partitioned) writer.partitionBy("filename_district").json(location)
+    // dynamic partition overwrite = the reference's per-district object
+    // key (athena.py:92-111): a later zip carrying district D replaces
+    // ONLY filename_district=D, leaving every other district's data in
+    // place — multi-zip loads ACCUMULATE districts. Static overwrite
+    // would wipe the whole table location on each zip. Unpartitioned
+    // tables upload a single `<table>.json.gz` object in the reference,
+    // so whole-location overwrite is exactly right there.
+    if (partitioned) writer
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("filename_district").json(location)
     else writer.json(location)
   }
 
@@ -85,7 +94,10 @@ object Sink {
       graft.operators.ZOrder.layout(df, df.col(dimA), df.col(dimB), numFiles)
     }
     val writer = laid.write.mode("overwrite")
-    if (partitioned) writer.partitionBy("filename_district").parquet(location)
+    // same per-district overwrite contract as [[writeJson]]
+    if (partitioned) writer
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("filename_district").parquet(location)
     else writer.parquet(location)
   }
 

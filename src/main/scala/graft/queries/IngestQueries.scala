@@ -156,5 +156,93 @@ object IngestQueries {
           |  ('GS_POSITION', 'SAUSA', 'Special Assistant', 'Y',
           |   false, false, false)
           |) AS t(src, c1, c2, c3, r1, r2, r3)
-          |ORDER BY src, c1 NULLS LAST, c2 NULLS LAST""".stripMargin)))
+          |ORDER BY src, c1 NULLS LAST, c2 NULLS LAST""".stripMargin)),
+
+    // ---------------------------------------------------------------
+    // q242: listing scrape → HTTP download → pipelined multi-zip load
+    // ---------------------------------------------------------------
+    // The A1/A2/A23 chain end-to-end under the oracle (round-8 verdict
+    // #6): a REAL loopback HttpServer serves an HTML listing with two
+    // zip links (plus a decoy non-zip link the scraper must skip);
+    // Listing.loadAllPipelined scrapes it, streams both archives over
+    // HTTP (Listing.download — the same A2 code path as production,
+    // scheme mapped back from the forced https to the loopback's http),
+    // and ingests them in listing order with the 2-deep overlap. The
+    // second zip revises district FLM and introduces NY while carrying
+    // no CT file — so the read-back relation witnesses the reference's
+    // per-district overwrite-accumulate semantics (athena.py:92-111):
+    // CT survives from zip 1, FLM is zip 2's single revised row, NY is
+    // new. Any drift in the scraper (following the decoy), the
+    // pipelining (order flip), or the partition overwrite mode (static
+    // overwrite wiping CT) flips the hash.
+    "q242_ingest_multizip_listing" -> QueryDef(
+      fn = (spark, _) => {
+        multiZipIngest(spark, "ncd_q242")
+        spark.table("ncd_q242.GS_CASE")
+          .select(
+            col("filename_district"),
+            col("CASEID").as("caseid"),
+            col("DISTRICT").as("district"),
+            col("FILE_DATE").cast(StringType).as("file_date"),
+            col("LEAD_CHARGE").as("lead_charge"),
+            col("TOTAL_LOSS").as("total_loss"))
+          .orderBy(col("filename_district"), col("caseid").asc_nulls_last)
+      },
+      oracle = Some(
+        """SELECT * FROM (VALUES
+          |  ('CT', CAST(5 AS BIGINT), 'CT', '2017-01-01', 'AB CD',
+          |   CAST(-150.0 AS DOUBLE)),
+          |  ('FLM', 6, 'FLM', '2017-12-02', '21:USC:841', 99.25),
+          |  ('NY', 7, 'NY', '2018-03-03', '18:USC:1962', 42.0)
+          |) AS t(filename_district, caseid, district, file_date,
+          |       lead_charge, total_loss)
+          |ORDER BY filename_district, caseid NULLS LAST""".stripMargin)))
+
+  /** Once per (SparkContext, db): serve listing + both fixture zips over
+    * loopback HTTP, scrape, download, and pipeline-load them (A1→A2→A23).
+    */
+  private def multiZipIngest(spark: SparkSession, db: String): Unit =
+    ingested.computeIfAbsent(
+      s"${System.identityHashCode(spark.sparkContext)}_$db", _ => {
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        val zipA = Files.readAllBytes(Fixtures.tempZip())
+        val zipB = Files.readAllBytes(Fixtures.tempZipB())
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        def serve(path: String, bytes: Array[Byte]): Unit =
+          server.createContext(path, exchange => {
+            exchange.sendResponseHeaders(200, bytes.length.toLong)
+            exchange.getResponseBody.write(bytes)
+            exchange.close()
+          })
+        server.start()
+        try {
+          val port = server.getAddress.getPort
+          val listing =
+            """<html><body>
+              |<a href="release_a.zip">first release</a>
+              |<a href="notes.html">release notes (not a zip)</a>
+              |<a href="release_b.zip">second release</a>
+              |</body></html>""".stripMargin
+          serve("/dumps/listing.html", listing.getBytes("UTF-8"))
+          serve("/dumps/release_a.zip", zipA)
+          serve("/dumps/release_b.zip", zipB)
+          val wh = Files.createTempDirectory(s"${db}_wh_").toString
+          val ingest = new NcdIngest(spark, wh, db = db)
+          val client = java.net.http.HttpClient.newHttpClient()
+          // zipUrls forces https (production contract); the loopback
+          // fixture maps it back to the server's real http port
+          def toLocal(url: String) = url.replaceFirst("^https:", "http:")
+          import scala.concurrent.ExecutionContext.Implicits.global
+          graft.ingest.Listing.loadAllPipelined(
+            ingest,
+            s"http://127.0.0.1:$port/dumps/listing.html",
+            fetchPage = u => client.send(
+              java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(toLocal(u))).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString()).body(),
+            fetchZip = u => graft.ingest.Listing.download(toLocal(u)))
+          true
+        } finally server.stop(0)
+      })
 }

@@ -2459,5 +2459,266 @@ object Relational {
              |  UNION ALL SELECT 3, k, (SELECT count(*) FROM d3),
              |    (SELECT count(*) FROM e3) FROM kf)
              |ORDER BY round""".stripMargin)),
+
+    // ---- recursive CTE: hierarchy walk (WITH RECURSIVE) -------------------
+    // The last big ANSI-SQL surface gap the Athena pass-through would
+    // accept but the catalog had not exercised: a recursive common table
+    // expression. Spark 4's UnionLoop executes it natively (one
+    // equi-join per level, frontier-sized intermediate, depth =
+    // ⌈log₂ N⌉ ≈ 14 at sf0.1 — never the 100-level guard). The synthetic
+    // hierarchy is the implicit binary tree parent(k) = k DIV 2 over
+    // contiguous customer keys, so every engine sees the identical
+    // edge set with no stored edges needed; each row accumulates its
+    // root-to-node path sum in exact cents. At 100 TB the per-level
+    // frontier join shuffles on the parent key and the recursion depth
+    // stays logarithmic in the key domain — the plan the UNION-ALL
+    // unrolled spelling (q132 BFS) builds by hand is produced here by
+    // the engine itself.
+    "q245_recursive_cte_hierarchy" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("customer_q245")
+        s.sql("""
+          WITH RECURSIVE tree AS (
+            SELECT c_custkey, 0 AS depth,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS path_cents
+            FROM customer_q245 WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1,
+                   t.path_cents + CAST(floor(c.c_acctbal * 100) AS BIGINT)
+            FROM customer_q245 c JOIN tree t
+              ON c.c_custkey DIV 2 = t.c_custkey
+            WHERE c.c_custkey > 1
+          )
+          SELECT depth, count(*) AS n_nodes,
+            CAST(min(c_custkey) AS BIGINT) AS min_key,
+            CAST(max(c_custkey) AS BIGINT) AS max_key,
+            CAST(sum(path_cents) AS BIGINT) AS path_cents
+          FROM tree GROUP BY depth ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE tree AS (
+             |  SELECT c_custkey, 0 AS depth,
+             |         CAST(floor(c_acctbal * 100) AS BIGINT) AS path_cents
+             |  FROM customer WHERE c_custkey = 1
+             |  UNION ALL
+             |  SELECT c.c_custkey, t.depth + 1,
+             |         t.path_cents + CAST(floor(c.c_acctbal * 100)
+             |           AS BIGINT)
+             |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.c_custkey
+             |  WHERE c.c_custkey > 1
+             |)
+             |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(min(c_custkey) AS BIGINT) AS min_key,
+             |  CAST(max(c_custkey) AS BIGINT) AS max_key,
+             |  CAST(sum(path_cents) AS BIGINT) AS path_cents
+             |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // ---- AMS (Alon–Matias–Szegedy) F₂ sketch: self-join size estimate -----
+    // The second-moment sketch that estimates self-join size Σ f_k² —
+    // the cardinality-estimation primitive joins are costed with — in
+    // one constant-width pass: 16 ±1-signed counters (sign = md5 parity
+    // of (counter, key), deterministic in both engines), grouped
+    // mean-of-4 then median-of-means, estimate-vs-exact error in basis
+    // points. The counters are built from the MATERIALIZED distinct-key
+    // frequency frame (map-side combine does the heavy lifting; the ×16
+    // fan-out touches distinct keys only, never raw rows), so at 100 TB
+    // the sketch costs one aggregation plus a distinct-keys × 16
+    // map-side explode — no second pass over the fact table, no pair
+    // enumeration. Z ≤ total row count → z² ≤ ~4·10¹¹ at sf0.1:
+    // int64-exact with 7 orders of headroom.
+    "q246_ams_f2_sketch" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val freq = Materialize(table(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("f")))
+        val exact = freq.agg(sum(col("f") * col("f")).as("f2"))
+        val counters = freq
+          .crossJoin(broadcast(s.range(16).toDF("j")))
+          .withColumn("sgn", when(
+            graft.functions.TextOps.hash32(concat(lit("ams_"),
+              col("j").cast("string"), lit("_"),
+              col("k").cast("string"))) % 2 === 0, 1L).otherwise(-1L))
+          .groupBy("j").agg(sum(col("sgn") * col("f")).as("z"))
+        val grpMeans = counters
+          .withColumn("grp", expr("j DIV 4"))
+          .groupBy("grp")
+          .agg(expr("sum(z * z) DIV 4").as("mean_est"))
+        val med = grpMeans
+          .agg(array_sort(collect_list(col("mean_est"))).as("ms"))
+          .select(expr(
+            "(element_at(ms, 2) + element_at(ms, 3)) DIV 2").as("est"))
+        grpMeans.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+          .withColumn("err_bp", expr("abs(est - f2) * 10000 DIV f2"))
+          .select("grp", "mean_est", "est", "f2", "err_bp")
+          .orderBy("grp")
+      },
+      Some("""WITH f AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT)
+             |    AS f FROM lineitem GROUP BY 1),
+             |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2 FROM f),
+             |c AS (SELECT j, CAST(sum(CASE WHEN
+             |      CAST(('0x' || substr(md5('ams_' || j || '_' || k),
+             |        1, 8)) AS BIGINT) % 2 = 0 THEN f ELSE -f END)
+             |      AS BIGINT) AS z
+             |  FROM f CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+             |  GROUP BY 1),
+             |g AS (SELECT j // 4 AS grp,
+             |    CAST(sum(z * z) // 4 AS BIGINT) AS mean_est
+             |  FROM c GROUP BY 1),
+             |med AS (SELECT CAST((ms[2] + ms[3]) // 2 AS BIGINT) AS est
+             |  FROM (SELECT list_sort(list(mean_est)) AS ms FROM g))
+             |SELECT grp, mean_est, est, f2,
+             |  CAST(abs(est - f2) * 10000 // f2 AS BIGINT) AS err_bp
+             |FROM g CROSS JOIN med CROSS JOIN ex
+             |ORDER BY grp""".stripMargin)),
+
+    // ---- weighted SSSP: bounded-round Bellman-Ford ------------------------
+    // Single-source shortest paths on the WEIGHTED co-purchase graph
+    // (edge cost 1000 DIV n_ab + 1 — frequently co-bought parts are
+    // "closer"), 4 relaxation rounds from the smallest node. Each round
+    // is one equi-join of the current distance frame against the
+    // distributed edge list plus a min-combine — the textbook distributed
+    // Bellman-Ford superstep — with `Materialize.checkpointed` cutting
+    // logical lineage between rounds (the q208/q219/q223 lesson: the
+    // distance frame is referenced by its own successor). Unreached
+    // nodes simply stay absent; 20 nearest (dist, node) reported plus
+    // the reached count. At 100 TB the per-round cost is one shuffle on
+    // the frontier key — no pair enumeration, no dense matrix.
+    "q248_sssp_bellman_ford" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val pc = Materialize(
+          coPairs(table(s, dir, "lineitem")
+              .filter(col("l_partkey") < 800))
+            .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab")))
+        val e = Materialize(pc
+          .select(col("pa").as("u"), col("pb").as("v"),
+            expr("1000 DIV n_ab + 1").as("w"))
+          .union(pc.select(col("pb"), col("pa"),
+            expr("1000 DIV n_ab + 1"))))
+        val src = e.agg(min(col("u")).as("node"))
+          .select(col("node"), lit(0L).as("d"))
+        val d4 = (1 to 4).foldLeft(src) { (dist, _) =>
+          Materialize.checkpointed(
+            dist.union(
+              dist.as("dd").join(e.as("ee"),
+                  col("dd.node") === col("ee.u"))
+                .select(col("ee.v").as("node"),
+                  (col("dd.d") + col("ee.w")).as("d")))
+            .groupBy("node").agg(min("d").as("d")))
+        }
+        val n = d4.agg(count(lit(1)).as("n_reached"))
+        d4.crossJoin(broadcast(n))
+          .select(col("node"), col("d").as("dist"), col("n_reached"))
+          .orderBy("dist", "node").limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |    FROM lineitem WHERE l_partkey < 800),
+             |pc AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2),
+             |e AS (SELECT pa AS u, pb AS v,
+             |    CAST(1000 // n_ab + 1 AS BIGINT) AS w FROM pc
+             |  UNION ALL SELECT pb, pa,
+             |    CAST(1000 // n_ab + 1 AS BIGINT) FROM pc),
+             |d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS d FROM e),
+             |d1 AS (SELECT node, min(d) AS d FROM (
+             |  SELECT node, d FROM d0 UNION ALL
+             |  SELECT e.v, d0.d + e.w FROM d0 JOIN e ON e.u = d0.node)
+             |  GROUP BY 1),
+             |d2 AS (SELECT node, min(d) AS d FROM (
+             |  SELECT node, d FROM d1 UNION ALL
+             |  SELECT e.v, d1.d + e.w FROM d1 JOIN e ON e.u = d1.node)
+             |  GROUP BY 1),
+             |d3 AS (SELECT node, min(d) AS d FROM (
+             |  SELECT node, d FROM d2 UNION ALL
+             |  SELECT e.v, d2.d + e.w FROM d2 JOIN e ON e.u = d2.node)
+             |  GROUP BY 1),
+             |d4 AS (SELECT node, min(d) AS d FROM (
+             |  SELECT node, d FROM d3 UNION ALL
+             |  SELECT e.v, d3.d + e.w FROM d3 JOIN e ON e.u = d3.node)
+             |  GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_reached FROM d4)
+             |SELECT node, d AS dist, n_reached FROM d4 CROSS JOIN n
+             |ORDER BY dist, node LIMIT 20""".stripMargin)),
+
+    // ---- deterministic random-walk corpus (node2vec-style) ----------------
+    // The walk-generation stage graph-embedding training feeds on: 8
+    // walks of length 4 from the 8 smallest nodes of the co-purchase
+    // graph, each step choosing the neighbor at index
+    // hash32("walk_<id>_<step>_<node>") mod degree in the SORTED
+    // adjacency list — fully deterministic, so both engines replay the
+    // identical trajectories (no RNG anywhere). The adjacency frame is
+    // built ONCE (one groupBy into sorted neighbor arrays) and each of
+    // the 4 steps is one equi-join of the bounded walk frame against it
+    // — at 100 TB that is walks × steps frontier joins against a
+    // hash-partitioned adjacency table, the standard shape for
+    // distributed walk sampling (DeepWalk/node2vec corpus generation).
+    "q250_random_walk_corpus" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TextOps.hash32
+        val pc = graft.operators.Materialize(
+          coPairs(table(s, dir, "lineitem")
+            .filter(col("l_partkey") < 800)))
+        val adj = graft.operators.Materialize(pc
+          .select(col("pa").as("u"), col("pb").as("v"))
+          .union(pc.select(col("pb"), col("pa")))
+          .distinct()
+          .groupBy("u").agg(array_sort(collect_set("v")).as("nbrs")))
+        val seeds = adj.orderBy("u").limit(8)
+          .select(row_number().over(Window.orderBy("u")).cast("long")
+              .as("walk_id"),
+            col("u").as("node"))
+          .select(col("walk_id"), lit(0).as("step"), col("node"))
+        // frontier chain: each step's frame is lineage-cut and referenced
+        // exactly once (the loop rule) — the trajectory is the union of
+        // the per-step frontiers, not a self-referencing accumulator
+        val frontiers = Seq.newBuilder[DataFrame]
+        frontiers += seeds
+        var cur = seeds
+        for (step <- 1 to 4) {
+          cur = graft.operators.Materialize.checkpointed(
+            cur.join(adj, cur("node") === adj("u"))
+              .withColumn("idx", hash32(concat(lit("walk_"),
+                col("walk_id").cast("string"), lit(s"_${step}_"),
+                col("node").cast("string")))
+                % size(col("nbrs")))
+              .select(col("walk_id"), lit(step).as("step"),
+                element_at(col("nbrs"), col("idx").cast("int") + 1)
+                  .as("node")))
+          frontiers += cur
+        }
+        frontiers.result().reduce(_ union _)
+          .select(col("walk_id"), col("step").cast("long").as("step"),
+            col("node"))
+          .orderBy("walk_id", "step")
+      },
+      Some {
+        def step(r: Int, prev: String): String =
+          s"""s$r AS (SELECT walk_id, $r AS step,
+             |    nbrs[CAST(CAST(('0x' ${"||"} substr(md5(concat('walk_',
+             |      walk_id, '_${r}_', node)), 1, 8)) AS BIGINT)
+             |      % len(nbrs) AS INT) + 1] AS node
+             |  FROM $prev w JOIN adj ON adj.u = w.node),""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |    FROM lineitem WHERE l_partkey < 800),
+           |pc AS (SELECT a.pk AS pa, b.pk AS pb
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           |ed AS (SELECT DISTINCT pa AS u, pb AS v FROM pc
+           |  UNION SELECT pb, pa FROM pc),
+           |adj AS (SELECT u, list(v ORDER BY v) AS nbrs
+           |  FROM ed GROUP BY 1),
+           |seeds AS (SELECT CAST(row_number() OVER (ORDER BY u)
+           |      AS BIGINT) AS walk_id, 0 AS step, u AS node
+           |  FROM (SELECT u FROM adj ORDER BY u LIMIT 8)),
+           |${step(1, "seeds")}
+           |${step(2, "s1")}
+           |${step(3, "s2")}
+           |${step(4, "s3")}
+           |w AS (SELECT * FROM seeds UNION ALL SELECT * FROM s1
+           |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+           |  UNION ALL SELECT * FROM s4)
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node
+           |FROM w ORDER BY walk_id, step""".stripMargin
+      }),
   )
 }

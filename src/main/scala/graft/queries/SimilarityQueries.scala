@@ -2591,6 +2591,281 @@ object SimilarityQueries {
              |SELECT la AS label, n, s2a AS s2q, lb AS worst_label,
              |  CAST(r_bp AS BIGINT) AS r_bp, db_mean_bp
              |FROM t1 CROSS JOIN db ORDER BY label""".stripMargin)),
+
+    // ---- silhouette cluster-quality audit ----------------------------------
+    // The point-level counterpart of q241's Davies–Bouldin: per point,
+    // a(i) = mean squared L2 to its OWN label's other members, b(i) =
+    // min over other labels of the mean squared L2 to that label, and
+    // s(i) = (b − a)/max(a, b) in bp — the audit that localizes WHICH
+    // points sit on the wrong side of a cluster boundary, where DB only
+    // scores whole clusters. Pairwise by construction, so it runs on a
+    // pushed bounded slice (the q211/q159 rule: the vec_id < 200
+    // predicate reaches the parquet scan; corpus-scale practice is
+    // silhouette-on-a-sample). All arithmetic exact integers: the q241
+    // micro quantization, per-(point, label) mean via DIV on
+    // non-negative sums, and the final ratio sign-split so Spark's
+    // truncate-toward-zero DIV and DuckDB's floor // agree on negative
+    // s(i). Singleton-label points (no same-label pair in the slice)
+    // have undefined a(i) and are excluded, per the standard definition.
+    "q244_silhouette_audit" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xv",
+            (floor((col("x").cast("double") + lit(1.0)) * 1000) * 1000)
+              .cast("long"))
+          .select("vec_id", "label", "i", "xv"))
+        val pd = comps.as("a").join(comps.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("a.label").as("la"),
+            col("b.vec_id").as("vb"), col("b.label").as("lb"))
+          .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2"))
+        val m = pd.groupBy("va", "la", "lb")
+          .agg(expr("sum(d2) DIV count(1)").as("md"))
+        val ab = m.groupBy("va", "la")
+          .agg(max(when(col("lb") === col("la"), col("md"))).as("ai"),
+            min(when(col("lb") =!= col("la"), col("md"))).as("bi"))
+          .filter(col("ai").isNotNull && col("bi").isNotNull)
+          .withColumn("s_bp", expr(
+            """CASE WHEN bi >= ai
+              |  THEN (bi - ai) * 10000 DIV greatest(bi, CAST(1 AS BIGINT))
+              |  ELSE -((ai - bi) * 10000
+              |    DIV greatest(ai, CAST(1 AS BIGINT)))
+              |END""".stripMargin))
+        ab.groupBy(col("la").as("label"))
+          .agg(count(lit(1)).as("n"),
+            expr("""CASE WHEN sum(s_bp) >= 0
+                   |  THEN sum(s_bp) DIV count(1)
+                   |  ELSE -((-sum(s_bp)) DIV count(1)) END"""
+              .stripMargin).as("mean_s_bp"),
+            min("s_bp").as("min_s_bp"), max("s_bp").as("max_s_bp"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |    embedding::DOUBLE[] AS v FROM embeddings
+             |  WHERE vec_id < 200),
+             |comps AS (SELECT vec_id, label, i,
+             |    CAST(floor((v[i + 1] + 1.0) * 1000) * 1000 AS BIGINT)
+             |      AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+             |pd AS (SELECT a.vec_id AS va, a.label AS la,
+             |    b.vec_id AS vb, b.label AS lb,
+             |    CAST(sum((a.xv - b.xv) * (a.xv - b.xv)) AS BIGINT) AS d2
+             |  FROM comps a JOIN comps b
+             |    ON a.i = b.i AND a.vec_id <> b.vec_id
+             |  GROUP BY 1, 2, 3, 4),
+             |m AS (SELECT va, la, lb,
+             |    CAST(sum(d2) // count(*) AS BIGINT) AS md
+             |  FROM pd GROUP BY 1, 2, 3),
+             |ab AS (SELECT va, la,
+             |    max(CASE WHEN lb = la THEN md END) AS ai,
+             |    min(CASE WHEN lb <> la THEN md END) AS bi
+             |  FROM m GROUP BY 1, 2),
+             |sv AS (SELECT va, la,
+             |    CAST(CASE WHEN bi >= ai
+             |      THEN (bi - ai) * 10000 // greatest(bi, 1)
+             |      ELSE -((ai - bi) * 10000 // greatest(ai, 1))
+             |    END AS BIGINT) AS s_bp
+             |  FROM ab WHERE ai IS NOT NULL AND bi IS NOT NULL)
+             |SELECT la AS label, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(CASE WHEN sum(s_bp) >= 0
+             |    THEN sum(s_bp) // count(*)
+             |    ELSE -((-sum(s_bp)) // count(*)) END AS BIGINT)
+             |    AS mean_s_bp,
+             |  CAST(min(s_bp) AS BIGINT) AS min_s_bp,
+             |  CAST(max(s_bp) AS BIGINT) AS max_s_bp
+             |FROM sv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- power-iteration PCA: dominant principal direction ----------------
+    // The top eigenvector of the embedding covariance WITHOUT ever
+    // forming the 64×64 covariance matrix: C·w = Σ_n v_n (v_n · w) / N,
+    // so each of the 3 power-iteration rounds is ONE linear pass — a
+    // broadcast join of the centered components against the 64-row
+    // weight frame for the per-vector score s_n, then a vec_id-equi-join
+    // (the components are hash-partitioned by vec_id ONCE at
+    // materialization, so every round's join reuses that exchange) and a
+    // 64-group aggregation for y = Σ v_n s_n, normalized by max|y| in
+    // integer milli fixed-point. All divisions are sign-split so Spark's
+    // truncating DIV and DuckDB's flooring // replay the identical
+    // sequence. At 100 TB: per round = one shuffle-free broadcast stage
+    // + one co-partitioned join + a 64-row result — O(rounds · N) with
+    // constant driver state, the matrix-free shape iterative eigen
+    // solvers need at scale. Bounds: |centered| ≤ 2000 milli,
+    // |s_n| ≤ 64·2000 = 1.28e5, |y_i| ≤ N·2000·1.28e5 ≈ 2.6e12 at
+    // sf0.1 — int64-exact with 6 orders of headroom.
+    "q247_power_iteration_pca" -> QueryDef(
+      (s, dir) => {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) DIV ($d) " +
+            s"ELSE -((-($v)) DIV ($d)) END"
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "i", "xm"))
+        val mn = comps.groupBy("i")
+          .agg(expr(sd("sum(xm)", "count(1)")).as("mi"))
+        val cent = Materialize(comps.join(broadcast(mn), "i")
+          .withColumn("c", col("xm") - col("mi"))
+          .select("vec_id", "i", "c")
+          .repartition(col("vec_id")))
+        val w0 = s.range(64).toDF("i")
+          .withColumn("w", lit(1000L))
+        val wT = (1 to 3).foldLeft(w0) { (w, _) =>
+          val sN = cent.join(broadcast(w), "i")
+            .groupBy("vec_id")
+            .agg(expr(sd("sum(c * w)", "1000")).as("s"))
+          val y = cent.join(sN, "vec_id")
+            .groupBy("i").agg(sum(expr("c * s")).as("y"))
+          val m = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("m"))
+          Materialize.checkpointed(y.crossJoin(broadcast(m))
+            .select(col("i"), expr(sd("y * 1000", "m")).as("w")))
+        }
+        val sF = cent.join(broadcast(wT), "i")
+          .groupBy("vec_id")
+          .agg(expr(sd("sum(c * w)", "1000")).as("s"))
+        val num = sF.agg(sum(expr("s * s")).as("ray_num"))
+        val den = wT.agg(sum(expr("w * w")).as("ray_den"))
+        wT.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+          .select(col("i").cast("long").as("i"), col("w").as("w_milli"),
+            col("ray_num"), col("ray_den"))
+          .orderBy("i")
+      },
+      Some {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        def round(r: Int, prev: String): String =
+          s"""s$r AS (SELECT vec_id,
+             |    CAST(${sd("sum(c * w)", "1000")} AS BIGINT) AS s
+             |  FROM cent JOIN $prev USING (i) GROUP BY 1),
+             |y$r AS (SELECT i, CAST(sum(c * s) AS BIGINT) AS y
+             |  FROM cent JOIN s$r USING (vec_id) GROUP BY 1),
+             |m$r AS (SELECT greatest(max(abs(y)), 1) AS m FROM y$r),
+             |w$r AS (SELECT i, CAST(${sd("y * 1000", "m")} AS BIGINT)
+             |    AS w FROM y$r CROSS JOIN m$r),""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |comps AS (SELECT vec_id, i,
+           |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xm
+           |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+           |mn AS (SELECT i, CAST(${sd("sum(xm)", "count(*)")} AS BIGINT)
+           |    AS mi FROM comps GROUP BY 1),
+           |cent AS (SELECT vec_id, comps.i, xm - mi AS c
+           |  FROM comps JOIN mn ON comps.i = mn.i),
+           |w0 AS (SELECT i, CAST(1000 AS BIGINT) AS w
+           |  FROM (SELECT unnest(range(0, 64)) AS i) idx),
+           |${round(1, "w0")}
+           |${round(2, "w1")}
+           |${round(3, "w2")}
+           |sf AS (SELECT vec_id,
+           |    CAST(${sd("sum(c * w)", "1000")} AS BIGINT) AS s
+           |  FROM cent JOIN w3 USING (i) GROUP BY 1),
+           |num AS (SELECT CAST(sum(s * s) AS BIGINT) AS ray_num FROM sf),
+           |den AS (SELECT CAST(sum(w * w) AS BIGINT) AS ray_den FROM w3)
+           |SELECT CAST(w3.i AS BIGINT) AS i, w3.w AS w_milli,
+           |  ray_num, ray_den
+           |FROM w3 CROSS JOIN num CROSS JOIN den
+           |ORDER BY i""".stripMargin
+      }),
+
+    // ---- distributed Lloyd k-means (broadcast-centroid rounds) ------------
+    // q66's IVF trainer runs k-means on a constant-size driver sample;
+    // this is the FULLY-DISTRIBUTED counterpart the final assignment
+    // epochs of a 100 TB clustering job need: k=4 centroids seeded from
+    // the 4 smallest vec_ids, 2 Lloyd rounds where each round is ONE
+    // linear pass — broadcast the k·64-row centroid frame, per-vector
+    // nearest centroid via the encode-argmin trick (min(d2·4 + cid)
+    // decodes to the min-distance, min-cid assignment with no second
+    // join), then a (cid, i) mean with map-side combine. All in exact
+    // milli integers with sign-split division, so both engines replay
+    // the identical trajectory. Per-round lineage is cut (loop rule).
+    // Output: per-cluster size, inertia, and centroid checksum.
+    // Bounds: d2 ≤ 64·2000² = 2.56e8 per pair; ·4+cid < 2³¹; inertia
+    // sums N of those — int64-exact with 8 orders of headroom.
+    "q249_lloyd_kmeans_rounds" -> QueryDef(
+      (s, dir) => {
+        def sdiv(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) DIV ($d) " +
+            s"ELSE -((-($v)) DIV ($d)) END"
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "i", "xm"))
+        val c0 = comps.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("i"), col("xm").as("cm"))
+        val cT = (1 to 2).foldLeft(c0) { (cent, _) =>
+          val enc = comps.join(broadcast(cent), "i")
+            .groupBy("vec_id", "cid")
+            .agg(sum(expr("(xm - cm) * (xm - cm)")).as("d2"))
+            .groupBy("vec_id")
+            .agg(min(expr("d2 * 4 + cid")).as("enc"))
+            .select(col("vec_id"), expr("enc % 4").as("cid"))
+          Materialize.checkpointed(comps.join(enc, "vec_id")
+            .groupBy("cid", "i")
+            .agg(expr(sdiv("sum(xm)", "count(1)")).as("cm")))
+        }
+        val fin = comps.join(broadcast(cT), "i")
+          .groupBy("vec_id", "cid")
+          .agg(sum(expr("(xm - cm) * (xm - cm)")).as("d2"))
+          .groupBy("vec_id")
+          .agg(min(expr("d2 * 4 + cid")).as("enc"))
+          .select(col("vec_id"), expr("enc % 4").as("cid"),
+            expr("enc DIV 4").as("d2"))
+        val stats = fin.groupBy("cid")
+          .agg(count(lit(1)).as("n_members"), sum("d2").as("inertia"))
+        val chk = cT.groupBy("cid")
+          .agg(sum(expr("cm * (i + 1)")).as("centroid_checksum"))
+        stats.join(chk, "cid")
+          .select(col("cid"), col("n_members"), col("inertia"),
+            col("centroid_checksum"))
+          .orderBy("cid")
+      },
+      Some {
+        def sdiv(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        def round(r: Int, prev: String): String =
+          s"""a$r AS (SELECT vec_id, min(d2 * 4 + cid) AS enc FROM (
+             |    SELECT comps.vec_id, c.cid,
+             |      CAST(sum((xm - cm) * (xm - cm)) AS BIGINT) AS d2
+             |    FROM comps JOIN $prev c ON comps.i = c.i
+             |    GROUP BY 1, 2) GROUP BY 1),
+             |c$r AS (SELECT enc % 4 AS cid, comps.i,
+             |    CAST(${sdiv("sum(xm)", "count(*)")} AS BIGINT) AS cm
+             |  FROM comps JOIN a$r ON comps.vec_id = a$r.vec_id
+             |  GROUP BY 1, 2),""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |comps AS (SELECT vec_id, i,
+           |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xm
+           |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+           |c0 AS (SELECT vec_id AS cid, i, xm AS cm FROM comps
+           |  WHERE vec_id < 4),
+           |${round(1, "c0")}
+           |${round(2, "c1")}
+           |fin AS (SELECT vec_id, min(d2 * 4 + cid) AS enc FROM (
+           |    SELECT comps.vec_id, c.cid,
+           |      CAST(sum((xm - cm) * (xm - cm)) AS BIGINT) AS d2
+           |    FROM comps JOIN c2 c ON comps.i = c.i
+           |    GROUP BY 1, 2) GROUP BY 1),
+           |st AS (SELECT enc % 4 AS cid,
+           |    CAST(count(*) AS BIGINT) AS n_members,
+           |    CAST(sum(enc // 4) AS BIGINT) AS inertia
+           |  FROM fin GROUP BY 1),
+           |ck AS (SELECT cid, CAST(sum(cm * (i + 1)) AS BIGINT)
+           |    AS centroid_checksum
+           |  FROM c2 GROUP BY 1)
+           |SELECT st.cid, n_members, inertia, centroid_checksum
+           |FROM st JOIN ck ON st.cid = ck.cid ORDER BY st.cid"""
+          .stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

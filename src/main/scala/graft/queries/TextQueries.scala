@@ -4307,6 +4307,98 @@ object TextQueries {
               |    THEN 1 ELSE 0 END AS BIGINT) AS sig
               |FROM ps CROSS JOIN ntt CROSS JOIN stt
               |ORDER BY source""".stripMargin)),
+
+    // ---- winnowing fingerprints --------------------------------------------
+    // Local document fingerprinting by winnowing (Schleimer, Wilkerson &
+    // Aiken 2003 — the MOSS algorithm): hash every char 5-gram, slide a
+    // window of w = 4 consecutive hashes, and select each window's
+    // MINIMUM (ties → rightmost), deduplicating selected positions. The
+    // guarantee the shingle/minhash family cannot give: any substring
+    // match of length ≥ w + k − 1 = 8 chars is CERTAIN to share a
+    // fingerprint — detection is deterministic, not probabilistic — at
+    // an expected density of only 2/(w+1) of positions. The audit
+    // reports per-source density against that theoretical rate plus the
+    // cross-document fingerprint-sharing rate (the boilerplate signal
+    // winnowing exists to find). Scale shape: fingerprint selection is
+    // pure map-side array code in ONE corpus pass (the per-doc frame is
+    // cached once and feeds both aggregations); only the SELECTED
+    // ~2/(w+1) fraction of hashes ever reaches the sharing shuffle, and
+    // per-source output is bounded. Fingerprints encode as
+    // pos·2³² + hash32 in one int64 (hash32 < 2³², exact).
+    "q243_winnowing_fingerprints" -> QueryDef(
+      (s, dir) => {
+        val k = 5; val w = 4
+        val fp = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            lower(trim(col("text"))).as("lt"))
+          .filter(length(col("lt")) >= k + w - 1)
+          .withColumn("hs", expr(
+            s"""transform(sequence(1, length(lt) - ${k - 1}),
+               | i -> CAST(conv(substring(md5(substring(lt, i, $k)),
+               |   1, 8), 16, 10) AS BIGINT))""".stripMargin))
+          .withColumn("nw", expr(s"size(hs) - ${w - 1}"))
+          .withColumn("fps", expr(
+            s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+               | i -> element_at(filter(sequence(i, i + ${w - 1}),
+               |     j -> element_at(hs, j) = array_min(slice(hs, i, $w))),
+               |   -1) * 4294967296 + array_min(slice(hs, i, $w))))"""
+              .stripMargin))
+          .select("doc_id", "source", "nw", "fps"))
+        val st = fp.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_windows"),
+            sum(size(col("fps"))).as("n_fps"))
+        val sh = fp
+          .select(col("source"), col("doc_id"),
+            explode(col("fps")).as("fpk"))
+          .withColumn("h", expr("fpk % 4294967296"))
+          .groupBy("source", "h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_distinct_h"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_h"))
+        st.join(sh, "source")
+          .withColumn("density_bp", expr("n_fps * 10000 DIV n_windows"))
+          .withColumn("shared_bp",
+            expr("n_shared_h * 10000 DIV n_distinct_h"))
+          .select("source", "n_docs", "n_windows", "n_fps", "density_bp",
+            "n_distinct_h", "n_shared_h", "shared_bp")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, lower(trim(text)) AS lt
+             |  FROM documents WHERE length(lower(trim(text))) >= 8),
+             |g AS (SELECT doc_id, source,
+             |    [CAST(('0x' || substr(md5(substr(lt, i, 5)), 1, 8))
+             |       AS BIGINT)
+             |     for i in range(1, length(lt) - 3)] AS hs
+             |  FROM d),
+             |f AS (SELECT doc_id, source,
+             |    CAST(len(hs) - 3 AS BIGINT) AS nw,
+             |    list_distinct([
+             |      (list_filter(range(i, i + 4),
+             |         j -> hs[j] = list_min(hs[i:i+3])))[-1] * 4294967296
+             |        + list_min(hs[i:i+3])
+             |      for i in range(1, len(hs) - 2)]) AS fps
+             |  FROM g),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(nw) AS BIGINT) AS n_windows,
+             |    CAST(sum(len(fps)) AS BIGINT) AS n_fps
+             |  FROM f GROUP BY 1),
+             |e AS (SELECT source, doc_id, unnest(fps) % 4294967296 AS h
+             |  FROM f),
+             |hh AS (SELECT source, h, count(DISTINCT doc_id) AS nd
+             |  FROM e GROUP BY 1, 2),
+             |sh AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS n_distinct_h,
+             |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_shared_h
+             |  FROM hh GROUP BY 1)
+             |SELECT st.source, n_docs, n_windows, n_fps,
+             |  CAST(n_fps * 10000 // n_windows AS BIGINT) AS density_bp,
+             |  n_distinct_h, n_shared_h,
+             |  CAST(n_shared_h * 10000 // n_distinct_h AS BIGINT)
+             |    AS shared_bp
+             |FROM st JOIN sh ON st.source = sh.source
+             |ORDER BY st.source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -168,6 +168,30 @@ class NcdIngestSpec extends AnyFunSuite {
     assert(loc.startsWith("file:/"))
   }
 
+  test("second zip accumulates districts per-partition (reference " +
+      "athena.py:92-111 key layout)") {
+    // zip B revises FLM (one row, caseid 6) and adds NY; it carries no
+    // CT file and no court-hist member. After loading it on top of zip
+    // A: CT must SURVIVE (static whole-table overwrite would wipe it),
+    // FLM must be exactly zip B's revision, NY must appear, and
+    // GS_COURT_HIST must be untouched.
+    import spark.implicits._
+    val wh = Files.createTempDirectory("ncd_multi_").toString
+    val ing = new NcdIngest(spark, wh, db = "ncdmulti")
+    ing.loadZip(Fixtures.tempZip().toString)
+    ing.loadZip(Fixtures.tempZipB().toString)
+    val byDistrict = spark.table("ncdmulti.GS_CASE")
+      .groupBy("filename_district")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("CASEID").as("mx"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(byDistrict.map(t => (t._1, t._2)).toSeq ===
+      Seq(("CT", 1L), ("FLM", 1L), ("NY", 1L)))
+    assert(byDistrict.collect { case ("FLM", _, mx) => mx }.head === 6L)
+    assert(spark.table("ncdmulti.GS_COURT_HIST").count() === 3)
+  }
+
   test("DDL log captures CREATE DATABASE / CREATE TABLE golden shapes") {
     assert(ingest.ddlLog.head === "CREATE DATABASE IF NOT EXISTS ncd")
     val caseDdl = ingest.ddlLog.find(_.contains("ncd.GS_CASE (")).get
