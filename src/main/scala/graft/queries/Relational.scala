@@ -2720,5 +2720,136 @@ object Relational {
            |SELECT walk_id, CAST(step AS BIGINT) AS step, node
            |FROM w ORDER BY walk_id, step""".stripMargin
       }),
+
+    // ---- community modularity audit ---------------------------------------
+    // Newman modularity Q = Σ_c [m_c/m − (d_c/2m)²] of the
+    // connected-component partition of the co-purchase graph — the
+    // quality score community detection is judged by. Communities come
+    // from the production ConnectedComponents operator; per community
+    // one edge-side semi-aggregation (edges already join endpoints of
+    // the same component, so m_c is the component's edge count) and one
+    // degree rollup. The contribution is reported in exact micro units
+    // via two truncating non-negative divisions — no floats, no
+    // engine drift. At 100 TB: CC is the iterative stage (hash-min, the
+    // q48/q166 machinery); the modularity pass itself is two linear
+    // aggregations. Bounds: d_c ≤ 2m; d_c²·10⁶ ≤ 4m²·10⁶ —
+    // int64-exact to m ≈ 1.5·10⁶ edges per component-bearing subgraph,
+    // documented alongside the bounded-subgraph cut.
+    "q254_community_modularity" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        // the >= 2 co-occurrence support cut keeps only repeated
+        // co-purchases — the single-support halo merges everything into
+        // one giant component and makes the partition (and Q) vacuous
+        val pairs = Materialize(
+          coPairs(table(s, dir, "lineitem")
+              .filter(col("l_partkey") < 800))
+            .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+            .filter(col("n_ab") >= 2).select("pa", "pb"))
+        val comp = Materialize(graft.operators.ConnectedComponents
+          .minLabel(pairs.select(col("pa").as("doc_a"),
+            col("pb").as("doc_b"))))
+        val m = pairs.agg(count(lit(1)).as("m"))
+        val mc = pairs.join(comp.select(col("doc").as("pa"),
+            col("label").as("community")), "pa")
+          .groupBy("community").agg(count(lit(1)).as("m_c"))
+        val deg = pairs.select(col("pa").as("node"))
+          .union(pairs.select(col("pb")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val dc = deg.join(comp.select(col("doc").as("node"),
+            col("label").as("community")), "node")
+          .groupBy("community").agg(sum("deg").as("d_c"),
+            count(lit(1)).as("n_nodes"))
+        mc.join(dc, "community").crossJoin(broadcast(m))
+          .select(col("community"), col("n_nodes"), col("m_c"),
+            col("d_c"),
+            (expr("m_c * 1000000 DIV m") -
+              expr("d_c * d_c * 1000000 DIV (4 * m * m)"))
+              .as("q_contrib_micro"))
+          .orderBy("community")
+      },
+      Some("""WITH RECURSIVE
+             |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |    FROM lineitem WHERE l_partkey < 800),
+             |pairs AS (SELECT a.pk AS pa, b.pk AS pb
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |edges AS (SELECT pa AS a, pb AS b FROM pairs
+             |  UNION ALL SELECT pb, pa FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS node FROM edges),
+             |reach AS (SELECT node, node AS r FROM nodes
+             |  UNION
+             |  SELECT e.b AS node, reach.r FROM reach JOIN edges e
+             |    ON e.a = reach.node),
+             |comp AS (SELECT node, min(r) AS community FROM reach
+             |  GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+             |mc AS (SELECT community, CAST(count(*) AS BIGINT) AS m_c
+             |  FROM pairs JOIN comp ON comp.node = pairs.pa
+             |  GROUP BY 1),
+             |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM edges GROUP BY 1),
+             |dc AS (SELECT community, CAST(sum(deg) AS BIGINT) AS d_c,
+             |    CAST(count(*) AS BIGINT) AS n_nodes
+             |  FROM deg JOIN comp ON comp.node = deg.node
+             |  GROUP BY 1)
+             |SELECT mc.community, n_nodes, m_c, d_c,
+             |  CAST(m_c * 1000000 // m
+             |    - d_c * d_c * 1000000 // (4 * m * m) AS BIGINT)
+             |    AS q_contrib_micro
+             |FROM mc JOIN dc ON mc.community = dc.community
+             |CROSS JOIN m ORDER BY mc.community""".stripMargin)),
+
+    // ---- degree assortativity ---------------------------------------------
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list (both directions — the standard undirected convention): do
+    // high-degree parts co-occur with high-degree parts? The moments
+    // (n, Σx, Σxy, Σx², and the x=y symmetry) are EXACT integers both
+    // engines hash-match; only the final r is a double, rounded to 4dp
+    // on both sides (the q133 cosine discipline). One degree rollup +
+    // one endpoint join — linear in edges at any scale.
+    "q255_degree_assortativity" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val pairs = Materialize(
+          coPairs(table(s, dir, "lineitem")
+            .filter(col("l_partkey") < 800)).distinct())
+        val deg = Materialize(pairs.select(col("pa").as("node"))
+          .union(pairs.select(col("pb")))
+          .groupBy("node").agg(count(lit(1)).as("deg")))
+        val e = pairs.select(col("pa").as("u"), col("pb").as("v"))
+          .union(pairs.select(col("pb"), col("pa")))
+        val j = e
+          .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+        j.agg(count(lit(1)).as("n_dir_edges"),
+            sum("dx").as("sx"), sum(expr("dx * dy")).as("sxy"),
+            sum(expr("dx * dx")).as("sx2"))
+          .withColumn("r", round(
+            (col("n_dir_edges") * col("sxy") - col("sx") * col("sx")) /
+              (col("n_dir_edges") * col("sx2") - col("sx") * col("sx")),
+            4))
+          .select("n_dir_edges", "sx", "sxy", "sx2", "r")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk
+             |  FROM lineitem WHERE l_partkey < 800),
+             |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |e AS (SELECT pa AS u, pb AS v FROM pairs
+             |  UNION ALL SELECT pb, pa FROM pairs),
+             |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM e GROUP BY 1),
+             |j AS (SELECT du.deg AS dx, dv.deg AS dy FROM e
+             |  JOIN deg du ON du.node = e.u
+             |  JOIN deg dv ON dv.node = e.v)
+             |SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+             |  CAST(sum(dx) AS BIGINT) AS sx,
+             |  CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             |  CAST(sum(dx * dx) AS BIGINT) AS sx2,
+             |  round((count(*) * sum(dx * dy) - sum(dx) * sum(dx))
+             |    / (count(*) * sum(dx * dx) - sum(dx) * sum(dx)) * 1.0,
+             |    4) AS r
+             |FROM j""".stripMargin)),
   )
 }

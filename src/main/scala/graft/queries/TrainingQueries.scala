@@ -3188,5 +3188,190 @@ object TrainingQueries {
              |FROM al LEFT JOIN da ON al.source = da.source
              |CROSS JOIN dt
              |ORDER BY al.source""".stripMargin)),
+
+    // ---- histogram-based split finding (GBDT-style) -----------------------
+    // The distributed tree-learning primitive (XGBoost/LightGBM
+    // histogram method): per feature dimension, bin the milli-quantized
+    // values into 16 equi-width bins, accumulate (count, label-sum) per
+    // bin in ONE linear pass with map-side combine, then search the
+    // 64×16 histogram frame — never the raw rows — for the split
+    // maximizing the SSE-reduction surrogate S_l²/n_l + S_r²/n_r. The
+    // gain is evaluated in scaled integer form (·10⁶, truncating DIV —
+    // both engines replay it bit-for-bit; int64-safe to N ≈ 2·10⁵
+    // vectors at label ≤ 9, i.e. past sf1) and the argmax uses the
+    // encode trick gain·16 + (15 − bin) so ties break to the SMALLEST
+    // split bin with no second join. At 100 TB: histogram build is the
+    // only corpus-scale stage; the split search runs on a
+    // dimensions×bins frame regardless of data size.
+    "q251_histogram_split_finding" -> QueryDef(
+      (s, dir) => {
+        val comps = tableParallel(s, dir, "embeddings")
+          .select(col("label").cast("long").as("y"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("bin",
+            expr("(CAST(floor(x * 1000) AS BIGINT) + 1000) DIV 125"))
+        val hist = comps.groupBy("i", "bin")
+          .agg(count(lit(1)).as("n_b"), sum("y").as("s_b"))
+        val wCum = Window.partitionBy("i").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("i")
+        val g = hist
+          .withColumn("n_l", sum("n_b").over(wCum))
+          .withColumn("s_l", sum("s_b").over(wCum))
+          .withColumn("n", sum("n_b").over(wTot))
+          .withColumn("s", sum("s_b").over(wTot))
+          .filter(col("n_l") > 0 && col("n_l") < col("n"))
+          .withColumn("gain_milli", expr(
+            """(s_l * s_l * 1000000) DIV n_l +
+              |((s - s_l) * (s - s_l) * 1000000) DIV (n - n_l)"""
+              .stripMargin))
+          .withColumn("enc", expr("gain_milli * 16 + (15 - bin)"))
+        g.groupBy("i")
+          .agg(max("enc").as("enc"),
+            max(expr("(s * s * 1000000) DIV n")).as("base_milli"))
+          .select(col("i").cast("long").as("i"),
+            expr("15 - enc % 16").as("best_bin"),
+            expr("enc DIV 16").as("gain_milli"), col("base_milli"))
+          .orderBy("i")
+      },
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS y,
+             |    embedding::DOUBLE[] AS v FROM embeddings),
+             |comps AS (SELECT y, i,
+             |    (CAST(floor(v[i + 1] * 1000) AS BIGINT) + 1000) // 125
+             |      AS bin
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+             |hist AS (SELECT i, bin, CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(sum(y) AS BIGINT) AS s_b
+             |  FROM comps GROUP BY 1, 2),
+             |g AS (SELECT i, bin,
+             |    sum(n_b) OVER (PARTITION BY i ORDER BY bin) AS n_l,
+             |    sum(s_b) OVER (PARTITION BY i ORDER BY bin) AS s_l,
+             |    sum(n_b) OVER (PARTITION BY i) AS n,
+             |    sum(s_b) OVER (PARTITION BY i) AS s
+             |  FROM hist),
+             |sc AS (SELECT i, bin, n, s,
+             |    (s_l * s_l * 1000000) // n_l +
+             |      ((s - s_l) * (s - s_l) * 1000000) // (n - n_l)
+             |      AS gain_milli
+             |  FROM g WHERE n_l > 0 AND n_l < n),
+             |bst AS (SELECT i,
+             |    max(gain_milli * 16 + (15 - bin)) AS enc,
+             |    max((s * s * 1000000) // n) AS base_milli
+             |  FROM sc GROUP BY 1)
+             |SELECT CAST(i AS BIGINT) AS i,
+             |  CAST(15 - enc % 16 AS BIGINT) AS best_bin,
+             |  CAST(enc // 16 AS BIGINT) AS gain_milli,
+             |  CAST(base_milli AS BIGINT) AS base_milli
+             |FROM bst ORDER BY i""".stripMargin)),
+
+    // ---- out-of-fold target encoding --------------------------------------
+    // The leakage-free categorical encoder feature pipelines need: each
+    // row's category is replaced by the target mean computed WITHOUT the
+    // row's own fold — oof(cat, f) = (S_cat − S_{cat,f}) / (n_cat −
+    // n_{cat,f}) — so a high-cardinality category cannot leak its own
+    // label into its feature (the q201/q224 leakage discipline applied
+    // to feature engineering). Folds are md5-hash-assigned (reproducible
+    // under repartitioning, like every sampler in this file); all means
+    // are exact-cents truncating divisions on non-negative sums; the
+    // full-data mean ships alongside so the oracle hash-pins the
+    // leakage gap itself. One groupBy over the fact table; everything
+    // after runs on the categories×folds frame.
+    "q252_oof_target_encoding" -> QueryDef(
+      (s, dir) => {
+        val rows = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("cat"),
+            (hash32(concat(lit("fold_"),
+              col("o_orderkey").cast("string"))) % 5).as("fold"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val pf = rows.groupBy("cat", "fold")
+          .agg(count(lit(1)).as("n_f"), sum("cents").as("s_f"))
+        val pc = pf.groupBy("cat")
+          .agg(sum("n_f").as("n_tot"), sum("s_f").as("s_tot"))
+        pf.join(pc, "cat")
+          .withColumn("oof_cents", expr(
+            """CASE WHEN n_tot = n_f THEN NULL
+              |ELSE (s_tot - s_f) DIV (n_tot - n_f) END""".stripMargin))
+          .withColumn("full_cents", expr("s_tot DIV n_tot"))
+          .select(col("cat"), col("fold"), col("n_f").as("n_rows"),
+            col("oof_cents"), col("full_cents"))
+          .orderBy("cat", "fold")
+      },
+      Some("""WITH r AS (SELECT o_orderpriority AS cat,
+             |    CAST(('0x' || substr(md5('fold_' || o_orderkey), 1, 8))
+             |      AS BIGINT) % 5 AS fold,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |pf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_f,
+             |    CAST(sum(cents) AS BIGINT) AS s_f
+             |  FROM r GROUP BY 1, 2),
+             |pc AS (SELECT cat, CAST(sum(n_f) AS BIGINT) AS n_tot,
+             |    CAST(sum(s_f) AS BIGINT) AS s_tot
+             |  FROM pf GROUP BY 1)
+             |SELECT pf.cat, fold, n_f AS n_rows,
+             |  CAST(CASE WHEN n_tot = n_f THEN NULL
+             |    ELSE (s_tot - s_f) // (n_tot - n_f) END AS BIGINT)
+             |    AS oof_cents,
+             |  CAST(s_tot // n_tot AS BIGINT) AS full_cents
+             |FROM pf JOIN pc ON pf.cat = pc.cat
+             |ORDER BY pf.cat, fold""".stripMargin)),
+
+    // ---- feature-hashing collision audit ----------------------------------
+    // The hashing-trick design question — how many buckets does this
+    // vocabulary need? — answered from data: token frequencies are
+    // counted ONCE (the only corpus-scale pass), then the ×3 bucket-size
+    // fan-out {256, 1024, 4096} runs on the bounded vocabulary frame
+    // only. Per size: buckets used, tokens sharing a bucket, the
+    // occurrence MASS sitting in collided buckets (in bp — the number
+    // that actually predicts feature-quality loss), and the worst
+    // bucket's token load. md5 bucket assignment, exact integers.
+    "q253_hashing_trick_audit" -> QueryDef(
+      (s, dir) => {
+        val vocab = Materialize(tableParallel(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")))
+        val tot = vocab.agg(sum("cnt").as("t_mass"),
+          count(lit(1)).as("t_vocab"))
+        val buck = vocab
+          .select(col("tok"), col("cnt"),
+            explode(expr("array(256, 1024, 4096)")).as("b"))
+          .withColumn("bucket", hash32(col("tok")) % col("b"))
+          .groupBy("b", "bucket")
+          .agg(count(lit(1)).as("n_toks"), sum("cnt").as("mass"))
+        buck.groupBy("b")
+          .agg(count(lit(1)).as("buckets_used"),
+            sum(when(col("n_toks") >= 2, col("n_toks"))
+              .otherwise(0L)).as("collided_tokens"),
+            sum(when(col("n_toks") >= 2, col("mass"))
+              .otherwise(0L)).as("collided_mass"),
+            max("n_toks").as("max_load"))
+          .crossJoin(broadcast(tot))
+          .select(col("b").cast("long").as("b"), col("t_vocab"),
+            col("buckets_used"), col("collided_tokens"),
+            expr("collided_mass * 10000 DIV t_mass")
+              .as("collided_mass_bp"),
+            col("max_load"))
+          .orderBy("b")
+      },
+      Some(s"""WITH vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest($duckToks) AS tok FROM documents)
+              |  GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_mass,
+              |    CAST(count(*) AS BIGINT) AS t_vocab FROM vocab),
+              |buck AS (SELECT b, CAST(('0x' || substr(md5(tok), 1, 8))
+              |      AS BIGINT) % b AS bucket,
+              |    CAST(count(*) AS BIGINT) AS n_toks,
+              |    CAST(sum(cnt) AS BIGINT) AS mass
+              |  FROM vocab CROSS JOIN
+              |    (SELECT unnest([256, 1024, 4096]) AS b) bs
+              |  GROUP BY 1, 2)
+              |SELECT CAST(b AS BIGINT) AS b, t_vocab,
+              |  CAST(count(*) AS BIGINT) AS buckets_used,
+              |  CAST(sum(CASE WHEN n_toks >= 2 THEN n_toks ELSE 0 END)
+              |    AS BIGINT) AS collided_tokens,
+              |  CAST(sum(CASE WHEN n_toks >= 2 THEN mass ELSE 0 END)
+              |    * 10000 // t_mass AS BIGINT) AS collided_mass_bp,
+              |  CAST(max(n_toks) AS BIGINT) AS max_load
+              |FROM buck CROSS JOIN tot
+              |GROUP BY b, t_vocab, t_mass ORDER BY b""".stripMargin)),
   )
 }

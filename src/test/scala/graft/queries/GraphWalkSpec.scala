@@ -133,4 +133,67 @@ class GraphWalkSpec extends AnyFunSuite {
     }
     assert(got.toSeq === want.toSeq)
   }
+
+  /** Union-find components of an undirected edge list, min-id labeled. */
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("q254: per-community modularity contributions replay from a " +
+      "union-find partition and exact integer arithmetic") {
+    val rows = run("q254_community_modularity").collect()
+    assert(rows.nonEmpty)
+    val pairs = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val comp = components(pairs)
+    val m = pairs.size.toLong
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byC = comp.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val expect = byC.toSeq.sortBy(_._1).map { case (c, nodes) =>
+      val mC = pairs.count(p => comp(p._1) == c).toLong
+      val dC = nodes.map(deg).sum
+      (c, nodes.size.toLong, mC, dC,
+        mC * 1000000L / m - dC * dC * 1000000L / (4 * m * m))
+    }
+    assert(rows.length === expect.length)
+    rows.zip(expect).foreach { case (r, e) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) === e)
+    }
+    // partition sanity: every edge is intra-community, Σm_c = m
+    assert(expect.map(_._3).sum === m)
+  }
+
+  test("q255: assortativity moments and r replay from the directed " +
+      "edge list") {
+    val rows = run("q255_degree_assortativity").collect()
+    assert(rows.length === 1)
+    val pairs = pairCounts.keys.toSeq
+    val dir = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = dir.size.toLong
+    val sx = dir.map(e => deg(e._1)).sum
+    val sxy = dir.map(e => deg(e._1) * deg(e._2)).sum
+    val sx2 = dir.map(e => deg(e._1) * deg(e._1)).sum
+    val r0 = rows.head
+    assert(r0.getLong(0) === n)
+    assert(r0.getLong(1) === sx)
+    assert(r0.getLong(2) === sxy)
+    assert(r0.getLong(3) === sx2)
+    val r = (n * sxy - sx * sx).toDouble / (n * sx2 - sx * sx)
+    val rounded = BigDecimal(r)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r0.getDouble(4) - rounded) < 1e-9)
+    // degree correlation is a genuine correlation: |r| ≤ 1
+    assert(math.abs(r0.getDouble(4)) <= 1.0)
+  }
 }
