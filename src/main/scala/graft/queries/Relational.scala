@@ -2851,5 +2851,150 @@ object Relational {
              |    / (count(*) * sum(dx * dx) - sum(dx) * sum(dx)) * 1.0,
              |    4) AS r
              |FROM j""".stripMargin)),
+
+    // ---- join-cardinality estimation audit --------------------------------
+    // The System-R estimate every cost-based join reorder rests on —
+    // |R ⋈ S| ≈ |R|·|S| / max(d_R, d_S) (uniformity + containment) —
+    // audited against the EXACT join size Σ_k f_R(k)·f_S(k) for the
+    // schema's three fact-dimension joins. Both numbers come from the
+    // per-key frequency frames (one groupBy per side, then a key
+    // equi-join of the two count frames — never the join itself), so
+    // the audit costs a fraction of the joins it prices. Exact
+    // integers throughout; error in bp. This is the q246 AMS sketch's
+    // ground-truth counterpart: together they bracket what a planner
+    // can know cheaply.
+    "q256_join_estimate_audit" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        def audit(nm: String, r: DataFrame, rk: String,
+            t: DataFrame, tk: String): DataFrame = {
+          // each frequency frame feeds BOTH the totals rollup and the
+          // exact-join branch — materialize so each base table is
+          // scanned exactly once per audit
+          val fR = Materialize(r.groupBy(col(rk).as("k"))
+            .agg(count(lit(1)).as("nr")))
+          val fS = Materialize(t.groupBy(col(tk).as("k"))
+            .agg(count(lit(1)).as("ns")))
+          val sR = fR.agg(sum("nr").as("n_left"),
+            count(lit(1)).as("d_left"))
+          val sS = fS.agg(sum("ns").as("n_right"),
+            count(lit(1)).as("d_right"))
+          val ex = fR.join(fS, "k")
+            .agg(coalesce(sum(expr("nr * ns")), lit(0L))
+              .as("exact_rows"))
+          sR.crossJoin(broadcast(sS)).crossJoin(broadcast(ex))
+            .select(lit(nm).as("join_name"),
+              col("n_left"), col("d_left"), col("n_right"),
+              col("d_right"), col("exact_rows"),
+              expr("n_left * n_right DIV greatest(d_left, d_right)")
+                .as("est_rows"))
+            .withColumn("err_bp", expr(
+              "abs(est_rows - exact_rows) * 10000 DIV exact_rows"))
+        }
+        audit("li_orders", table(s, dir, "lineitem"), "l_orderkey",
+            table(s, dir, "orders"), "o_orderkey")
+          .union(audit("li_part", table(s, dir, "lineitem"), "l_partkey",
+            table(s, dir, "part"), "p_partkey"))
+          .union(audit("orders_cust", table(s, dir, "orders"),
+            "o_custkey", table(s, dir, "customer"), "c_custkey"))
+          .orderBy("join_name")
+      },
+      Some {
+        def one(nm: String, r: String, rk: String, t: String,
+            tk: String): String =
+          s"""SELECT '$nm' AS join_name, n_left, d_left, n_right,
+             |  d_right, exact_rows,
+             |  CAST(n_left * n_right // greatest(d_left, d_right)
+             |    AS BIGINT) AS est_rows,
+             |  CAST(abs(n_left * n_right // greatest(d_left, d_right)
+             |    - exact_rows) * 10000 // exact_rows AS BIGINT) AS err_bp
+             |FROM
+             |  (SELECT CAST(sum(nr) AS BIGINT) AS n_left,
+             |     CAST(count(*) AS BIGINT) AS d_left FROM
+             |     (SELECT $rk, count(*) AS nr FROM $r GROUP BY 1)),
+             |  (SELECT CAST(sum(ns) AS BIGINT) AS n_right,
+             |     CAST(count(*) AS BIGINT) AS d_right FROM
+             |     (SELECT $tk, count(*) AS ns FROM $t GROUP BY 1)),
+             |  (SELECT CAST(coalesce(sum(nr * ns), 0) AS BIGINT)
+             |     AS exact_rows FROM
+             |     (SELECT $rk AS k, count(*) AS nr FROM $r GROUP BY 1) a
+             |     JOIN (SELECT $tk AS k, count(*) AS ns FROM $t
+             |       GROUP BY 1) b USING (k))""".stripMargin
+        one("li_orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey") +
+          "\nUNION ALL\n" +
+          one("li_part", "lineitem", "l_partkey", "part", "p_partkey") +
+          "\nUNION ALL\n" +
+          one("orders_cust", "orders", "o_custkey", "customer",
+            "c_custkey") +
+          "\nORDER BY join_name"
+      }),
+
+    // ---- local clustering coefficient -------------------------------------
+    // Per-node transitivity — the graph feature link-prediction and
+    // community models consume: lcc(v) = 2·t(v) / (deg(v)·(deg(v)−1))
+    // with t(v) counted through the wedge join (edges e1 ⋈ e2 on the
+    // shared endpoint, u < v kills the double count) intersected with
+    // the edge set — the q124 triangle machinery extended from one
+    // global count to a per-node profile. Σ_incident c_uv = 2·t(v)
+    // exactly (each triangle at v touches two incident edges), so lcc
+    // lands in exact bp with no floats. Wedge enumeration is Σ deg² —
+    // bounded here by the subgraph cut; at corpus scale the standard
+    // hub-cap/sampling applies before this operator, not inside it.
+    "q257_local_clustering" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val pairs = Materialize(
+          coPairs(table(s, dir, "lineitem")
+            .filter(col("l_partkey") < 800)).distinct())
+        val ed = Materialize(
+          pairs.select(col("pa").as("a"), col("pb").as("b"))
+            .union(pairs.select(col("pb"), col("pa"))))
+        val wedges = ed.as("e1").join(ed.as("e2"),
+            col("e1.b") === col("e2.b") && col("e1.a") < col("e2.a"))
+          .groupBy(col("e1.a").as("u"), col("e2.a").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val onEdges = wedges.join(pairs,
+          col("u") === col("pa") && col("v") === col("pb"))
+        val s2t = onEdges.select(col("u").as("node"), col("c"))
+          .union(onEdges.select(col("v"), col("c")))
+          .groupBy("node").agg(sum("c").as("s2t"))
+        val deg = ed.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        deg.join(s2t, Seq("node"), "left")
+          .filter(col("deg") >= 2)
+          .select(col("node"), col("deg"),
+            expr("coalesce(s2t, 0) DIV 2").as("triangles"),
+            expr("coalesce(s2t, 0) * 10000 DIV (deg * (deg - 1))")
+              .as("lcc_bp"))
+          .orderBy(desc("lcc_bp"), col("node")).limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk
+             |  FROM lineitem WHERE l_partkey < 800),
+             |pairs AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |ed AS (SELECT pa AS a, pb AS b FROM pairs
+             |  UNION ALL SELECT pb, pa FROM pairs),
+             |wedges AS (SELECT e1.a AS u, e2.a AS v,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM ed e1 JOIN ed e2
+             |    ON e1.b = e2.b AND e1.a < e2.a
+             |  GROUP BY 1, 2),
+             |oe AS (SELECT u, v, c FROM wedges
+             |  JOIN pairs ON u = pa AND v = pb),
+             |s2t AS (SELECT node, CAST(sum(c) AS BIGINT) AS s2t FROM (
+             |    SELECT u AS node, c FROM oe
+             |    UNION ALL SELECT v, c FROM oe)
+             |  GROUP BY 1),
+             |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM ed GROUP BY 1)
+             |SELECT deg.node, deg,
+             |  CAST(coalesce(s2t, 0) // 2 AS BIGINT) AS triangles,
+             |  CAST(coalesce(s2t, 0) * 10000 // (deg * (deg - 1))
+             |    AS BIGINT) AS lcc_bp
+             |FROM deg LEFT JOIN s2t ON deg.node = s2t.node
+             |WHERE deg >= 2
+             |ORDER BY lcc_bp DESC, deg.node LIMIT 20""".stripMargin)),
   )
 }

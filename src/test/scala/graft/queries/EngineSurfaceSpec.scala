@@ -132,4 +132,36 @@ class EngineSurfaceSpec extends AnyFunSuite {
     // (some component saturates the milli scale by normalization)
     assert(w.map(math.abs).max === 1000L)
   }
+
+  test("q256: exact join sizes and System-R estimates replay from " +
+      "scratch key-frequency maps; the PK-FK estimate is exact") {
+    val rows = run("q256_join_estimate_audit").collect()
+    assert(rows.length === 3)
+    def freqs(t: String, k: String): Map[Long, Long] =
+      table(spark, sf, t).select(k).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val cases = Map(
+      "li_orders" -> (freqs("lineitem", "l_orderkey"),
+        freqs("orders", "o_orderkey")),
+      "li_part" -> (freqs("lineitem", "l_partkey"),
+        freqs("part", "p_partkey")),
+      "orders_cust" -> (freqs("orders", "o_custkey"),
+        freqs("customer", "c_custkey")))
+    rows.foreach { r =>
+      val (fR, fS) = cases(r.getString(0))
+      val (nL, dL) = (fR.values.sum, fR.size.toLong)
+      val (nR, dR) = (fS.values.sum, fS.size.toLong)
+      val exact = fR.keys.toSeq.intersect(fS.keys.toSeq)
+        .map(k => fR(k) * fS(k)).sum
+      val est = nL * nR / math.max(dL, dR)
+      assert(r.getLong(1) === nL); assert(r.getLong(2) === dL)
+      assert(r.getLong(3) === nR); assert(r.getLong(4) === dR)
+      assert(r.getLong(5) === exact, s"exact ${r.getString(0)}")
+      assert(r.getLong(6) === est)
+      assert(r.getLong(7) === math.abs(est - exact) * 10000 / exact)
+      // a PK-FK join under containment: the estimate IS the fact count
+      // when the dimension is the dominant distinct side
+      if (dR >= dL) assert(est === nL * nR / dR)
+    }
+  }
 }

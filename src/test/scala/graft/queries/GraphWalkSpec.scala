@@ -196,4 +196,26 @@ class GraphWalkSpec extends AnyFunSuite {
     // degree correlation is a genuine correlation: |r| ≤ 1
     assert(math.abs(r0.getDouble(4)) <= 1.0)
   }
+
+  test("q257: per-node clustering coefficients replay from an " +
+      "adjacency-set triangle count") {
+    val rows = run("q257_local_clustering").collect()
+    assert(rows.length === 20)
+    val pairs = pairCounts.keys.toSeq
+    val adj: Map[Long, Set[Long]] = pairs
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.toSeq.collect {
+      case (v, nbrs) if nbrs.size >= 2 =>
+        val t = nbrs.toSeq.map(w => (nbrs & adj(w)).size.toLong).sum / 2
+        val deg = nbrs.size.toLong
+        (2 * t * 10000 / (deg * (deg - 1)), v, deg, t)
+    }.sortBy { case (lcc, v, _, _) => (-lcc, v) }.take(20)
+    rows.zip(expect).foreach { case (r, (lcc, v, deg, t)) =>
+      assert(r.getLong(0) === v)
+      assert(r.getLong(1) === deg)
+      assert(r.getLong(2) === t, s"triangles node=$v")
+      assert(r.getLong(3) === lcc)
+    }
+  }
 }
