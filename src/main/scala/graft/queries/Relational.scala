@@ -2996,5 +2996,151 @@ object Relational {
              |FROM deg LEFT JOIN s2t ON deg.node = s2t.node
              |WHERE deg >= 2
              |ORDER BY lcc_bp DESC, deg.node LIMIT 20""".stripMargin)),
+
+    // ---- conjunctive-selectivity independence audit -----------------------
+    // The other half of the q256 planner audit: cost models multiply
+    // per-predicate selectivities (attribute-value independence); this
+    // measures the REAL error of that assumption on one pair of
+    // independent predicates (quantity, discount) and one correlated
+    // pair (quantity, extendedprice = quantity·unitprice — structurally
+    // dependent). ONE scan: every marginal and joint count is a
+    // conditional sum in a single aggregation; `stack` reshapes the
+    // 1-row frame into the two audit rows without touching the table
+    // again. c1·c2 ≤ n² keeps int64 exact past sf100 (n ≈ 6·10⁸).
+    "q258_selectivity_independence_audit" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val li = table(s, dir, "lineitem")
+        val agg = Materialize(li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 25, 1L).otherwise(0L)).as("cq"),
+          sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("cd"),
+          sum(when(col("l_extendedprice") > 30000, 1L).otherwise(0L))
+            .as("cp"),
+          sum(when(col("l_quantity") < 25 && col("l_discount") >= 0.05,
+            1L).otherwise(0L)).as("cqd"),
+          sum(when(col("l_quantity") < 25 &&
+            col("l_extendedprice") > 30000, 1L).otherwise(0L)).as("cqp")))
+        agg.select(col("n"), expr(
+            "stack(2, 'qty_disc', cq, cd, cqd, 'qty_price', cq, cp, cqp)")
+            .as(Seq("pred_pair", "c1", "c2", "exact_rows")))
+          .select(col("pred_pair"), col("n"), col("c1"), col("c2"),
+            col("exact_rows"),
+            expr("c1 * c2 DIV n").as("est_rows"))
+          .withColumn("err_bp",
+            expr("abs(est_rows - exact_rows) * 10000 DIV exact_rows"))
+          .orderBy("pred_pair")
+      },
+      Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS cq,
+             |  CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS cd,
+             |  CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0
+             |    END) AS BIGINT) AS cp,
+             |  CAST(sum(CASE WHEN l_quantity < 25 AND l_discount >= 0.05
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS cqd,
+             |  CAST(sum(CASE WHEN l_quantity < 25 AND
+             |    l_extendedprice > 30000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS cqp
+             |  FROM lineitem),
+             |st AS (
+             |  SELECT 'qty_disc' AS pred_pair, n, cq AS c1, cd AS c2,
+             |    cqd AS exact_rows FROM a
+             |  UNION ALL
+             |  SELECT 'qty_price', n, cq, cp, cqp FROM a)
+             |SELECT pred_pair, n, c1, c2, exact_rows,
+             |  CAST(c1 * c2 // n AS BIGINT) AS est_rows,
+             |  CAST(abs(c1 * c2 // n - exact_rows) * 10000 // exact_rows
+             |    AS BIGINT) AS err_bp
+             |FROM st ORDER BY pred_pair""".stripMargin)),
+
+    // ---- equi-depth histogram selectivity audit ---------------------------
+    // Completes the planner-audit triple (q246 sketch, q256 join size,
+    // q258 independence): a 16-bucket equi-depth histogram on
+    // extendedprice (exact cents — round·100 is the same IEEE op in
+    // both engines) priced against three range predicates, estimate =
+    // full buckets + uniform-interpolated partial buckets, vs the exact
+    // count from the SAME materialized value-frequency frame (the
+    // corpus is scanned exactly once; the frame is value-COMPRESSED, so
+    // the ordering window runs over distinct values, not rows — at
+    // 100 TB pre-bucket values to fixed granularity first, the same
+    // compression lever). Bucket of a value = cum_before·16 DIV n:
+    // heavy values stay whole (compressed histogram), boundaries are
+    // deterministic with no row-level tie-break needed.
+    "q259_histogram_selectivity_audit" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Materialize
+        val pv = Materialize(table(s, dir, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c")))
+        val tot = pv.agg(sum("c").as("n"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hist = pv
+          .withColumn("cumb", sum("c").over(w) - col("c"))
+          .crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("cumb * 16 DIV n"))
+          .groupBy("bucket")
+          .agg(min("v").as("bmin"), max("v").as("bmax"),
+            sum("c").as("bcnt"))
+        val ranges = Seq(
+          ("r1_low", 500000L, 2000000L),
+          ("r2_mid", 2000000L, 4000000L),
+          ("r3_high", 7000000L, 10500000L))
+        val rframe = s.createDataFrame(ranges)
+          .toDF("range_name", "lo", "hi")
+        val est = hist.crossJoin(broadcast(rframe))
+          .withColumn("covered", greatest(lit(0L),
+            least(col("hi") - 1, col("bmax")) -
+              greatest(col("lo"), col("bmin")) + 1))
+          .groupBy("range_name", "lo", "hi")
+          .agg(sum(expr("bcnt * covered DIV (bmax - bmin + 1)"))
+            .as("est_rows"))
+        val exact = pv.crossJoin(broadcast(rframe))
+          .filter(col("v") >= col("lo") && col("v") < col("hi"))
+          .groupBy("range_name")
+          .agg(coalesce(sum("c"), lit(0L)).as("exact_rows"))
+        est.join(exact, Seq("range_name"))
+          .select(col("range_name"), col("lo"), col("hi"),
+            col("exact_rows"), col("est_rows"),
+            expr("abs(est_rows - exact_rows) * 10000 DIV exact_rows")
+              .as("err_bp"))
+          .orderBy("range_name")
+      },
+      Some("""WITH pv AS (SELECT CAST(round(l_extendedprice * 100)
+             |    AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+             |cums AS (SELECT v, c,
+             |    CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cumb
+             |  FROM pv),
+             |hist AS (SELECT cumb * 16 // n AS bucket,
+             |    CAST(min(v) AS BIGINT) AS bmin,
+             |    CAST(max(v) AS BIGINT) AS bmax,
+             |    CAST(sum(c) AS BIGINT) AS bcnt
+             |  FROM cums CROSS JOIN tot GROUP BY 1),
+             |rg AS (SELECT * FROM (VALUES
+             |    ('r1_low', CAST(500000 AS BIGINT),
+             |      CAST(2000000 AS BIGINT)),
+             |    ('r2_mid', 2000000, 4000000),
+             |    ('r3_high', 7000000, 10500000))
+             |    AS t(range_name, lo, hi)),
+             |est AS (SELECT range_name, lo, hi,
+             |    CAST(sum(bcnt * greatest(0, least(hi - 1, bmax)
+             |      - greatest(lo, bmin) + 1) // (bmax - bmin + 1))
+             |      AS BIGINT) AS est_rows
+             |  FROM hist CROSS JOIN rg GROUP BY 1, 2, 3),
+             |ex AS (SELECT range_name,
+             |    CAST(coalesce(sum(c), 0) AS BIGINT) AS exact_rows
+             |  FROM pv CROSS JOIN rg
+             |  WHERE v >= lo AND v < hi GROUP BY 1)
+             |SELECT range_name, lo, hi, exact_rows, est_rows,
+             |  CAST(abs(est_rows - exact_rows) * 10000 // exact_rows
+             |    AS BIGINT) AS err_bp
+             |FROM est JOIN ex USING (range_name)
+             |ORDER BY range_name""".stripMargin)),
   )
 }

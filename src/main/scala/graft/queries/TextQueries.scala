@@ -4399,6 +4399,111 @@ object TextQueries {
              |    AS shared_bp
              |FROM st JOIN sh ON st.source = sh.source
              |ORDER BY st.source""".stripMargin)),
+
+    // ---- record-linkage blocking quality audit ----------------------------
+    // Every at-scale entity-resolution / fuzzy-dedup pipeline (q83,
+    // q41-q43) runs behind a BLOCKING scheme; this audits three
+    // candidate schemes (length bucket, 16-char prefix, first token)
+    // with the two standard metrics: pair completeness (recall of true
+    // near-dup pairs among candidates) and reduction ratio (candidate
+    // pairs eliminated vs the full N²/2). Ground truth = the q43
+    // shingle-Jaccard ≥ 0.8 pairs. The candidate count comes from
+    // Σ b·(b−1)/2 over block SIZES — candidate pairs are never
+    // materialized, which is exactly why the audit itself runs at
+    // 100 TB (the blocks frame is |distinct keys|; only the
+    // truth-pair probe touches pair granularity, and truth is the
+    // small side by construction).
+    "q262_blocking_quality_audit" -> QueryDef(
+      (s, dir) => {
+        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        val truth = Materialize(
+          jaccardPairs(sh, 0.8).select("doc_a", "doc_b"))
+        val docsP = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            lower(trim(col("text"))).as("lt")))
+        val keys = Materialize(
+          docsP.select(lit("len50").as("scheme"), col("doc_id"),
+              expr("CAST(n_chars DIV 50 AS STRING)").as("bkey"))
+            .unionAll(docsP.select(lit("prefix16"), col("doc_id"),
+              substring(col("lt"), 1, 16)))
+            .unionAll(docsP.select(lit("token1"), col("doc_id"),
+              element_at(split(col("lt"), "\\s+"), 1))))
+        val blocks = keys.groupBy("scheme", "bkey")
+          .agg(count(lit(1)).as("b"))
+        val cand = blocks.groupBy("scheme")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(expr("b * (b - 1) DIV 2")).as("cand_pairs"))
+        val ka = keys.select(col("scheme"), col("doc_id").as("doc_a"),
+          col("bkey").as("ka"))
+        val kb = keys.select(col("scheme"), col("doc_id").as("doc_b"),
+          col("bkey").as("kb"))
+        val caught = truth.join(ka, Seq("doc_a"))
+          .join(kb, Seq("scheme", "doc_b"))
+          .filter(col("ka") === col("kb"))
+          .groupBy("scheme").agg(count(lit(1)).as("caught"))
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        val nDocs = docsP.agg(count(lit(1)).as("ndocs"))
+        cand.join(caught, Seq("scheme"), "left")
+          .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nDocs))
+          .select(col("scheme"), col("n_blocks"), col("cand_pairs"),
+            col("n_true").as("true_pairs"),
+            coalesce(col("caught"), lit(0L)).as("caught_pairs"),
+            expr("coalesce(caught, 0) * 10000 DIV n_true").as("pc_bp"),
+            expr("10000 - cand_pairs * 10000 " +
+              "DIV (ndocs * (ndocs - 1) DIV 2)").as("rr_bp"))
+          .orderBy("scheme")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws
+              |  FROM documents),
+              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh
+              |  GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    count(*) AS i
+              |  FROM sh a JOIN sh b ON a.sh = b.sh
+              |    AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |truth AS (SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+              |keys AS (
+              |  SELECT 'len50' AS scheme, doc_id,
+              |    CAST(n_chars // 50 AS VARCHAR) AS bkey FROM documents
+              |  UNION ALL SELECT 'prefix16', doc_id,
+              |    substr(lower(trim(text)), 1, 16) FROM documents
+              |  UNION ALL SELECT 'token1', doc_id,
+              |    regexp_split_to_array(lower(trim(text)), '\\s+')[1]
+              |    FROM documents),
+              |blocks AS (SELECT scheme, bkey,
+              |    CAST(count(*) AS BIGINT) AS b
+              |  FROM keys GROUP BY 1, 2),
+              |cand AS (SELECT scheme,
+              |    CAST(count(*) AS BIGINT) AS n_blocks,
+              |    CAST(sum(b * (b - 1) // 2) AS BIGINT) AS cand_pairs
+              |  FROM blocks GROUP BY 1),
+              |ca AS (SELECT ka.scheme,
+              |    CAST(count(*) AS BIGINT) AS caught
+              |  FROM truth t JOIN keys ka ON ka.doc_id = t.doc_a
+              |  JOIN keys kb ON kb.doc_id = t.doc_b
+              |    AND kb.scheme = ka.scheme
+              |  WHERE ka.bkey = kb.bkey GROUP BY 1),
+              |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+              |  FROM truth),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs
+              |  FROM documents)
+              |SELECT cand.scheme, n_blocks, cand_pairs,
+              |  n_true AS true_pairs,
+              |  CAST(coalesce(caught, 0) AS BIGINT) AS caught_pairs,
+              |  CAST(coalesce(caught, 0) * 10000 // n_true AS BIGINT)
+              |    AS pc_bp,
+              |  CAST(10000 - cand_pairs * 10000
+              |    // (ndocs * (ndocs - 1) // 2) AS BIGINT) AS rr_bp
+              |FROM cand LEFT JOIN ca ON cand.scheme = ca.scheme
+              |CROSS JOIN tt CROSS JOIN nd
+              |ORDER BY cand.scheme""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

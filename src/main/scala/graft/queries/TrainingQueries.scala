@@ -3373,5 +3373,241 @@ object TrainingQueries {
               |  CAST(max(n_toks) AS BIGINT) AS max_load
               |FROM buck CROSS JOIN tot
               |GROUP BY b, t_vocab, t_mass ORDER BY b""".stripMargin)),
+
+    // ---- iterative proportional fitting (raking) --------------------------
+    // The survey-statistics reweighting behind mixture targeting when
+    // targets are MARGINAL, not per-cell (q173/q208 reweight whole
+    // sources; a real curriculum often pins source AND language margins
+    // simultaneously). Two IPF rounds (source-margin scale, then
+    // language-margin scale, twice) over the (source × lang) cell frame
+    // — ONE corpus scan, then window ops on the cell frame (cells =
+    // |sources|·|langs|, dimension-sized at any corpus scale). Fixed-
+    // point micro weights; every multiply runs in DECIMAL/HUGEINT
+    // before the truncating divide, so extreme margin ratios cannot
+    // wrap and both engines replay the identical integer trajectory.
+    // After the final language scaling the language margins match their
+    // targets exactly (up to truncation); row_gap_bp reports the
+    // residual SOURCE-margin gap — the convergence witness.
+    "q260_ipf_raking" -> QueryDef(
+      (s, dir) => {
+        val cells = Materialize(table(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("c")))
+        val tot = cells.agg(sum("c").as("n"),
+          countDistinct("source").as("nsrc"),
+          countDistinct("lang").as("nlang"))
+        val wS = Window.partitionBy("source")
+        val wL = Window.partitionBy("lang")
+        def step(df: org.apache.spark.sql.DataFrame,
+            win: org.apache.spark.sql.expressions.WindowSpec,
+            wIn: String, tgt: String, wOut: String)
+            : org.apache.spark.sql.DataFrame =
+          df.withColumn("m",
+              sum(col("c").cast("decimal(19,0)") * col(wIn)).over(win))
+            .withColumn(wOut, expr(
+              s"CAST((CAST($wIn AS DECIMAL(19,0)) * $tgt * 1000000) " +
+                "DIV m AS BIGINT)"))
+            .drop("m")
+        val base = cells.crossJoin(broadcast(tot))
+          .withColumn("ts", expr("n DIV nsrc"))
+          .withColumn("tl", expr("n DIV nlang"))
+          .withColumn("w0", lit(1000000L))
+        val fit = step(step(step(step(base, wS, "w0", "ts", "w1"),
+          wL, "w1", "tl", "w2"), wS, "w2", "ts", "w3"),
+          wL, "w3", "tl", "w4")
+        fit
+          .withColumn("ms",
+            sum(col("c").cast("decimal(19,0)") * col("w4")).over(wS))
+          .select(col("source"), col("lang"), col("c"),
+            col("w4").as("w_micro"),
+            expr("CAST(abs(ms - CAST(ts AS DECIMAL(19,0)) * 1000000) " +
+              "* 10000 DIV (CAST(ts AS DECIMAL(19,0)) * 1000000) " +
+              "AS BIGINT)").as("row_gap_bp"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH cells AS (SELECT source, lang,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS nlang
+             |  FROM cells),
+             |b AS (SELECT source, lang, c, n // nsrc AS ts,
+             |    n // nlang AS tl, CAST(1000000 AS BIGINT) AS w0
+             |  FROM cells CROSS JOIN tot),
+             |s1 AS (SELECT *, CAST(CAST(w0 AS HUGEINT) * ts * 1000000
+             |    // sum(CAST(c AS HUGEINT) * w0)
+             |      OVER (PARTITION BY source) AS BIGINT) AS w1 FROM b),
+             |s2 AS (SELECT *, CAST(CAST(w1 AS HUGEINT) * tl * 1000000
+             |    // sum(CAST(c AS HUGEINT) * w1)
+             |      OVER (PARTITION BY lang) AS BIGINT) AS w2 FROM s1),
+             |s3 AS (SELECT *, CAST(CAST(w2 AS HUGEINT) * ts * 1000000
+             |    // sum(CAST(c AS HUGEINT) * w2)
+             |      OVER (PARTITION BY source) AS BIGINT) AS w3 FROM s2),
+             |s4 AS (SELECT *, CAST(CAST(w3 AS HUGEINT) * tl * 1000000
+             |    // sum(CAST(c AS HUGEINT) * w3)
+             |      OVER (PARTITION BY lang) AS BIGINT) AS w4 FROM s3)
+             |SELECT source, lang, c, w4 AS w_micro,
+             |  CAST(abs(sum(CAST(c AS HUGEINT) * w4)
+             |      OVER (PARTITION BY source)
+             |    - CAST(ts AS HUGEINT) * 1000000) * 10000
+             |    // (CAST(ts AS HUGEINT) * 1000000) AS BIGINT)
+             |    AS row_gap_bp
+             |FROM s4 ORDER BY source, lang""".stripMargin)),
+
+    // ---- 1-D Wasserstein (earth mover's) source drift ---------------------
+    // The KS statistic (q207) flags the single worst CDF gap; W₁ =
+    // ∫|F_s − F_rest| integrates ALL of it — the drift monitor that
+    // distinguishes a narrow spike from a wholesale distribution shift.
+    // On the integer n_chars grid, W₁ = Σ_values |F_s − F_rest|·gap
+    // exactly (both CDFs are step functions jumping only at data
+    // values). Cross-rate scaling keeps everything integer:
+    // |cum_s·n_rest − cum_rest·n_s| summed in DECIMAL(38,0)/HUGEINT,
+    // divided once at the end — zero floats, exact in both engines.
+    // The frame is value-COMPRESSED (one row per distinct value per
+    // source, same lever as q207); at 100 TB pre-bucket values first.
+    "q261_wasserstein_drift" -> QueryDef(
+      (s, dir) => {
+        val perVal = Materialize(table(s, dir, "documents")
+          .select("source", "n_chars")
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+        val vals = perVal.groupBy("n_chars").agg(sum("c").as("gc"))
+        val wV = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid0 = vals
+          .withColumn("cum_all", sum("gc").over(wV))
+          .withColumn("gap", coalesce(
+            lead("n_chars", 1).over(Window.orderBy("n_chars"))
+              - col("n_chars"), lit(0L)))
+          .drop("gc")
+        // the source dimension is a curated registry, bounded by design
+        // — the explicit LIMIT makes that boundedness visible to the
+        // planner (and to PlanInvariantsSpec): the broadcast side of the
+        // grid cross is a ≤64-row TakeOrderedAndProject, never a
+        // corpus-fraction frame
+        val srcs = perVal.groupBy("source").agg(sum("c").as("n_s"))
+          .orderBy("source").limit(64)
+        val nAll = perVal.agg(sum("c").as("n_all"))
+        val wSrc = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid0.crossJoin(broadcast(srcs))
+          .join(perVal, Seq("source", "n_chars"), "left")
+          .withColumn("c0", coalesce(col("c"), lit(0L)))
+          .withColumn("cum_s", sum("c0").over(wSrc))
+          .crossJoin(broadcast(nAll))
+          .withColumn("n_rest", col("n_all") - col("n_s"))
+          .withColumn("contrib", expr(
+            "CAST(abs(cum_s * n_rest - (cum_all - cum_s) * n_s) " +
+              "AS DECIMAL(38,0)) * gap"))
+          .groupBy("source", "n_s", "n_rest")
+          .agg(sum("contrib").as("emd"))
+          .select(col("source"), col("n_s"), col("n_rest"),
+            expr("CAST(emd DIV (n_s * n_rest) AS BIGINT)")
+              .as("w1_chars"),
+            expr("CAST(emd * 100 DIV (n_s * n_rest) AS BIGINT)")
+              .as("w1_centichars"))
+          .orderBy("source")
+      },
+      Some("""WITH pv AS (SELECT source, n_chars,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |g AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS gc
+             |  FROM pv GROUP BY 1),
+             |ga AS (SELECT n_chars,
+             |    CAST(sum(gc) OVER (ORDER BY n_chars ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_all,
+             |    CAST(coalesce(lead(n_chars) OVER (ORDER BY n_chars)
+             |      - n_chars, 0) AS BIGINT) AS gap
+             |  FROM g),
+             |ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+             |  FROM pv GROUP BY 1 ORDER BY source LIMIT 64),
+             |na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM pv),
+             |grid AS (SELECT ps.source, ps.n_s, ga.n_chars, ga.cum_all,
+             |    ga.gap FROM ps CROSS JOIN ga),
+             |j AS (SELECT grid.source, grid.n_s, grid.n_chars,
+             |    grid.cum_all, grid.gap, coalesce(pv.c, 0) AS c0
+             |  FROM grid LEFT JOIN pv ON pv.source = grid.source
+             |    AND pv.n_chars = grid.n_chars),
+             |cums AS (SELECT source, n_s, cum_all, gap,
+             |    (SELECT n_all FROM na) - n_s AS n_rest,
+             |    CAST(sum(c0) OVER (PARTITION BY source ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_s
+             |  FROM j)
+             |SELECT source, n_s, n_rest,
+             |  CAST(sum(CAST(abs(cum_s * n_rest
+             |      - (cum_all - cum_s) * n_s) AS HUGEINT) * gap)
+             |    // (n_s * n_rest) AS BIGINT) AS w1_chars,
+             |  CAST(sum(CAST(abs(cum_s * n_rest
+             |      - (cum_all - cum_s) * n_s) AS HUGEINT) * gap) * 100
+             |    // (n_s * n_rest) AS BIGINT) AS w1_centichars
+             |FROM cums GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    // ---- split-conformal coverage gate ------------------------------------
+    // Distribution-free label QA for the quality-score models the label
+    // audits (q175/q236/q241) assume: per-source (Mondrian) split
+    // conformal — calibration half by md5 parity (hash-seeded like
+    // every split in this family), nonconformity = |n_chars − calib
+    // mean|, threshold = the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+    // score (EXACT order statistic via row_number — the value at rank k
+    // is tie-order-independent), then the finite-sample coverage
+    // guarantee audited on the held-out half in bp. All-integer; one
+    // corpus scan (the cached projection feeds calibration ranking and
+    // test coverage; per-source means broadcast).
+    "q263_conformal_coverage" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("is_cal",
+            hash32(concat(lit("conf_"), col("doc_id"))) % 2 === 0))
+        val means = docs.filter(col("is_cal")).groupBy("source")
+          .agg(expr("sum(n_chars) DIV count(1)").as("mu"),
+            count(lit(1)).as("n_calib"))
+        val scored = docs.join(broadcast(means), Seq("source"))
+          .withColumn("score", abs(col("n_chars") - col("mu")))
+        val wR = Window.partitionBy("source")
+          .orderBy("score", "doc_id")
+        val qhats = scored.filter(col("is_cal"))
+          .withColumn("rn", row_number().over(wR))
+          .withColumn("k", expr("(9 * (n_calib + 1) + 9) DIV 10"))
+          .filter(col("rn") === col("k"))
+          .select(col("source"), col("n_calib"), col("k"),
+            col("score").as("qhat"))
+        scored.filter(!col("is_cal")).drop("n_calib")
+          .join(broadcast(qhats), Seq("source"))
+          .groupBy("source", "n_calib", "k", "qhat")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("score") <= col("qhat"), 1L).otherwise(0L))
+              .as("covered"))
+          .select(col("source"), col("n_calib"), col("n_test"),
+            col("k"), col("qhat"),
+            expr("covered * 10000 DIV n_test").as("coverage_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |    CAST(('0x' || substr(md5('conf_' || doc_id), 1, 8))
+             |      AS BIGINT) % 2 = 0 AS is_cal
+             |  FROM documents),
+             |m AS (SELECT source,
+             |    CAST(sum(n_chars) // count(*) AS BIGINT) AS mu,
+             |    CAST(count(*) AS BIGINT) AS n_calib
+             |  FROM d WHERE is_cal GROUP BY 1),
+             |sc AS (SELECT d.doc_id, d.source, d.is_cal,
+             |    abs(d.n_chars - m.mu) AS score, m.n_calib
+             |  FROM d JOIN m ON d.source = m.source),
+             |qh AS (SELECT source, n_calib,
+             |    (9 * (n_calib + 1) + 9) // 10 AS k, score AS qhat
+             |  FROM (SELECT source, n_calib, score,
+             |      row_number() OVER (PARTITION BY source
+             |        ORDER BY score, doc_id) AS rn
+             |    FROM sc WHERE is_cal)
+             |  WHERE rn = (9 * (n_calib + 1) + 9) // 10)
+             |SELECT sc.source, qh.n_calib,
+             |  CAST(count(*) AS BIGINT) AS n_test, qh.k, qh.qhat,
+             |  CAST(sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END)
+             |    * 10000 // count(*) AS BIGINT) AS coverage_bp
+             |FROM sc JOIN qh ON sc.source = qh.source
+             |WHERE NOT is_cal
+             |GROUP BY 1, 2, 4, 5 ORDER BY sc.source""".stripMargin)),
   )
 }
