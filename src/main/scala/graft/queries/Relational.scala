@@ -3142,5 +3142,71 @@ object Relational {
              |    AS BIGINT) AS err_bp
              |FROM est JOIN ex USING (range_name)
              |ORDER BY range_name""".stripMargin)),
+
+    // ---- VARIANT shredding ------------------------------------------------
+    // Spark 4's semi-structured VARIANT path: `parse_json` once into the
+    // binary variant encoding, then typed `variant_get` extraction — the
+    // engine surface that replaces repeated string re-parsing when event
+    // payloads are read by many consumers. At 100 TB the win is
+    // structural: the variant parse happens once per row in a
+    // codegen'd projection and every downstream extraction is a typed
+    // binary probe, not a JSON string scan. `try_variant_get` on a
+    // missing path documents the null-not-error contract (A8's
+    // null-on-error rule applied to the semi-structured column).
+    "q264_variant_shred" -> QueryDef(
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(col("event_type"), expr("parse_json(props)").as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k"),
+            expr("try_variant_get(v, '$.missing', 'bigint')")
+              .as("miss"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("k_sum"),
+            min("k").as("k_min"), max("k").as("k_max"),
+            sum(when(col("miss").isNull, 1L).otherwise(0L))
+              .as("n_missing"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+             |    AS k_sum,
+             |  CAST(min(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+             |    AS k_min,
+             |  CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT)
+             |    AS k_max,
+             |  CAST(sum(CASE WHEN props ->> '$.missing' IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- SQL pipe syntax --------------------------------------------------
+    // The |> operator-chain SQL surface (Spark 4 / GoogleSQL pipe
+    // syntax): the same logical plan as the equivalent nested SELECT —
+    // Catalyst parses pipes into ordinary operators, so pushdown,
+    // codegen, and AQE all apply unchanged. Verified against the plain
+    // ANSI spelling in DuckDB; covers WHERE → AGGREGATE/GROUP BY →
+    // post-aggregation WHERE (pipe HAVING) → ORDER BY.
+    "q265_pipe_syntax_sql" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_pv")
+        s.sql("""FROM lineitem_pv
+                !|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                !|> AGGREGATE count(*) AS n,
+                !     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                !       AS qty,
+                !     round(sum(l_extendedprice), 2) AS revenue
+                !   GROUP BY l_returnflag, l_linestatus
+                !|> WHERE n > 100
+                !|> ORDER BY l_returnflag, l_linestatus"""
+          .stripMargin('!'))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
   )
 }

@@ -164,4 +164,57 @@ class EngineSurfaceSpec extends AnyFunSuite {
       if (dR >= dL) assert(est === nL * nR / dR)
     }
   }
+
+  test("q264: variant extraction replays from a scratch JSON parse of " +
+      "every props payload") {
+    val rows = run("q264_variant_shred").collect()
+    assert(rows.nonEmpty)
+    val ev = table(spark, sf, "events")
+      .select("event_type", "props").collect()
+      .map { r =>
+        val m = """"k":\s*(-?\d+)""".r.findFirstMatchIn(r.getString(1))
+        (r.getString(0), m.map(_.group(1).toLong))
+      }
+    val byType = ev.groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val g = byType(r.getString(0))
+      val ks = g.flatMap(_._2)
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === ks.sum)
+      assert(r.getLong(3) === ks.min)
+      assert(r.getLong(4) === ks.max)
+      // '$.missing' is absent from every payload: null-not-error
+      assert(r.getLong(5) === g.length.toLong)
+    }
+  }
+
+  test("q265: the pipe-syntax plan equals the plain-SQL spelling of " +
+      "the same query, operator for operator") {
+    val piped = run("q265_pipe_syntax_sql")
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_pv")
+    val plain = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem_pv
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    // pipes are pure surface syntax: the optimized logical plans of the
+    // two spellings must be structurally identical node-for-node
+    val a = piped.queryExecution.optimizedPlan
+      .collect { case p => p.nodeName }
+    val b = plain.queryExecution.optimizedPlan
+      .collect { case p => p.nodeName }
+    assert(a === b, "pipe and plain plans diverged")
+    // column ORDER may differ between the spellings (AGGREGATE emits
+    // aggregates before group keys); values must agree field-by-name
+    val cols = plain.columns.toSeq
+    val pr = piped.collect().map(r => cols.map(c =>
+      r.get(r.fieldIndex(c))).mkString("|"))
+    val qr = plain.collect().map(r => cols.map(c =>
+      r.get(r.fieldIndex(c))).mkString("|"))
+    assert(pr.sameElements(qr))
+  }
 }
