@@ -2866,6 +2866,108 @@ object SimilarityQueries {
            |FROM st JOIN ck ON st.cid = ck.cid ORDER BY st.cid"""
           .stripMargin
       }),
+
+    // ---- distributed batch-perceptron training rounds ---------------------
+    // The linear-probe trainer the label audits assume a model for:
+    // two batch perceptron epochs on the embeddings (y = ±1 on
+    // label=0), fully distributed — each epoch is one broadcast-weight
+    // linear pass for margins plus one misclassified-masked (i)-rollup
+    // for the update, the [[graft.operators.PageRank]] rank-join shape
+    // applied to learning. Pure integers: x in exact milli units, unit
+    // learning rate, so both engines replay the identical weight
+    // trajectory (no float gradient drift). Per-epoch lineage cut
+    // (loop rule). Output: per-epoch misclassification count, training
+    // accuracy, and weight-norm witnesses. Bounds: |w_i| ≤ N·2000,
+    // |margin| ≤ 64·N·2000·2000 ≈ 2.6e11·N — int64-exact past sf100
+    // (N = 2e6 → 5e17).
+    "q266_perceptron_rounds" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            when(col("label") === 0, 1L).otherwise(-1L).as("y"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "y", "i", "xm")
+          .repartition(col("vec_id")))
+        val nf = comps.agg(countDistinct("vec_id").as("n"))
+        def margins(w: DataFrame): DataFrame =
+          comps.join(broadcast(w), "i")
+            .groupBy("vec_id", "y").agg(sum(expr("w * xm")).as("m"))
+        def update(w: DataFrame, mg: DataFrame): DataFrame = {
+          val mis = mg.filter(expr("y * m <= 0")).select("vec_id")
+          val dw = comps.join(mis, "vec_id")
+            .groupBy("i").agg(sum(expr("y * xm")).as("dw"))
+          Materialize.checkpointed(w.join(dw, Seq("i"), "left")
+            .select(col("i"),
+              (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
+        }
+        val w0 = s.range(64).toDF("i").withColumn("w", lit(0L))
+        val mg1 = Materialize(margins(w0))
+        val w1 = update(w0, mg1)
+        val mg2 = Materialize(margins(w1))
+        val w2 = update(w1, mg2)
+        val mg3 = margins(w2)
+        def statsRow(round: Int, mg: DataFrame, w: DataFrame)
+            : DataFrame = {
+          val ms = mg.agg(
+            sum(when(expr("y * m <= 0"), 1L).otherwise(0L))
+              .as("n_mis"))
+          val ws = w.agg(sum(abs(col("w"))).as("w_l1"),
+            max(abs(col("w"))).as("w_linf"))
+          ms.crossJoin(broadcast(ws)).crossJoin(broadcast(nf))
+            .select(lit(round).as("round"), col("n_mis"),
+              expr("(n - n_mis) * 10000 DIV n").as("acc_bp"),
+              col("w_l1"), col("w_linf"))
+        }
+        statsRow(1, mg1, w1)
+          .unionAll(statsRow(2, mg2, w2))
+          .unionAll(statsRow(3, mg3, w2))
+          .orderBy("round")
+      },
+      Some {
+        def epoch(r: Int): String =
+          s"""mg$r AS (SELECT vec_id, y,
+             |    CAST(sum(w * xm) AS BIGINT) AS m
+             |  FROM comps JOIN w${r - 1} USING (i) GROUP BY 1, 2),
+             |up$r AS (SELECT i, CAST(sum(y * xm) AS BIGINT) AS dw
+             |  FROM comps JOIN (SELECT vec_id FROM mg$r
+             |    WHERE y * m <= 0) mis USING (vec_id) GROUP BY 1),
+             |w$r AS (SELECT w${r - 1}.i, w${r - 1}.w
+             |    + coalesce(dw, 0) AS w
+             |  FROM w${r - 1} LEFT JOIN up$r
+             |    ON w${r - 1}.i = up$r.i)""".stripMargin
+        def row(round: Int, mg: String, w: String): String =
+          s"""SELECT $round AS round,
+             |  (SELECT CAST(sum(CASE WHEN y * m <= 0 THEN 1 ELSE 0
+             |    END) AS BIGINT) FROM $mg) AS n_mis,
+             |  CAST((n - (SELECT sum(CASE WHEN y * m <= 0 THEN 1
+             |    ELSE 0 END) FROM $mg)) * 10000 // n AS BIGINT)
+             |    AS acc_bp,
+             |  (SELECT CAST(sum(abs(w)) AS BIGINT) FROM $w) AS w_l1,
+             |  (SELECT CAST(max(abs(w)) AS BIGINT) FROM $w) AS w_linf
+             |FROM nf""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    CASE WHEN label = 0 THEN 1 ELSE -1 END AS y,
+           |    embedding::DOUBLE[] AS v FROM embeddings),
+           |comps AS (SELECT vec_id, y, i,
+           |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xm
+           |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+           |nf AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+           |  FROM comps),
+           |w0 AS (SELECT i, CAST(0 AS BIGINT) AS w
+           |  FROM (SELECT unnest(range(0, 64)) AS i) idx),
+           |${epoch(1)},
+           |${epoch(2)},
+           |mg3 AS (SELECT vec_id, y, CAST(sum(w * xm) AS BIGINT) AS m
+           |  FROM comps JOIN w2 USING (i) GROUP BY 1, 2)
+           |${row(1, "mg1", "w1")}
+           |UNION ALL
+           |${row(2, "mg2", "w2")}
+           |UNION ALL
+           |${row(3, "mg3", "w2")}
+           |ORDER BY round""".stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -4504,6 +4504,86 @@ object TextQueries {
               |FROM cand LEFT JOIN ca ON cand.scheme = ca.scheme
               |CROSS JOIN tt CROSS JOIN nd
               |ORDER BY cand.scheme""".stripMargin)),
+
+    // ---- BM25 top-k retrieval ---------------------------------------------
+    // The lexical-retrieval ranker (Robertson-Spärck Jones BM25,
+    // k1=1.2, b=0.75) the RRF fusion (q177) and distillation pipelines
+    // assume: 5 query docs (bounded slice) against the corpus through
+    // the postings equi-join — the q140 inverted index put to work.
+    // Score determinism at scale: each (term, doc) contribution is
+    // rounded to 1e-4 fixed point FIRST and the per-doc score is an
+    // INTEGER sum of those — float summation order across partitions
+    // cannot perturb the ranking (the q74 rounded-rank rule, upgraded
+    // from round-at-the-end to order-independent-by-construction).
+    // idf = ln(1 + (N−df+0.5)/(df+0.5)) — Lucene's non-negative form.
+    "q267_bm25_topk" -> QueryDef(
+      (s, dir) => {
+        val toks = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(tokens(col("text"))).as("term")))
+        val postings = Materialize(toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf")))
+        val dl = postings.groupBy("doc_id")
+          .agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+        val df = postings.groupBy("term")
+          .agg(count(lit(1)).as("df"))
+        val qt = postings.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("term"))
+        val scored = qt.join(postings, Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(df), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", expr(
+            """CAST(round(
+              |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+              |  (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              |  * 10000) AS BIGINT)""".stripMargin))
+          .groupBy("qid", "doc_id")
+          .agg(sum("contrib").as("score_fp"))
+        val w = Window.partitionBy("qid")
+          .orderBy(desc("score_fp"), col("doc_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("score_fp"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term
+              |  FROM documents),
+              |postings AS (SELECT doc_id, term,
+              |    CAST(count(*) AS BIGINT) AS tf
+              |  FROM toks GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              |  FROM postings GROUP BY 1),
+              |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+              |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |  FROM postings GROUP BY 1),
+              |qt AS (SELECT doc_id AS qid, term FROM postings
+              |  WHERE doc_id < 5),
+              |sc AS (SELECT qt.qid, p.doc_id,
+              |    CAST(sum(CAST(round(
+              |      ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+              |      (p.tf * 2.2) /
+              |      (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+              |      * 10000) AS BIGINT)) AS BIGINT) AS score_fp
+              |  FROM qt JOIN postings p USING (term)
+              |  JOIN df USING (term)
+              |  JOIN dl ON dl.doc_id = p.doc_id
+              |  CROSS JOIN stats
+              |  WHERE p.doc_id <> qt.qid
+              |  GROUP BY 1, 2),
+              |rk AS (SELECT qid, doc_id, score_fp,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY score_fp DESC, doc_id) AS rank
+              |  FROM sc)
+              |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+              |  score_fp
+              |FROM rk WHERE rank <= 10
+              |ORDER BY qid, rank""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
