@@ -4505,11 +4505,13 @@ object TextQueries {
               |CROSS JOIN tt CROSS JOIN nd
               |ORDER BY cand.scheme""".stripMargin)),
 
-    // ---- BM25 top-k retrieval ---------------------------------------------
-    // The lexical-retrieval ranker (Robertson-Spärck Jones BM25,
-    // k1=1.2, b=0.75) the RRF fusion (q177) and distillation pipelines
-    // assume: 5 query docs (bounded slice) against the corpus through
-    // the postings equi-join — the q140 inverted index put to work.
+    // ---- BM25 query-by-document top-k retrieval ---------------------------
+    // q139 scores ONE fixed term set against the corpus; this is the
+    // batch retrieval JOIN the RRF fusion (q177) and distillation
+    // pipelines actually consume — a query SET (5 query docs, bounded
+    // slice; at scale: the training-batch queries) ranked against the
+    // corpus through the postings equi-join, the q140 inverted index
+    // put to work. Same BM25 (k1=1.2, b=0.75).
     // Score determinism at scale: each (term, doc) contribution is
     // rounded to 1e-4 fixed point FIRST and the per-doc score is an
     // INTEGER sum of those — float summation order across partitions

@@ -3609,5 +3609,157 @@ object TrainingQueries {
              |FROM sc JOIN qh ON sc.source = qh.source
              |WHERE NOT is_cal
              |GROUP BY 1, 2, 4, 5 ORDER BY sc.source""".stripMargin)),
+
+    // ---- isotonic (PAV) probability calibration ---------------------------
+    // The monotone calibrator q209's reliability audit assumes can be
+    // fitted: P(purchase | value bucket) isotonically regressed via the
+    // minimax closed form ŷ_i = max_{j≤i} min_{k≥i} avg(y_j..y_k) —
+    // equivalent to pool-adjacent-violators, but expressible as bounded
+    // relational algebra instead of a sequential pool scan. The corpus
+    // is touched ONCE (16-bucket conditional aggregation); the whole
+    // fit runs on ≤16³ segment rows — every cross is over an
+    // explicitly LIMIT-bounded frame (the boundedness rule), so the
+    // fit costs the same at any corpus size. Segment averages in 1e-6
+    // fixed point (truncating division defines the fit identically in
+    // both engines); fit_bp is monotone by construction — the replay
+    // spec asserts it.
+    "q268_isotonic_calibration" -> QueryDef(
+      (s, dir) => {
+        val buckets = Materialize(table(s, dir, "events")
+          .select(expr("least(15, CAST(floor(value / 32) AS INT))")
+            .as("b"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("y"))
+          .groupBy("b").agg(count(lit(1)).as("c"), sum("y").as("s")))
+        val bounded = buckets.orderBy("b").limit(16)
+        val idxJ = bounded.select(col("b").as("j"))
+        val idxK = bounded.select(col("b").as("k"))
+        val idxI = bounded.select(col("b").as("i"))
+        val segs = Materialize(idxJ.crossJoin(broadcast(idxK))
+          .filter(col("j") <= col("k"))
+          .join(broadcast(bounded),
+            col("b").between(col("j"), col("k")))
+          .groupBy("j", "k")
+          .agg(expr("sum(s) * 1000000 DIV sum(c)").as("avg_fp")))
+        val fit = segs.join(broadcast(idxI),
+            col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy("i", "j").agg(min("avg_fp").as("mn"))
+          .groupBy("i").agg(max("mn").as("fit_fp"))
+        buckets.join(fit, col("b") === col("i"))
+          .select(col("b").cast("long").as("b"), col("c"), col("s"),
+            expr("s * 10000 DIV c").as("rate_bp"),
+            expr("fit_fp DIV 100").as("fit_bp"))
+          .orderBy("b")
+      },
+      Some("""WITH ev AS (SELECT least(15, CAST(floor(value / 32)
+             |      AS INT)) AS b,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END AS y
+             |  FROM events),
+             |buckets AS (SELECT b, CAST(count(*) AS BIGINT) AS c,
+             |    CAST(sum(y) AS BIGINT) AS s
+             |  FROM ev GROUP BY 1),
+             |segs AS (SELECT j.b AS j, k.b AS k,
+             |    CAST(sum(m.s) * 1000000 // sum(m.c) AS BIGINT)
+             |      AS avg_fp
+             |  FROM buckets j JOIN buckets k ON j.b <= k.b
+             |  JOIN buckets m ON m.b BETWEEN j.b AND k.b
+             |  GROUP BY 1, 2),
+             |mn AS (SELECT i.b AS i, segs.j,
+             |    CAST(min(avg_fp) AS BIGINT) AS mn
+             |  FROM segs JOIN buckets i
+             |    ON segs.j <= i.b AND segs.k >= i.b
+             |  GROUP BY 1, 2),
+             |fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS fit_fp
+             |  FROM mn GROUP BY 1)
+             |SELECT CAST(b AS BIGINT) AS b, c, s,
+             |  CAST(s * 10000 // c AS BIGINT) AS rate_bp,
+             |  CAST(fit_fp // 100 AS BIGINT) AS fit_bp
+             |FROM buckets JOIN fit ON b = i
+             |ORDER BY b""".stripMargin)),
+
+    // ---- count-min sketch width design audit ------------------------------
+    // q253 audits the hashing trick's collision LOSS; this audits the
+    // count-min sketch's overestimate ERROR — the other side of the
+    // same design decision. Depth-2 CMS counters at three widths built
+    // from the vocabulary frame (corpus scanned once; the ×6 fan-out
+    // touches vocab rows only), probed at the top-50 tokens (bounded
+    // broadcast), measured against the Cormode-Muthukrishnan bound
+    // εT = (e/w)·T with e ≈ 2.7183 in exact integers. The audit
+    // REPORTS bound violations rather than asserting (the guarantee is
+    // probabilistic at depth 2); the replay spec pins est ≥ truth —
+    // the deterministic half of the CMS contract.
+    "q269_cms_width_audit" -> QueryDef(
+      (s, dir) => {
+        val vocab = Materialize(tableParallel(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")))
+        val tot = vocab.agg(sum("cnt").as("t_mass"))
+        val counters = Materialize(vocab
+          .select(col("tok"), col("cnt"),
+            explode(expr("array(256, 1024, 4096)")).as("w"))
+          .select(col("tok"), col("cnt"), col("w"),
+            explode(expr("array(0, 1)")).as("d"))
+          .withColumn("bucket",
+            hash32(expr("concat('cms', CAST(d AS STRING), '_', tok)"))
+              % col("w"))
+          .groupBy("w", "d", "bucket").agg(sum("cnt").as("cm")))
+        val probe = vocab.orderBy(desc("cnt"), col("tok")).limit(50)
+        val est = probe
+          .select(col("tok"), col("cnt"),
+            explode(expr("array(256, 1024, 4096)")).as("w"))
+          .select(col("tok"), col("cnt"), col("w"),
+            explode(expr("array(0, 1)")).as("d"))
+          .withColumn("bucket",
+            hash32(expr("concat('cms', CAST(d AS STRING), '_', tok)"))
+              % col("w"))
+          .join(counters, Seq("w", "d", "bucket"))
+          .groupBy("w", "tok", "cnt").agg(min("cm").as("est"))
+        est.groupBy("w")
+          .agg(count(lit(1)).as("probe_n"),
+            max(expr("est - cnt")).as("err_max"),
+            expr("sum(est - cnt) DIV count(1)").as("err_avg"),
+            sum(when(expr("est - cnt").gt(lit(0L)), 1L).otherwise(0L))
+              .as("n_overestimated"))
+          .crossJoin(broadcast(tot))
+          .select(col("w").cast("long").as("w"), col("probe_n"),
+            col("err_max"), col("err_avg"), col("n_overestimated"),
+            expr("27183 * t_mass DIV (10000 * w)").as("bound_cnt"))
+          .orderBy("w")
+      },
+      Some(s"""WITH vocab AS (SELECT tok,
+              |    CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest($duckToks) AS tok FROM documents)
+              |  GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_mass
+              |  FROM vocab),
+              |cells AS (SELECT tok, cnt, w, d,
+              |    CAST(('0x' || substr(md5('cms' || CAST(d AS VARCHAR)
+              |      || '_' || tok), 1, 8)) AS BIGINT) % w AS bucket
+              |  FROM vocab
+              |  CROSS JOIN (SELECT unnest([256, 1024, 4096]) AS w) ws
+              |  CROSS JOIN (SELECT unnest([0, 1]) AS d) ds),
+              |counters AS (SELECT w, d, bucket,
+              |    CAST(sum(cnt) AS BIGINT) AS cm
+              |  FROM cells GROUP BY 1, 2, 3),
+              |probe AS (SELECT tok, cnt FROM vocab
+              |  ORDER BY cnt DESC, tok LIMIT 50),
+              |pe AS (SELECT p.tok, p.cnt, c.w,
+              |    CAST(min(cm) AS BIGINT) AS est
+              |  FROM probe p
+              |  JOIN cells c ON c.tok = p.tok
+              |  JOIN counters k ON k.w = c.w AND k.d = c.d
+              |    AND k.bucket = c.bucket
+              |  GROUP BY 1, 2, 3)
+              |SELECT CAST(w AS BIGINT) AS w,
+              |  CAST(count(*) AS BIGINT) AS probe_n,
+              |  CAST(max(est - cnt) AS BIGINT) AS err_max,
+              |  CAST(sum(est - cnt) // count(*) AS BIGINT) AS err_avg,
+              |  CAST(sum(CASE WHEN est - cnt > 0 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_overestimated,
+              |  CAST(27183 * t_mass // (10000 * w) AS BIGINT)
+              |    AS bound_cnt
+              |FROM pe CROSS JOIN tot
+              |GROUP BY w, t_mass ORDER BY w""".stripMargin)),
   )
 }
