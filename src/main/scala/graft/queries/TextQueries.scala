@@ -4415,7 +4415,12 @@ object TextQueries {
     // small side by construction).
     "q262_blocking_quality_audit" -> QueryDef(
       (s, dir) => {
-        val sh = Materialize(shingleTable(s, dir, stopShingleDf = None))
+        // truth pairs under the production stop-shingle df cut (the
+        // q145 setting — the uncut self-join is whitelisted only for
+        // the exact-semantics demos)
+        val sh = Materialize(shingleTable(s, dir,
+          stopShingleDf = Some(
+            graft.operators.CorpusPipeline.DefaultStopShingleDf)))
         val truth = Materialize(
           jaccardPairs(sh, 0.8).select("doc_a", "doc_b"))
         val docsP = Materialize(tableParallel(s, dir, "documents")
@@ -4455,8 +4460,10 @@ object TextQueries {
       },
       Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws
               |  FROM documents),
-              |sh AS (SELECT doc_id, unnest(hs) AS sh
+              |sh0 AS (SELECT doc_id, unnest(hs) AS sh
               |       FROM (SELECT doc_id, $duckHs AS hs FROM ws)),
+              |${duckStopShingles(
+                 graft.operators.CorpusPipeline.DefaultStopShingleDf)},
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh
               |  GROUP BY doc_id),
               |inter AS (

@@ -180,7 +180,7 @@ class PlannerStatSpec extends AnyFunSuite {
       "truth and per-scheme key maps") {
     val rows = run("q262_blocking_quality_audit").collect()
     assert(rows.length === 3)
-    val sets: Map[Long, Set[Long]] = docs.map { d =>
+    val raw: Map[Long, Set[Long]] = docs.map { d =>
       val toks = d._2.trim.toLowerCase.split("\\s+")
       val sh =
         if (toks.length >= 3)
@@ -190,6 +190,12 @@ class PlannerStatSpec extends AnyFunSuite {
         else Set.empty[Long]
       d._1 -> sh
     }.toMap
+    // production stop-shingle df cut (q145 setting), replayed
+    val dfCut = graft.operators.CorpusPipeline.DefaultStopShingleDf
+    val hot = raw.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).collect {
+        case (h, occ) if occ.size > dfCut => h }.toSet
+    val sets = raw.view.mapValues(_ -- hot).toMap
     val ids = docs.map(_._1).sorted
     val truth = (for {
       i <- ids.indices; j <- (i + 1) until ids.length
