@@ -73,6 +73,35 @@ object TrainingQueries {
       : org.apache.spark.sql.DataFrame =
     graft.operators.Manifest.manifest(docs)
 
+  /** q263's calibration artifacts — per-source predicted mean (`mu`),
+    * calibration count, order-statistic rank `k` and conformal threshold
+    * `qhat` — as a reusable fragment: the batch coverage audit (q263)
+    * consumes it, and the ingest-time screen
+    * ([[graft.streaming.StreamSessionize.conformalScreenStream]])
+    * broadcasts it as the static side of a stream-static join (conformal
+    * calibration is inherently offline; application is stateless).
+    * Input must carry (doc_id, source, n_chars).
+    */
+  private[graft] def conformalThresholds(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cal = docs
+      .withColumn("is_cal",
+        hash32(concat(lit("conf_"), col("doc_id"))) % 2 === 0)
+      .filter(col("is_cal"))
+    val means = cal.groupBy("source")
+      .agg(expr("sum(n_chars) DIV count(1)").as("mu"),
+        count(lit(1)).as("n_calib"))
+    val wR = Window.partitionBy("source").orderBy("score", "doc_id")
+    cal.join(broadcast(means), Seq("source"))
+      .withColumn("score", abs(col("n_chars") - col("mu")))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("k", expr("(9 * (n_calib + 1) + 9) DIV 10"))
+      .filter(col("rn") === col("k"))
+      .select(col("source"), col("mu"), col("n_calib"), col("k"),
+        col("score").as("qhat"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---- reproducible stratified sampling ---------------------------------
@@ -3557,24 +3586,14 @@ object TrainingQueries {
     "q263_conformal_coverage" -> QueryDef(
       (s, dir) => {
         val docs = Materialize(table(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars")))
+        val th = conformalThresholds(docs)
+        docs
           .withColumn("is_cal",
-            hash32(concat(lit("conf_"), col("doc_id"))) % 2 === 0))
-        val means = docs.filter(col("is_cal")).groupBy("source")
-          .agg(expr("sum(n_chars) DIV count(1)").as("mu"),
-            count(lit(1)).as("n_calib"))
-        val scored = docs.join(broadcast(means), Seq("source"))
+            hash32(concat(lit("conf_"), col("doc_id"))) % 2 === 0)
+          .filter(!col("is_cal"))
+          .join(broadcast(th), Seq("source"))
           .withColumn("score", abs(col("n_chars") - col("mu")))
-        val wR = Window.partitionBy("source")
-          .orderBy("score", "doc_id")
-        val qhats = scored.filter(col("is_cal"))
-          .withColumn("rn", row_number().over(wR))
-          .withColumn("k", expr("(9 * (n_calib + 1) + 9) DIV 10"))
-          .filter(col("rn") === col("k"))
-          .select(col("source"), col("n_calib"), col("k"),
-            col("score").as("qhat"))
-        scored.filter(!col("is_cal")).drop("n_calib")
-          .join(broadcast(qhats), Seq("source"))
           .groupBy("source", "n_calib", "k", "qhat")
           .agg(count(lit(1)).as("n_test"),
             sum(when(col("score") <= col("qhat"), 1L).otherwise(0L))
@@ -3761,5 +3780,86 @@ object TrainingQueries {
               |    AS bound_cnt
               |FROM pe CROSS JOIN tot
               |GROUP BY w, t_mass ORDER BY w""".stripMargin)),
+
+    // ---- Neyman (optimal) stratified-sample allocation --------------------
+    // q227 apportions a sample by SIZE; Neyman allocation apportions by
+    // n_h·S_h — strata with more internal variance get more of the
+    // budget, the design that minimizes estimator variance for a fixed
+    // cost. Per-stratum variance from one linear pass (n·Σx² − (Σx)²
+    // in DECIMAL/HUGEINT so the cross term cannot wrap at any corpus
+    // size, then an exact integer divide); S_h = ⌊√S²⌋ — S² ≤ max(x)²
+    // after the divide, far inside double's exact-integer range, so
+    // floor∘sqrt is engine-identical. Budget 1000 apportioned by
+    // largest remainder (the q227 machinery, deterministic tie-break);
+    // n_prop column witnesses how far variance-optimal moves from
+    // size-proportional. Everything after the scan is sources-sized.
+    "q270_neyman_allocation" -> QueryDef(
+      (s, dir) => {
+        val st = Materialize(table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("nh"),
+            sum("n_chars").as("sx"),
+            sum(expr("n_chars * n_chars")).as("sxx")))
+        val tot = st.agg(sum("nh").as("n_all"))
+        val withS = st
+          .withColumn("s2", expr(
+            """CASE WHEN nh < 2 THEN CAST(0 AS BIGINT) ELSE
+              |CAST((CAST(nh AS DECIMAL(38,0)) * sxx
+              |  - CAST(sx AS DECIMAL(38,0)) * sx)
+              |  DIV (nh * (nh - 1)) AS BIGINT) END""".stripMargin))
+          .withColumn("sh",
+            expr("CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT)"))
+          .withColumn("wgt", expr("nh * sh"))
+        val tw = withS.agg(sum("wgt").as("tw"))
+        val base = withS.crossJoin(broadcast(tw))
+          .crossJoin(broadcast(tot))
+          .withColumn("n0", expr("1000 * wgt DIV tw"))
+          .withColumn("rem", expr("1000 * wgt % tw"))
+          .withColumn("n_prop", expr("1000 * nh DIV n_all"))
+        val lf = base.agg((lit(1000L) - sum("n0")).as("leftover"))
+        val wRk = Window.orderBy(desc("rem"), col("source"))
+        base.crossJoin(broadcast(lf))
+          .withColumn("rk", row_number().over(wRk).cast("long"))
+          .withColumn("n_neyman", expr(
+            "n0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"))
+          .select(col("source"), col("nh"), col("s2"), col("sh"),
+            col("n_neyman"), col("n_prop"),
+            expr("n_neyman - n_prop").as("shift"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS nh,
+             |    CAST(sum(n_chars) AS BIGINT) AS sx,
+             |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n_all FROM st),
+             |ws AS (SELECT source, nh,
+             |    CAST(CASE WHEN nh < 2 THEN 0 ELSE
+             |      (CAST(nh AS HUGEINT) * sxx - CAST(sx AS HUGEINT)
+             |        * sx) // (CAST(nh AS HUGEINT) * (nh - 1)) END
+             |      AS BIGINT) AS s2
+             |  FROM st),
+             |w2 AS (SELECT *,
+             |    CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS sh,
+             |    nh * CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT)
+             |      AS wgt
+             |  FROM ws),
+             |tw AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw FROM w2),
+             |base AS (SELECT w2.*, 1000 * wgt // tw.tw AS n0,
+             |    1000 * wgt % tw.tw AS rem,
+             |    1000 * nh // n_all AS n_prop
+             |  FROM w2 CROSS JOIN tw CROSS JOIN tot),
+             |lf AS (SELECT 1000 - CAST(sum(n0) AS BIGINT) AS leftover
+             |  FROM base),
+             |rk AS (SELECT base.*,
+             |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |  FROM base)
+             |SELECT source, nh, s2, sh,
+             |  CAST(n0 + CASE WHEN rk <= (SELECT leftover FROM lf)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS n_neyman,
+             |  CAST(n_prop AS BIGINT) AS n_prop,
+             |  CAST(n0 + CASE WHEN rk <= (SELECT leftover FROM lf)
+             |    THEN 1 ELSE 0 END - n_prop AS BIGINT) AS shift
+             |FROM rk ORDER BY source""".stripMargin)),
   )
 }

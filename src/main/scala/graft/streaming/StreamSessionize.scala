@@ -306,6 +306,26 @@ object StreamSessionize {
   def piiScreenStream(docs: DataFrame): DataFrame =
     graft.queries.TrainingQueries.piiPerDoc(docs)
 
+  /** Ingest-time conformal outlier screen — q263's per-source
+    * calibration thresholds applied statelessly to the live feed:
+    * conformal calibration is inherently offline (an exact order
+    * statistic over the calibration split), so the thresholds arrive
+    * as a sources-sized static frame broadcast into the stream-static
+    * join, and each arriving document costs one subtract/abs/compare.
+    * No state, no watermark — any micro-batch split of a replay
+    * equals the batch application row-for-row (the parity gate pins
+    * it). A non-conforming document is the distribution-free analogue
+    * of the q190 quality reject: flag at ingest time, audit later.
+    */
+  def conformalScreenStream(docs: DataFrame, thresholds: DataFrame)
+      : DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(thresholds.select("source", "mu", "qhat")),
+        Seq("source"))
+      .withColumn("score", abs(col("n_chars") - col("mu")))
+      .withColumn("conforming", col("score") <= col("qhat"))
+      .select("doc_id", "source", "score", "conforming")
+
   /** Ingest-time DSIR importance screen — q199's per-document weight
     * computed STATELESSLY on the stream: the 64-entry bucket→log-ratio
     * table arrives as a ONE-row map frame (`TextQueries.dsirLrMap`,

@@ -252,4 +252,42 @@ class PlannerStatSpec extends AnyFunSuite {
         covered.toLong * 10000 / tst.length)
     }
   }
+
+  test("q270: Neyman allocation replays from scratch moments and " +
+      "largest-remainder apportionment; the budget is exactly spent") {
+    val rows = run("q270_neyman_allocation").collect()
+    assert(rows.nonEmpty)
+    val bySrc = docs.groupBy(_._4).view.mapValues(_.map(_._5)).toMap
+    val nAll = docs.length.toLong
+    val stats = bySrc.map { case (src, xs) =>
+      val nh = xs.length.toLong
+      val sx = BigInt(xs.sum); val sxx = xs.map(x => BigInt(x) * x).sum
+      val s2 = if (nh < 2) 0L
+        else ((BigInt(nh) * sxx - sx * sx) / (BigInt(nh) * (nh - 1)))
+          .toLong
+      val sh = math.floor(math.sqrt(s2.toDouble)).toLong
+      src -> (nh, s2, sh, nh * sh)
+    }
+    val tw = stats.values.map(_._4).sum
+    val n0 = stats.view.mapValues { case (_, _, _, w) =>
+      1000 * w / tw }.toMap
+    val rem = stats.map { case (src, (_, _, _, w)) =>
+      src -> 1000 * w % tw }
+    val leftover = 1000 - n0.values.sum
+    val ranked = rem.toSeq.sortBy { case (src, r) => (-r, src) }
+      .map(_._1).zipWithIndex.toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nh, s2, sh, _) = stats(src)
+      assert(r.getAs[Long]("nh") === nh)
+      assert(r.getAs[Long]("s2") === s2, s"s2 $src")
+      assert(r.getAs[Long]("sh") === sh)
+      val expectN = n0(src) +
+        (if (ranked(src) < leftover) 1L else 0L)
+      assert(r.getAs[Long]("n_neyman") === expectN, s"alloc $src")
+      assert(r.getAs[Long]("n_prop") === 1000 * nh / nAll)
+      assert(r.getAs[Long]("shift") === expectN - 1000 * nh / nAll)
+    }
+    assert(rows.map(_.getAs[Long]("n_neyman")).sum === 1000L)
+  }
 }

@@ -1182,4 +1182,46 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamView.size > 1)
     }
   }
+
+  test("file-replay conformalScreenStream == batch threshold " +
+      "application (stateless conformal outlier screen)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("conformal_replay_").toString
+      val ckpt = Files.createTempDirectory("conformal_ckpt_").toString
+      val docs = Tables.table(spark, sf, "documents")
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      val proj = docs.select(col("doc_id"), col("source"),
+        col("n_chars"))
+      // calibration is offline: compute the thresholds once, cache the
+      // sources-sized frame so micro-batches don't recompute it
+      val th = graft.operators.Materialize(
+        graft.queries.TrainingQueries.conformalThresholds(proj))
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = conformalScreenStream(stream, th)
+        .writeStream.format("memory").queryName("conformal_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))
+      val streamed = spark.table("conformal_replay").collect()
+        .map(key).toSet
+      // the batch twin is the SAME stateless function applied to the
+      // batch frame — the gate proves micro-batching cannot change it
+      val batch = conformalScreenStream(proj, th).collect()
+        .map(key).toSet
+      assert(streamed === batch)
+      // teeth: the screen flags SOME and passes SOME, and covers every
+      // document of a source that has calibration thresholds
+      assert(streamed.exists(_._4) && streamed.exists(!_._4))
+      val thSources = th.collect().map(_.getString(0)).toSet
+      assert(streamed.map(_._1).size ===
+        proj.filter(col("source").isin(thSources.toSeq: _*)).count())
+    }
+  }
 }
