@@ -3208,5 +3208,102 @@ object Relational {
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
              |GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- HyperLogLog register audit (Flajolet et al. 2007) ----------------
+    // The from-scratch counterpart of `approx_count_distinct`: a 60-bit
+    // md5 hash per key, split into a b-bit register index and a
+    // (60-b)-bit suffix whose leading-zero rank feeds the register max;
+    // the harmonic-mean estimate is computed EXACTLY in integers by
+    // scaling Σ 2^(-M_j) by 2^(R+1) (one int64 shiftleft per register
+    // — no float pow anywhere), with alpha in 1e-3 fixed point and the
+    // final divide in DECIMAL(38,0)/HUGEINT. Three precisions
+    // b ∈ {4,6,8} are audited side by side against the exact distinct
+    // count — the register-budget/error trade the q269 CMS width audit
+    // makes for frequency sketches, made here for cardinality. Scale
+    // shape: keys are reduced to the DISTINCT-key frame first (map-side
+    // combine on the corpus scan); the ×3 precision fan-out and the
+    // register rollup touch only that frame, and the register frames
+    // themselves are 2^b rows — driver-trivial at any corpus size.
+    // rho uses length(bin(suffix)) — bin() has no leading zeros in
+    // either engine, so R+1-length is the leading-zero rank, exact.
+    "q273_hll_register_audit" -> QueryDef(
+      (s, dir) => {
+        val keys = graft.operators.Materialize(
+          table(s, dir, "lineitem").select(col("l_partkey")).distinct()
+            .withColumn("h", expr(
+              "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15)" +
+                ", 16, 10) AS BIGINT)")))
+        val ms = Seq(4, 6, 8).map { b =>
+          val m = 1 << b; val r = 60 - b
+          keys
+            .withColumn("b", lit(b)).withColumn("m", lit(m.toLong))
+            .withColumn("reg", expr(s"h % $m"))
+            .withColumn("sfx", expr(s"h DIV $m"))
+            .withColumn("rho", expr(
+              s"CASE WHEN sfx = 0 THEN ${r + 1}L " +
+                s"ELSE ${r + 1}L - length(bin(sfx)) END"))
+        }.reduce(_.unionAll(_))
+        val regs = ms.groupBy("b", "m", "reg")
+          .agg(max("rho").as("mx"))
+        // registers never hit stay 0 → contribute 2^(R+1); emit them by
+        // closing the count gap arithmetically (m - hit registers).
+        val agg = regs.groupBy("b", "m")
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+              "(60 - b + 1) - CAST(mx AS INT))")).as("s_hit"))
+          .withColumn("v_empty", col("m") - col("n_hit"))
+          .withColumn("s_scaled", expr(
+            "s_hit + v_empty * shiftleft(CAST(1 AS BIGINT), 60 - b + 1)"))
+          .withColumn("alpha1000", expr(
+            "CASE b WHEN 4 THEN 673L WHEN 6 THEN 709L ELSE 718L END"))
+          .withColumn("est", expr(
+            "CAST(CAST(alpha1000 AS DECIMAL(38,0)) * m * m * " +
+              "shiftleft(CAST(1 AS BIGINT), 60 - b + 1) DIV " +
+              "(1000 * CAST(s_scaled AS DECIMAL(38,0))) AS BIGINT)"))
+        val exact = keys.agg(count(lit(1)).as("exact"))
+        agg.join(broadcast(exact))
+          .withColumn("err_bp",
+            expr("abs(est - exact) * 10000 DIV exact"))
+          .select(col("b").cast("long").as("b"), col("m"),
+            col("n_hit"), col("v_empty"), col("est"), col("exact"),
+            col("err_bp"))
+          .orderBy("b")
+      },
+      Some("""WITH k AS (SELECT DISTINCT l_partkey FROM lineitem),
+             |h AS (SELECT CAST(('0x' ||
+             |      substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM k),
+             |prec AS (SELECT unnest([4, 6, 8]) AS b),
+             |x AS (SELECT b, CAST(1 << b AS BIGINT) AS m,
+             |    h % (1 << b) AS reg, h // (1 << b) AS sfx
+             |  FROM h CROSS JOIN prec),
+             |rho AS (SELECT b, m, reg,
+             |    CASE WHEN sfx = 0 THEN 60 - b + 1
+             |      ELSE 60 - b + 1 - length(bin(sfx)) END AS rho
+             |  FROM x),
+             |regs AS (SELECT b, m, reg, max(rho) AS mx
+             |  FROM rho GROUP BY 1, 2, 3),
+             |agg AS (SELECT b, m,
+             |    CAST(count(*) AS BIGINT) AS n_hit,
+             |    CAST(sum(1::BIGINT << (60 - b + 1 - CAST(mx AS INT)))
+             |      AS BIGINT) AS s_hit
+             |  FROM regs GROUP BY 1, 2),
+             |a2 AS (SELECT *, m - n_hit AS v_empty,
+             |    s_hit + (m - n_hit) * (1::BIGINT << (60 - b + 1))
+             |      AS s_scaled,
+             |    CASE b WHEN 4 THEN 673 WHEN 6 THEN 709
+             |      ELSE 718 END AS alpha1000
+             |  FROM agg),
+             |e AS (SELECT *, CAST(CAST(alpha1000 AS HUGEINT) * m * m *
+             |      (1::BIGINT << (60 - b + 1)) //
+             |      (1000 * CAST(s_scaled AS HUGEINT)) AS BIGINT) AS est
+             |  FROM a2),
+             |exact AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM k)
+             |SELECT CAST(b AS BIGINT) AS b, m, n_hit, v_empty, est,
+             |  exact,
+             |  CAST(abs(est - exact) * 10000 // exact AS BIGINT)
+             |    AS err_bp
+             |FROM e CROSS JOIN exact ORDER BY b""".stripMargin)),
   )
 }

@@ -4593,6 +4593,82 @@ object TextQueries {
               |  score_fp
               |FROM rk WHERE rank <= 10
               |ORDER BY qid, rank""".stripMargin)),
+
+    // ---- segment-level global dedup (C4 line-dedup shape) -----------------
+    // The C4/RefinedWeb cleaning step the doc-level dedups (q40-q43)
+    // deliberately do NOT cover: boilerplate repeats BELOW document
+    // granularity (navigation lines, license headers, quoted passages),
+    // so the unit of dedup is the SEGMENT — here a 10-token chunk, the
+    // stand-in for a newline-split line in the synthetic corpus — and
+    // the policy is first-global-occurrence-wins, all later copies
+    // dropped. 100 TB shape: one narrow corpus pass builds the chunk
+    // hashes (codegen'd array expressions, no shuffle), the only
+    // shuffle is the hash-keyed groupBy for the global min-owner and
+    // the equi-join back — never a pairwise comparison. The owner key
+    // packs (doc_id, seg_idx) into one int64 so "first occurrence" is
+    // a single min() with no tie-break join; ordering by doc then
+    // position matches the sequential-scan semantics of the C4
+    // pipeline exactly.
+    "q271_segment_dedup" -> QueryDef(
+      (s, dir) => {
+        val seg = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 10)
+          .withColumn("segs", expr(
+            """transform(sequence(0, size(ws) DIV 10 - 1),
+              | j -> CAST(conv(substring(md5(
+              |   array_join(slice(ws, j * 10 + 1, 10), ' ')),
+              |   1, 8), 16, 10) AS BIGINT))""".stripMargin))
+          .select(col("doc_id"), col("source"),
+            posexplode(col("segs")).as(Seq("seg_idx", "h")))
+          .withColumn("owner",
+            col("doc_id") * 1000000L + col("seg_idx")))
+        val first = seg.groupBy("h").agg(min("owner").as("keep"))
+        seg.join(first, "h")
+          .withColumn("rm",
+            when(col("owner") =!= col("keep"), 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_segments"),
+            sum("rm").as("n_removed"),
+            countDistinct(when(col("rm") === 1L, col("doc_id")))
+              .as("docs_affected"))
+          .withColumn("removed_bp",
+            expr("n_removed * 10000 DIV n_segments"))
+          .select("source", "n_docs", "n_segments", "n_removed",
+            "removed_bp", "docs_affected")
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, $duckToks AS ws
+             |  FROM documents),
+             |g AS (SELECT doc_id, source,
+             |    [CAST(('0x' || substr(md5(
+             |       array_to_string(ws[j*10+1:j*10+10], ' ')), 1, 8))
+             |       AS BIGINT)
+             |     for j in range(0, len(ws) // 10)] AS segs
+             |  FROM w WHERE len(ws) >= 10),
+             |e AS (SELECT doc_id, source,
+             |    unnest(range(0, len(segs))) AS seg_idx,
+             |    unnest(segs) AS h
+             |  FROM g),
+             |o AS (SELECT doc_id, source, h,
+             |    doc_id * 1000000 + seg_idx AS owner FROM e),
+             |f AS (SELECT h, min(owner) AS keep FROM o GROUP BY 1),
+             |j AS (SELECT o.source, o.doc_id,
+             |    CASE WHEN o.owner <> f.keep THEN 1 ELSE 0 END AS rm
+             |  FROM o JOIN f ON o.h = f.h),
+             |st AS (SELECT source,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |    CAST(count(*) AS BIGINT) AS n_segments,
+             |    CAST(sum(rm) AS BIGINT) AS n_removed,
+             |    CAST(count(DISTINCT CASE WHEN rm = 1 THEN doc_id END)
+             |      AS BIGINT) AS docs_affected
+             |  FROM j GROUP BY 1)
+             |SELECT source, n_docs, n_segments, n_removed,
+             |  CAST(n_removed * 10000 // n_segments AS BIGINT)
+             |    AS removed_bp,
+             |  docs_affected
+             |FROM st ORDER BY source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

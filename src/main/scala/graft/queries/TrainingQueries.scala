@@ -3861,5 +3861,78 @@ object TrainingQueries {
              |  CAST(n0 + CASE WHEN rk <= (SELECT leftover FROM lf)
              |    THEN 1 ELSE 0 END - n_prop AS BIGINT) AS shift
              |FROM rk ORDER BY source""".stripMargin)),
+
+    // ---- cross-source quantile normalization ------------------------------
+    // The batch-effect remover: each source's n_chars distribution is
+    // mapped onto the POOLED distribution by rank — row with
+    // within-source rank r (of n_s) takes the pooled order statistic at
+    // position (r-1)·N DIV n_s + 1. After the map every source has an
+    // identical value distribution (up to the integer rank rounding),
+    // which is exactly what mixture training wants before length-based
+    // curriculum or packing decisions. Scale shape: the within-source
+    // rank is a source-partitioned window (parallel across sources; at
+    // 100 TB the skewed-source variant computes it from the per-source
+    // value-compressed CDF, same numbers); the pooled side is NEVER
+    // globally sorted — it is compressed to the distinct-value CDF
+    // (|V| rows) and the position lookup is a broadcast range join
+    // (cum_before < pos ≤ cum picks exactly one row), the q85 band-join
+    // pattern on a frame the size of the value domain, not the corpus.
+    "q272_quantile_normalization" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")))
+        val ranked = docs.withColumn("r",
+          row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+        val ns = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_s"))
+        val tot = docs.agg(count(lit(1)).as("n_total"))
+        val cdf = docs.groupBy("n_chars")
+          .agg(count(lit(1)).as("f"))
+          .withColumn("cum",
+            sum("f").over(Window.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_before", col("cum") - col("f"))
+          .select(col("n_chars").as("pool_v"), col("cum_before"),
+            col("cum"))
+        val pos = ranked.join(ns, "source").join(broadcast(tot))
+          .withColumn("pos",
+            expr("(r - 1) * n_total DIV n_s + 1"))
+        pos.join(broadcast(cdf),
+            col("pos") > col("cum_before") && col("pos") <= col("cum"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("sb"), sum("pool_v").as("sa"),
+            min("pool_v").as("min_after"),
+            max("pool_v").as("max_after"))
+          .withColumn("mean_before", expr("sb DIV n"))
+          .withColumn("mean_after", expr("sa DIV n"))
+          .select("source", "n", "mean_before", "mean_after",
+            "min_after", "max_after")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY n_chars, doc_id) AS r FROM d),
+             |ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+             |tot AS (SELECT count(*) AS n_total FROM d),
+             |cdf AS (SELECT n_chars AS pool_v, count(*) AS f,
+             |    sum(count(*)) OVER (ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum
+             |  FROM d GROUP BY n_chars),
+             |c2 AS (SELECT pool_v, cum - f AS cum_before, cum FROM cdf),
+             |p AS (SELECT rk.source, rk.n_chars,
+             |    (rk.r - 1) * tot.n_total // ns.n_s + 1 AS pos
+             |  FROM rk JOIN ns ON rk.source = ns.source CROSS JOIN tot),
+             |m AS (SELECT p.source, p.n_chars, c2.pool_v
+             |  FROM p JOIN c2
+             |    ON p.pos > c2.cum_before AND p.pos <= c2.cum)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_before,
+             |  CAST(sum(pool_v) // count(*) AS BIGINT) AS mean_after,
+             |  CAST(min(pool_v) AS BIGINT) AS min_after,
+             |  CAST(max(pool_v) AS BIGINT) AS max_after
+             |FROM m GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
