@@ -2968,6 +2968,108 @@ object SimilarityQueries {
            |${row(3, "mg3", "w2")}
            |ORDER BY round""".stripMargin
       }),
+
+    // ---- ridge regression by normal equations (closed form) ---------------
+    // The one-pass linear-model trainer the iterative q266 perceptron
+    // complements: predict e[2] from (1, e[0], e[1]) by solving the
+    // 3×3 ridge normal equations (XᵀX + λI')b = Xᵀy — I' does not
+    // penalize the intercept — with Cramer's rule. 100 TB shape: the
+    // ONLY corpus-scale stage is the single aggregation that produces
+    // the 9 sufficient moments (map-side combine, one row out); the
+    // ×2 λ fan-out, the 3×3 determinants and the divisions all run on
+    // that 1-row frame. Features in exact milli fixed point, every
+    // determinant product in DECIMAL(38,0)/HUGEINT (worst term
+    // n·s11·s22 ≈ 5e22 at sf1 — 15 digits of headroom), coefficient
+    // divisions sign-split so truncating DIV and flooring // agree.
+    // The λ=0 row is OLS; the λ=5e6 row witnesses shrinkage toward
+    // zero on the slope coefficients (spec-pinned).
+    "q274_ridge_normal_eq" -> QueryDef(
+      (s, dir) => {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) DIV ($d) " +
+            s"ELSE -((-($v)) DIV ($d)) END"
+        def dec(x: String) = s"CAST($x AS DECIMAL(38,0))"
+        // det of [[a,b,c],[d,e,f],[g,h,i]] — entries already DECIMAL
+        def det3(a: String, b: String, c: String, d: String, e: String,
+            f: String, g: String, h: String, i: String) =
+          s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+        val mom = Materialize(tableParallel(s, dir, "embeddings")
+          .select(
+            floor(expr("embedding[0]").cast("double") * 1000)
+              .cast("long").as("x1"),
+            floor(expr("embedding[1]").cast("double") * 1000)
+              .cast("long").as("x2"),
+            floor(expr("embedding[2]").cast("double") * 1000)
+              .cast("long").as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+            sum(expr("x1 * x1")).as("s11"),
+            sum(expr("x2 * x2")).as("s22"),
+            sum(expr("x1 * x2")).as("s12"),
+            sum(expr("x1 * y")).as("s1y"),
+            sum(expr("x2 * y")).as("s2y")))
+        val lams = s.range(2).toDF("li")
+          .withColumn("lam", expr("li * 5000000"))
+        val (nD, s1D, s2D, syD) = (dec("n"), dec("s1"), dec("s2"), dec("sy"))
+        val (s12D, s1yD, s2yD) = (dec("s12"), dec("s1y"), dec("s2y"))
+        val a11 = dec("s11 + lam"); val a22 = dec("s22 + lam")
+        val detA = det3(nD, s1D, s2D, s1D, a11, s12D, s2D, s12D, a22)
+        val det0 = det3(syD, s1D, s2D, s1yD, a11, s12D, s2yD, s12D, a22)
+        val det1 = det3(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, a22)
+        val det2 = det3(nD, s1D, syD, s1D, a11, s1yD, s2D, s12D, s2yD)
+        mom.crossJoin(broadcast(lams))
+          .withColumn("det", expr(detA))
+          .withColumn("b0_micro",
+            expr(s"CAST(${sd(s"($det0) * 1000000", "det")} AS BIGINT)"))
+          .withColumn("b1_micro",
+            expr(s"CAST(${sd(s"($det1) * 1000000", "det")} AS BIGINT)"))
+          .withColumn("b2_micro",
+            expr(s"CAST(${sd(s"($det2) * 1000000", "det")} AS BIGINT)"))
+          .select(col("lam"), col("n"), col("b0_micro"), col("b1_micro"),
+            col("b2_micro"))
+          .orderBy("lam")
+      },
+      Some {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        def hug(x: String) = s"CAST($x AS HUGEINT)"
+        def det3(a: String, b: String, c: String, d: String, e: String,
+            f: String, g: String, h: String, i: String) =
+          s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+        val (nD, s1D, s2D, syD) = (hug("n"), hug("s1"), hug("s2"), hug("sy"))
+        val (s12D, s1yD, s2yD) = (hug("s12"), hug("s1y"), hug("s2y"))
+        val a11 = hug("s11 + lam"); val a22 = hug("s22 + lam")
+        val detA = det3(nD, s1D, s2D, s1D, a11, s12D, s2D, s12D, a22)
+        val det0 = det3(syD, s1D, s2D, s1yD, a11, s12D, s2yD, s12D, a22)
+        val det1 = det3(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, a22)
+        val det2 = det3(nD, s1D, syD, s1D, a11, s1yD, s2D, s12D, s2yD)
+        s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+           |f AS (SELECT CAST(floor(v[1] * 1000) AS BIGINT) AS x1,
+           |    CAST(floor(v[2] * 1000) AS BIGINT) AS x2,
+           |    CAST(floor(v[3] * 1000) AS BIGINT) AS y
+           |  FROM e),
+           |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS s1,
+           |    CAST(sum(x2) AS BIGINT) AS s2,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+           |  FROM f),
+           |lams AS (SELECT CAST(unnest([0, 5000000]) AS BIGINT) AS lam),
+           |d AS (SELECT lam, n,
+           |    $detA AS det,
+           |    $det0 AS det0, $det1 AS det1, $det2 AS det2
+           |  FROM mom CROSS JOIN lams)
+           |SELECT lam, n,
+           |  CAST(${sd("det0 * 1000000", "det")} AS BIGINT) AS b0_micro,
+           |  CAST(${sd("det1 * 1000000", "det")} AS BIGINT) AS b1_micro,
+           |  CAST(${sd("det2 * 1000000", "det")} AS BIGINT) AS b2_micro
+           |FROM d ORDER BY lam""".stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -4669,6 +4669,75 @@ object TextQueries {
              |    AS removed_bp,
              |  docs_affected
              |FROM st ORDER BY source""".stripMargin)),
+
+    // ---- exact ROC-AUC scorer leaderboard ---------------------------------
+    // Classifier evaluation without a threshold sweep (q220 does the
+    // sweep): AUC computed EXACTLY from the rank-sum identity
+    // AUC = U/(n1·n0), U = Σ_v f1(v)·(cum0_before(v) + f0(v)/2), kept
+    // integer by working with 2U. Three candidate quality scorers
+    // (n_chars, token count, lexical diversity) are ranked against the
+    // lang='en' label side by side — the scorer-selection loop of a
+    // filter pipeline, as one query. 100 TB shape: per-doc features are
+    // one narrow pass; the ×3 scorer fan-out happens AFTER per-doc
+    // reduction; AUC is then computed on the per-(scorer, value)
+    // compressed frame (|V| rows), whose cumulative window partitions
+    // by scorer — never a pairwise pos×neg join (the O(n1·n0) spelling
+    // this identity exists to avoid). The final products run in
+    // DECIMAL(38,0)/HUGEINT so n1·n0 cannot wrap at corpus scale.
+    "q275_roc_auc" -> QueryDef(
+      (s, dir) => {
+        val scored = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            tokens(col("text")).as("ws"))
+          .withColumn("lbl",
+            when(col("lang") === "en", 1L).otherwise(0L))
+          .withColumn("toks", size(col("ws")).cast("long"))
+          .withColumn("lexdiv", expr(
+            "CAST(size(array_distinct(ws)) * 10000 DIV size(ws) " +
+              "AS BIGINT)"))
+          .select(col("lbl"),
+            expr("stack(3, 'len', n_chars, 'toks', toks, " +
+              "'lexdiv', lexdiv)").as(Seq("scorer", "v")))
+        val freq = scored.groupBy("scorer", "v")
+          .agg(sum("lbl").as("f1"),
+            sum(expr("1 - lbl")).as("f0"))
+        val cum = freq.withColumn("cum0_before",
+          coalesce(sum("f0").over(
+            Window.partitionBy("scorer").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum.groupBy("scorer")
+          .agg(sum("f1").as("n1"), sum("f0").as("n0"),
+            sum(expr("f1 * (2 * cum0_before + f0)")).as("u2"))
+          .withColumn("auc_bp", expr(
+            "CAST(CAST(u2 AS DECIMAL(38,0)) * 10000 DIV " +
+              "(2 * CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)"))
+          .select("scorer", "n1", "n0", "u2", "auc_bp")
+          .orderBy("scorer")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, n_chars, $duckToks AS ws
+             |  FROM documents),
+             |f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl,
+             |    n_chars AS len, CAST(len(ws) AS BIGINT) AS toks,
+             |    len(list_distinct(ws)) * 10000 // len(ws) AS lexdiv
+             |  FROM d),
+             |sc AS (SELECT lbl, 'len' AS scorer, len AS v FROM f
+             |  UNION ALL SELECT lbl, 'toks', toks FROM f
+             |  UNION ALL SELECT lbl, 'lexdiv', lexdiv FROM f),
+             |fr AS (SELECT scorer, v, CAST(sum(lbl) AS BIGINT) AS f1,
+             |    CAST(sum(1 - lbl) AS BIGINT) AS f0
+             |  FROM sc GROUP BY 1, 2),
+             |cm AS (SELECT *, COALESCE(sum(f0) OVER (PARTITION BY scorer
+             |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS cum0_before
+             |  FROM fr),
+             |ag AS (SELECT scorer, CAST(sum(f1) AS BIGINT) AS n1,
+             |    CAST(sum(f0) AS BIGINT) AS n0,
+             |    CAST(sum(f1 * (2 * cum0_before + f0)) AS BIGINT) AS u2
+             |  FROM cm GROUP BY 1)
+             |SELECT scorer, n1, n0, u2,
+             |  CAST(CAST(u2 AS HUGEINT) * 10000 //
+             |    (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_bp
+             |FROM ag ORDER BY scorer""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -3934,5 +3934,89 @@ object TrainingQueries {
              |  CAST(min(pool_v) AS BIGINT) AS min_after,
              |  CAST(max(pool_v) AS BIGINT) AS max_after
              |FROM m GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- CUPED variance reduction (controlled-experiment analysis) --------
+    // The A/B-test power tool: reduce metric variance with a pre-period
+    // covariate — Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X), variance
+    // shrink factor 1 − ρ². Here X = a user's pre-period (Jan 1–15)
+    // event count, Y = post-period purchase spend in cents. Everything
+    // derives from ONE conditional-sum pass over events (user rollup
+    // with map-side combine) followed by one 6-moment aggregation of
+    // the per-user frame; θ and ρ² are exact integer ratios of the
+    // raw-moment combinations n·Σxy − ΣxΣy etc., computed in
+    // DECIMAL(38,0)/HUGEINT with the θ division sign-split. Cents via
+    // floor(value·100) — double multiply+floor is bit-identical in
+    // both engines. Scale: the per-user frame is the only shuffle;
+    // moments are a 1-row reduce.
+    "q276_cuped" -> QueryDef(
+      (s, dir) => {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) DIV ($d) " +
+            s"ELSE -((-($v)) DIV ($d)) END"
+        val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+        val users = table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(expr(s"CASE WHEN ts < $cut THEN 1 ELSE 0 END"))
+              .as("x"),
+            sum(expr(s"CASE WHEN ts >= $cut AND event_type = 'purchase'" +
+              s" THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END"))
+              .as("y"))
+        val mom = users.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("y * y")).as("syy"))
+        mom
+          .withColumn("cov_n", expr("n * sxy - sx * sy"))
+          .withColumn("varx_n", expr("n * sxx - sx * sx"))
+          .withColumn("vary_n", expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * syy - " +
+              "CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))"))
+          .withColumn("theta_micro", expr(
+            s"CAST(${sd("cov_n * 1000000", "varx_n")} AS BIGINT)"))
+          .withColumn("rho2_bp", expr(
+            "CAST(CAST(cov_n AS DECIMAL(38,0)) * cov_n * 10000 DIV " +
+              "(CAST(varx_n AS DECIMAL(38,0)) * vary_n) AS BIGINT)"))
+          .select(col("n").as("n_users"),
+            expr("sx DIV n").as("mean_x"),
+            expr("sy DIV n").as("mean_y_cents"),
+            col("cov_n"), col("varx_n"), col("theta_micro"),
+            col("rho2_bp"))
+      },
+      Some {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        s"""WITH u AS (SELECT user_id,
+           |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+           |        AND event_type = 'purchase'
+           |      THEN CAST(floor(value * 100) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM u),
+           |d AS (SELECT *, n * sxy - sx * sy AS cov_n,
+           |    n * sxx - sx * sx AS varx_n,
+           |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+           |      AS vary_n
+           |  FROM mom)
+           |SELECT n AS n_users,
+           |  CAST(sx // n AS BIGINT) AS mean_x,
+           |  CAST(sy // n AS BIGINT) AS mean_y_cents,
+           |  cov_n, varx_n,
+           |  CAST(${sd("cov_n * 1000000", "varx_n")} AS BIGINT)
+           |    AS theta_micro,
+           |  CAST(CAST(cov_n AS HUGEINT) * cov_n * 10000 //
+           |    (CAST(varx_n AS HUGEINT) * vary_n) AS BIGINT) AS rho2_bp
+           |FROM d""".stripMargin
+      }),
   )
 }
