@@ -3305,5 +3305,118 @@ object Relational {
              |  CAST(abs(est - exact) * 10000 // exact AS BIGINT)
              |    AS err_bp
              |FROM e CROSS JOIN exact ORDER BY b""".stripMargin)),
+
+    // ---- SCD type-2 dimension build from a change feed --------------------
+    // The slowly-changing-dimension pattern every warehouse ingest needs:
+    // the events stream is read as a CDC feed of per-user state changes
+    // (state = event_type), collapsed to VERSIONS — a new version opens
+    // whenever the state differs from the user's previous event (lag),
+    // closes at the next version's open (lead), and the last version per
+    // user is current. All window work partitions by user_id (parallel,
+    // co-located after one shuffle); durations are exact epoch seconds.
+    // Output is the per-bucket rollup of the version table — bounded,
+    // deterministic, and sensitive to every boundary rule above (a
+    // misplaced lag/lead or tie-break shifts version counts and
+    // durations). Tie-break within identical ts: event_id, pinned on
+    // both engines.
+    "q277_scd2_dimension" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val ver = ev
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull ||
+            col("prev") =!= col("event_type"))
+        val vw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dim = ver
+          .withColumn("eff_from", col("ts"))
+          .withColumn("eff_to", lead("ts", 1).over(vw))
+          .withColumn("is_current",
+            when(col("eff_to").isNull, 1L).otherwise(0L))
+          .withColumn("dur_s", when(col("eff_to").isNotNull,
+            unix_timestamp(col("eff_to")) -
+              unix_timestamp(col("eff_from"))).otherwise(0L))
+        dim.groupBy(expr("user_id % 16").as("bucket"))
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_versions"),
+            sum("is_current").as("n_current"),
+            max("dur_s").as("max_dur_s"),
+            sum("dur_s").as("sum_dur_s"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |ver AS (SELECT user_id, ts, event_id, event_type
+             |  FROM ev WHERE prev IS NULL OR prev <> event_type),
+             |dim AS (SELECT user_id, ts AS eff_from,
+             |    lead(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS eff_to
+             |  FROM ver),
+             |d2 AS (SELECT user_id,
+             |    CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS is_current,
+             |    CASE WHEN eff_to IS NOT NULL
+             |      THEN CAST(floor(epoch(eff_to)) AS BIGINT)
+             |         - CAST(floor(epoch(eff_from)) AS BIGINT)
+             |      ELSE 0 END AS dur_s
+             |  FROM dim)
+             |SELECT user_id % 16 AS bucket,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(count(*) AS BIGINT) AS n_versions,
+             |  CAST(sum(is_current) AS BIGINT) AS n_current,
+             |  CAST(max(dur_s) AS BIGINT) AS max_dur_s,
+             |  CAST(sum(dur_s) AS BIGINT) AS sum_dur_s
+             |FROM d2 GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- 2-D skyline (Pareto frontier) ------------------------------------
+    // The multi-objective selection operator: parts minimizing retail
+    // price while maximizing size — a part is on the skyline iff no
+    // other part is ≤ price AND ≥ size with at least one strict. The
+    // naive spelling is the O(N²) dominance self-join; this one never
+    // builds it: compress to the distinct (price, size) frame, reduce
+    // each price level to its max size (per-level groupBy), take the
+    // running max over STRICTLY cheaper levels (1-preceding window on
+    // the compressed frame — |levels| rows, not |parts|), and a pair
+    // survives iff it is its level's max AND beats every cheaper
+    // level's max. Equal (price, size) duplicates all survive
+    // (dominance requires a strict edge), which the equi-join back to
+    // parts preserves. The replay spec runs the brute-force O(N²)
+    // definition — two different algorithms, one answer.
+    "q278_skyline_pareto" -> QueryDef(
+      (s, dir) => {
+        val parts = table(s, dir, "part")
+          .select(col("p_partkey"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+            col("p_size").cast("long").as("size"))
+        val lvl = parts.groupBy("price_c").agg(max("size").as("mx"))
+        val cum = lvl.withColumn("cmax_prev",
+          coalesce(max("mx").over(Window.orderBy("price_c")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+        val sky = cum.filter(col("mx") > col("cmax_prev"))
+          .select(col("price_c"), col("mx").as("size"))
+        parts.join(sky, Seq("price_c", "size"))
+          .select(col("p_partkey"), col("price_c"), col("size"))
+          .orderBy("price_c", "p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             |    CAST(p_size AS BIGINT) AS size
+             |  FROM part),
+             |lvl AS (SELECT price_c, max(size) AS mx
+             |  FROM p GROUP BY 1),
+             |cum AS (SELECT price_c, mx,
+             |    COALESCE(max(mx) OVER (ORDER BY price_c
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -1) AS cmax_prev
+             |  FROM lvl),
+             |sky AS (SELECT price_c, mx AS size FROM cum
+             |  WHERE mx > cmax_prev)
+             |SELECT p.p_partkey, p.price_c, p.size
+             |FROM p JOIN sky ON p.price_c = sky.price_c
+             |  AND p.size = sky.size
+             |ORDER BY p.price_c, p.p_partkey""".stripMargin)),
   )
 }

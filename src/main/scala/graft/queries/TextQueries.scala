@@ -4738,6 +4738,72 @@ object TextQueries {
              |  CAST(CAST(u2 AS HUGEINT) * 10000 //
              |    (2 * CAST(n1 AS HUGEINT) * n0) AS BIGINT) AS auc_bp
              |FROM ag ORDER BY scorer""".stripMargin)),
+
+    // ---- MAD robust outlier screen ----------------------------------------
+    // The robust counterpart of a z-score filter: median absolute
+    // deviation is immune to the very outliers it hunts (a corrupted
+    // batch of 10x-length docs shifts a mean+stddev screen but not
+    // this one). Medians are EXACT order statistics — the
+    // (n+1) DIV 2-th smallest via row_number with a doc_id tie-break,
+    // identical in both engines; no approx_percentile, no floats.
+    // Outlier rule: |x − med| > 3·max(MAD, 1). Scale shape: two
+    // source-partitioned window passes + two broadcast joins of
+    // |sources|-row frames; the skewed-source variant computes the
+    // same order statistic from the per-source value-compressed CDF.
+    "q279_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")))
+        val ns = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val med = docs
+          .withColumn("r", row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+          .join(ns, "source")
+          .filter(col("r") === expr("(n + 1) DIV 2"))
+          .select(col("source"), col("n_chars").as("med"), col("n"))
+        val dev = docs.join(broadcast(med), "source")
+          .withColumn("d", abs(col("n_chars") - col("med")))
+        val mad = dev
+          .withColumn("r2", row_number().over(
+            Window.partitionBy("source").orderBy("d", "doc_id")))
+          .filter(col("r2") === expr("(n + 1) DIV 2"))
+          .select(col("source"), col("d").as("mad"))
+        dev.join(broadcast(mad), "source")
+          .groupBy("source")
+          .agg(max("n").as("n"), max("med").as("med"),
+            max("mad").as("mad"),
+            sum(expr("CASE WHEN d > 3 * greatest(mad, 1) THEN 1 " +
+              "ELSE 0 END")).as("n_out"))
+          .withColumn("out_bp", expr("n_out * 10000 DIV n"))
+          .select("source", "n", "med", "mad", "n_out", "out_bp")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM d GROUP BY 1),
+             |rk AS (SELECT d.*, ns.n, row_number() OVER (
+             |    PARTITION BY d.source ORDER BY n_chars, doc_id) AS r
+             |  FROM d JOIN ns ON d.source = ns.source),
+             |med AS (SELECT source, n_chars AS med, n FROM rk
+             |  WHERE r = (n + 1) // 2),
+             |dev AS (SELECT d.doc_id, d.source, med.n, med.med,
+             |    abs(d.n_chars - med.med) AS dd
+             |  FROM d JOIN med ON d.source = med.source),
+             |rk2 AS (SELECT dev.*, row_number() OVER (
+             |    PARTITION BY source ORDER BY dd, doc_id) AS r2
+             |  FROM dev),
+             |mad AS (SELECT source, dd AS mad FROM rk2
+             |  WHERE r2 = (n + 1) // 2),
+             |j AS (SELECT dev.source, dev.n, dev.med, mad.mad, dev.dd
+             |  FROM dev JOIN mad ON dev.source = mad.source)
+             |SELECT source, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(max(med) AS BIGINT) AS med,
+             |  CAST(max(mad) AS BIGINT) AS mad,
+             |  CAST(sum(CASE WHEN dd > 3 * greatest(mad, 1) THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n_out,
+             |  CAST(sum(CASE WHEN dd > 3 * greatest(mad, 1) THEN 1
+             |    ELSE 0 END) * 10000 // max(n) AS BIGINT) AS out_bp
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
