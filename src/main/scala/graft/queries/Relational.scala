@@ -3418,5 +3418,102 @@ object Relational {
              |FROM p JOIN sky ON p.price_c = sky.price_c
              |  AND p.size = sky.size
              |ORDER BY p.price_c, p.p_partkey""".stripMargin)),
+
+    // ---- zone-map (min/max data-skipping) pruning audit -------------------
+    // The lakehouse data-LAYOUT decision, priced: parquet/iceberg scan
+    // pruning works off per-file min/max zones, and its effectiveness
+    // is entirely a function of how rows were clustered at write time.
+    // Two layouts of orders are audited against the same one-month
+    // predicate — 'natural' (files cut by insertion order, i.e.
+    // o_orderkey) and 'clustered' (files cut after sorting by
+    // o_orderdate, what a sort-on-write job produces). For each: files
+    // whose zone intersects the range (what the scanner must read),
+    // files actually containing matches (hits), false-positive files,
+    // rows scanned vs matching, and pruned_bp. Everything computes on
+    // the per-FILE zone frame (|files| rows); the clustered layout's
+    // global sort stands in for the one-time write-side cluster job.
+    // At 100 TB this audit is how you choose the table's sort key.
+    "q282_zonemap_pruning_audit" -> QueryDef(
+      (s, dir) => {
+        val lo = "TIMESTAMP '1996-03-01 00:00:00'"
+        val hi = "TIMESTAMP '1996-04-01 00:00:00'"
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        def audit(withFid: DataFrame, layout: String) = {
+          val zones = withFid.groupBy("fid")
+            .agg(min("o_orderdate").as("mn"),
+              max("o_orderdate").as("mx"),
+              count(lit(1)).as("n"),
+              sum(expr(s"CASE WHEN o_orderdate >= $lo AND " +
+                s"o_orderdate < $hi THEN 1 ELSE 0 END")).as("tc"))
+            .withColumn("hit", expr(
+              s"CASE WHEN mn < $hi AND mx >= $lo THEN 1 ELSE 0 END"))
+          zones.agg(
+            lit(layout).as("layout"),
+            count(lit(1)).as("files_total"),
+            sum("hit").as("files_scanned"),
+            sum(expr("CASE WHEN tc > 0 THEN 1 ELSE 0 END"))
+              .as("files_true"),
+            sum(expr("CASE WHEN hit = 1 AND tc = 0 THEN 1 ELSE 0 END"))
+              .as("files_false_pos"),
+            sum(expr("CASE WHEN hit = 1 THEN n ELSE 0 END"))
+              .as("rows_scanned"),
+            sum("tc").as("rows_matching"))
+            .withColumn("pruned_bp", expr(
+              "(files_total - files_scanned) * 10000 DIV files_total"))
+        }
+        val natural = audit(
+          o.withColumn("fid", expr("o_orderkey DIV 1000")), "natural")
+        val clustered = audit(
+          o.withColumn("fid", expr(
+            "(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)" +
+              " DIV 1000")), "clustered")
+        clustered.unionAll(natural)
+          .select("layout", "files_total", "files_scanned", "files_true",
+            "files_false_pos", "rows_scanned", "rows_matching",
+            "pruned_bp")
+          .orderBy("layout")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+             |nat AS (SELECT o_orderkey // 1000 AS fid, o_orderdate
+             |  FROM o),
+             |clu AS (SELECT (row_number() OVER (
+             |    ORDER BY o_orderdate, o_orderkey) - 1) // 1000 AS fid,
+             |    o_orderdate
+             |  FROM o),
+             |zn AS (SELECT 'natural' AS layout, fid,
+             |    min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+             |    count(*) AS n,
+             |    sum(CASE WHEN o_orderdate >=
+             |        TIMESTAMP '1996-03-01 00:00:00'
+             |      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |      THEN 1 ELSE 0 END) AS tc
+             |  FROM nat GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'clustered', fid, min(o_orderdate),
+             |    max(o_orderdate), count(*),
+             |    sum(CASE WHEN o_orderdate >=
+             |        TIMESTAMP '1996-03-01 00:00:00'
+             |      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |      THEN 1 ELSE 0 END)
+             |  FROM clu GROUP BY 2),
+             |z2 AS (SELECT *, CASE WHEN mn <
+             |      TIMESTAMP '1996-04-01 00:00:00'
+             |    AND mx >= TIMESTAMP '1996-03-01 00:00:00'
+             |    THEN 1 ELSE 0 END AS hit
+             |  FROM zn)
+             |SELECT layout,
+             |  CAST(count(*) AS BIGINT) AS files_total,
+             |  CAST(sum(hit) AS BIGINT) AS files_scanned,
+             |  CAST(sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS files_true,
+             |  CAST(sum(CASE WHEN hit = 1 AND tc = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS files_false_pos,
+             |  CAST(sum(CASE WHEN hit = 1 THEN n ELSE 0 END) AS BIGINT)
+             |    AS rows_scanned,
+             |  CAST(sum(tc) AS BIGINT) AS rows_matching,
+             |  CAST((count(*) - sum(hit)) * 10000 // count(*) AS BIGINT)
+             |    AS pruned_bp
+             |FROM z2 GROUP BY layout ORDER BY layout""".stripMargin)),
   )
 }

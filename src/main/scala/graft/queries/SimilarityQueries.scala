@@ -3070,6 +3070,110 @@ object SimilarityQueries {
            |  CAST(${sd("det2 * 1000000", "det")} AS BIGINT) AS b2_micro
            |FROM d ORDER BY lam""".stripMargin
       }),
+
+    // ---- grid-density clustering (distributed DBSCAN shape) ---------------
+    // Density clustering the way it distributes: quantize the first two
+    // embedding dims to a fixed grid (one linear pass), keep CORE cells
+    // (≥ minPts points), connect 8-neighbor core cells by an EQUI-join
+    // on precomputed neighbor keys (never a distance cross-join), and
+    // label components by min-cell-id transitive closure with 6
+    // DOUBLING rounds on the bounded cell graph — 2⁶ = 64 hops, ample
+    // for every component diameter this grid produces (the replay
+    // spec runs FULL union-find CC and asserts equality, so a
+    // pathological snake component that outruns 64 hops fails CI
+    // rather than silently mislabeling); each round is a self-join of
+    // a few-hundred-row frame, lineage-cut per the loop rule. Points in
+    // non-core cells are reported as the lbl = -1 noise row. Grid
+    // coords are offset non-negative BEFORE the integer divide so
+    // Spark's truncating DIV and DuckDB's flooring // agree.
+    "q281_grid_density_clusters" -> QueryDef(
+      (s, dir) => {
+        val pts = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            (floor(expr("embedding[0]").cast("double") * 1000)
+              .cast("long") + 1000L).as("xm"),
+            (floor(expr("embedding[1]").cast("double") * 1000)
+              .cast("long") + 1000L).as("ym"))
+          .withColumn("cx", expr("xm DIV 60"))
+          .withColumn("cy", expr("ym DIV 60"))
+          .withColumn("cell", expr("cx * 1000 + cy"))
+          .select("vec_id", "cx", "cy", "cell"))
+        val cells = pts.groupBy("cell", "cx", "cy")
+          .agg(count(lit(1)).as("cnt"))
+        val core = Materialize(cells.filter(col("cnt") >= 4))
+        val edges = core
+          .select(col("cell").as("src"), explode(expr(
+            "array((cx-1)*1000+cy-1, (cx-1)*1000+cy, (cx-1)*1000+cy+1," +
+              " cx*1000+cy-1, cx*1000+cy, cx*1000+cy+1," +
+              " (cx+1)*1000+cy-1, (cx+1)*1000+cy, (cx+1)*1000+cy+1)"))
+            .as("dst"))
+          .join(core.select(col("cell").as("dst")), "dst")
+          .select("src", "dst")
+        val closure = (1 to 6).foldLeft(
+          Materialize.checkpointed(edges)) { (cl, _) =>
+          Materialize.checkpointed(
+            cl.as("a").join(cl.as("b"),
+                col("a.dst") === col("b.src"))
+              .select(col("a.src").as("src"), col("b.dst").as("dst"))
+              .unionAll(cl).distinct())
+        }
+        val lbl = closure.groupBy("src").agg(min("dst").as("lbl"))
+        val clustered = pts
+          .join(lbl.withColumnRenamed("src", "cell"), "cell")
+          .groupBy("lbl")
+          .agg(countDistinct("cell").as("n_cells"),
+            count(lit(1)).as("n_points"))
+        val noise = pts
+          .join(core.select("cell"), Seq("cell"), "left_anti")
+          .agg(lit(-1L).as("lbl"),
+            countDistinct("cell").as("n_cells"),
+            count(lit(1)).as("n_points"))
+        clustered.unionAll(noise)
+          .select("lbl", "n_cells", "n_points")
+          .orderBy("lbl")
+      },
+      Some {
+        def cl(t: Int, prev: String) =
+          s"""cl$t AS MATERIALIZED (
+             |  SELECT DISTINCT a.src, b.dst
+             |  FROM $prev a JOIN $prev b ON a.dst = b.src
+             |  UNION SELECT src, dst FROM $prev)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |pts AS (SELECT vec_id,
+           |    (CAST(floor(v[1] * 1000) AS BIGINT) + 1000) // 60 AS cx,
+           |    (CAST(floor(v[2] * 1000) AS BIGINT) + 1000) // 60 AS cy
+           |  FROM e),
+           |p2 AS (SELECT vec_id, cx, cy, cx * 1000 + cy AS cell
+           |  FROM pts),
+           |cells AS (SELECT cell, cx, cy, count(*) AS cnt
+           |  FROM p2 GROUP BY 1, 2, 3),
+           |core AS MATERIALIZED (SELECT * FROM cells WHERE cnt >= 4),
+           |offs AS (SELECT unnest([-1, 0, 1]) AS dx),
+           |nbr AS (SELECT c.cell AS src,
+           |    (c.cx + o1.dx) * 1000 + (c.cy + o2.dx) AS dst
+           |  FROM core c CROSS JOIN offs o1 CROSS JOIN offs o2),
+           |cl0 AS MATERIALIZED (SELECT n.src, n.dst FROM nbr n
+           |  JOIN core k ON n.dst = k.cell),
+           |${cl(1, "cl0")},
+           |${cl(2, "cl1")},
+           |${cl(3, "cl2")},
+           |${cl(4, "cl3")},
+           |${cl(5, "cl4")},
+           |${cl(6, "cl5")},
+           |lbl AS (SELECT src, min(dst) AS lbl FROM cl6 GROUP BY 1),
+           |clustered AS (SELECT l.lbl,
+           |    CAST(count(DISTINCT p.cell) AS BIGINT) AS n_cells,
+           |    CAST(count(*) AS BIGINT) AS n_points
+           |  FROM p2 p JOIN lbl l ON p.cell = l.src GROUP BY 1),
+           |noise AS (SELECT CAST(-1 AS BIGINT) AS lbl,
+           |    CAST(count(DISTINCT p.cell) AS BIGINT) AS n_cells,
+           |    CAST(count(*) AS BIGINT) AS n_points
+           |  FROM p2 p WHERE p.cell NOT IN (SELECT cell FROM core))
+           |SELECT lbl, n_cells, n_points FROM clustered
+           |UNION ALL SELECT lbl, n_cells, n_points FROM noise
+           |ORDER BY lbl""".stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

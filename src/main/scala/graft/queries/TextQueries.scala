@@ -4804,6 +4804,118 @@ object TextQueries {
              |  CAST(sum(CASE WHEN dd > 3 * greatest(mad, 1) THEN 1
              |    ELSE 0 END) * 10000 // max(n) AS BIGINT) AS out_bp
              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Huber IRLS robust location ---------------------------------------
+    // Where q279 SCREENS outliers, this ESTIMATES THROUGH them: the
+    // Huber M-estimator of per-source doc length by two
+    // iteratively-reweighted rounds — weight w = min(1, k/|x−m|) in
+    // 1e6 fixed point with k = max(MAD, 1) (the standard robust
+    // scale), m_{t+1} = Σw·x DIV Σw. The loop runs on the per-source
+    // VALUE-COMPRESSED frame (source, x, f): the corpus is scanned
+    // once; each IRLS round is an aggregation of |distinct values|
+    // rows against a broadcast |sources|-row location frame — the
+    // 100 TB iterative-statistics shape. Start point is the exact
+    // median; all arithmetic integer, divisions non-negative.
+    "q280_huber_irls" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val comp = Materialize(docs.groupBy("source", "n_chars")
+          .agg(count(lit(1)).as("f")))
+        val ns = comp.groupBy("source").agg(sum("f").as("n"))
+        // exact lower median from the compressed CDF (no row window)
+        val med = comp
+          .withColumn("cum", sum("f").over(
+            Window.partitionBy("source").orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(ns, "source")
+          .filter(col("cum") - col("f") < expr("(n + 1) DIV 2") &&
+            col("cum") >= expr("(n + 1) DIV 2"))
+          .select(col("source"), col("n_chars").as("m0"), col("n"))
+        val mad = comp.join(broadcast(med), "source")
+          .withColumn("d", abs(col("n_chars") - col("m0")))
+          .groupBy("source", "d").agg(sum("f").as("df"))
+          .withColumn("cum", sum("df").over(
+            Window.partitionBy("source").orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(ns, "source")
+          .filter(col("cum") - col("df") < expr("(n + 1) DIV 2") &&
+            col("cum") >= expr("(n + 1) DIV 2"))
+          .select(col("source"), greatest(col("d"), lit(1L)).as("k"))
+        def round(loc: DataFrame, mCol: String, out: String) =
+          comp.join(broadcast(loc), "source")
+            .withColumn("w", expr(
+              s"least(CAST(1000000 AS BIGINT), " +
+                s"k * 1000000 DIV greatest(abs(n_chars - $mCol), 1))"))
+            .groupBy("source")
+            .agg(max("k").as("k"),
+              sum(expr("w * f * n_chars")).as("swx"),
+              sum(expr("w * f")).as("sw"),
+              sum(expr("CASE WHEN w < 1000000 THEN f ELSE 0 END"))
+                .as("n_down"))
+            .withColumn(out, expr("swx DIV sw"))
+            .select(col("source"), col("k"), col(out), col("n_down"))
+        val l0 = med.join(mad, "source")
+          .select(col("source"), col("m0"), col("k"), col("n"))
+        val r1 = round(l0, "m0", "m1")
+        val r2 = round(r1.select(col("source"), col("k"), col("m1")),
+          "m1", "m2")
+        l0.join(r1.select(col("source"), col("m1")), "source")
+          .join(r2.select(col("source"), col("m2"), col("n_down")),
+            "source")
+          .select("source", "n", "m0", "m1", "m2", "n_down")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, n_chars FROM documents),
+             |comp AS (SELECT source, n_chars, CAST(count(*) AS BIGINT)
+             |    AS f FROM d GROUP BY 1, 2),
+             |ns AS (SELECT source, CAST(sum(f) AS BIGINT) AS n
+             |  FROM comp GROUP BY 1),
+             |cdf AS (SELECT comp.*, ns.n, sum(f) OVER (
+             |    PARTITION BY comp.source ORDER BY n_chars
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum
+             |  FROM comp JOIN ns ON comp.source = ns.source),
+             |med AS (SELECT source, n_chars AS m0, n FROM cdf
+             |  WHERE cum - f < (n + 1) // 2 AND cum >= (n + 1) // 2),
+             |dv AS (SELECT comp.source, abs(comp.n_chars - med.m0) AS d,
+             |    CAST(sum(f) AS BIGINT) AS df
+             |  FROM comp JOIN med ON comp.source = med.source
+             |  GROUP BY 1, 2),
+             |dcdf AS (SELECT dv.*, ns.n, sum(df) OVER (
+             |    PARTITION BY dv.source ORDER BY d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum
+             |  FROM dv JOIN ns ON dv.source = ns.source),
+             |mad AS (SELECT source, greatest(d, 1) AS k FROM dcdf
+             |  WHERE cum - df < (n + 1) // 2 AND cum >= (n + 1) // 2),
+             |l0 AS (SELECT med.source, m0, k, n
+             |  FROM med JOIN mad ON med.source = mad.source),
+             |w1 AS (SELECT comp.source,
+             |    least(1000000, l0.k * 1000000 //
+             |      greatest(abs(comp.n_chars - l0.m0), 1)) AS w,
+             |    comp.f, comp.n_chars
+             |  FROM comp JOIN l0 ON comp.source = l0.source),
+             |r1 AS (SELECT source,
+             |    CAST(sum(w * f * n_chars) // sum(w * f) AS BIGINT)
+             |      AS m1
+             |  FROM w1 GROUP BY 1),
+             |w2 AS (SELECT comp.source,
+             |    least(1000000, l0.k * 1000000 //
+             |      greatest(abs(comp.n_chars - r1.m1), 1)) AS w,
+             |    comp.f, comp.n_chars
+             |  FROM comp JOIN l0 ON comp.source = l0.source
+             |  JOIN r1 ON comp.source = r1.source),
+             |r2 AS (SELECT source,
+             |    CAST(sum(w * f * n_chars) // sum(w * f) AS BIGINT)
+             |      AS m2,
+             |    CAST(sum(CASE WHEN w < 1000000 THEN f ELSE 0 END)
+             |      AS BIGINT) AS n_down
+             |  FROM w2 GROUP BY 1)
+             |SELECT l0.source, l0.n, l0.m0, r1.m1, r2.m2, r2.n_down
+             |FROM l0 JOIN r1 ON l0.source = r1.source
+             |JOIN r2 ON l0.source = r2.source
+             |ORDER BY l0.source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
