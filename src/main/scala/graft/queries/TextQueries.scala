@@ -4855,8 +4855,11 @@ object TextQueries {
                 .as("n_down"))
             .withColumn(out, expr("swx DIV sw"))
             .select(col("source"), col("k"), col(out), col("n_down"))
-        val l0 = med.join(mad, "source")
-          .select(col("source"), col("m0"), col("k"), col("n"))
+        // med/mad chain is referenced by both IRLS rounds and the final
+        // select — materialize once or the window pipeline re-executes
+        // per consumer
+        val l0 = Materialize(med.join(mad, "source")
+          .select(col("source"), col("m0"), col("k"), col("n")))
         val r1 = round(l0, "m0", "m1")
         val r2 = round(r1.select(col("source"), col("k"), col("m1")),
           "m1", "m2")
