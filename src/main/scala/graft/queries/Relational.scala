@@ -3515,5 +3515,122 @@ object Relational {
              |  CAST((count(*) - sum(hit)) * 10000 // count(*) AS BIGINT)
              |    AS pruned_bp
              |FROM z2 GROUP BY layout ORDER BY layout""".stripMargin)),
+
+    // ---- EWMA control chart (exact rational arithmetic) -------------------
+    // Drift monitoring for the ingest dashboard: daily event counts
+    // smoothed with an α = 1/8 EWMA and flagged where the day's count
+    // departs from yesterday's smoothed level by > 3·MAD. The EWMA
+    // recursion E_t = (7·E_{t-1} + x_t)/8 is evaluated EXACTLY as the
+    // rational N_t / 8^(t-1) via its closed form N_t = x_1·7^(t-1) +
+    // Σ_{i≥2} x_i·7^(t-i)·8^(i-2) — a weighted sum over the BOUNDED
+    // (t, i≤t) day-pair frame (≤ 30² rows; the only corpus-scale stage
+    // is the daily rollup). The 7^k/8^k weight tables are generated as
+    // BigInt literals at plan-build time and inlined identically into
+    // both engines, so no runtime pow() and no float anywhere;
+    // numerators stay under 10^30 for the 30-day horizon (DECIMAL(38)
+    // bound documented). MAD is the exact order statistic on the
+    // 30-row frame.
+    "q284_ewma_control_chart" -> QueryDef(
+      (s, dir) => {
+        val p7 = (0 to 30).map(k => BigInt(7).pow(k).toString)
+        val p8 = (0 to 30).map(k => BigInt(8).pow(k).toString)
+        def w(tCol: String, iCol: String) =
+          s"CASE WHEN $iCol = 1 THEN ${pick(p7, s"$tCol - 1")} " +
+            s"ELSE ${pick(p7, s"$tCol - $iCol")} * " +
+            s"${pick(p8, s"$iCol - 2")} END"
+        val days = graft.operators.Materialize(table(s, dir, "events")
+          .groupBy(expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') + 1 " +
+              "AS BIGINT)").as("t"))
+          .agg(count(lit(1)).as("x")))
+        val nf = days.agg(count(lit(1)).as("nd"))
+        val med = days
+          .withColumn("r", row_number().over(Window.orderBy("x", "t")))
+          .join(broadcast(nf))
+          .filter(col("r") === expr("(nd + 1) DIV 2"))
+          .select(col("x").as("med"))
+        val mad = days.crossJoin(broadcast(med))
+          .withColumn("d", abs(col("x") - col("med")))
+          .withColumn("r", row_number().over(Window.orderBy("d", "t")))
+          .join(broadcast(nf))
+          .filter(col("r") === expr("(nd + 1) DIV 2"))
+          .select(greatest(col("d"), lit(1L)).as("mad"))
+        val pairs = days.as("a").join(days.as("b"),
+            col("b.t") <= col("a.t"))
+          .select(col("a.t").as("t"), col("a.x").as("xt"),
+            col("b.t").as("i"), col("b.x").as("xi"))
+        val num = pairs
+          .withColumn("wgt", expr(w("t", "i")))
+          .groupBy("t", "xt")
+          .agg(sum(expr("CAST(xi AS DECIMAL(38,0)) * wgt")).as("n_t"))
+          .withColumn("ewma", expr(
+            s"CAST(n_t DIV ${pick(p8, "t - 1")} AS BIGINT)"))
+        val prev = num.select(col("t").as("tp"),
+          col("ewma").as("ewma_prev"))
+        num.join(prev, col("t") === col("tp") + 1, "left")
+          .crossJoin(broadcast(mad))
+          .withColumn("flag", expr(
+            "CASE WHEN ewma_prev IS NOT NULL AND " +
+              "abs(xt - ewma_prev) > 3 * mad THEN 1 ELSE 0 END"))
+          .select(col("t"), col("xt").as("x"), col("ewma"),
+            coalesce(col("ewma_prev"), lit(-1L)).as("ewma_prev"),
+            col("mad"), col("flag"))
+          .orderBy("t")
+      },
+      Some {
+        val p7 = (0 to 30).map(k => BigInt(7).pow(k).toString)
+        val p8 = (0 to 30).map(k => BigInt(8).pow(k).toString)
+        def w(tCol: String, iCol: String) =
+          s"CASE WHEN $iCol = 1 THEN ${pickD(p7, s"$tCol - 1")} " +
+            s"ELSE ${pickD(p7, s"$tCol - $iCol")} * " +
+            s"${pickD(p8, s"$iCol - 2")} END"
+        s"""WITH days AS (SELECT
+           |    datediff('day', DATE '2024-01-01',
+           |      CAST(ts AS DATE)) + 1 AS t,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1),
+           |nf AS (SELECT count(*) AS nd FROM days),
+           |rk AS (SELECT days.*, nd, row_number() OVER (ORDER BY x, t)
+           |    AS r FROM days CROSS JOIN nf),
+           |med AS (SELECT x AS med FROM rk WHERE r = (nd + 1) // 2),
+           |dv AS (SELECT days.t, abs(days.x - med.med) AS d
+           |  FROM days CROSS JOIN med),
+           |rk2 AS (SELECT dv.*, nd, row_number() OVER (ORDER BY d, t)
+           |    AS r FROM dv CROSS JOIN nf),
+           |mad AS (SELECT greatest(d, 1) AS mad FROM rk2
+           |  WHERE r = (nd + 1) // 2),
+           |pairs AS (SELECT a.t AS t, a.x AS xt, b.t AS i, b.x AS xi
+           |  FROM days a JOIN days b ON b.t <= a.t),
+           |num AS (SELECT t, xt,
+           |    sum(CAST(xi AS HUGEINT) * ${w("t", "i")}) AS n_t
+           |  FROM pairs GROUP BY 1, 2),
+           |ew AS (SELECT t, xt,
+           |    CAST(n_t // ${pickD(p8, "t - 1")} AS BIGINT) AS ewma
+           |  FROM num)
+           |SELECT a.t, a.xt AS x, a.ewma,
+           |  COALESCE(b.ewma, -1) AS ewma_prev, mad.mad,
+           |  CASE WHEN b.ewma IS NOT NULL
+           |    AND abs(a.xt - b.ewma) > 3 * mad.mad
+           |    THEN 1 ELSE 0 END AS flag
+           |FROM ew a LEFT JOIN ew b ON a.t = b.t + 1
+           |CROSS JOIN mad
+           |ORDER BY a.t""".stripMargin
+      }),
   )
+
+  /** Inline a BigInt power table as a nested CASE lookup on an index
+    * expression — Spark spelling (DECIMAL(38,0) literals). The tables are
+    * tiny (≤ 31 entries) and generated at plan-build time, so both
+    * engines evaluate identical exact constants with no runtime pow().
+    */
+  private def pick(tbl: Seq[String], idx: String): String =
+    tbl.zipWithIndex.map { case (v, k) =>
+      s"WHEN $k THEN CAST('$v' AS DECIMAL(38,0))"
+    }.mkString(s"(CASE ($idx) ", " ", " END)")
+
+  /** DuckDB spelling of [[pick]] (HUGEINT literals). */
+  private def pickD(tbl: Seq[String], idx: String): String =
+    tbl.zipWithIndex.map { case (v, k) =>
+      s"WHEN $k THEN CAST('$v' AS HUGEINT)"
+    }.mkString(s"(CASE ($idx) ", " ", " END)")
 }

@@ -3174,6 +3174,161 @@ object SimilarityQueries {
            |UNION ALL SELECT lbl, n_cells, n_points FROM noise
            |ORDER BY lbl""".stripMargin
       }),
+
+    // ---- k-fold cross-validation by moment subtraction --------------------
+    // The distributed-CV insight: a linear model's sufficient statistics
+    // are ADDITIVE, so training on "all folds but f" needs no second
+    // data pass — per-fold moments from ONE corpus aggregation, each
+    // fold's training moments = totals − fold (9 subtractions on a
+    // k-row frame), then the q274 Cramer solve per fold and one scoring
+    // pass for held-out SSE. Two corpus passes total for the entire
+    // k-fold procedure, independent of k — vs the naive k re-trains.
+    // Folds are md5-hash-assigned (reproducible, partition-stable);
+    // predictions in exact micro fixed point with sign-split rounding;
+    // per-fold MSE in micro² units.
+    "q283_kfold_cv_moments" -> QueryDef(
+      (s, dir) => {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) DIV ($d) " +
+            s"ELSE -((-($v)) DIV ($d)) END"
+        def dec(x: String) = s"CAST($x AS DECIMAL(38,0))"
+        def det3(a: String, b: String, c: String, d: String, e: String,
+            f: String, g: String, h: String, i: String) =
+          s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+        val rows = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8)" +
+              ", 16, 10) AS BIGINT) % 4").as("fold"),
+            floor(expr("embedding[0]").cast("double") * 1000)
+              .cast("long").as("x1"),
+            floor(expr("embedding[1]").cast("double") * 1000)
+              .cast("long").as("x2"),
+            floor(expr("embedding[2]").cast("double") * 1000)
+              .cast("long").as("y")))
+        val fm = Materialize(rows.groupBy("fold")
+          .agg(count(lit(1)).as("n"),
+            sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+            sum(expr("x1 * x1")).as("s11"),
+            sum(expr("x2 * x2")).as("s22"),
+            sum(expr("x1 * x2")).as("s12"),
+            sum(expr("x1 * y")).as("s1y"),
+            sum(expr("x2 * y")).as("s2y")))
+        val tot = fm.agg(sum("n").as("tn"), sum("s1").as("ts1"),
+          sum("s2").as("ts2"), sum("sy").as("tsy"),
+          sum("s11").as("ts11"), sum("s22").as("ts22"),
+          sum("s12").as("ts12"), sum("s1y").as("ts1y"),
+          sum("s2y").as("ts2y"))
+        val train = fm.crossJoin(broadcast(tot))
+          .withColumn("rn", expr("tn - n"))
+          .withColumn("r1", expr("ts1 - s1"))
+          .withColumn("r2", expr("ts2 - s2"))
+          .withColumn("ry", expr("tsy - sy"))
+          .withColumn("r11", expr("ts11 - s11"))
+          .withColumn("r22", expr("ts22 - s22"))
+          .withColumn("r12", expr("ts12 - s12"))
+          .withColumn("r1y", expr("ts1y - s1y"))
+          .withColumn("r2y", expr("ts2y - s2y"))
+        val (nD, s1D, s2D, syD) = (dec("rn"), dec("r1"), dec("r2"),
+          dec("ry"))
+        val (a11, a22, s12D) = (dec("r11"), dec("r22"), dec("r12"))
+        val (s1yD, s2yD) = (dec("r1y"), dec("r2y"))
+        val detA = det3(nD, s1D, s2D, s1D, a11, s12D, s2D, s12D, a22)
+        val det0 = det3(syD, s1D, s2D, s1yD, a11, s12D, s2yD, s12D, a22)
+        val det1 = det3(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, a22)
+        val det2 = det3(nD, s1D, syD, s1D, a11, s1yD, s2D, s12D, s2yD)
+        val coef = train
+          .withColumn("det", expr(detA))
+          .withColumn("b0", expr(
+            s"CAST(${sd(s"($det0) * 1000000", "det")} AS BIGINT)"))
+          .withColumn("b1", expr(
+            s"CAST(${sd(s"($det1) * 1000000", "det")} AS BIGINT)"))
+          .withColumn("b2", expr(
+            s"CAST(${sd(s"($det2) * 1000000", "det")} AS BIGINT)"))
+          .select("fold", "n", "b0", "b1", "b2")
+        rows.join(broadcast(coef), "fold")
+          .withColumn("yhat", expr(
+            s"b0 + ${sd("(b1 * x1 + b2 * x2)", "1000")}"))
+          .withColumn("resid", expr("y * 1000 - yhat"))
+          .groupBy("fold")
+          .agg(max("n").as("n_test"), max("b0").as("b0_micro"),
+            max("b1").as("b1_micro"), max("b2").as("b2_micro"),
+            sum(expr("resid * resid")).as("sse_micro2"))
+          .withColumn("mse_micro2", expr("sse_micro2 DIV n_test"))
+          .select("fold", "n_test", "b0_micro", "b1_micro", "b2_micro",
+            "sse_micro2", "mse_micro2")
+          .orderBy("fold")
+      },
+      Some {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        def hug(x: String) = s"CAST($x AS HUGEINT)"
+        def det3(a: String, b: String, c: String, d: String, e: String,
+            f: String, g: String, h: String, i: String) =
+          s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+        val (nD, s1D, s2D, syD) = (hug("rn"), hug("r1"), hug("r2"),
+          hug("ry"))
+        val (a11, a22, s12D) = (hug("r11"), hug("r22"), hug("r12"))
+        val (s1yD, s2yD) = (hug("r1y"), hug("r2y"))
+        val detA = det3(nD, s1D, s2D, s1D, a11, s12D, s2D, s12D, a22)
+        val det0 = det3(syD, s1D, s2D, s1yD, a11, s12D, s2yD, s12D, a22)
+        val det1 = det3(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, a22)
+        val det2 = det3(nD, s1D, syD, s1D, a11, s1yD, s2D, s12D, s2yD)
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |r AS (SELECT vec_id,
+           |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+           |      AS BIGINT) % 4 AS fold,
+           |    CAST(floor(v[1] * 1000) AS BIGINT) AS x1,
+           |    CAST(floor(v[2] * 1000) AS BIGINT) AS x2,
+           |    CAST(floor(v[3] * 1000) AS BIGINT) AS y
+           |  FROM e),
+           |fm AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS s1,
+           |    CAST(sum(x2) AS BIGINT) AS s2,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+           |  FROM r GROUP BY 1),
+           |tot AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2,
+           |    sum(sy) AS tsy, sum(s11) AS ts11, sum(s22) AS ts22,
+           |    sum(s12) AS ts12, sum(s1y) AS ts1y, sum(s2y) AS ts2y
+           |  FROM fm),
+           |tr AS (SELECT fold, n,
+           |    CAST(tn - n AS BIGINT) AS rn,
+           |    CAST(ts1 - s1 AS BIGINT) AS r1,
+           |    CAST(ts2 - s2 AS BIGINT) AS r2,
+           |    CAST(tsy - sy AS BIGINT) AS ry,
+           |    CAST(ts11 - s11 AS BIGINT) AS r11,
+           |    CAST(ts22 - s22 AS BIGINT) AS r22,
+           |    CAST(ts12 - s12 AS BIGINT) AS r12,
+           |    CAST(ts1y - s1y AS BIGINT) AS r1y,
+           |    CAST(ts2y - s2y AS BIGINT) AS r2y
+           |  FROM fm CROSS JOIN tot),
+           |coef AS (SELECT fold, n,
+           |    CAST(${sd(s"($det0) * 1000000", s"($detA)")} AS BIGINT)
+           |      AS b0,
+           |    CAST(${sd(s"($det1) * 1000000", s"($detA)")} AS BIGINT)
+           |      AS b1,
+           |    CAST(${sd(s"($det2) * 1000000", s"($detA)")} AS BIGINT)
+           |      AS b2
+           |  FROM tr),
+           |sc AS (SELECT r.fold, coef.n, coef.b0, coef.b1, coef.b2,
+           |    r.y * 1000 - (coef.b0 +
+           |      ${sd("(coef.b1 * r.x1 + coef.b2 * r.x2)", "1000")})
+           |      AS resid
+           |  FROM r JOIN coef ON r.fold = coef.fold)
+           |SELECT fold, CAST(max(n) AS BIGINT) AS n_test,
+           |  CAST(max(b0) AS BIGINT) AS b0_micro,
+           |  CAST(max(b1) AS BIGINT) AS b1_micro,
+           |  CAST(max(b2) AS BIGINT) AS b2_micro,
+           |  CAST(sum(resid * resid) AS BIGINT) AS sse_micro2,
+           |  CAST(sum(resid * resid) // max(n) AS BIGINT) AS mse_micro2
+           |FROM sc GROUP BY fold ORDER BY fold""".stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like
