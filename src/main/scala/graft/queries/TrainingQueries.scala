@@ -4018,5 +4018,450 @@ object TrainingQueries {
            |    (CAST(varx_n AS HUGEINT) * vary_n) AS BIGINT) AS rho2_bp
            |FROM d""".stripMargin
       }),
+
+    // ---- Shapley data valuation by moment additivity -----------------------
+    // Which source group's documents actually buy model quality? The exact
+    // Shapley value of each of 4 player groups (top-3 sources by doc
+    // count + '(other)') for a 2-feature OLS, from ONE corpus pass: OLS
+    // sufficient statistics are ADDITIVE, so every one of the 2⁴ subset
+    // models trains by SUMMING per-group moments (never re-scanning), and
+    // the full-corpus evaluation SSE of a subset's model is a CLOSED FORM
+    // in the coefficients and the full-corpus moments — SSE = 10¹²·Syy −
+    // 2·10⁶·(b₀Sy + b₁S1y + b₂S2y) + b₀²N + b₁²S11 + b₂²S22 + 2(b₀b₁S1 +
+    // b₀b₂S2 + b₁b₂S12) for micro-integer b — so v(S) for all 16 subsets
+    // costs zero additional corpus IO. φᵢ is kept as the integer 24·φᵢ
+    // (weights s!(3−s)! ∈ {6,2,2,6}), scaled to whole units² by a
+    // sign-split 10¹² divide; eff_gap = Σ24φᵢ − 24(v(∅)−v(full)) is the
+    // efficiency-axiom witness and must be exactly 0. Degenerate subsets
+    // (det = 0, incl. ∅) fall back to the zero model, whose SSE is the
+    // same closed form at b = 0. Widths: the Cramer determinants are the
+    // q283 cubic-moment products — DECIMAL(38,0)-safe to ~10⁸ docs with
+    // these feature ranges; past that the moments need column rescaling,
+    // not a different algorithm. Scale shape: one corpus aggregation to
+    // the 20-row source frame; subsets, Cramer, SSE, and the Shapley sum
+    // all run on ≤ 64-row bounded frames.
+    "q285_shapley_data_value" -> QueryDef(
+      (s, dir) => {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) DIV ($d) " +
+            s"ELSE -((-($v)) DIV ($d)) END"
+        def dec(x: String) = s"CAST($x AS DECIMAL(38,0))"
+        def det3(a: String, b: String, c: String, d: String, e: String,
+            f: String, g: String, h: String, i: String) =
+          s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+        val bit = "CASE gid WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+          "WHEN 2 THEN 4 ELSE 8 END"
+        val toks = tokens(col("text"))
+        val srcm = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("x1"),
+            size(toks).cast("long").as("x2"),
+            size(array_distinct(toks)).cast("long").as("y"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("x1").as("s1"),
+            sum("x2").as("s2"), sum("y").as("sy"),
+            sum(expr("x1 * x1")).as("s11"),
+            sum(expr("x2 * x2")).as("s22"),
+            sum(expr("x1 * x2")).as("s12"),
+            sum(expr("x1 * y")).as("s1y"),
+            sum(expr("x2 * y")).as("s2y"),
+            sum(expr("y * y")).as("syy")))
+        val gm = Materialize(srcm
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n").desc, col("source").asc)))
+          .withColumn("gid", expr(
+            "CAST(CASE WHEN rn <= 3 THEN rn - 1 ELSE 3 END AS BIGINT)"))
+          .groupBy("gid")
+          .agg(min(when(col("rn") <= 3, col("source"))).as("msrc"),
+            sum("n").as("n_docs"), sum("s1").as("s1"),
+            sum("s2").as("s2"), sum("sy").as("sy"),
+            sum("s11").as("s11"), sum("s22").as("s22"),
+            sum("s12").as("s12"), sum("s1y").as("s1y"),
+            sum("s2y").as("s2y"), sum("syy").as("syy"))
+          .withColumn("grp", coalesce(col("msrc"), lit("(other)")))
+          .drop("msrc"))
+        val full = gm.agg(sum("n_docs").as("fn"), sum("s1").as("fs1"),
+          sum("s2").as("fs2"), sum("sy").as("fsy"),
+          sum("s11").as("fs11"), sum("s22").as("fs22"),
+          sum("s12").as("fs12"), sum("s1y").as("fs1y"),
+          sum("s2y").as("fs2y"), sum("syy").as("fsyy"))
+        val subs = s.range(0, 16).select(col("id").as("m"))
+        val tm = subs.join(gm, expr(s"(m DIV ($bit)) % 2 = 1"), "left")
+          .groupBy("m")
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("tn"),
+            coalesce(sum("s1"), lit(0L)).as("t1"),
+            coalesce(sum("s2"), lit(0L)).as("t2"),
+            coalesce(sum("sy"), lit(0L)).as("ty"),
+            coalesce(sum("s11"), lit(0L)).as("t11"),
+            coalesce(sum("s22"), lit(0L)).as("t22"),
+            coalesce(sum("s12"), lit(0L)).as("t12"),
+            coalesce(sum("s1y"), lit(0L)).as("t1y"),
+            coalesce(sum("s2y"), lit(0L)).as("t2y"))
+        val (nD, s1D, s2D, syD) = (dec("tn"), dec("t1"), dec("t2"),
+          dec("ty"))
+        val (a11, a22, s12D) = (dec("t11"), dec("t22"), dec("t12"))
+        val (s1yD, s2yD) = (dec("t1y"), dec("t2y"))
+        val detA = det3(nD, s1D, s2D, s1D, a11, s12D, s2D, s12D, a22)
+        val det0 = det3(syD, s1D, s2D, s1yD, a11, s12D, s2yD, s12D, a22)
+        val det1 = det3(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, a22)
+        val det2 = det3(nD, s1D, syD, s1D, a11, s1yD, s2D, s12D, s2yD)
+        def b(di: String) = s"CASE WHEN det = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST(${sd(s"($di) * 1000000", "det")} AS BIGINT) END"
+        val vm = Materialize(tm
+          .withColumn("det", expr(detA))
+          .withColumn("b0", expr(b(det0)))
+          .withColumn("b1", expr(b(det1)))
+          .withColumn("b2", expr(b(det2)))
+          .crossJoin(broadcast(full))
+          .withColumn("sse", expr(
+            s"""CAST(${dec("fsyy")} * 1000000000000
+               | - 2 * 1000000 * (${dec("b0")} * fsy
+               |     + ${dec("b1")} * fs1y + ${dec("b2")} * fs2y)
+               | + ${dec("b0")} * b0 * fn + ${dec("b1")} * b1 * fs11
+               | + ${dec("b2")} * b2 * fs22
+               | + 2 * (${dec("b0")} * b1 * fs1 + ${dec("b0")} * b2 * fs2
+               |     + ${dec("b1")} * b2 * fs12)
+               | AS DECIMAL(38,0))""".stripMargin))
+          .select("m", "sse"))
+        val phi = gm.select("gid", "grp", "n_docs")
+          .join(vm.select(col("m"), col("sse").as("sse_s")),
+            expr(s"(m DIV ($bit)) % 2 = 0"))
+          .withColumn("mi", expr(s"m + ($bit)"))
+          .join(vm.select(col("m").as("mi"), col("sse").as("sse_si")),
+            "mi")
+          .withColumn("w", expr(
+            """CASE m % 2 + (m DIV 2) % 2 + (m DIV 4) % 2 + (m DIV 8) % 2
+              | WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+              | ELSE 6 END""".stripMargin))
+          .groupBy("gid", "grp", "n_docs")
+          .agg(sum(expr(s"${dec("w")} * (sse_s - sse_si)")).as("phi24"))
+        val own = gm.select(col("gid").as("gid2"))
+          .withColumn("mo", expr(
+            "CASE gid2 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 " +
+              "ELSE 8 END"))
+          .join(vm.select(col("m").as("mo"), col("sse").as("sse_own")),
+            "mo")
+        val effBase = phi.agg(sum("phi24").as("sphi"))
+          .crossJoin(broadcast(vm.filter(col("m") === 0)
+            .select(col("sse").as("sse0"))))
+          .crossJoin(broadcast(vm.filter(col("m") === 15)
+            .select(col("sse").as("ssef"))))
+          .select(expr("CAST(sphi - 24 * (sse0 - ssef) AS BIGINT)")
+            .as("eff_gap"))
+        phi.join(own, col("gid") === col("gid2"))
+          .crossJoin(broadcast(effBase))
+          .select(col("gid"), col("grp"), col("n_docs"),
+            expr(s"CAST(${sd("sse_own", "1000000000000")} AS BIGINT)")
+              .as("sse_own_u2"),
+            expr(s"CAST(${sd("phi24", "1000000000000")} AS BIGINT)")
+              .as("phi24_u2"),
+            col("eff_gap"))
+          .orderBy("gid")
+      },
+      Some {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        def hug(x: String) = s"CAST($x AS HUGEINT)"
+        def det3(a: String, b: String, c: String, d: String, e: String,
+            f: String, g: String, h: String, i: String) =
+          s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+        val bit = "CASE gid WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+          "WHEN 2 THEN 4 ELSE 8 END"
+        val (nD, s1D, s2D, syD) = (hug("tn"), hug("t1"), hug("t2"),
+          hug("ty"))
+        val (a11, a22, s12D) = (hug("t11"), hug("t22"), hug("t12"))
+        val (s1yD, s2yD) = (hug("t1y"), hug("t2y"))
+        val detA = det3(nD, s1D, s2D, s1D, a11, s12D, s2D, s12D, a22)
+        val det0 = det3(syD, s1D, s2D, s1yD, a11, s12D, s2yD, s12D, a22)
+        val det1 = det3(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, a22)
+        val det2 = det3(nD, s1D, syD, s1D, a11, s1yD, s2D, s12D, s2yD)
+        def b(di: String) = s"CASE WHEN det = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE CAST(${sd(s"($di) * 1000000", "det")} AS BIGINT) END"
+        s"""WITH pr AS (SELECT source,
+           |    CAST(n_chars AS BIGINT) AS x1,
+           |    CAST(len($duckToks) AS BIGINT) AS x2,
+           |    CAST(len(list_distinct($duckToks)) AS BIGINT) AS y
+           |  FROM documents),
+           |srcm AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS s1,
+           |    CAST(sum(x2) AS BIGINT) AS s2,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM pr GROUP BY 1),
+           |rk AS (SELECT *, row_number() OVER
+           |    (ORDER BY n DESC, source ASC) AS rn FROM srcm),
+           |gm AS (SELECT
+           |    CAST(CASE WHEN rn <= 3 THEN rn - 1 ELSE 3 END AS BIGINT)
+           |      AS gid,
+           |    COALESCE(min(CASE WHEN rn <= 3 THEN source END),
+           |      '(other)') AS grp,
+           |    CAST(sum(n) AS BIGINT) AS n_docs,
+           |    CAST(sum(s1) AS BIGINT) AS s1,
+           |    CAST(sum(s2) AS BIGINT) AS s2,
+           |    CAST(sum(sy) AS BIGINT) AS sy,
+           |    CAST(sum(s11) AS BIGINT) AS s11,
+           |    CAST(sum(s22) AS BIGINT) AS s22,
+           |    CAST(sum(s12) AS BIGINT) AS s12,
+           |    CAST(sum(s1y) AS BIGINT) AS s1y,
+           |    CAST(sum(s2y) AS BIGINT) AS s2y,
+           |    CAST(sum(syy) AS BIGINT) AS syy
+           |  FROM rk GROUP BY 1),
+           |f AS (SELECT CAST(sum(n_docs) AS BIGINT) AS fn,
+           |    CAST(sum(s1) AS BIGINT) AS fs1,
+           |    CAST(sum(s2) AS BIGINT) AS fs2,
+           |    CAST(sum(sy) AS BIGINT) AS fsy,
+           |    CAST(sum(s11) AS BIGINT) AS fs11,
+           |    CAST(sum(s22) AS BIGINT) AS fs22,
+           |    CAST(sum(s12) AS BIGINT) AS fs12,
+           |    CAST(sum(s1y) AS BIGINT) AS fs1y,
+           |    CAST(sum(s2y) AS BIGINT) AS fs2y,
+           |    CAST(sum(syy) AS BIGINT) AS fsyy
+           |  FROM gm),
+           |subs AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS m),
+           |tm AS (SELECT m,
+           |    CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS tn,
+           |    CAST(COALESCE(sum(s1), 0) AS BIGINT) AS t1,
+           |    CAST(COALESCE(sum(s2), 0) AS BIGINT) AS t2,
+           |    CAST(COALESCE(sum(sy), 0) AS BIGINT) AS ty,
+           |    CAST(COALESCE(sum(s11), 0) AS BIGINT) AS t11,
+           |    CAST(COALESCE(sum(s22), 0) AS BIGINT) AS t22,
+           |    CAST(COALESCE(sum(s12), 0) AS BIGINT) AS t12,
+           |    CAST(COALESCE(sum(s1y), 0) AS BIGINT) AS t1y,
+           |    CAST(COALESCE(sum(s2y), 0) AS BIGINT) AS t2y
+           |  FROM subs LEFT JOIN gm ON (m // ($bit)) % 2 = 1
+           |  GROUP BY m),
+           |cf AS (SELECT m, $detA AS det, tn, t1, t2, ty, t11, t22,
+           |    t12, t1y, t2y FROM tm),
+           |cf2 AS (SELECT m, ${b(det0)} AS b0, ${b(det1)} AS b1,
+           |    ${b(det2)} AS b2 FROM cf),
+           |vm AS (SELECT m,
+           |    CAST(${hug("fsyy")} * 1000000000000
+           |      - 2 * 1000000 * (${hug("b0")} * fsy
+           |          + ${hug("b1")} * fs1y + ${hug("b2")} * fs2y)
+           |      + ${hug("b0")} * b0 * fn + ${hug("b1")} * b1 * fs11
+           |      + ${hug("b2")} * b2 * fs22
+           |      + 2 * (${hug("b0")} * b1 * fs1 + ${hug("b0")} * b2 * fs2
+           |          + ${hug("b1")} * b2 * fs12) AS HUGEINT) AS sse
+           |  FROM cf2 CROSS JOIN f),
+           |ph AS (SELECT gid, grp, n_docs,
+           |    CAST(sum(${hug("w")} * (sse_s - sse_si)) AS HUGEINT)
+           |      AS phi24
+           |  FROM (SELECT g.gid, g.grp, g.n_docs, a.sse AS sse_s,
+           |      b.sse AS sse_si,
+           |      CASE a.m % 2 + (a.m // 2) % 2 + (a.m // 4) % 2
+           |          + (a.m // 8) % 2
+           |        WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+           |        ELSE 6 END AS w
+           |    FROM gm g JOIN vm a
+           |      ON (a.m // (CASE g.gid WHEN 0 THEN 1 WHEN 1 THEN 2
+           |        WHEN 2 THEN 4 ELSE 8 END)) % 2 = 0
+           |    JOIN vm b ON b.m = a.m + (CASE g.gid WHEN 0 THEN 1
+           |      WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+           |  GROUP BY 1, 2, 3),
+           |own AS (SELECT g.gid AS gid2, v.sse AS sse_own
+           |  FROM gm g JOIN vm v ON v.m = (CASE g.gid WHEN 0 THEN 1
+           |    WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)),
+           |eff AS (SELECT CAST((SELECT sum(phi24) FROM ph)
+           |    - 24 * ((SELECT sse FROM vm WHERE m = 0)
+           |      - (SELECT sse FROM vm WHERE m = 15)) AS BIGINT)
+           |    AS eff_gap)
+           |SELECT gid, grp, n_docs,
+           |  CAST(${sd("sse_own", "1000000000000")} AS BIGINT)
+           |    AS sse_own_u2,
+           |  CAST(${sd("phi24", "1000000000000")} AS BIGINT)
+           |    AS phi24_u2,
+           |  eff_gap
+           |FROM ph JOIN own ON gid = gid2 CROSS JOIN eff
+           |ORDER BY gid""".stripMargin
+      }),
+
+    // ---- Spearman rank correlation (tie-corrected, exact) ------------------
+    // Monotone association between two per-doc metrics (n_chars vs token
+    // count) per source, with NO floats and NO global sort of the corpus:
+    // average ranks under ties are kept integer by DOUBLING — at a value
+    // with t ties and cb items strictly below, every member's doubled
+    // average rank is u = 2·cb + t + 1 (rho is invariant under the common
+    // ×2). The corpus is compressed to the per-(source, va, vb) JOINT
+    // frequency frame first; rank lookups are equi-joins against the two
+    // per-value frames, and the six Pearson moments are weighted sums
+    // over the joint frame — the corpus itself is scanned once. The
+    // output is sign(num) plus rho² in bp via the two-stage divide
+    // num²/du/dv (each stage Cauchy–Schwarz-bounded, so DECIMAL(38,0)
+    // holds to ~5·10⁴ docs per source; past that the rank moments need
+    // the same rescaling discipline as q285's). Identical two-stage
+    // spelling on both engines keeps truncation parity.
+    "q286_spearman_rank" -> QueryDef(
+      (s, dir) => {
+        val jm = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("va"),
+            size(tokens(col("text"))).cast("long").as("vb"))
+          .groupBy("source", "va", "vb")
+          .agg(count(lit(1)).as("cnt")))
+        def ranked(v: String, u: String) = {
+          val w = Window.partitionBy("source").orderBy(v)
+          jm.groupBy("source", v).agg(sum("cnt").as("t"))
+            .withColumn("cb", coalesce(sum(col("t")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("source"), col(v),
+              expr("2 * cb + t + 1").as(u))
+        }
+        val mom = jm
+          .join(ranked("va", "ua"), Seq("source", "va"))
+          .join(ranked("vb", "ub"), Seq("source", "vb"))
+          .groupBy("source")
+          .agg(sum("cnt").as("n"),
+            sum(expr("cnt * ua")).as("su"),
+            sum(expr("cnt * ub")).as("sv"),
+            sum(expr("cnt * ua * ua")).as("suu"),
+            sum(expr("cnt * ub * ub")).as("svv"),
+            sum(expr("cnt * ua * ub")).as("suv"))
+        mom
+          .withColumn("num", expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * suv - " +
+              "CAST(su AS DECIMAL(38,0)) * sv AS DECIMAL(38,0))"))
+          .withColumn("du", expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * suu - " +
+              "CAST(su AS DECIMAL(38,0)) * su AS DECIMAL(38,0))"))
+          .withColumn("dv", expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * svv - " +
+              "CAST(sv AS DECIMAL(38,0)) * sv AS DECIMAL(38,0))"))
+          .select(col("source"), col("n"),
+            expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+              "ELSE 0 END AS BIGINT)").as("sgn"),
+            expr("""CAST(num * num DIV greatest(du, 1) * 10000
+                   | DIV greatest(dv, 1) AS BIGINT)""".stripMargin)
+              .as("rho2_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH pr AS (SELECT source,
+              |    CAST(n_chars AS BIGINT) AS va,
+              |    CAST(len($duckToks) AS BIGINT) AS vb
+              |  FROM documents),
+              |jm AS (SELECT source, va, vb,
+              |    CAST(count(*) AS BIGINT) AS cnt
+              |  FROM pr GROUP BY 1, 2, 3),
+              |ra AS (SELECT source, va, 2 * COALESCE(sum(t) OVER
+              |      (PARTITION BY source ORDER BY va
+              |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) + t + 1 AS ua
+              |  FROM (SELECT source, va, CAST(sum(cnt) AS BIGINT) AS t
+              |        FROM jm GROUP BY 1, 2)),
+              |rb AS (SELECT source, vb, 2 * COALESCE(sum(t) OVER
+              |      (PARTITION BY source ORDER BY vb
+              |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |      0) + t + 1 AS ub
+              |  FROM (SELECT source, vb, CAST(sum(cnt) AS BIGINT) AS t
+              |        FROM jm GROUP BY 1, 2)),
+              |mom AS (SELECT jm.source, CAST(sum(cnt) AS BIGINT) AS n,
+              |    CAST(sum(cnt * ua) AS BIGINT) AS su,
+              |    CAST(sum(cnt * ub) AS BIGINT) AS sv,
+              |    CAST(sum(cnt * ua * ua) AS BIGINT) AS suu,
+              |    CAST(sum(cnt * ub * ub) AS BIGINT) AS svv,
+              |    CAST(sum(cnt * ua * ub) AS BIGINT) AS suv
+              |  FROM jm JOIN ra ON jm.source = ra.source
+              |      AND jm.va = ra.va
+              |    JOIN rb ON jm.source = rb.source AND jm.vb = rb.vb
+              |  GROUP BY 1),
+              |d AS (SELECT source, n,
+              |    CAST(n AS HUGEINT) * suv - CAST(su AS HUGEINT) * sv
+              |      AS num,
+              |    CAST(n AS HUGEINT) * suu - CAST(su AS HUGEINT) * su
+              |      AS du,
+              |    CAST(n AS HUGEINT) * svv - CAST(sv AS HUGEINT) * sv
+              |      AS dv
+              |  FROM mom)
+              |SELECT source, n,
+              |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+              |    ELSE 0 END AS BIGINT) AS sgn,
+              |  CAST(num * num // greatest(du, 1) * 10000
+              |    // greatest(dv, 1) AS BIGINT) AS rho2_bp
+              |FROM d ORDER BY source""".stripMargin)),
+
+    // ---- Nelson–Aalen cumulative hazard ------------------------------------
+    // Time-to-convert survival analysis WITH censoring — the estimator
+    // funnels like q151 silently get wrong by dropping non-converters:
+    // a user who never purchases is not a missing data point, they are
+    // a right-censored observation that keeps inflating the risk set.
+    // Cohort = users with a view; event time = days from first view to
+    // first purchase-at-or-after-view; censor time = days to their last
+    // observed event otherwise. The Nelson–Aalen cumulative hazard
+    // H(t) = Σ_{s≤t} d_s/n_s is exact integers in ppm with truncating
+    // division (a cumulative SUM of per-step hazards — unlike the
+    // Kaplan–Meier product, it needs no float at any step). Scale
+    // shape: one user rollup over events (the only corpus-scale
+    // shuffle), then every window runs on the bounded distinct-day
+    // frame; the risk set comes from the cumulative at-risk complement,
+    // never a per-user re-scan.
+    "q287_nelson_aalen" -> QueryDef(
+      (s, dir) => {
+        val users = Materialize(table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "view",
+              unix_micros(col("ts")))).as("v"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("p"),
+            max(unix_micros(col("ts"))).as("last"))
+          .filter(col("v").isNotNull)
+          .withColumn("conv", expr(
+            "CASE WHEN p IS NOT NULL AND p >= v THEN CAST(1 AS BIGINT) " +
+              "ELSE CAST(0 AS BIGINT) END"))
+          .withColumn("td", expr(
+            """CASE WHEN p IS NOT NULL AND p >= v
+              | THEN (p - v) DIV 86400000000
+              | ELSE (last - v) DIV 86400000000 END""".stripMargin))
+          .select("user_id", "conv", "td"))
+        val nf = users.agg(count(lit(1)).as("nu"))
+        val w = Window.orderBy("td")
+        users.groupBy("td")
+          .agg(sum("conv").as("d"), sum(expr("1 - conv")).as("c"))
+          .crossJoin(broadcast(nf))
+          .withColumn("before", coalesce(sum(expr("d + c")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n_risk", expr("nu - before"))
+          .withColumn("h_step_ppm", expr("d * 1000000 DIV n_risk"))
+          .withColumn("h_cum_ppm", sum("h_step_ppm").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("td").as("t_days"), col("d"), col("c"),
+            col("n_risk"), col("h_step_ppm"), col("h_cum_ppm"))
+          .orderBy("t_days")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view'
+             |      THEN epoch_us(ts) END) AS v,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN epoch_us(ts) END) AS p,
+             |    max(epoch_us(ts)) AS last
+             |  FROM events GROUP BY 1),
+             |coh AS (SELECT user_id,
+             |    CAST(CASE WHEN p IS NOT NULL AND p >= v THEN 1
+             |      ELSE 0 END AS BIGINT) AS conv,
+             |    CAST(CASE WHEN p IS NOT NULL AND p >= v
+             |      THEN (p - v) // 86400000000
+             |      ELSE (last - v) // 86400000000 END AS BIGINT) AS td
+             |  FROM u WHERE v IS NOT NULL),
+             |nf AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM coh),
+             |tt AS (SELECT td, CAST(sum(conv) AS BIGINT) AS d,
+             |    CAST(sum(1 - conv) AS BIGINT) AS c
+             |  FROM coh GROUP BY 1),
+             |rk AS (SELECT tt.*, nu,
+             |    COALESCE(sum(d + c) OVER (ORDER BY td
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS before
+             |  FROM tt CROSS JOIN nf),
+             |hz AS (SELECT td, d, c, nu - before AS n_risk,
+             |    d * 1000000 // (nu - before) AS h_step_ppm
+             |  FROM rk)
+             |SELECT td AS t_days, d, c,
+             |  CAST(n_risk AS BIGINT) AS n_risk,
+             |  CAST(h_step_ppm AS BIGINT) AS h_step_ppm,
+             |  CAST(sum(h_step_ppm) OVER (ORDER BY td
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS h_cum_ppm
+             |FROM hz ORDER BY t_days""".stripMargin)),
   )
 }
