@@ -3329,6 +3329,98 @@ object SimilarityQueries {
            |  CAST(sum(resid * resid) // max(n) AS BIGINT) AS mse_micro2
            |FROM sc GROUP BY fold ORDER BY fold""".stripMargin
       }),
+
+    // ---- Johnson–Lindenstrauss projection distortion audit -----------------
+    // Does an 8-dim ±1 random projection preserve the 64-dim distances
+    // well enough for downstream LSH/ANN? The projection is the LINEAR
+    // corpus-scale pass (each milli component feeds 8 sums through a
+    // broadcast 512-row sign table — md5-parity signs, so both engines
+    // and every rerun agree); the distortion audit then compares
+    // ‖pa−pb‖²/8 against ‖a−b‖² on the bounded vec_id < 100 probe slice
+    // (the q211/q159 boundedness rule: pairwise work NEVER runs on the
+    // corpus). E[‖Δp‖²] = 8·‖Δ‖² for ±1 signs, so ratio_bp centers on
+    // 10⁴; the output is the 20-bucket ratio histogram with per-bucket
+    // exact mean — the acceptance curve for choosing the projected
+    // dimension. All integer: milli components (floor(x·1000) is
+    // bit-identical on both engines), int64-safe by width (|Δp_j| ≤
+    // 1.28·10⁵ ⇒ Σ_j Δp² ≤ 1.3·10¹¹).
+    "q289_jl_distortion" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xv",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "i", "xv"))
+        val signs = s.range(0, 64).select(col("id").as("i"))
+          .crossJoin(s.range(0, 8).select(col("id").as("j")))
+          .withColumn("sgn", expr(
+            """CAST(1 - 2 * (CAST(conv(substring(md5(concat(
+              |  CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 8),
+              |  16, 10) AS BIGINT) % 2) AS BIGINT)""".stripMargin))
+        val proj = comps
+          .join(broadcast(signs), "i")
+          .groupBy("vec_id", "j")
+          .agg(sum(expr("sgn * xv")).as("p"))
+        val pc = Materialize(proj.filter(col("vec_id") < 100))
+        val cc = Materialize(comps.filter(col("vec_id") < 100))
+        val d2o = cc.as("a").join(cc.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2o"))
+        val d2p = pc.as("a").join(pc.as("b"),
+            col("a.j") === col("b.j") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum(expr("(a.p - b.p) * (a.p - b.p)")).as("d2p"))
+        d2o.join(d2p, Seq("va", "vb"))
+          .withColumn("ratio_bp", expr(
+            "(d2p DIV 8) * 10000 DIV greatest(d2o, 1)"))
+          .withColumn("bucket", expr(
+            "least(ratio_bp DIV 1000, CAST(19 AS BIGINT))"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            min("ratio_bp").as("min_bp"), max("ratio_bp").as("max_bp"),
+            expr("sum(ratio_bp) DIV count(1)").as("mean_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |comps AS (SELECT vec_id, i,
+             |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ix),
+             |signs AS (SELECT i, j,
+             |    CAST(1 - 2 * (CAST(('0x' || substr(md5(
+             |      CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 2) AS BIGINT) AS sgn
+             |  FROM (SELECT unnest(range(0, 64)) AS i) a
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b),
+             |proj AS (SELECT vec_id, j,
+             |    CAST(sum(sgn * xv) AS BIGINT) AS p
+             |  FROM comps JOIN signs USING (i) GROUP BY 1, 2),
+             |pc AS (SELECT * FROM proj WHERE vec_id < 100),
+             |cc AS (SELECT * FROM comps WHERE vec_id < 100),
+             |d2o AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |    CAST(sum((a.xv - b.xv) * (a.xv - b.xv)) AS BIGINT)
+             |      AS d2o
+             |  FROM cc a JOIN cc b
+             |    ON a.i = b.i AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |d2p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |    CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2p
+             |  FROM pc a JOIN pc b
+             |    ON a.j = b.j AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |r AS (SELECT va, vb,
+             |    (d2p // 8) * 10000 // greatest(d2o, 1) AS ratio_bp
+             |  FROM d2o JOIN d2p USING (va, vb))
+             |SELECT least(ratio_bp // 1000, 19) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(min(ratio_bp) AS BIGINT) AS min_bp,
+             |  CAST(max(ratio_bp) AS BIGINT) AS max_bp,
+             |  CAST(sum(ratio_bp) // count(*) AS BIGINT) AS mean_bp
+             |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

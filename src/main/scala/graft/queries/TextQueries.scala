@@ -4919,6 +4919,91 @@ object TextQueries {
              |FROM l0 JOIN r1 ON l0.source = r1.source
              |JOIN r2 ON l0.source = r2.source
              |ORDER BY l0.source""".stripMargin)),
+
+    // ---- group-fairness audit of the quality filter ------------------------
+    // Does the q190 keep/drop rule treat language groups evenly? The
+    // audit every learned filter needs before it curates a multilingual
+    // corpus: per lang, the keep rate (demographic parity), and the
+    // TPR/FPR against the q209 char-level reference rule (equalized
+    // odds) — each with its signed gap to the corpus-wide rate. A filter
+    // whose FPR gap is hundreds of bp for one language is silently
+    // reshaping that language's share. All rates are exact integer bp
+    // with zero-count guards; corpus touched twice (the token scorer and
+    // the char reference rule — two independent projections, same shape
+    // as q209), everything after runs on the bounded lang frame.
+    // Non-empty-text docs only (the reference rule's domain, q209's
+    // inner-join semantics).
+    "q290_fairness_rates" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val scored = qualityScored(docs).select("doc_id", "pass")
+        val gold = docs
+          .select(col("doc_id"), col("lang"),
+            lower(trim(col("text"))).as("lt"))
+          .filter(length(col("lt")) > 0)
+          .withColumn("gold", when(
+            expr("length(regexp_replace(lt, '[^a-z]', '')) * 10000" +
+              " DIV length(lt)") >= 7000L && length(col("lt")) >= 200,
+            1L).otherwise(0L))
+          .select("doc_id", "lang", "gold")
+        val perLang = Materialize(scored.join(gold, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("pass").as("keep"),
+            sum("gold").as("g1"),
+            sum(expr("pass * gold")).as("tp"),
+            sum(expr("pass * (1 - gold)")).as("fp")))
+        val tot = perLang.agg(
+          expr("sum(keep) * 10000 DIV sum(n)").as("keep_all_bp"),
+          expr("sum(tp) * 10000 DIV greatest(sum(g1), 1)")
+            .as("tpr_all_bp"),
+          expr("sum(fp) * 10000 DIV greatest(sum(n) - sum(g1), 1)")
+            .as("fpr_all_bp"))
+        perLang.crossJoin(broadcast(tot))
+          .withColumn("keep_bp", expr("keep * 10000 DIV n"))
+          .withColumn("tpr_bp", expr("tp * 10000 DIV greatest(g1, 1)"))
+          .withColumn("fpr_bp", expr(
+            "fp * 10000 DIV greatest(n - g1, 1)"))
+          .select(col("lang"), col("n"), col("keep_bp"),
+            expr("keep_bp - keep_all_bp").as("parity_gap_bp"),
+            col("tpr_bp"), expr("tpr_bp - tpr_all_bp").as("tpr_gap_bp"),
+            col("fpr_bp"), expr("fpr_bp - fpr_all_bp").as("fpr_gap_bp"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |g AS (SELECT doc_id, lang, lower(trim(text)) AS lt
+              |      FROM documents),
+              |gold AS (SELECT doc_id, lang,
+              |    CAST(CASE WHEN length(regexp_replace(lt, '[^a-z]', '',
+              |        'g')) * 10000 // length(lt) >= 7000
+              |      AND length(lt) >= 200 THEN 1 ELSE 0 END AS BIGINT)
+              |      AS gold
+              |  FROM g WHERE length(lt) > 0),
+              |pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(pass) AS BIGINT) AS keep,
+              |    CAST(sum(gold) AS BIGINT) AS g1,
+              |    CAST(sum(pass * gold) AS BIGINT) AS tp,
+              |    CAST(sum(pass * (1 - gold)) AS BIGINT) AS fp
+              |  FROM qsc JOIN gold USING (doc_id) GROUP BY 1),
+              |tot AS (SELECT
+              |    CAST(sum(keep) * 10000 // sum(n) AS BIGINT)
+              |      AS keep_all_bp,
+              |    CAST(sum(tp) * 10000 // greatest(sum(g1), 1)
+              |      AS BIGINT) AS tpr_all_bp,
+              |    CAST(sum(fp) * 10000 // greatest(sum(n) - sum(g1), 1)
+              |      AS BIGINT) AS fpr_all_bp
+              |  FROM pl)
+              |SELECT lang, n,
+              |  CAST(keep * 10000 // n AS BIGINT) AS keep_bp,
+              |  CAST(keep * 10000 // n - keep_all_bp AS BIGINT)
+              |    AS parity_gap_bp,
+              |  CAST(tp * 10000 // greatest(g1, 1) AS BIGINT) AS tpr_bp,
+              |  CAST(tp * 10000 // greatest(g1, 1) - tpr_all_bp
+              |    AS BIGINT) AS tpr_gap_bp,
+              |  CAST(fp * 10000 // greatest(n - g1, 1) AS BIGINT)
+              |    AS fpr_bp,
+              |  CAST(fp * 10000 // greatest(n - g1, 1) - fpr_all_bp
+              |    AS BIGINT) AS fpr_gap_bp
+              |FROM pl CROSS JOIN tot ORDER BY lang""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

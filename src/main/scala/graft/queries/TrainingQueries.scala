@@ -4463,5 +4463,81 @@ object TrainingQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS BIGINT) AS h_cum_ppm
              |FROM hz ORDER BY t_days""".stripMargin)),
+
+    // ---- importance-weight ESS / clipping diagnostics ----------------------
+    // Before reweighting a corpus toward a target mixture (here: uniform
+    // over the observed source × lang cells — the grid is where the real
+    // skew lives; per-source doc counts alone are flat in this corpus),
+    // the diagnostics every importance-sampling pipeline ships: the Kish
+    // effective sample size ESS = (Σw)²/(N·Σw²), the heaviest single
+    // cell's weighted share, and what clipping the weights at each cap
+    // would discard — a corpus whose ESS collapses to a few percent is
+    // not reweightable, it needs resampling. Weights are exact micro
+    // integers w = N·10⁶ DIV (C·n_cell) (uniform target share 1/C over
+    // empirical n_cell/N); since w is constant within a cell, every Σ
+    // over docs collapses to the CELL frame — the corpus is scanned once
+    // for the counts and never again, and the 3-cap fan-out runs on
+    // |cells|·3 rows. Sums of n·w² go through DECIMAL(38,0)/HUGEINT
+    // (n·w² can pass int64 once a cell falls below ~10⁻⁴ of a 10⁹-doc
+    // corpus). cap 10¹² micro ≈ uncapped is the baseline row.
+    "q288_importance_ess" -> QueryDef(
+      (s, dir) => {
+        def dec(x: String) = s"CAST($x AS DECIMAL(38,0))"
+        val sc = Materialize(tableParallel(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n")))
+        val tot = sc.agg(sum("n").as("nt"), count(lit(1)).as("ns"))
+        val wsrc = sc.crossJoin(broadcast(tot))
+          .withColumn("w", expr("nt * 1000000 DIV (ns * n)"))
+        val caps = s.range(0, 3).select(expr(
+          """CAST(CASE id WHEN 0 THEN 2000000 WHEN 1 THEN 5000000
+            | ELSE 1000000000000 END AS BIGINT)""".stripMargin)
+          .as("cap_micro"))
+        wsrc.crossJoin(broadcast(caps))
+          .withColumn("wc", expr("least(w, cap_micro)"))
+          .groupBy("cap_micro")
+          .agg(max("nt").as("nt"),
+            sum(expr(s"${dec("n")} * w")).as("sw_raw"),
+            sum(expr(s"${dec("n")} * wc")).as("sw"),
+            sum(expr(s"${dec("n")} * wc * wc")).as("sw2"),
+            sum(expr("CASE WHEN w > cap_micro THEN n ELSE 0 END"))
+              .as("clipped_docs"),
+            max(expr(s"${dec("n")} * wc")).as("mx"))
+          .select(col("cap_micro"),
+            expr("CAST(sw * sw * 10000 DIV (nt * sw2) AS BIGINT)")
+              .as("ess_bp"),
+            col("clipped_docs"),
+            expr("CAST((sw_raw - sw) * 10000 DIV sw_raw AS BIGINT)")
+              .as("clipped_mass_bp"),
+            expr("CAST(mx * 10000 DIV sw AS BIGINT)").as("max_share_bp"))
+          .orderBy("cap_micro")
+      },
+      Some("""WITH sc AS (SELECT source, lang,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             |    CAST(count(*) AS BIGINT) AS ns FROM sc),
+             |w AS (SELECT source, n, nt,
+             |    nt * 1000000 // (ns * n) AS w
+             |  FROM sc CROSS JOIN tot),
+             |caps AS (SELECT CAST(unnest([2000000, 5000000,
+             |    1000000000000]) AS BIGINT) AS cap_micro),
+             |wc AS (SELECT cap_micro, n, nt, w,
+             |    least(w, cap_micro) AS wc
+             |  FROM w CROSS JOIN caps),
+             |ag AS (SELECT cap_micro, max(nt) AS nt,
+             |    sum(CAST(n AS HUGEINT) * w) AS sw_raw,
+             |    sum(CAST(n AS HUGEINT) * wc) AS sw,
+             |    sum(CAST(n AS HUGEINT) * wc * wc) AS sw2,
+             |    CAST(sum(CASE WHEN w > cap_micro THEN n ELSE 0 END)
+             |      AS BIGINT) AS clipped_docs,
+             |    max(CAST(n AS HUGEINT) * wc) AS mx
+             |  FROM wc GROUP BY 1)
+             |SELECT cap_micro,
+             |  CAST(sw * sw * 10000 // (nt * sw2) AS BIGINT) AS ess_bp,
+             |  clipped_docs,
+             |  CAST((sw_raw - sw) * 10000 // sw_raw AS BIGINT)
+             |    AS clipped_mass_bp,
+             |  CAST(mx * 10000 // sw AS BIGINT) AS max_share_bp
+             |FROM ag ORDER BY cap_micro""".stripMargin)),
   )
 }
