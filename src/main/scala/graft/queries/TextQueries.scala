@@ -5004,6 +5004,51 @@ object TextQueries {
               |  CAST(fp * 10000 // greatest(n - g1, 1) - fpr_all_bp
               |    AS BIGINT) AS fpr_gap_bp
               |FROM pl CROSS JOIN tot ORDER BY lang""".stripMargin)),
+
+    // ---- Zipf rank-doubling audit -------------------------------------------
+    // Does the corpus's token frequency curve follow a power law, and
+    // with what local exponent? The float-free spelling of the Zipf fit:
+    // under f(r) ∝ r^(−s), the DOUBLING ratio f(r)/f(2r) = 2^s is
+    // constant — so the audit reports the exact integer ratio in bp at
+    // r ∈ {1, 2, 4, …, 1024} and flatness/drift of that column IS the
+    // power-law verdict (ratio_bp ≈ 20000 ⇔ s ≈ 1), with no log() and
+    // no regression. One corpus pass to the vocab frequency frame; the
+    // rank window runs over the vocab frame, not the corpus (and only
+    // ranks ≤ 2048 survive to the join — at web scale the same audit
+    // runs on the exact top-k frame a frequency threshold prefilters).
+    // Empty-split artifacts are excluded identically on both engines.
+    "q293_zipf_doubling" -> QueryDef(
+      (s, dir) => {
+        val vocab = tableParallel(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val rk = Materialize(vocab
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+          .filter(col("r") <= 2048)
+          .select("r", "cnt"))
+        rk.as("a").join(rk.as("b"), expr("b.r = 2 * a.r"))
+          .filter(expr(
+            "a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)"))
+          .select(col("a.r").as("r"), col("a.cnt").as("f_r"),
+            col("b.cnt").as("f_2r"),
+            expr("a.cnt * 10000 DIV b.cnt").as("ratio_bp"))
+          .orderBy("r")
+      },
+      Some(s"""WITH w AS (SELECT unnest($duckToks) AS tok
+              |  FROM documents),
+              |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM w WHERE tok <> '' GROUP BY 1),
+              |rk AS (SELECT cnt, CAST(row_number() OVER
+              |      (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS r
+              |  FROM v QUALIFY r <= 2048)
+              |SELECT a.r, a.cnt AS f_r, b.cnt AS f_2r,
+              |  CAST(a.cnt * 10000 // b.cnt AS BIGINT) AS ratio_bp
+              |FROM rk a JOIN rk b ON b.r = 2 * a.r
+              |WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+              |  1024)
+              |ORDER BY a.r""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

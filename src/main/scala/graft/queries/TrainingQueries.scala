@@ -4539,5 +4539,197 @@ object TrainingQueries {
              |    AS clipped_mass_bp,
              |  CAST(mx * 10000 // sw AS BIGINT) AS max_share_bp
              |FROM ag ORDER BY cap_micro""".stripMargin)),
+
+    // ---- Markov stationary distribution (power iteration) ------------------
+    // Where does the q138 behavior chain settle? The steady-state user
+    // mix — the long-run fraction of activity per event type — via 4
+    // power-iteration rounds π ← πP on the BOUNDED state frame: one
+    // corpus pass builds the lag-pair transition counts (the only
+    // shuffle), P lives in micro fixed point (row-normalized counts),
+    // and every round is a 25-row join + 5-row renormalization (·10⁶
+    // DIV z reclaims the per-round truncation loss, the q208 pool
+    // discipline). Per-round frames are lineage-cut per the loop rule —
+    // the plan stays constant-depth. delta_ppm (round-3 → round-4
+    // movement) is the convergence witness the output carries; exact
+    // integers end-to-end, DuckDB unrolls the rounds as CTE
+    // generations.
+    "q291_markov_stationary" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = table(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+        val pm = Materialize.checkpointed(
+          pairs.join(broadcast(totals), "prev_type")
+            .withColumn("p_micro", expr("n * 1000000 DIV tot"))
+            .select("prev_type", "next_type", "p_micro"))
+        val states = Materialize.checkpointed(
+          pm.select(col("prev_type").as("state")).distinct())
+        val ns = states.agg(count(lit(1)).as("ns"))
+        val pi0 = Materialize.checkpointed(
+          states.crossJoin(broadcast(ns))
+            .withColumn("pi", expr("1000000 DIV ns"))
+            .select("state", "pi"))
+        // scanLeft keeps every round's checkpointed frame — round 4
+        // builds ON r3's checkpoint, so the r3 output column costs no
+        // recomputation
+        val piRounds = (1 to 4).scanLeft(pi0) { (cur, _) =>
+          val u = cur.join(pm, cur("state") === pm("prev_type"))
+            .groupBy(col("next_type").as("state"))
+            .agg(expr("sum(pi * p_micro) DIV 1000000").as("raw"))
+          val z = u.agg(sum("raw").as("z"))
+          Materialize.checkpointed(u.crossJoin(broadcast(z))
+            .withColumn("pi", expr("raw * 1000000 DIV z"))
+            .select("state", "pi"))
+        }
+        val (piT, pi3) = (piRounds(4), piRounds(3))
+        piT.join(pi3.select(col("state"), col("pi").as("pi_prev")),
+            "state")
+          .select(col("state"), col("pi").as("pi_ppm"),
+            col("pi_prev").as("pi_prev_ppm"),
+            abs(col("pi") - col("pi_prev")).as("delta_ppm"))
+          .orderBy("state")
+      },
+      Some {
+        val rounds = (0 until 4).map { i =>
+          s"""u${i + 1} AS (SELECT pm.next_type AS state,
+             |    CAST(sum(r$i.pi * pm.p_micro) // 1000000 AS BIGINT)
+             |      AS raw
+             |  FROM r$i JOIN pm ON r$i.state = pm.prev_type
+             |  GROUP BY 1),
+             |z${i + 1} AS (SELECT CAST(sum(raw) AS BIGINT) AS z
+             |  FROM u${i + 1}),
+             |r${i + 1} AS (SELECT state,
+             |    CAST(raw * 1000000 // z AS BIGINT) AS pi
+             |  FROM u${i + 1} CROSS JOIN z${i + 1})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH seq AS (SELECT user_id, event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |pairs AS (SELECT prev_type, event_type AS next_type,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+           |  FROM pairs GROUP BY 1),
+           |pm AS (SELECT pairs.prev_type, next_type,
+           |    n * 1000000 // tot AS p_micro
+           |  FROM pairs JOIN tot USING (prev_type)),
+           |st AS (SELECT DISTINCT prev_type AS state FROM pm),
+           |nsf AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM st),
+           |r0 AS (SELECT state, 1000000 // ns AS pi
+           |  FROM st CROSS JOIN nsf),
+           |$rounds
+           |SELECT r4.state, r4.pi AS pi_ppm, r3.pi AS pi_prev_ppm,
+           |  CAST(abs(r4.pi - r3.pi) AS BIGINT) AS delta_ppm
+           |FROM r4 JOIN r3 ON r4.state = r3.state
+           |ORDER BY r4.state""".stripMargin
+      }),
+
+    // ---- Kendall tau-b on the quantized cell grid ---------------------------
+    // The concordance counterpart of q286's Spearman: tau-b between
+    // n_chars and token count per source, made CORPUS-SCALE-SAFE by
+    // quantizing both metrics to 16 equi-width levels first — pair
+    // counting is inherently quadratic, but on the quantized JOINT cell
+    // frame it is quadratic in ≤ 16² cells per source, NEVER in docs
+    // (the q85/q211 boundedness discipline applied to an O(n²)
+    // statistic). Concordant/discordant mass via one cell self-join with
+    // conditional sums; tie corrections from the two marginals; the
+    // strict-quantile tie mass is part of the statistic under
+    // quantization and is reported. sign + tau² in bp via the q286
+    // two-stage Cauchy–Schwarz-bounded divide, identical spelling both
+    // engines; quantization offsets are non-negative before every DIV.
+    "q292_kendall_cells" -> QueryDef(
+      (s, dir) => {
+        val base = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("va"),
+            size(tokens(col("text"))).cast("long").as("vb")))
+        val rng = base.groupBy("source").agg(
+          min("va").as("mna"), max("va").as("mxa"),
+          min("vb").as("mnb"), max("vb").as("mxb"))
+        val cells = Materialize(base.join(broadcast(rng), "source")
+          .withColumn("qa", expr(
+            "(va - mna) * 15 DIV greatest(mxa - mna, 1)"))
+          .withColumn("qb", expr(
+            "(vb - mnb) * 15 DIV greatest(mxb - mnb, 1)"))
+          .groupBy("source", "qa", "qb")
+          .agg(count(lit(1)).as("f")))
+        val cd = cells.as("a").join(cells.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.qa") < col("b.qa"))
+          .groupBy(col("a.source").as("source"))
+          .agg(sum(expr(
+            "CASE WHEN b.qb > a.qb THEN a.f * b.f ELSE 0 END"))
+            .as("conc"),
+            sum(expr(
+              "CASE WHEN b.qb < a.qb THEN a.f * b.f ELSE 0 END"))
+              .as("disc"))
+        val ties = cells.groupBy("source").agg(sum("f").as("n"))
+          .join(cells.groupBy("source", "qa")
+            .agg(sum("f").as("ta")).groupBy("source")
+            .agg(expr("sum(ta * (ta - 1)) DIV 2").as("tie_a")),
+            "source")
+          .join(cells.groupBy("source", "qb")
+            .agg(sum("f").as("tb")).groupBy("source")
+            .agg(expr("sum(tb * (tb - 1)) DIV 2").as("tie_b")),
+            "source")
+        cd.join(ties, "source")
+          .withColumn("n0", expr("n * (n - 1) DIV 2"))
+          .withColumn("num", expr("conc - disc"))
+          .select(col("source"), col("n"), col("conc"), col("disc"),
+            col("tie_a"), col("tie_b"),
+            expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+              "ELSE 0 END AS BIGINT)").as("sgn"),
+            expr("""CAST(CAST(num AS DECIMAL(38,0)) * num
+                   | DIV greatest(n0 - tie_a, 1) * 10000
+                   | DIV greatest(n0 - tie_b, 1) AS BIGINT)"""
+              .stripMargin).as("taub2_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH pr AS (SELECT source,
+              |    CAST(n_chars AS BIGINT) AS va,
+              |    CAST(len($duckToks) AS BIGINT) AS vb
+              |  FROM documents),
+              |rng AS (SELECT source, min(va) AS mna, max(va) AS mxa,
+              |    min(vb) AS mnb, max(vb) AS mxb
+              |  FROM pr GROUP BY 1),
+              |cells AS (SELECT pr.source,
+              |    (va - mna) * 15 // greatest(mxa - mna, 1) AS qa,
+              |    (vb - mnb) * 15 // greatest(mxb - mnb, 1) AS qb,
+              |    CAST(count(*) AS BIGINT) AS f
+              |  FROM pr JOIN rng ON pr.source = rng.source
+              |  GROUP BY 1, 2, 3),
+              |cd AS (SELECT a.source,
+              |    CAST(sum(CASE WHEN b.qb > a.qb THEN a.f * b.f
+              |      ELSE 0 END) AS BIGINT) AS conc,
+              |    CAST(sum(CASE WHEN b.qb < a.qb THEN a.f * b.f
+              |      ELSE 0 END) AS BIGINT) AS disc
+              |  FROM cells a JOIN cells b
+              |    ON a.source = b.source AND a.qa < b.qa
+              |  GROUP BY 1),
+              |nn AS (SELECT source, CAST(sum(f) AS BIGINT) AS n
+              |  FROM cells GROUP BY 1),
+              |tta AS (SELECT source,
+              |    CAST(sum(ta * (ta - 1)) // 2 AS BIGINT) AS tie_a
+              |  FROM (SELECT source, qa, CAST(sum(f) AS BIGINT) AS ta
+              |        FROM cells GROUP BY 1, 2) GROUP BY 1),
+              |ttb AS (SELECT source,
+              |    CAST(sum(tb * (tb - 1)) // 2 AS BIGINT) AS tie_b
+              |  FROM (SELECT source, qb, CAST(sum(f) AS BIGINT) AS tb
+              |        FROM cells GROUP BY 1, 2) GROUP BY 1),
+              |j AS (SELECT cd.source, n, conc, disc, tie_a, tie_b,
+              |    n * (n - 1) // 2 AS n0, conc - disc AS num
+              |  FROM cd JOIN nn USING (source) JOIN tta USING (source)
+              |  JOIN ttb USING (source))
+              |SELECT source, n, conc, disc, tie_a, tie_b,
+              |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+              |    ELSE 0 END AS BIGINT) AS sgn,
+              |  CAST(CAST(num AS HUGEINT) * num
+              |    // greatest(n0 - tie_a, 1) * 10000
+              |    // greatest(n0 - tie_b, 1) AS BIGINT) AS taub2_bp
+              |FROM j ORDER BY source""".stripMargin)),
   )
 }
