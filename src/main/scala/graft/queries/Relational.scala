@@ -3616,7 +3616,228 @@ object Relational {
            |CROSS JOIN mad
            |ORDER BY a.t""".stripMargin
       }),
+
+    // ---- space-filling-curve layout audit (linear vs Z vs Hilbert) --------
+    // q282 priced the 1-D sort key; this prices the 2-D one. Three
+    // write-time layouts of the same (part, supplier) point set —
+    // column-major linear, Z-order (Morton), and the canonical Hilbert
+    // curve — are audited against one rectangle predicate using the
+    // same per-file min/max zone logic a lakehouse scanner applies.
+    // Both curve keys are PURE INTEGER ARITHMETIC generated once and
+    // spelled identically in both engines (bit tests as (x DIV 2^k)%2,
+    // the Hilbert (3·rx)^ry as a CASE — no engine bitops, whose XOR
+    // spelling differs): Z interleaves 8+8 bits inline; Hilbert unrolls
+    // the 8 canonical levels (rx/ry test, quadrant offset s²·t, reflect
+    // + swap rotation) as chained projection layers — per-row codegen,
+    // one corpus pass for all three keys. Coordinates quantize to the
+    // 256×256 grid with non-negative offsets before every DIV. The
+    // audit output is the q282 ledger per layout; files cut every 256
+    // rows in key order (row_number is the stand-in for the write-side
+    // sort; ties within one (key,x,y) cell are interchangeable, so the
+    // zone frame is deterministic). At 100 TB this is the clustering
+    // decision for every two-column predicate workload.
+    "q294_hilbert_layout_audit" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("pk"),
+            col("l_suppkey").cast("long").as("sk"))
+        val rng = li.agg(min("pk").as("mnp"), max("pk").as("mxp"),
+          min("sk").as("mns"), max("sk").as("mxs"))
+        // cell-compress FIRST: the corpus contributes one groupBy to the
+        // ≤ 256² cell frame, and the curve keys, the three rank windows,
+        // and the file spans all run on cells — rows sharing a cell are
+        // interchangeable for zone stats, so file boundaries landing
+        // inside a cell are handled exactly by the span arithmetic below
+        val cells = graft.operators.Materialize(
+          li.crossJoin(broadcast(rng))
+            .withColumn("x", expr(
+              "(pk - mnp) * 255 DIV greatest(mxp - mnp, 1)"))
+            .withColumn("y", expr(
+              "(sk - mns) * 255 DIV greatest(mxs - mns, 1)"))
+            .groupBy("x", "y").agg(count(lit(1)).as("f")))
+        val curved = graft.operators.Materialize(
+          (0 until 8).foldLeft(cells
+            .withColumn("zd", expr(zOrderExpr("x", "y", "DIV")))
+            .withColumn("hx", col("x")).withColumn("hy", col("y"))
+            .withColumn("hd", lit(0L))) { (df, k) =>
+            val sLvl = 1 << (7 - k)
+            val (dN, nx, ny) = hilbertStep("hx", "hy", "hd", sLvl, "DIV")
+            df.withColumn("hd2", expr(dN)).withColumn("hx2", expr(nx))
+              .withColumn("hy2", expr(ny))
+              .drop("hd", "hx", "hy")
+              .withColumnRenamed("hd2", "hd")
+              .withColumnRenamed("hx2", "hx")
+              .withColumnRenamed("hy2", "hy")
+          }.select("x", "y", "f", "zd", "hd"))
+        def audit(key: Column, layout: String) = {
+          val w = Window.orderBy(key, col("x"), col("y"))
+          val spans = curved
+            .withColumn("cb", coalesce(sum("f").over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("x"), col("y"), col("f"), col("cb"),
+              expr("explode(sequence(cb DIV 256, (cb + f - 1) DIV 256))")
+                .as("fid"))
+            .withColumn("nn", expr(
+              "least((fid + 1) * 256, cb + f) - greatest(fid * 256, cb)"))
+          val zones = spans.groupBy("fid")
+            .agg(min("x").as("mnx"), max("x").as("mxx"),
+              min("y").as("mny"), max("y").as("mxy"),
+              sum("nn").as("n"),
+              sum(expr("CASE WHEN x BETWEEN 64 AND 159 AND " +
+                "y BETWEEN 64 AND 159 THEN nn ELSE 0 END")).as("tc"))
+            .withColumn("hit", expr(
+              "CASE WHEN mnx <= 159 AND mxx >= 64 AND mny <= 159 " +
+                "AND mxy >= 64 THEN 1 ELSE 0 END"))
+          zones.agg(lit(layout).as("layout"),
+            count(lit(1)).as("files_total"),
+            sum("hit").as("files_scanned"),
+            sum(expr("CASE WHEN hit = 1 AND tc = 0 THEN 1 ELSE 0 END"))
+              .as("files_false_pos"),
+            sum(expr("CASE WHEN hit = 1 THEN n ELSE 0 END"))
+              .as("rows_scanned"),
+            sum("tc").as("rows_matching"))
+            .withColumn("pruned_bp", expr(
+              "(files_total - files_scanned) * 10000 DIV files_total"))
+        }
+        audit(expr("x * 256 + y"), "a_linear")
+          .unionAll(audit(col("zd"), "b_zorder"))
+          .unionAll(audit(col("hd"), "c_hilbert"))
+          .select("layout", "files_total", "files_scanned",
+            "files_false_pos", "rows_scanned", "rows_matching",
+            "pruned_bp")
+          .orderBy("layout")
+      },
+      Some {
+        val hilbertCtes = (0 until 8).map { k =>
+          val sLvl = 1 << (7 - k)
+          val (dN, nx, ny) = hilbertStep(s"hx$k", s"hy$k", s"hd$k",
+            sLvl, "//")
+          s"""h${k + 1} AS (SELECT x, y, f, zd,
+             |    $dN AS hd${k + 1}, $nx AS hx${k + 1},
+             |    $ny AS hy${k + 1}
+             |  FROM h$k)""".stripMargin
+        }.mkString(",\n")
+        def auditSql(key: String, layout: String) =
+          s"""SELECT '$layout' AS layout, fid,
+             |    min(x) AS mnx, max(x) AS mxx,
+             |    min(y) AS mny, max(y) AS mxy, sum(nn) AS n,
+             |    sum(CASE WHEN x BETWEEN 64 AND 159
+             |      AND y BETWEEN 64 AND 159 THEN nn ELSE 0 END) AS tc
+             |  FROM (SELECT x, y, cb, f,
+             |      least((fid + 1) * 256, cb + f)
+             |        - greatest(fid * 256, cb) AS nn, fid
+             |    FROM (SELECT x, y, f, cb,
+             |        unnest(range(cb // 256, (cb + f - 1) // 256 + 1))
+             |          AS fid
+             |      FROM (SELECT *, CAST(COALESCE(sum(f) OVER
+             |          (ORDER BY $key, x, y
+             |           ROWS BETWEEN UNBOUNDED PRECEDING
+             |           AND 1 PRECEDING),
+             |          0) AS BIGINT) AS cb FROM pts)))
+             |  GROUP BY 1, 2""".stripMargin
+        s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+           |    CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+           |rng AS (SELECT min(pk) AS mnp, max(pk) AS mxp,
+           |    min(sk) AS mns, max(sk) AS mxs FROM li),
+           |cl AS (SELECT
+           |    (pk - mnp) * 255 // greatest(mxp - mnp, 1) AS x,
+           |    (sk - mns) * 255 // greatest(mxs - mns, 1) AS y,
+           |    CAST(count(*) AS BIGINT) AS f
+           |  FROM li CROSS JOIN rng GROUP BY 1, 2),
+           |h0 AS (SELECT x, y, f,
+           |    ${zOrderExpr("x", "y", "//")} AS zd,
+           |    x AS hx0, y AS hy0, CAST(0 AS BIGINT) AS hd0
+           |  FROM cl),
+           |$hilbertCtes,
+           |pts AS (SELECT x, y, f, zd, hd8 AS hd FROM h8),
+           |zn AS (${auditSql("x * 256 + y", "a_linear")}
+           |  UNION ALL ${auditSql("zd", "b_zorder")}
+           |  UNION ALL ${auditSql("hd", "c_hilbert")}),
+           |z2 AS (SELECT *, CASE WHEN mnx <= 159 AND mxx >= 64
+           |    AND mny <= 159 AND mxy >= 64 THEN 1 ELSE 0 END AS hit
+           |  FROM zn)
+           |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+           |  CAST(sum(hit) AS BIGINT) AS files_scanned,
+           |  CAST(sum(CASE WHEN hit = 1 AND tc = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS files_false_pos,
+           |  CAST(sum(CASE WHEN hit = 1 THEN n ELSE 0 END) AS BIGINT)
+           |    AS rows_scanned,
+           |  CAST(sum(tc) AS BIGINT) AS rows_matching,
+           |  CAST((count(*) - sum(hit)) * 10000 // count(*) AS BIGINT)
+           |    AS pruned_bp
+           |FROM z2 GROUP BY layout ORDER BY layout""".stripMargin
+      }),
+
+    // ---- correlated LATERAL subquery (per-group top-k surface) ------------
+    // The engine-surface row q264/q265 opened, extended to LATERAL:
+    // a correlated subquery with its own ORDER BY + LIMIT per outer row
+    // — the "top-2 customers per nation" idiom analysts write instead
+    // of a window + filter. Spark 4 decorrelates this into the same
+    // ranked-window plan (the spec pins that the surface is sugar, like
+    // q265's pipes); DuckDB executes its native LATERAL. Balances in
+    // exact cents on both sides; total ORDER BY.
+    "q295_lateral_topk" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "nation").createOrReplaceTempView("nation_pv")
+        table(s, dir, "customer")
+          .createOrReplaceTempView("customer_pv")
+        s.sql("""SELECT n_name, t.c_custkey, t.acctbal_c
+                |FROM nation_pv,
+                |LATERAL (
+                |  SELECT c_custkey,
+                |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+                |  FROM customer_pv
+                |  WHERE c_nationkey = n_nationkey
+                |  ORDER BY acctbal_c DESC, c_custkey LIMIT 2) t
+                |ORDER BY n_name, t.acctbal_c DESC, t.c_custkey"""
+          .stripMargin)
+      },
+      Some("""SELECT n_name, t.c_custkey, t.acctbal_c
+             |FROM nation,
+             |LATERAL (
+             |  SELECT c_custkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+             |  FROM customer
+             |  WHERE c_nationkey = n_nationkey
+             |  ORDER BY acctbal_c DESC, c_custkey LIMIT 2) t
+             |ORDER BY n_name, t.acctbal_c DESC, t.c_custkey"""
+        .stripMargin)),
   )
+
+  /** One canonical Hilbert xy2d level (Wikipedia's loop body) on the
+    * 256×256 grid, as three SQL expressions over the incoming (x, y, d)
+    * column names: the quadrant offset d += s²·((3·rx) xor ry) with the
+    * xor spelled arithmetically (rx,ry ∈ {0,1} ⇒ rx=0 → ry, rx=1 →
+    * 3−ry), then the reflect-and-swap rotation. Bit tests are
+    * (v DIV s) % 2 so one spelling serves both engines (divOp "DIV" or
+    * "//"); reflections keep coordinates in [0, 255], so every DIV runs
+    * non-negative.
+    */
+  private def hilbertStep(x: String, y: String, d: String, sLvl: Int,
+      divOp: String): (String, String, String) = {
+    val rx = s"((($x) $divOp $sLvl) % 2)"
+    val ry = s"((($y) $divOp $sLvl) % 2)"
+    val dN = s"($d) + ${sLvl.toLong * sLvl} * " +
+      s"(CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END)"
+    val xRef = s"(CASE WHEN $rx = 1 THEN 255 - ($x) ELSE ($x) END)"
+    val yRef = s"(CASE WHEN $rx = 1 THEN 255 - ($y) ELSE ($y) END)"
+    val nx = s"(CASE WHEN $ry = 0 THEN $yRef ELSE ($x) END)"
+    val ny = s"(CASE WHEN $ry = 0 THEN $xRef ELSE ($y) END)"
+    (dN, nx, ny)
+  }
+
+  /** 8+8-bit Morton (Z-order) interleave of two [0, 255] coordinates as
+    * one arithmetic SQL expression — bit k of x lands at position 2k,
+    * bit k of y at 2k+1. Same single spelling for both engines via
+    * divOp.
+    */
+  private def zOrderExpr(x: String, y: String, divOp: String): String =
+    (0 until 8).flatMap { k =>
+      val px = 1L << (2 * k)
+      val py = 1L << (2 * k + 1)
+      Seq(s"((($x) $divOp ${1 << k}) % 2) * $px",
+        s"((($y) $divOp ${1 << k}) % 2) * $py")
+    }.mkString("(", " + ", ")")
 
   /** Inline a BigInt power table as a nested CASE lookup on an index
     * expression — Spark spelling (DECIMAL(38,0) literals). The tables are
