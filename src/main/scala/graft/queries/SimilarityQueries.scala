@@ -3421,6 +3421,211 @@ object SimilarityQueries {
              |  CAST(max(ratio_bp) AS BIGINT) AS max_bp,
              |  CAST(sum(ratio_bp) // count(*) AS BIGINT) AS mean_bp
              |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- second principal component by deflation ---------------------------
+    // q247 found the dominant covariance eigenvector; real pipelines need
+    // the next ones too (2-D layout keys, whitening, the q281 grid's
+    // axes). Classic deflation WITHOUT forming the matrix: run the same
+    // matrix-free power rounds, but after every multiply remove the
+    // first component — v ← y − (y·w / w·w)·w — so the iteration
+    // converges to the second eigenvector. PC1 is recomputed with
+    // q247's exact 3-round recipe (same trajectory bit-for-bit); PC2
+    // starts from a deterministic ±1000 alternating vector (must not be
+    // orthogonal to nothing — the deflation handles any pc1 content) and
+    // runs 3 deflated rounds. Every round is the q247 shape: one
+    // broadcast-w linear pass + one vec_id-co-partitioned join, the
+    // orthogonalization itself is a 64-row frame op, per-round lineage
+    // cuts. With a close spectrum and bounded rounds either direction
+    // may end up with the larger Rayleigh quotient, so the output labels
+    // them major/minor by the EXACT cross-multiplied λ comparison and
+    // carries both quotients plus the residual pc1·pc2 dot (≈ 0 up to
+    // fixed-point truncation; spec-bounded) as witnesses. Sign-split
+    // divisions and milli fixed point keep both engines on the
+    // identical trajectory.
+    "q296_pc2_deflation" -> QueryDef(
+      (s, dir) => {
+        // the iterate is a 64-long vector — a BOUNDED object that
+        // belongs on the driver (exactly how MLlib's power iteration
+        // holds it). Each round inlines w as an array literal into ONE
+        // codegen'd linear pass (zip_with dot product + 64 aggregate
+        // columns), replacing q247's two-shuffle join round; the
+        // driver-side normalization/deflation arithmetic replays the
+        // oracle's sign-split integer spelling exactly. 6 rounds = 6
+        // linear passes over the cached centered-array frame
+        // (11 s → the q247-class cost).
+        def sdl(v: Long, d: Long): Long =
+          if (v >= 0) v / d else -((-v) / d)
+        def arrLit(a: Array[Long]): String =
+          a.map(v => s"CAST($v AS BIGINT)").mkString("array(", ", ", ")")
+        val compsAgg = tableParallel(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .groupBy("i").agg(sum("xm").as("sx"), count(lit(1)).as("n"))
+          .collect().map(r => r.getAs[Int]("i") ->
+            sdl(r.getAs[Long]("sx"), r.getAs[Long]("n"))).toMap
+        val mean = Array.tabulate(64)(compsAgg(_))
+        val carr = Materialize(tableParallel(s, dir, "embeddings")
+          .select(expr(
+            s"""zip_with(embedding, ${arrLit(mean)}, (x, m) ->
+               | CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) - m)"""
+              .stripMargin).as("c")))
+        def sCol(w: Array[Long]): String = {
+          val dot = s"aggregate(zip_with(c, ${arrLit(w)}, " +
+            "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+          s"CASE WHEN $dot >= 0 THEN $dot DIV 1000 " +
+            s"ELSE -((-($dot)) DIV 1000) END"
+        }
+        def mult(w: Array[Long]): Array[Long] = {
+          val row = carr.select(expr(sCol(w)).as("s"), col("c"))
+            .agg(sum(expr("c[0] * s")).as("y0"),
+              (1 until 64).map(i =>
+                sum(expr(s"c[$i] * s")).as(s"y$i")): _*)
+            .collect()(0)
+          Array.tabulate(64)(row.getLong)
+        }
+        def normalize(y: Array[Long]): Array[Long] = {
+          val m = math.max(y.map(math.abs).max, 1L)
+          y.map(v => sdl(v * 1000, m))
+        }
+        var w = Array.fill(64)(1000L)
+        for (_ <- 1 to 3) w = normalize(mult(w))
+        var v = Array.tabulate(64)(i =>
+          if (i % 2 == 0) 1000L else -1000L)
+        for (_ <- 1 to 3) {
+          val y = mult(v)
+          val dn = (0 until 64).map(i => y(i) * w(i)).sum
+          val dd = (0 until 64).map(i => w(i) * w(i)).sum
+          v = normalize(Array.tabulate(64)(i => y(i) - sdl(dn * w(i), dd)))
+        }
+        def rayleigh(u: Array[Long]): (Long, Long) = {
+          val num = carr.select(expr(sCol(u)).as("s"))
+            .agg(sum(expr("s * s")).as("n")).collect()(0).getLong(0)
+          (num, u.map(x => x * x).sum)
+        }
+        val (r1n, r1d) = rayleigh(w)
+        val (r2n, r2d) = rayleigh(v)
+        // with a close spectrum and 3 bounded rounds either direction
+        // may carry the larger Rayleigh quotient — label major/minor by
+        // the exact cross-multiplied comparison (observed here: the
+        // deflated direction wins, λ 12.1 vs 10.9 — the constant start
+        // overlaps the top eigenvector weakly)
+        val swap = BigInt(r1n) * r2d < BigInt(r2n) * r1d
+        val (maj, mnr) = if (swap) (v, w) else (w, v)
+        val (rMjN, rMjD, rMnN, rMnD) =
+          if (swap) (r2n, r2d, r1n, r1d) else (r1n, r1d, r2n, r2d)
+        val ortho = (0 until 64).map(i => v(i) * w(i)).sum
+        import s.implicits._
+        (0 until 64).map(i => (i.toLong, maj(i), mnr(i),
+            rMjN, rMjD, rMnN, rMnD, ortho))
+          .toDF("i", "w_major_milli", "w_minor_milli", "ray_major_num",
+            "ray_major_den", "ray_minor_num", "ray_minor_den",
+            "ortho_dot")
+          .orderBy("i")
+      },
+      Some {
+        def sd(v: String, d: String) =
+          s"CASE WHEN $v >= 0 THEN ($v) // ($d) " +
+            s"ELSE -((-($v)) // ($d)) END"
+        // DuckDB 1.0 inlines every CTE PER REFERENCE (MATERIALIZED
+        // hints are not honored), so a round that reads its predecessor
+        // more than once re-executes the whole chain per copy -- the
+        // q208 plan-explosion lesson on the oracle side (observed ~40x
+        // per round). Each round therefore references its predecessor
+        // EXACTLY ONCE: the normalization max and the deflation dots
+        // are window-over-() aggregates computed inline, not separate
+        // CTEs re-reading the frame.
+        def round1(r: Int, prev: String): String =
+          s"""s$r AS (SELECT vec_id,
+             |    CAST(${sd("sum(c * w)", "1000")} AS BIGINT) AS s
+             |  FROM cent JOIN $prev USING (i) GROUP BY 1),
+             |w$r AS (SELECT i, CAST(${sd("y * 1000", "m")} AS BIGINT)
+             |    AS w
+             |  FROM (SELECT i, y, greatest(max(abs(y)) OVER (), 1) AS m
+             |    FROM (SELECT i, CAST(sum(c * s) AS BIGINT) AS y
+             |      FROM cent JOIN s$r USING (vec_id) GROUP BY 1)))"""
+            .stripMargin
+        def round2(r: Int, prev: String): String =
+          s"""t$r AS (SELECT vec_id,
+             |    CAST(${sd("sum(c * w)", "1000")} AS BIGINT) AS s
+             |  FROM cent JOIN $prev USING (i) GROUP BY 1),
+             |v$r AS (SELECT i, CAST(${sd("y * 1000", "m")} AS BIGINT)
+             |    AS w
+             |  FROM (SELECT i, y, greatest(max(abs(y)) OVER (), 1) AS m
+             |    FROM (SELECT i,
+             |        CAST(y - ${sd("dn * p1", "dd")} AS BIGINT) AS y
+             |      FROM (SELECT z.i, z.y, p.p1,
+             |          CAST(sum(z.y * p.p1) OVER () AS BIGINT) AS dn,
+             |          CAST(sum(p.p1 * p.p1) OVER () AS BIGINT) AS dd
+             |        FROM (SELECT i, CAST(sum(c * s) AS BIGINT) AS y
+             |          FROM cent JOIN t$r USING (vec_id) GROUP BY 1) z
+             |        JOIN p USING (i)))))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |comps AS MATERIALIZED (SELECT vec_id, i,
+           |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xm
+           |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx),
+           |mn AS (SELECT i, CAST(${sd("sum(xm)", "count(*)")} AS BIGINT)
+           |    AS mi FROM comps GROUP BY 1),
+           |cent AS MATERIALIZED (SELECT vec_id, comps.i, xm - mi AS c
+           |  FROM comps JOIN mn ON comps.i = mn.i),
+           |w0 AS (SELECT i, CAST(1000 AS BIGINT) AS w
+           |  FROM (SELECT unnest(range(0, 64)) AS i) idx),
+           |${round1(1, "w0")},
+           |${round1(2, "w1")},
+           |${round1(3, "w2")},
+           |p AS (SELECT i, w AS p1 FROM w3),
+           |v0 AS (SELECT i, CAST(CASE WHEN i % 2 = 0 THEN 1000
+           |    ELSE -1000 END AS BIGINT) AS w
+           |  FROM (SELECT unnest(range(0, 64)) AS i) idx),
+           |${round2(1, "v0")},
+           |${round2(2, "v1")},
+           |${round2(3, "v2")},
+           |sf1 AS (SELECT vec_id,
+           |    CAST(${sd("sum(c * w)", "1000")} AS BIGINT) AS s
+           |  FROM cent JOIN w3 USING (i) GROUP BY 1),
+           |r1 AS (SELECT CAST(sum(s * s) AS BIGINT) AS ray1_num
+           |  FROM sf1),
+           |r1d AS (SELECT CAST(sum(w * w) AS BIGINT) AS ray1_den
+           |  FROM w3),
+           |sf2 AS (SELECT vec_id,
+           |    CAST(${sd("sum(c * w)", "1000")} AS BIGINT) AS s
+           |  FROM cent JOIN v3 USING (i) GROUP BY 1),
+           |r2 AS (SELECT CAST(sum(s * s) AS BIGINT) AS ray2_num
+           |  FROM sf2),
+           |r2d AS (SELECT CAST(sum(w * w) AS BIGINT) AS ray2_den
+           |  FROM v3),
+           |od AS (SELECT CAST(sum(v3.w * p1) AS BIGINT) AS ortho_dot
+           |  FROM v3 JOIN p USING (i))
+           |SELECT CAST(v3.i AS BIGINT) AS i,
+           |  CAST(CASE WHEN CAST(ray1_num AS HUGEINT) * ray2_den
+           |      < CAST(ray2_num AS HUGEINT) * ray1_den
+           |    THEN v3.w ELSE p1 END AS BIGINT) AS w_major_milli,
+           |  CAST(CASE WHEN CAST(ray1_num AS HUGEINT) * ray2_den
+           |      < CAST(ray2_num AS HUGEINT) * ray1_den
+           |    THEN p1 ELSE v3.w END AS BIGINT) AS w_minor_milli,
+           |  CAST(CASE WHEN CAST(ray1_num AS HUGEINT) * ray2_den
+           |      < CAST(ray2_num AS HUGEINT) * ray1_den
+           |    THEN ray2_num ELSE ray1_num END AS BIGINT)
+           |    AS ray_major_num,
+           |  CAST(CASE WHEN CAST(ray1_num AS HUGEINT) * ray2_den
+           |      < CAST(ray2_num AS HUGEINT) * ray1_den
+           |    THEN ray2_den ELSE ray1_den END AS BIGINT)
+           |    AS ray_major_den,
+           |  CAST(CASE WHEN CAST(ray1_num AS HUGEINT) * ray2_den
+           |      < CAST(ray2_num AS HUGEINT) * ray1_den
+           |    THEN ray1_num ELSE ray2_num END AS BIGINT)
+           |    AS ray_minor_num,
+           |  CAST(CASE WHEN CAST(ray1_num AS HUGEINT) * ray2_den
+           |      < CAST(ray2_num AS HUGEINT) * ray1_den
+           |    THEN ray1_den ELSE ray2_den END AS BIGINT)
+           |    AS ray_minor_den,
+           |  ortho_dot
+           |FROM v3 JOIN p USING (i)
+           |CROSS JOIN r1 CROSS JOIN r1d CROSS JOIN r2 CROSS JOIN r2d
+           |CROSS JOIN od
+           |ORDER BY i""".stripMargin
+      }),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

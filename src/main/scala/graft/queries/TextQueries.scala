@@ -5049,6 +5049,113 @@ object TextQueries {
               |WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
               |  1024)
               |ORDER BY a.r""".stripMargin)),
+
+    // ---- Kneser–Ney smoothing audit (exact rational d = 3/4) ----------------
+    // What the q208-family bigram LMs are missing: held-out mass for
+    // UNSEEN bigrams. Interpolated Kneser–Ney with the standard discount
+    // d = 3/4 — an exact rational, so scaling every count by 4 keeps the
+    // whole estimator in integers: P_kn(w2|w1) = max(4c₁₂−3, 0)/4c₁ +
+    // 3·N₁₊(w1•)/4c₁ · P_cont(w2), P_cont = N₁₊(•w2)/N₁₊(••), all in
+    // micro fixed point with truncating DIV spelled identically on both
+    // engines. Train/held-out split by doc_id mod 4; the audit compares
+    // KN against raw MLE per held-out category — seen bigram, novel
+    // bigram under a seen history (where MLE assigns ZERO and KN pays
+    // out the continuation mass — the whole point of smoothing), and
+    // unseen history (unigram-continuation fallback). Scale shape: one
+    // corpus pass per split to bigram-type frames (map-side combine);
+    // every later join runs on type frames, never token streams.
+    "q297_kneser_ney_audit" -> QueryDef(
+      (s, dir) => {
+        def bigrams(docs: DataFrame) = docs
+          .select(tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(ws) - 2),
+              | k -> struct(ws[k] AS w1, ws[k + 1] AS w2))"""
+              .stripMargin)).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val docs = tableParallel(s, dir, "documents")
+        val train = Materialize(bigrams(docs
+            .filter(expr("doc_id % 4 != 0")))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+        val held = bigrams(docs.filter(expr("doc_id % 4 = 0")))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("h"))
+        val c1 = train.groupBy("w1").agg(sum("c12").as("c1"),
+          count(lit(1)).as("n1w1"))
+        val ntypes = train.agg(count(lit(1)).as("ntypes"))
+        val pcont = train.groupBy("w2").agg(count(lit(1)).as("n1w2"))
+          .crossJoin(broadcast(ntypes))
+          .withColumn("pcont", expr("n1w2 * 1000000 DIV ntypes"))
+          .select("w2", "pcont")
+        val scoredTypes = held
+          .join(train, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(pcont, Seq("w2"), "left")
+          .withColumn("pc", coalesce(col("pcont"), lit(0L)))
+          .withColumn("cat", expr(
+            """CASE WHEN c12 IS NOT NULL THEN 'a_seen'
+              | WHEN c1 IS NOT NULL THEN 'b_novel_hist_seen'
+              | ELSE 'c_hist_unseen' END""".stripMargin))
+          .withColumn("kn_micro", expr(
+            """CASE WHEN c1 IS NULL THEN pc
+              | ELSE greatest(4 * coalesce(c12, CAST(0 AS BIGINT)) - 3,
+              |     CAST(0 AS BIGINT)) * 1000000 DIV (4 * c1)
+              |   + (3 * n1w1 * pc) DIV (4 * c1) END""".stripMargin))
+          .withColumn("mle_micro", expr(
+            """CASE WHEN c12 IS NOT NULL
+              | THEN c12 * 1000000 DIV c1
+              | ELSE CAST(0 AS BIGINT) END""".stripMargin))
+        scoredTypes.groupBy("cat")
+          .agg(count(lit(1)).as("n_types"), sum("h").as("n_tokens"),
+            expr("sum(h * kn_micro) DIV sum(h)").as("avg_kn_micro"),
+            expr("sum(h * mle_micro) DIV sum(h)").as("avg_mle_micro"))
+          .orderBy("cat")
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, $duckToks AS ws
+              |  FROM documents),
+              |trb AS (SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM d0 WHERE doc_id % 4 != 0 AND len(ws) >= 2),
+              |heb AS (SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM d0 WHERE doc_id % 4 = 0 AND len(ws) >= 2),
+              |train AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              |  FROM trb GROUP BY 1, 2),
+              |held AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS h
+              |  FROM heb GROUP BY 1, 2),
+              |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+              |    CAST(count(*) AS BIGINT) AS n1w1
+              |  FROM train GROUP BY 1),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes
+              |  FROM train),
+              |pcont AS (SELECT w2,
+              |    CAST(count(*) AS BIGINT) * 1000000 // ntypes AS pcont
+              |  FROM train CROSS JOIN nt GROUP BY w2, ntypes),
+              |sc AS (SELECT held.h,
+              |    COALESCE(pcont.pcont, 0) AS pc,
+              |    CASE WHEN train.c12 IS NOT NULL THEN 'a_seen'
+              |      WHEN c1.c1 IS NOT NULL THEN 'b_novel_hist_seen'
+              |      ELSE 'c_hist_unseen' END AS cat,
+              |    CASE WHEN c1.c1 IS NULL THEN COALESCE(pcont.pcont, 0)
+              |      ELSE greatest(4 * COALESCE(train.c12, 0) - 3, 0)
+              |          * 1000000 // (4 * c1.c1)
+              |        + (3 * c1.n1w1 * COALESCE(pcont.pcont, 0))
+              |          // (4 * c1.c1) END AS kn_micro,
+              |    CASE WHEN train.c12 IS NOT NULL
+              |      THEN train.c12 * 1000000 // c1.c1
+              |      ELSE 0 END AS mle_micro
+              |  FROM held
+              |  LEFT JOIN train ON held.w1 = train.w1
+              |    AND held.w2 = train.w2
+              |  LEFT JOIN c1 ON held.w1 = c1.w1
+              |  LEFT JOIN pcont ON held.w2 = pcont.w2)
+              |SELECT cat, CAST(count(*) AS BIGINT) AS n_types,
+              |  CAST(sum(h) AS BIGINT) AS n_tokens,
+              |  CAST(sum(h * kn_micro) // sum(h) AS BIGINT)
+              |    AS avg_kn_micro,
+              |  CAST(sum(h * mle_micro) // sum(h) AS BIGINT)
+              |    AS avg_mle_micro
+              |FROM sc GROUP BY 1 ORDER BY cat""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated
