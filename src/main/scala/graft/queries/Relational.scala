@@ -3802,6 +3802,77 @@ object Relational {
              |  ORDER BY acctbal_c DESC, c_custkey LIMIT 2) t
              |ORDER BY n_name, t.acctbal_c DESC, t.c_custkey"""
         .stripMargin)),
+
+    // ---- SQL-defined scalar function (CREATE FUNCTION … RETURN) -----------
+    // The Spark-4 SQL UDF surface: a scalar function DEFINED IN SQL is
+    // inlined by the analyzer into the calling plan — codegen-friendly,
+    // catalog-managed, and what an Athena-style user writes instead of
+    // registering JVM code. graft_bp (the basis-point ratio idiom used
+    // throughout this catalog) is defined once and called three times;
+    // the DuckDB oracle spells the same arithmetic inline, proving the
+    // function boundary adds no semantics. Zero-denominator guarded in
+    // the function body itself.
+    "q298_sql_udf" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_pv")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bp(
+                |  num BIGINT, den BIGINT) RETURNS BIGINT
+                |RETURN num * 10000 DIV greatest(den, 1)""".stripMargin)
+        s.sql("""SELECT l_returnflag,
+                |  count(*) AS n,
+                |  graft_bp(CAST(sum(CASE WHEN l_discount > 0.05 THEN 1
+                |      ELSE 0 END) AS BIGINT),
+                |    CAST(count(*) AS BIGINT)) AS discounted_bp,
+                |  graft_bp(CAST(sum(CASE WHEN l_tax > 0.04 THEN 1
+                |      ELSE 0 END) AS BIGINT),
+                |    CAST(count(*) AS BIGINT)) AS taxed_bp,
+                |  graft_bp(CAST(sum(CASE WHEN l_quantity >= 25 THEN 1
+                |      ELSE 0 END) AS BIGINT),
+                |    CAST(count(*) AS BIGINT)) AS bulk_bp
+                |FROM lineitem_pv
+                |GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(CAST(sum(CASE WHEN l_discount > 0.05 THEN 1
+             |      ELSE 0 END) AS BIGINT) * 10000
+             |    // greatest(count(*), 1) AS BIGINT) AS discounted_bp,
+             |  CAST(CAST(sum(CASE WHEN l_tax > 0.04 THEN 1
+             |      ELSE 0 END) AS BIGINT) * 10000
+             |    // greatest(count(*), 1) AS BIGINT) AS taxed_bp,
+             |  CAST(CAST(sum(CASE WHEN l_quantity >= 25 THEN 1
+             |      ELSE 0 END) AS BIGINT) * 10000
+             |    // greatest(count(*), 1) AS BIGINT) AS bulk_bp
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- GROUP BY ALL / ORDER BY ALL surface -------------------------------
+    // The analyst-ergonomics surface both engines grew independently:
+    // GROUP BY ALL infers the grouping set from the non-aggregate select
+    // items, ORDER BY ALL totals the order. The oracle runs the SAME
+    // text — the check is that both engines' inference picks the same
+    // grouping columns and produces the identical relation.
+    "q299_group_by_all" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_pv")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  count(*) AS n,
+                |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                |    AS qty
+                |FROM lineitem_pv
+                |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                |GROUP BY ALL
+                |ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY ALL
+             |ORDER BY ALL""".stripMargin)),
   )
 
   /** One canonical Hilbert xy2d level (Wikipedia's loop body) on the

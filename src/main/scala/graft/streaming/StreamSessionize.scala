@@ -93,6 +93,52 @@ object StreamSessionize {
       }
   }
 
+  /** Typed transition input: (user, event-time micros, tie-break id,
+    * type). */
+  final case class TransEvent(user_id: Long, us: Long, event_id: Long,
+                              event_type: String)
+
+  /** One observed behavior transition for a user. */
+  final case class Transition(user_id: Long, prev_type: String,
+                              next_type: String)
+
+  /** Per-user chain state: the latest event seen so far. */
+  final case class LastEvent(us: Long, event_id: Long,
+                             event_type: String)
+
+  /** Stateful per-user transition extraction — the streaming twin of the
+    * q138/q291 batch lag-pair base: per-user state holds only the LAST
+    * event; each micro-batch sorts its group by (us, event_id) (q138's
+    * exact order) and emits one Transition per adjacent pair, chaining
+    * through the stored last event. State is O(1) per user — the
+    * Markov-chain ingestion shape at any scale.
+    *
+    * Cross-batch contract: like every incremental chain, a user's event
+    * arriving in a LATER batch than a chronologically-later event links
+    * in arrival order. Replay fixtures route each user's events into a
+    * single batch (partition the files by user) for exact batch parity —
+    * the gate does exactly that.
+    */
+  def transitionStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[LastEvent]) =>
+          val sorted = it.toVector.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += Transition(uid, l.event_type, e.event_type))
+            last = Some(LastEvent(e.us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Per-user funnel progress: earliest strict-order completion time of
     * each stage in micros, None while unreached. */
   final case class FunnelProgress(user_id: Long, t1: Option[Long],

@@ -1224,4 +1224,51 @@ class StreamBatchParitySpec extends AnyFunSuite {
         proj.filter(col("source").isin(thSources.toSeq: _*)).count())
     }
   }
+
+  test("file-replay transitionStream == q138 batch lag-pair counts " +
+      "(per-user-partitioned replay)") {
+    failAfter(Span(300, Seconds)) {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("trans_replay_").toString
+      val ckpt = Files.createTempDirectory("trans_ckpt_").toString
+      val ev = Tables.table(spark, sf, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      // the cross-batch contract: each user's chain must live inside one
+      // batch, so the fixture hash-partitions FILES by user — three
+      // batches, each carrying complete users
+      ev.repartition(3, col("user_id"))
+        .write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[TransEvent]
+      val q = transitionStream(stream)
+        .writeStream.format("memory").queryName("trans_replay")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // recompute through the BATCH lag window (q138's plan shape)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val batch = ev
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val streamedCounts = spark.table("trans_replay")
+        .groupBy("prev_type", "next_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamedCounts === batch)
+      // teeth: a real 5×5-ish transition structure with self-loops
+      assert(streamedCounts.size > 10)
+      assert(streamedCounts.exists { case ((a, b), _) => a == b })
+    }
+  }
 }
