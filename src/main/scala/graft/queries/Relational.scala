@@ -3873,6 +3873,139 @@ object Relational {
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
              |GROUP BY ALL
              |ORDER BY ALL""".stripMargin)),
+
+    // ---- HLL set algebra (union by register max, ∩ by in/exclusion) -------
+    // Why sketches win at 100 TB: two cohorts' HyperLogLogs UNION by a
+    // 256-row register max — no re-scan, no shuffle of raw keys — and
+    // intersection follows by inclusion–exclusion. This audit builds the
+    // q273 integer-exact HLL (b = 8) for the 1995 and 1996 order-placing
+    // customer cohorts FROM THE SAME HASH (a sketch algebra requirement),
+    // merges registers for the union estimate, derives the intersection
+    // estimate, and prices all four against exact counts. The in/exclusion
+    // intersection inherits BOTH sketches' absolute errors (they can
+    // compound — or partially cancel when the raw estimator's bias is
+    // shared, as it is here; the audit reports what actually happens;
+    // clamped at 0 from below). One orders pass; everything after runs
+    // on ≤ 512 register rows.
+    "q300_hll_setops" -> QueryDef(
+      (s, dir) => {
+        val base = graft.operators.Materialize(table(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("year(o_orderdate)").as("yr"))
+          .filter(col("yr").isin(1995, 1996))
+          .select(expr("CASE WHEN yr = 1995 THEN 'a' ELSE 'b' END")
+            .as("st"), col("o_custkey"))
+          .distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15)" +
+              ", 16, 10) AS BIGINT)")))
+        val rho = base
+          .withColumn("reg", expr("h % 256"))
+          .withColumn("sfx", expr("h DIV 256"))
+          .withColumn("rho", expr(
+            "CASE WHEN sfx = 0 THEN 53L ELSE 53L - length(bin(sfx)) END"))
+        val regsPer = graft.operators.Materialize(
+          rho.groupBy("st", "reg").agg(max("rho").as("mx")))
+        val regsAll = regsPer.unionAll(
+          regsPer.groupBy("reg").agg(max("mx").as("mx"))
+            .select(lit("u").as("st"), col("reg"), col("mx")))
+        val ests = regsAll.groupBy("st")
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - CAST(mx AS INT))"))
+              .as("s_hit"))
+          .withColumn("s_scaled", expr(
+            "s_hit + (256 - n_hit) * shiftleft(CAST(1 AS BIGINT), 53)"))
+          .withColumn("est", expr(
+            "CAST(CAST(718 AS DECIMAL(38,0)) * 256 * 256 * " +
+              "shiftleft(CAST(1 AS BIGINT), 53) DIV " +
+              "(1000 * CAST(s_scaled AS DECIMAL(38,0))) AS BIGINT)"))
+          .select("st", "est")
+        val estRow = ests.agg(
+          max(when(col("st") === "a", col("est"))).as("est_a"),
+          max(when(col("st") === "b", col("est"))).as("est_b"),
+          max(when(col("st") === "u", col("est"))).as("est_u"))
+          .withColumn("est_i", expr(
+            "greatest(est_a + est_b - est_u, CAST(0 AS BIGINT))"))
+        val exact = base.groupBy("o_custkey")
+          .agg(count(lit(1)).as("ns"))
+          .agg(count(lit(1)).as("exact_u"),
+            sum(expr("CASE WHEN ns = 2 THEN 1 ELSE 0 END"))
+              .as("exact_i"))
+        val exactAb = base.groupBy("st").agg(count(lit(1)).as("n"))
+          .agg(max(when(col("st") === "a", col("n"))).as("exact_a"),
+            max(when(col("st") === "b", col("n"))).as("exact_b"))
+        estRow.crossJoin(broadcast(exact)).crossJoin(broadcast(exactAb))
+          .select(col("exact_a"), col("est_a"),
+            expr("abs(est_a - exact_a) * 10000 DIV exact_a")
+              .as("err_a_bp"),
+            col("exact_b"), col("est_b"),
+            expr("abs(est_b - exact_b) * 10000 DIV exact_b")
+              .as("err_b_bp"),
+            col("exact_u"), col("est_u"),
+            expr("abs(est_u - exact_u) * 10000 DIV exact_u")
+              .as("err_u_bp"),
+            col("exact_i"), col("est_i"),
+            expr("abs(est_i - exact_i) * 10000 DIV greatest(exact_i, 1)")
+              .as("err_i_bp"))
+      },
+      Some("""WITH base AS (SELECT DISTINCT
+             |    CASE WHEN year(o_orderdate) = 1995 THEN 'a'
+             |      ELSE 'b' END AS st,
+             |    o_custkey
+             |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+             |h AS (SELECT st, o_custkey,
+             |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+             |      1, 15)) AS BIGINT) AS h
+             |  FROM base),
+             |rho AS (SELECT st, h % 256 AS reg,
+             |    CASE WHEN h // 256 = 0 THEN 53
+             |      ELSE 53 - length(bin(h // 256)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT st, reg, max(rho) AS mx
+             |  FROM rho GROUP BY 1, 2),
+             |regsall AS (SELECT st, reg, mx FROM regs
+             |  UNION ALL
+             |  SELECT 'u', reg, max(mx) FROM regs GROUP BY 2),
+             |ag AS (SELECT st, CAST(count(*) AS BIGINT) AS n_hit,
+             |    CAST(sum(1::BIGINT << (53 - CAST(mx AS INT)))
+             |      AS BIGINT) AS s_hit
+             |  FROM regsall GROUP BY 1),
+             |e AS (SELECT st,
+             |    CAST(CAST(718 AS HUGEINT) * 256 * 256 *
+             |      (1::BIGINT << 53) //
+             |      (1000 * CAST(s_hit + (256 - n_hit) *
+             |        (1::BIGINT << 53) AS HUGEINT)) AS BIGINT) AS est
+             |  FROM ag),
+             |er AS (SELECT
+             |    max(CASE WHEN st = 'a' THEN est END) AS est_a,
+             |    max(CASE WHEN st = 'b' THEN est END) AS est_b,
+             |    max(CASE WHEN st = 'u' THEN est END) AS est_u
+             |  FROM e),
+             |er2 AS (SELECT *,
+             |    greatest(est_a + est_b - est_u, 0) AS est_i FROM er),
+             |exu AS (SELECT CAST(count(*) AS BIGINT) AS exact_u,
+             |    CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS exact_i
+             |  FROM (SELECT o_custkey, count(*) AS ns FROM base
+             |        GROUP BY 1)),
+             |exab AS (SELECT
+             |    max(CASE WHEN st = 'a' THEN n END) AS exact_a,
+             |    max(CASE WHEN st = 'b' THEN n END) AS exact_b
+             |  FROM (SELECT st, CAST(count(*) AS BIGINT) AS n
+             |        FROM base GROUP BY 1))
+             |SELECT exact_a, est_a,
+             |  CAST(abs(est_a - exact_a) * 10000 // exact_a AS BIGINT)
+             |    AS err_a_bp,
+             |  exact_b, est_b,
+             |  CAST(abs(est_b - exact_b) * 10000 // exact_b AS BIGINT)
+             |    AS err_b_bp,
+             |  exact_u, est_u,
+             |  CAST(abs(est_u - exact_u) * 10000 // exact_u AS BIGINT)
+             |    AS err_u_bp,
+             |  exact_i, CAST(est_i AS BIGINT) AS est_i,
+             |  CAST(abs(est_i - exact_i) * 10000
+             |    // greatest(exact_i, 1) AS BIGINT) AS err_i_bp
+             |FROM er2 CROSS JOIN exu CROSS JOIN exab""".stripMargin)),
   )
 
   /** One canonical Hilbert xy2d level (Wikipedia's loop body) on the
