@@ -4085,7 +4085,13 @@ object TrainingQueries {
           sum("s12").as("fs12"), sum("s1y").as("fs1y"),
           sum("s2y").as("fs2y"), sum("syy").as("fsyy"))
         val subs = s.range(0, 16).select(col("id").as("m"))
-        val tm = subs.join(gm, expr(s"(m DIV ($bit)) % 2 = 1"), "left")
+        // gm/vm are ≤ 4- and 16-row by construction (gid ∈ 0..3, m ∈
+        // 0..15), but caching hides that lineage from the plan — the
+        // explicit LIMIT makes the boundedness visible to the
+        // no-unbounded-broadcast invariant (the q211/q261 idiom) at
+        // zero cost
+        val gmB = gm.limit(4)
+        val tm = subs.join(gmB, expr(s"(m DIV ($bit)) % 2 = 1"), "left")
           .groupBy("m")
           .agg(coalesce(sum("n_docs"), lit(0L)).as("tn"),
             coalesce(sum("s1"), lit(0L)).as("t1"),
@@ -4122,8 +4128,8 @@ object TrainingQueries {
                |     + ${dec("b1")} * b2 * fs12)
                | AS DECIMAL(38,0))""".stripMargin))
           .select("m", "sse"))
-        val phi = gm.select("gid", "grp", "n_docs")
-          .join(vm.select(col("m"), col("sse").as("sse_s")),
+        val phi = gmB.select("gid", "grp", "n_docs")
+          .join(vm.limit(16).select(col("m"), col("sse").as("sse_s")),
             expr(s"(m DIV ($bit)) % 2 = 0"))
           .withColumn("mi", expr(s"m + ($bit)"))
           .join(vm.select(col("m").as("mi"), col("sse").as("sse_si")),
@@ -4731,5 +4737,172 @@ object TrainingQueries {
               |    // greatest(n0 - tie_a, 1) * 10000
               |    // greatest(n0 - tie_b, 1) AS BIGINT) AS taub2_bp
               |FROM j ORDER BY source""".stripMargin)),
+
+    // ---- watermark lateness audit (the streaming design decision) ----------
+    // Before a streaming job picks `withWatermark(δ)`, someone must
+    // answer: how much data would δ actually drop? This audit replays
+    // the corpus under Spark's own micro-batch watermark semantics —
+    // arrival = event time + deterministic md5 network jitter (≤ 2 h),
+    // the watermark advances at arrival-HOUR granularity (exactly the
+    // per-micro-batch advance a real query makes), and an event is
+    // dropped iff the watermark that was current when it ARRIVED had
+    // already passed its event time by more than δ. The causal running
+    // max runs on the BOUNDED arrival-hour frame (never a corpus-wide
+    // ordered window); events join their previous hour's cumulative max
+    // by equi-key. Three δ candidates price the decision in exact bp;
+    // max observed lateness is the tail witness. Everything integer
+    // (epoch micros), both engines identical.
+    "q301_watermark_lateness" -> QueryDef(
+      (s, dir) => {
+        val ev = Materialize(table(s, dir, "events")
+          .select(unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("jit_s", expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8)" +
+              ", 16, 10) AS BIGINT) % 7200"))
+          .withColumn("arr_us", expr("us + jit_s * 1000000"))
+          .withColumn("ah", expr("arr_us DIV 3600000000"))
+          .select("us", "arr_us", "ah"))
+        val hourly = ev.groupBy("ah").agg(max("us").as("mx"))
+        val wmark = hourly
+          .withColumn("wm_prev", coalesce(max("mx").over(
+            Window.orderBy("ah")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("ah", "wm_prev")
+        val late = Materialize(ev.join(wmark, "ah")
+          .withColumn("late_us", greatest(col("wm_prev") - col("us"),
+            lit(0L)))
+          .select("late_us"))
+        val deltas = s.range(0, 3).select(expr(
+          """CAST(CASE id WHEN 0 THEN 1800 WHEN 1 THEN 3600
+            | ELSE 7200 END AS BIGINT)""".stripMargin).as("wm_s"))
+        late.crossJoin(broadcast(deltas))
+          .groupBy("wm_s")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CASE WHEN late_us > wm_s * 1000000 THEN 1 " +
+              "ELSE 0 END")).as("dropped"),
+            expr("max(late_us) DIV 1000000").as("max_late_s"))
+          .withColumn("dropped_bp", expr("dropped * 10000 DIV n_events"))
+          .select("wm_s", "n_events", "dropped", "dropped_bp",
+            "max_late_s")
+          .orderBy("wm_s")
+      },
+      Some("""WITH ev AS (SELECT epoch_us(ts) AS us,
+             |    epoch_us(ts) + (CAST(('0x' ||
+             |        substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+             |        AS BIGINT) % 7200) * 1000000 AS arr_us
+             |  FROM events),
+             |e2 AS (SELECT us, arr_us, arr_us // 3600000000 AS ah
+             |  FROM ev),
+             |hourly AS (SELECT ah, max(us) AS mx FROM e2 GROUP BY 1),
+             |wm AS (SELECT ah, CAST(COALESCE(max(mx) OVER
+             |      (ORDER BY ah
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) AS wm_prev
+             |  FROM hourly),
+             |late AS (SELECT greatest(wm_prev - us, 0) AS late_us
+             |  FROM e2 JOIN wm USING (ah)),
+             |deltas AS (SELECT CAST(unnest([1800, 3600, 7200])
+             |    AS BIGINT) AS wm_s)
+             |SELECT wm_s, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN late_us > wm_s * 1000000 THEN 1
+             |    ELSE 0 END) AS BIGINT) AS dropped,
+             |  CAST(sum(CASE WHEN late_us > wm_s * 1000000 THEN 1
+             |    ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             |    AS dropped_bp,
+             |  CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s
+             |FROM late CROSS JOIN deltas
+             |GROUP BY wm_s ORDER BY wm_s""".stripMargin)),
+
+    // ---- bitemporal as-of (valid time × transaction time) ------------------
+    // The warehouse question q277's SCD-2 cannot answer alone: "what did
+    // the system BELIEVE at transaction time Tt about the state at valid
+    // time Tv?" — the reproducibility primitive behind every training-run
+    // audit ("rebuild the exact feature table the run saw"). Valid time =
+    // the purchase's event time; transaction time = when it became
+    // visible (event time + the q301 deterministic md5 ingest jitter,
+    // ≤ 2 h). For each cell of a 3×2 (Tv × Tt) literal grid (epoch-µs
+    // literals generated once in Scala and inlined into BOTH engines),
+    // each user's visible record is the (valid, txn, event_id)-max among
+    // rows with valid ≤ Tv AND txn ≤ Tt — one corpus×6 fan-out, the
+    // rank window co-partitioned on (cell, user). Teeth: Tt = Tv sees
+    // FEWER records than Tt = Tv + 2 h (in-flight rows near the valid
+    // cut are invisible until their jitter lands) — the audit output
+    // carries both so the retroactive-visibility gap is measured, not
+    // assumed.
+    "q302_bitemporal_asof" -> QueryDef(
+      (s, dir) => {
+        def epochUs(day: Int, hour: Int): Long =
+          java.time.LocalDateTime.of(2024, 1, day, hour, 0)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        val grid = Seq(8, 15, 22).flatMap(d =>
+          Seq(0, 2).map(h => (epochUs(d, 0), epochUs(d, h))))
+        def gcase(f: ((Long, Long)) => Long): String =
+          grid.zipWithIndex.map { case (g, i) =>
+            s"WHEN $i THEN CAST(${f(g)} AS BIGINT)"
+          }.mkString("CASE gid ", " ", " END")
+        val cells = s.range(0, 6).select(col("id").as("gid"))
+          .withColumn("tv_us", expr(gcase(_._1)))
+          .withColumn("tt_us", expr(gcase(_._2)))
+        val pur = Materialize(table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("valid_us"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("txn_us", expr(
+            "valid_us + (CAST(conv(substring(md5(CAST(event_id AS " +
+              "STRING)), 1, 8), 16, 10) AS BIGINT) % 7200) * 1000000")))
+        val vis = pur.crossJoin(broadcast(cells))
+          .filter(col("valid_us") <= col("tv_us") &&
+            col("txn_us") <= col("tt_us"))
+        val w = Window.partitionBy("gid", "user_id")
+          .orderBy(col("valid_us").desc, col("txn_us").desc,
+            col("event_id").desc)
+        vis.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("gid", "tv_us", "tt_us")
+          .agg(count(lit(1)).as("n_users"),
+            sum("cents").as("sum_cents"),
+            max(expr("tt_us - valid_us")).as("max_staleness_us"))
+          .withColumn("max_staleness_s",
+            expr("max_staleness_us DIV 1000000"))
+          .select("gid", "tv_us", "tt_us", "n_users", "sum_cents",
+            "max_staleness_s")
+          .orderBy("gid")
+      },
+      Some {
+        def epochUs(day: Int, hour: Int): Long =
+          java.time.LocalDateTime.of(2024, 1, day, hour, 0)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        val grid = Seq(8, 15, 22).flatMap(d =>
+          Seq(0, 2).map(h => (epochUs(d, 0), epochUs(d, h))))
+        val gridRows = grid.zipWithIndex.map { case ((tv, tt), i) =>
+          s"($i, CAST($tv AS BIGINT), CAST($tt AS BIGINT))"
+        }.mkString(", ")
+        s"""WITH cells(gid, tv_us, tt_us) AS (VALUES $gridRows),
+           |pur AS (SELECT user_id, event_id,
+           |    epoch_us(ts) AS valid_us,
+           |    CAST(floor(value * 100) AS BIGINT) AS cents,
+           |    epoch_us(ts) + (CAST(('0x' ||
+           |        substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+           |        AS BIGINT) % 7200) * 1000000 AS txn_us
+           |  FROM events WHERE event_type = 'purchase'),
+           |vis AS (SELECT gid, tv_us, tt_us, user_id, valid_us,
+           |    txn_us, cents, event_id
+           |  FROM pur CROSS JOIN cells
+           |  WHERE valid_us <= tv_us AND txn_us <= tt_us),
+           |rk AS (SELECT *, row_number() OVER
+           |    (PARTITION BY gid, user_id
+           |     ORDER BY valid_us DESC, txn_us DESC, event_id DESC)
+           |      AS rn
+           |  FROM vis)
+           |SELECT CAST(gid AS BIGINT) AS gid, tv_us, tt_us,
+           |  CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(max(tt_us - valid_us) // 1000000 AS BIGINT)
+           |    AS max_staleness_s
+           |FROM rk WHERE rn = 1
+           |GROUP BY 1, 2, 3 ORDER BY gid""".stripMargin
+      }),
   )
 }
