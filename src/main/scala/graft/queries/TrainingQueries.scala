@@ -4904,5 +4904,143 @@ object TrainingQueries {
            |FROM rk WHERE rn = 1
            |GROUP BY 1, 2, 3 ORDER BY gid""".stripMargin
       }),
+
+    // ---- expert-routing capacity audit (MoE load balance) ------------------
+    // The capacity-factor decision every mixture-of-experts data plane
+    // makes: content-routed shards are SKEWED (here: md5 of each doc's
+    // leading token mod 8 — leading-token mass is naturally Zipfian),
+    // and a capacity factor must trade dropped tokens against wasted
+    // slack. One corpus pass to the 8-row expert-load frame; the 3-cf
+    // fan-out prices cap = ⌈cf·N/8⌉ (exact ceil in integers), per-cf
+    // dropped docs/bp and experts over cap, plus the cf-independent
+    // max-load share witness. The audit is the routing twin of q197's
+    // shard-rebalance and q253's hashing-trick collision audits — same
+    // discipline, the decision variable is capacity instead of bucket
+    // count.
+    "q303_expert_capacity" -> QueryDef(
+      (s, dir) => {
+        val loads = Materialize(tableParallel(s, dir, "documents")
+          .select(expr(
+            "CAST(conv(substring(md5(element_at(" +
+              "split(lower(trim(text)), '\\\\s+'), 1)), 1, 8), 16, 10) " +
+              "AS BIGINT) % 8").as("expert"))
+          .groupBy("expert").agg(count(lit(1)).as("load")))
+        val tot = loads.agg(sum("load").as("nt"),
+          max("load").as("mx"))
+        val cfs = s.range(0, 3).select(expr(
+          """CAST(CASE id WHEN 0 THEN 100 WHEN 1 THEN 125
+            | ELSE 150 END AS BIGINT)""".stripMargin).as("cf_pct"))
+        loads.crossJoin(broadcast(tot)).crossJoin(broadcast(cfs))
+          .withColumn("cap", expr("(nt * cf_pct + 799) DIV 800"))
+          .groupBy("cf_pct")
+          .agg(max("cap").as("cap"), max("mx").as("max_load"),
+            max("nt").as("n_docs"),
+            sum(expr("CASE WHEN load > cap THEN 1 ELSE 0 END"))
+              .as("experts_over"),
+            sum(expr("greatest(load - cap, CAST(0 AS BIGINT))"))
+              .as("dropped"))
+          .withColumn("dropped_bp", expr("dropped * 10000 DIV n_docs"))
+          .withColumn("max_share_bp", expr(
+            "max_load * 10000 DIV n_docs"))
+          .select("cf_pct", "n_docs", "cap", "max_load", "max_share_bp",
+            "experts_over", "dropped", "dropped_bp")
+          .orderBy("cf_pct")
+      },
+      Some("""WITH r AS (SELECT CAST(('0x' || substr(md5(
+             |      regexp_split_to_array(lower(trim(text)),
+             |        '\s+')[1]), 1, 8)) AS BIGINT) % 8 AS expert
+             |  FROM documents),
+             |loads AS (SELECT expert, CAST(count(*) AS BIGINT) AS load
+             |  FROM r GROUP BY 1),
+             |tot AS (SELECT CAST(sum(load) AS BIGINT) AS nt,
+             |    CAST(max(load) AS BIGINT) AS mx FROM loads),
+             |cfs AS (SELECT CAST(unnest([100, 125, 150]) AS BIGINT)
+             |    AS cf_pct),
+             |pc AS (SELECT cf_pct, load, nt, mx,
+             |    (nt * cf_pct + 799) // 800 AS cap
+             |  FROM loads CROSS JOIN tot CROSS JOIN cfs)
+             |SELECT cf_pct, max(nt) AS n_docs, max(cap) AS cap,
+             |  max(mx) AS max_load,
+             |  CAST(max(mx) * 10000 // max(nt) AS BIGINT)
+             |    AS max_share_bp,
+             |  CAST(sum(CASE WHEN load > cap THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS experts_over,
+             |  CAST(sum(greatest(load - cap, 0)) AS BIGINT) AS dropped,
+             |  CAST(sum(greatest(load - cap, 0)) * 10000 // max(nt)
+             |    AS BIGINT) AS dropped_bp
+             |FROM pc GROUP BY 1 ORDER BY cf_pct""".stripMargin)),
+
+    // ---- speculative-draft acceptance audit ---------------------------------
+    // How often would a greedy word-bigram draft model's proposal be
+    // ACCEPTED by the target (i.e., equal the actual next word)? The
+    // acceptance-rate audit that decides whether speculative decoding
+    // pays for a corpus: draft(w1) = argmax_w2 c(w1, w2) trained on the
+    // doc_id % 4 ≠ 0 split (ties → lexicographically smallest w2, the
+    // deterministic argmax both engines replay), scored on held-out
+    // bigram occurrences per source. Unseen histories are their own
+    // category (the draft must propose SOMETHING; here they count as
+    // rejected and are reported). One corpus pass per split; the argmax
+    // and the scoring join run on bigram-type frames.
+    "q304_draft_acceptance" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        def bigrams(d: org.apache.spark.sql.DataFrame) = d
+          .select(col("source"), tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, size(ws) - 2),
+              | k -> struct(ws[k] AS w1, ws[k + 1] AS w2))"""
+              .stripMargin)).as("bg"))
+          .select(col("source"), col("bg.w1").as("w1"),
+            col("bg.w2").as("w2"))
+        val train = Materialize(
+          bigrams(docs.filter(expr("doc_id % 4 != 0")))
+            .groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+        val draft = train
+          .withColumn("rn", row_number().over(Window.partitionBy("w1")
+            .orderBy(col("c").desc, col("w2").asc)))
+          .filter(col("rn") === 1)
+          .select(col("w1"), col("w2").as("draft_w2"))
+        val held = bigrams(docs.filter(expr("doc_id % 4 = 0")))
+          .groupBy("source", "w1", "w2").agg(count(lit(1)).as("h"))
+        held.join(draft, Seq("w1"), "left")
+          .groupBy("source")
+          .agg(sum("h").as("n_tokens"),
+            sum(expr("CASE WHEN draft_w2 = w2 THEN h ELSE 0 END"))
+              .as("accepted"),
+            sum(expr("CASE WHEN draft_w2 IS NULL THEN h ELSE 0 END"))
+              .as("unseen_hist"))
+          .withColumn("accept_bp", expr(
+            "accepted * 10000 DIV n_tokens"))
+          .select("source", "n_tokens", "accepted", "accept_bp",
+            "unseen_hist")
+          .orderBy("source")
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, source, $duckToks AS ws
+              |  FROM documents),
+              |trb AS (SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM d0 WHERE doc_id % 4 != 0 AND len(ws) >= 2),
+              |train AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+              |  FROM trb GROUP BY 1, 2),
+              |draft AS (SELECT w1, w2 AS draft_w2 FROM (
+              |    SELECT w1, w2, row_number() OVER (PARTITION BY w1
+              |      ORDER BY c DESC, w2 ASC) AS rn FROM train)
+              |  WHERE rn = 1),
+              |heb AS (SELECT source, unnest(ws[1:len(ws) - 1]) AS w1,
+              |    unnest(ws[2:len(ws)]) AS w2
+              |  FROM d0 WHERE doc_id % 4 = 0 AND len(ws) >= 2),
+              |held AS (SELECT source, w1, w2,
+              |    CAST(count(*) AS BIGINT) AS h
+              |  FROM heb GROUP BY 1, 2, 3)
+              |SELECT source, CAST(sum(h) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN draft_w2 = w2 THEN h ELSE 0 END)
+              |    AS BIGINT) AS accepted,
+              |  CAST(sum(CASE WHEN draft_w2 = w2 THEN h ELSE 0 END)
+              |    * 10000 // sum(h) AS BIGINT) AS accept_bp,
+              |  CAST(sum(CASE WHEN draft_w2 IS NULL THEN h ELSE 0 END)
+              |    AS BIGINT) AS unseen_hist
+              |FROM held LEFT JOIN draft USING (w1)
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }
