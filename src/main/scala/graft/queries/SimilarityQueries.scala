@@ -3626,6 +3626,73 @@ object SimilarityQueries {
            |CROSS JOIN od
            |ORDER BY i""".stripMargin
       }),
+
+    // ---- MaxSim late-interaction retrieval (ColBERT shape) ----------------
+    // Multi-vector retrieval: each vector is treated as 8 sub-vectors of
+    // 8 dims (the token-embedding shape late-interaction models ship),
+    // and score(q, d) = Σ_{query slice} max_{doc slice} ⟨q_i, d_j⟩ — the
+    // MaxSim operator that beats single-vector dot products on long
+    // documents. Scale shape: the query side is a BOUNDED broadcast
+    // (5 query docs × 64 components), each corpus component row meets
+    // only its own dim-in-slice k (equi-join on k, never a cross), and
+    // the max/sum cascade is two grouped aggregations — linear in the
+    // corpus with a 5·8 fan-out, the exact cost model of a production
+    // late-interaction scorer. Exact milli² integer scores; top-3 per
+    // query with deterministic tie-break; self-matches excluded.
+    "q305_maxsim_late_interaction" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xv",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select(col("vec_id"), expr("i DIV 8").as("sl"),
+            expr("i % 8").as("k"), col("xv")))
+        val qc = comps.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sl").as("qsl"),
+            col("k"), col("xv").as("qv"))
+        val dots = comps.join(broadcast(qc), "k")
+          .groupBy("qid", "qsl", "vec_id", "sl")
+          .agg(sum(expr("xv * qv")).as("dot"))
+        val maxd = dots.groupBy("qid", "qsl", "vec_id")
+          .agg(max("dot").as("mx"))
+        val scores = maxd.groupBy("qid", "vec_id")
+          .agg(sum("mx").as("maxsim_milli2"))
+          .filter(col("vec_id") =!= col("qid"))
+        scores
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(
+              col("maxsim_milli2").desc, col("vec_id").asc)))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("hit_id"), col("maxsim_milli2"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |comps AS (SELECT vec_id, i // 8 AS sl, i % 8 AS k,
+             |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ix),
+             |qc AS (SELECT vec_id AS qid, sl AS qsl, k, xv AS qv
+             |  FROM comps WHERE vec_id < 5),
+             |dots AS (SELECT qid, qsl, c.vec_id, c.sl,
+             |    CAST(sum(c.xv * qc.qv) AS BIGINT) AS dot
+             |  FROM comps c JOIN qc USING (k)
+             |  GROUP BY 1, 2, 3, 4),
+             |maxd AS (SELECT qid, qsl, vec_id,
+             |    CAST(max(dot) AS BIGINT) AS mx
+             |  FROM dots GROUP BY 1, 2, 3),
+             |sc AS (SELECT qid, vec_id,
+             |    CAST(sum(mx) AS BIGINT) AS maxsim_milli2
+             |  FROM maxd GROUP BY 1, 2),
+             |rk AS (SELECT qid, vec_id, maxsim_milli2,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY maxsim_milli2 DESC, vec_id ASC) AS rnk
+             |  FROM sc WHERE vec_id <> qid)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk,
+             |  vec_id AS hit_id, maxsim_milli2
+             |FROM rk WHERE rnk <= 3
+             |ORDER BY qid, rnk""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

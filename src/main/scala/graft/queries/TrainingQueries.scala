@@ -5042,5 +5042,77 @@ object TrainingQueries {
               |    AS BIGINT) AS unseen_hist
               |FROM held LEFT JOIN draft USING (w1)
               |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- sample-ratio-mismatch (SRM) gate -----------------------------------
+    // The first check every A/B readout must pass: does the realized
+    // assignment ratio match the design? Two assignment pipelines are
+    // audited side by side — 'a_clean' (pure md5 of user_id, the q137
+    // assignment) and 'b_lossy' (same assignment, but variant-1 users
+    // whose FIRST event was an error or a signup are dropped —
+    // DIFFERENTIAL LOGGING LOSS on the onboarding/error instrumentation
+    // paths, the classic silent SRM cause: the bug is not in the
+    // randomizer, it is downstream of it). The χ²(1 df) decision against
+    // the 50/50 design is the exact cross-multiplication
+    // (na − nb)²·10⁵ > 384146·(na + nb) (χ²₀.₀₅ = 3.84146 scaled) — no
+    // float, no division. chi2_e4 (χ²·10⁴, truncating) is carried for
+    // magnitude. One user rollup; everything after is a 2-row frame.
+    "q306_srm_check" -> QueryDef(
+      (s, dir) => {
+        val users = Materialize(table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(struct(unix_micros(col("ts")), col("event_id"),
+            col("event_type"))).as("fe"))
+          .withColumn("had_err", expr(
+            "CASE WHEN fe.event_type IN ('error', 'signup') " +
+              "THEN 1 ELSE 0 END"))
+          .withColumn("variant", expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8)" +
+              ", 16, 10) AS BIGINT) % 2"))
+          .select("user_id", "had_err", "variant"))
+        val clean = users.agg(lit("a_clean").as("scheme"),
+          sum(expr("1 - variant")).as("na"),
+          sum("variant").as("nb"))
+        val lossy = users
+          .filter(expr("NOT (variant = 1 AND had_err = 1)"))
+          .agg(lit("b_lossy").as("scheme"),
+            sum(expr("1 - variant")).as("na"),
+            sum("variant").as("nb"))
+        clean.unionAll(lossy)
+          .withColumn("n", expr("na + nb"))
+          .withColumn("delta", expr("na - nb"))
+          .withColumn("chi2_e4", expr(
+            "CAST(CAST(delta AS DECIMAL(38,0)) * delta * 10000 DIV n " +
+              "AS BIGINT)"))
+          .withColumn("srm_flag", expr(
+            """CAST(CASE WHEN CAST(delta AS DECIMAL(38,0)) * delta
+              |    * 100000 > CAST(384146 AS DECIMAL(38,0)) * n
+              |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+          .select("scheme", "na", "nb", "delta", "chi2_e4", "srm_flag")
+          .orderBy("scheme")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+             |      1, 8)) AS BIGINT) % 2 AS variant,
+             |    CASE WHEN min(struct_pack(us := epoch_us(ts),
+             |        eid := event_id, et := event_type)).et
+             |        IN ('error', 'signup')
+             |      THEN 1 ELSE 0 END AS had_err
+             |  FROM events GROUP BY 1),
+             |sch AS (SELECT 'a_clean' AS scheme,
+             |    CAST(sum(1 - variant) AS BIGINT) AS na,
+             |    CAST(sum(variant) AS BIGINT) AS nb
+             |  FROM u
+             |  UNION ALL
+             |  SELECT 'b_lossy',
+             |    CAST(sum(1 - variant) AS BIGINT),
+             |    CAST(sum(variant) AS BIGINT)
+             |  FROM u WHERE NOT (variant = 1 AND had_err = 1))
+             |SELECT scheme, na, nb, na - nb AS delta,
+             |  CAST(CAST(na - nb AS HUGEINT) * (na - nb) * 10000
+             |    // (na + nb) AS BIGINT) AS chi2_e4,
+             |  CAST(CASE WHEN CAST(na - nb AS HUGEINT) * (na - nb)
+             |      * 100000 > CAST(384146 AS HUGEINT) * (na + nb)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+             |FROM sch ORDER BY scheme""".stripMargin)),
   )
 }
