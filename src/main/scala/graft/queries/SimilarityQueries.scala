@@ -3693,6 +3693,121 @@ object SimilarityQueries {
              |  vec_id AS hit_id, maxsim_milli2
              |FROM rk WHERE rnk <= 3
              |ORDER BY qid, rnk""".stripMargin)),
+
+    // ---- ε-ball near-dup transitivity audit ---------------------------------
+    // The union-find over-merge question every semantic-dedup pipeline
+    // must answer before it clusters: "a ≈ b and b ≈ c" does NOT imply
+    // "a ≈ c" for a distance threshold (the triangle inequality only
+    // bounds d(a,c) ≤ 2ε), so transitive closure merges documents up to
+    // 2ε apart — how often, at which radius? The audit builds the ε-ball
+    // graph on the bounded vec_id < 200 probe slice at three
+    // SELF-CALIBRATING radii (the exact p5/p10/p20 order statistics of
+    // the pairwise squared-distance distribution — data-derived like
+    // q223's k, so the audit is meaningful at any scale), counts wedges
+    // (x–u–y paths) via the both-ways edge join, and reports the closure
+    // fraction: transitivity_bp < 10⁴ is the measured over-merge
+    // exposure. All integer milli² distances; pairwise work never leaves
+    // the bounded slice (the q159/q211 rule).
+    "q307_epsball_transitivity" -> QueryDef(
+      (s, dir) => {
+        val cc = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xv",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "i", "xv"))
+        val pairs = Materialize(cc.as("a").join(cc.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2")))
+        val np = pairs.agg(count(lit(1)).as("np"))
+        val radii = Materialize(pairs
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("d2").asc, col("va").asc,
+              col("vb").asc)))
+          .crossJoin(broadcast(np))
+          .withColumn("pct", expr(
+            """CASE WHEN rn = np * 5 DIV 100 THEN 5
+              | WHEN rn = np * 10 DIV 100 THEN 10
+              | WHEN rn = np * 20 DIV 100 THEN 20 END""".stripMargin))
+          .filter(col("pct").isNotNull)
+          .select(col("pct").cast("long").as("pct"),
+            col("d2").as("r2")))
+        val edges = Materialize(pairs.crossJoin(broadcast(radii))
+          .filter(col("d2") <= col("r2"))
+          .select("pct", "r2", "va", "vb"))
+        val dboth = edges.select(col("pct"), col("va").as("u"),
+            col("vb").as("v"))
+          .unionAll(edges.select(col("pct"), col("vb").as("u"),
+            col("va").as("v")))
+        val wedges = dboth.as("e1").join(dboth.as("e2"),
+            col("e1.pct") === col("e2.pct") &&
+              col("e1.u") === col("e2.u") &&
+              col("e1.v") < col("e2.v"))
+          .select(col("e1.pct").as("pct"), col("e1.v").as("x"),
+            col("e2.v").as("y"))
+        val closed = wedges.join(
+          edges.select(col("pct"), col("va").as("x"),
+            col("vb").as("y"), lit(1L).as("hit")),
+          Seq("pct", "x", "y"), "left")
+        val eCnt = edges.groupBy("pct")
+          .agg(max("r2").as("r2_milli2"), count(lit(1)).as("n_edges"))
+        closed.groupBy("pct")
+          .agg(count(lit(1)).as("n_wedges"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_closed"))
+          .join(eCnt, "pct")
+          .withColumn("transitivity_bp", expr(
+            "n_closed * 10000 DIV n_wedges"))
+          .select("pct", "r2_milli2", "n_edges", "n_wedges", "n_closed",
+            "transitivity_bp")
+          .orderBy("pct")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings WHERE vec_id < 200),
+             |cc AS (SELECT vec_id, i,
+             |    CAST(floor(v[i + 1] * 1000) AS BIGINT) AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ix),
+             |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             |    CAST(sum((a.xv - b.xv) * (a.xv - b.xv)) AS BIGINT)
+             |      AS d2
+             |  FROM cc a JOIN cc b
+             |    ON a.i = b.i AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+             |rk AS (SELECT d2, row_number() OVER
+             |    (ORDER BY d2 ASC, va ASC, vb ASC) AS rn, np
+             |  FROM pairs CROSS JOIN np),
+             |radii AS (SELECT CAST(CASE WHEN rn = np * 5 // 100 THEN 5
+             |      WHEN rn = np * 10 // 100 THEN 10
+             |      WHEN rn = np * 20 // 100 THEN 20 END AS BIGINT)
+             |      AS pct,
+             |    d2 AS r2
+             |  FROM rk
+             |  WHERE rn IN (np * 5 // 100, np * 10 // 100,
+             |    np * 20 // 100)),
+             |edges AS (SELECT pct, r2, va, vb
+             |  FROM pairs CROSS JOIN radii WHERE d2 <= r2),
+             |dboth AS (SELECT pct, va AS u, vb AS v FROM edges
+             |  UNION ALL SELECT pct, vb, va FROM edges),
+             |wedges AS (SELECT e1.pct, e1.v AS x, e2.v AS y
+             |  FROM dboth e1 JOIN dboth e2
+             |    ON e1.pct = e2.pct AND e1.u = e2.u AND e1.v < e2.v),
+             |cl AS (SELECT w.pct, w.x, w.y,
+             |    CASE WHEN ed.va IS NULL THEN 0 ELSE 1 END AS hit
+             |  FROM wedges w LEFT JOIN edges ed
+             |    ON w.pct = ed.pct AND w.x = ed.va AND w.y = ed.vb),
+             |ec AS (SELECT pct, CAST(max(r2) AS BIGINT) AS r2_milli2,
+             |    CAST(count(*) AS BIGINT) AS n_edges
+             |  FROM edges GROUP BY 1)
+             |SELECT cl.pct, ec.r2_milli2, ec.n_edges,
+             |  CAST(count(*) AS BIGINT) AS n_wedges,
+             |  CAST(sum(hit) AS BIGINT) AS n_closed,
+             |  CAST(sum(hit) * 10000 // count(*) AS BIGINT)
+             |    AS transitivity_bp
+             |FROM cl JOIN ec ON cl.pct = ec.pct
+             |GROUP BY 1, 2, 3 ORDER BY cl.pct""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -110,4 +110,53 @@ class MaxsimSrmSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("chi2_e4") >
       rows(0).getAs[Long]("chi2_e4"))
   }
+
+  test("q307: ε-ball transitivity replays from brute-force wedge " +
+      "counting with exact order-statistic radii") {
+    val rows = SparkEntry.queries("q307_epsball_transitivity")(
+      spark, sf).collect().sortBy(_.getAs[Long]("pct"))
+    assert(rows.map(_.getAs[Long]("pct")).toSeq === Seq(5L, 10L, 20L))
+    val vecs = table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .filter(_.getLong(0) < 200)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray)
+      .sortBy(_._1)
+    val ids = vecs.map(_._1)
+    val d2 = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield ((ids(i), ids(j)),
+      (0 until 64).map(k =>
+        (vecs(i)._2(k) - vecs(j)._2(k)) * (vecs(i)._2(k) - vecs(j)._2(k)))
+        .sum)).toMap
+    val np = d2.size.toLong
+    val sorted = d2.toSeq.sortBy { case ((a, b), v) => (v, a, b) }
+    rows.foreach { r =>
+      val pct = r.getAs[Long]("pct")
+      val r2 = sorted((np * pct / 100).toInt - 1)._2
+      assert(r.getAs[Long]("r2_milli2") === r2, s"r2 at p$pct")
+      val edges = d2.filter(_._2 <= r2).keySet
+      assert(r.getAs[Long]("n_edges") === edges.size.toLong)
+      val adj = edges.toSeq.flatMap { case (a, b) =>
+        Seq(a -> b, b -> a) }.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      var (wedges, closed) = (0L, 0L)
+      adj.foreach { case (_, ns) =>
+        for (i <- ns.indices; j <- (i + 1) until ns.length) {
+          wedges += 1
+          if (edges.contains((ns(i), ns(j)))) closed += 1
+        }
+      }
+      assert(r.getAs[Long]("n_wedges") === wedges, s"wedges p$pct")
+      assert(r.getAs[Long]("n_closed") === closed, s"closed p$pct")
+      assert(r.getAs[Long]("transitivity_bp") ===
+        closed * 10000 / wedges)
+    }
+    // teeth: the ε-ball graph is genuinely non-transitive (the
+    // union-find over-merge exposure is real), and closure grows with
+    // the radius
+    assert(rows.forall(_.getAs[Long]("transitivity_bp") < 9000L))
+    val tr = rows.map(_.getAs[Long]("transitivity_bp"))
+    assert(tr(0) <= tr(2))
+  }
 }
