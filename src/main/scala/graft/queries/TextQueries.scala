@@ -5050,6 +5050,131 @@ object TextQueries {
               |  1024)
               |ORDER BY a.r""".stripMargin)),
 
+    // ---- b-bit minwise hashing audit (Li–König 2010) ------------------------
+    // The storage side of the minhash design: keeping only the lowest b
+    // bits of each of 32 minhash components shrinks the signature 64/b×,
+    // and the Jaccard estimator corrects for accidental bit collisions —
+    // P(bits match) = J + (1−J)/2ᵇ, so Ĵ = (m·2ᵇ/32 − 1)/(2ᵇ − 1),
+    // computed here as exact integer bp with a floor at 0. The audit
+    // prices b ∈ {1, 2, 8} against EXACT Jaccard on the bounded
+    // doc_id < 40 probe-pair set (all 780 pairs, so the estimator is
+    // tested on the realistic mostly-dissimilar mass, not just
+    // near-dups): per b, mean |Ĵ−J| and signed bias in bp. One
+    // signature pass (the shared affine minhash family — one md5 pass,
+    // 32 integer mixes), ONE component-aligned pair join with the three
+    // b's as conditional sums, exact-Jaccard from the bounded shingle
+    // self-join. MAE must shrink as b grows — the trade the audit
+    // quantifies.
+    "q308_bbit_minwise" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        val hs = Materialize(tableParallel(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0))
+        val mhArr = (0 until 32).map { i =>
+          val a = graft.functions.TextOps.minhashA(i)
+          val bb = graft.functions.TextOps.minhashB(i)
+          s"array_min(transform(hs, h -> ($a * h + $bb) % 2147483647))"
+        }.mkString("array(", ", ", ")")
+        val sig = Materialize(hs.select(col("doc_id"),
+          posexplode(expr(mhArr)).as(Seq("i", "mh"))))
+        val matches = sig.as("a").join(sig.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(
+            sum(expr("CASE WHEN a.mh % 2 = b.mh % 2 THEN 1 ELSE 0 END"))
+              .as("m1"),
+            sum(expr("CASE WHEN a.mh % 4 = b.mh % 4 THEN 1 ELSE 0 END"))
+              .as("m2"),
+            sum(expr("CASE WHEN a.mh % 256 = b.mh % 256 THEN 1 " +
+              "ELSE 0 END")).as("m8"))
+        val sh = hs.select(col("doc_id"), explode(col("hs")).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val exact = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        val jx = matches
+          .join(exact, Seq("da", "db"), "left")
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+            "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+            "db")
+          .withColumn("j_bp", expr(
+            "coalesce(inter, 0) * 10000 DIV " +
+              "(na + nb - coalesce(inter, 0))"))
+        def est(m: String, tb: Long): String =
+          s"greatest(($m * $tb - 32) * 10000, 0) DIV (32 * ${tb - 1})"
+        jx.select(col("j_bp"),
+            expr(s"stack(3, 1, ${est("m1", 2)}, 2, ${est("m2", 4)}, " +
+              s"8, ${est("m8", 256)}) AS (b, est_bp)"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(abs(est_bp - j_bp)) DIV count(1)").as("mae_bp"),
+            expr("""CASE WHEN sum(est_bp - j_bp) >= 0
+                   | THEN sum(est_bp - j_bp) DIV count(1)
+                   | ELSE -((-sum(est_bp - j_bp)) DIV count(1))
+                   | END""".stripMargin).as("bias_bp"))
+          .select(col("b").cast("long").as("b"), col("n_pairs"),
+            col("mae_bp"), col("bias_bp"))
+          .orderBy("b")
+      },
+      Some {
+        val mh = """list_min(list_transform(hs,
+                   | h -> ((100003 + 7919 * i) * h
+                   |   + (12345 + 1000003 * i)) % 2147483647))"""
+          .stripMargin.replaceAll("\n", " ")
+        def est(m: String, tb: Long): String =
+          s"greatest(($m * $tb - 32) * 10000, 0) // (32 * ${tb - 1})"
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents
+           |  WHERE doc_id < 40),
+           |hss AS (SELECT doc_id, $duckHs AS hs FROM ws),
+           |hs AS (SELECT doc_id, hs FROM hss WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, i, $mh AS mh
+           |  FROM hs CROSS JOIN (SELECT unnest(range(0, 32)) AS i) ix),
+           |m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |    CAST(sum(CASE WHEN a.mh % 2 = b.mh % 2 THEN 1
+           |      ELSE 0 END) AS BIGINT) AS m1,
+           |    CAST(sum(CASE WHEN a.mh % 4 = b.mh % 4 THEN 1
+           |      ELSE 0 END) AS BIGINT) AS m2,
+           |    CAST(sum(CASE WHEN a.mh % 256 = b.mh % 256 THEN 1
+           |      ELSE 0 END) AS BIGINT) AS m8
+           |  FROM sig a JOIN sig b
+           |    ON a.i = b.i AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |sh AS (SELECT doc_id, unnest(hs) AS sh FROM hs),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM sh GROUP BY 1),
+           |ex AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |    CAST(count(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b
+           |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jx AS (SELECT m.da, m.db, m1, m2, m8,
+           |    COALESCE(ex.inter, 0) * 10000 //
+           |      (sa.n + sb.n - COALESCE(ex.inter, 0)) AS j_bp
+           |  FROM m LEFT JOIN ex ON m.da = ex.da AND m.db = ex.db
+           |  JOIN sizes sa ON sa.doc_id = m.da
+           |  JOIN sizes sb ON sb.doc_id = m.db),
+           |lf AS (SELECT j_bp, 1 AS b, ${est("m1", 2)} AS est_bp
+           |    FROM jx
+           |  UNION ALL SELECT j_bp, 2, ${est("m2", 4)} FROM jx
+           |  UNION ALL SELECT j_bp, 8, ${est("m8", 256)} FROM jx)
+           |SELECT CAST(b AS BIGINT) AS b,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(abs(est_bp - j_bp)) // count(*) AS BIGINT)
+           |    AS mae_bp,
+           |  CAST(CASE WHEN sum(est_bp - j_bp) >= 0
+           |    THEN sum(est_bp - j_bp) // count(*)
+           |    ELSE -((-sum(est_bp - j_bp)) // count(*)) END AS BIGINT)
+           |    AS bias_bp
+           |FROM lf GROUP BY 1 ORDER BY b""".stripMargin
+      }),
+
     // ---- Kneser–Ney smoothing audit (exact rational d = 3/4) ----------------
     // What the q208-family bigram LMs are missing: held-out mass for
     // UNSEEN bigrams. Interpolated Kneser–Ney with the standard discount
