@@ -211,17 +211,67 @@ object Bench {
     // detects queries that regressed RELATIVE to the fleet. The factor
     // is reported in the JSON line; it never shrinks below 1 (a FASTER
     // machine must not mask absolute regressions).
-    val ratios = best.collect {
+    //
+    // Round-10 hardening (advice): a run-wide median absorbs a GENUINE
+    // shared-operator regression that hits >= 50% of the catalog. Two
+    // guards: (1) the run-wide estimate is CORROBORATED against a fixed
+    // pinned subset of simple queries over disjoint heavy operators —
+    // those only slow together when the machine does; if the run-wide
+    // median materially exceeds the pinned one, the pinned estimate
+    // wins and the residual flags as regressions. (2) normalization is
+    // hard-CAPPED at 1.5x — past that, slowdown is never silently
+    // absorbed; the excess surfaces as per-query regressions for manual
+    // confirmation. Median is the proper lower/averaged one (the old
+    // ratios(n/2) picked the upper-middle element on even counts,
+    // biasing ambient up).
+    def median(xs: Seq[Double]): Option[Double] = {
+      val s = xs.sorted
+      val n = s.size
+      if (n == 0) None
+      else if (n % 2 == 1) Some(s(n / 2))
+      else Some((s(n / 2 - 1) + s(n / 2)) / 2.0)
+    }
+    // disjoint heavy operators: parquet scan+hash-agg / shuffle join /
+    // window / string funcs / array dot / sessionize / validation / sink
+    val pinnedNames = Set(
+      "q02_agg_pricing_summary", "q04_join_fact_fact",
+      "q13_window_topn", "q30_text_quality",
+      "q45_ann_topk_bruteforce", "q50_sessionize",
+      "q82_data_quality", "q103_range_partition_export")
+    val ratioByName = best.collect {
       case (name, now) if now >= 0 &&
           priorTimes.get(name).exists(_ >= 0.3) =>
-        now / priorTimes(name)
-    }.sorted
-    val ambient = if (ratios.isEmpty) 1.0
-      else math.max(1.0, ratios(ratios.size / 2))
+        name -> now / priorTimes(name)
+    }
+    val runWide = median(ratioByName.map(_._2)).getOrElse(1.0)
+    val pinnedRatios = ratioByName.collect {
+      case (n, r) if pinnedNames(n) => r
+    }
+    // fewer than 3 comparable pinned queries is no corroboration signal
+    val pinnedMed = if (pinnedRatios.size >= 3) median(pinnedRatios) else None
+    val corroborated = pinnedMed match {
+      case Some(p) if runWide > 1.25 * math.max(1.0, p) =>
+        System.err.println(
+          f"[bench] run-wide median ratio $runWide%.2fx NOT corroborated " +
+            f"by the pinned subset ($p%.2fx over ${pinnedRatios.size} " +
+            "queries) — treating the excess as a shared-operator " +
+            "regression, not ambient; normalizing by the pinned estimate")
+        p
+      case _ => runWide
+    }
+    val ambientCap = 1.5
+    val ambient = math.max(1.0, math.min(ambientCap, corroborated))
+    if (corroborated > ambientCap)
+      System.err.println(
+        f"[bench] ambient estimate $corroborated%.2fx EXCEEDS the " +
+          f"$ambientCap%.1fx cap — normalization capped; slowdown past " +
+          "the cap is reported as regressions and needs manual " +
+          "confirmation (is the machine really that much slower?)")
     if (ambient > 1.2)
       System.err.println(
         f"[bench] ambient slowdown ${ambient}%.2fx vs baseline " +
-          "(run-wide median) — per-query tripwire normalized by it")
+          "(pinned-corroborated median) — per-query tripwire " +
+          "normalized by it")
     val regressions = best.collect {
       case (name, now) if now >= 0 &&
           priorTimes.get(name).exists(p =>

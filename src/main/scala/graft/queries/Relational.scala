@@ -3543,6 +3543,19 @@ object Relational {
             "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') + 1 " +
               "AS BIGINT)").as("t"))
           .agg(count(lit(1)).as("x")))
+        // HARD horizon guard (advice): the inlined 7^k/8^k lookup tables
+        // cover k = 0..30 only. Past day 31, pick() yields NULL and sum()
+        // would drop those weight terms IDENTICALLY in both engines — a
+        // silently-degraded "exact" EWMA the hash-compare cannot catch.
+        // Fail loudly instead of degrading; widening the horizon means
+        // widening the tables (numerators stay < 10^38 up to ~day 44).
+        locally {
+          val maxT = days.agg(max("t")).collect()(0).getLong(0)
+          require(maxT <= 31,
+            s"q284: events span day $maxT > 31 from 2024-01-01 — the " +
+              "inline 7^k/8^k tables end at k=30; extend the tables " +
+              "rather than silently dropping EWMA terms")
+        }
         val nf = days.agg(count(lit(1)).as("nd"))
         val med = days
           .withColumn("r", row_number().over(Window.orderBy("x", "t")))

@@ -3486,7 +3486,12 @@ object SimilarityQueries {
         }
         def normalize(y: Array[Long]): Array[Long] = {
           val m = math.max(y.map(math.abs).max, 1L)
-          y.map(v => sdl(v * 1000, m))
+          // v·1000 in BigInt for the same wrap-safety; the quotient is
+          // |v|/m·1000 ≤ 1000, so the narrowing back is always exact
+          y.map { v =>
+            val q = BigInt(v) * 1000
+            (if (q.signum >= 0) q / m else -((-q) / m)).toLong
+          }
         }
         var w = Array.fill(64)(1000L)
         for (_ <- 1 to 3) w = normalize(mult(w))
@@ -3494,9 +3499,24 @@ object SimilarityQueries {
           if (i % 2 == 0) 1000L else -1000L)
         for (_ <- 1 to 3) {
           val y = mult(v)
-          val dn = (0 until 64).map(i => y(i) * w(i)).sum
-          val dd = (0 until 64).map(i => w(i) * w(i)).sum
-          v = normalize(Array.tabulate(64)(i => y(i) - sdl(dn * w(i), dd)))
+          // deflation arithmetic in BigInt (advice): dn = Σ y_i·w_i and
+          // dn·w_i have worst-case magnitude ~1.6e20 > Int64 — a Long
+          // spelling would WRAP silently here while the DuckDB twin's
+          // BIGINT multiply raises, diverging the trajectories on an
+          // adversarial fixture. BigInt is free at 64 elements; the
+          // corrected component is asserted back into Int64 range (the
+          // oracle's own headroom) before the narrowing.
+          def sdlB(vv: BigInt, d: BigInt): BigInt =
+            if (vv.signum >= 0) vv / d else -((-vv) / d)
+          val dn = (0 until 64).map(i => BigInt(y(i)) * w(i)).sum
+          val dd = (0 until 64).map(i => BigInt(w(i)) * w(i)).sum
+          v = normalize(Array.tabulate(64) { i =>
+            val c = BigInt(y(i)) - sdlB(dn * w(i), dd)
+            require(c.isValidLong,
+              s"q296 deflation component $i = $c exceeds Int64 — the " +
+                "DuckDB twin would raise on this fixture; refusing to wrap")
+            c.toLong
+          })
         }
         def rayleigh(u: Array[Long]): (Long, Long) = {
           val num = carr.select(expr(sCol(u)).as("s"))
