@@ -5281,6 +5281,85 @@ object TextQueries {
               |  CAST(sum(h * mle_micro) // sum(h) AS BIGINT)
               |    AS avg_mle_micro
               |FROM sc GROUP BY 1 ORDER BY cat""".stripMargin)),
+
+    // ---- Misra–Gries mergeable heavy-hitter summaries ----------------------
+    // THE distributed heavy-hitter recipe at 100 TB: each partition keeps
+    // a BOUNDED k-counter summary, summaries merge by adding counts —
+    // one shuffle of k rows per partition, never the full token
+    // frequency table. The per-partition summary here is the
+    // order-independent Misra–Gries equivalent (Agarwal et al.,
+    // "Mergeable Summaries"): keep tokens whose partition count exceeds
+    // f_(k+1) (the (k+1)-th largest count under the total order
+    // c DESC, token ASC), stored as the DEFICIT c − f_(k+1). Every
+    // stored estimate undercounts its true partition count by at most
+    // f_(k+1), so after the merge `exact − est ∈ [0, Σ_p f_(k+1,p)]` —
+    // the audit verifies that guarantee against a second exact pass
+    // (which exists only because this IS an audit; production reads the
+    // summary alone). Partitions are LOGICAL (doc_id mod 8), so the
+    // result is invariant to physical partitioning and replayable by
+    // the oracle.
+    "q311_misra_gries_merge" -> QueryDef(
+      (s, dir) => {
+        val k = 16
+        val tok = Materialize(tableParallel(s, dir, "documents")
+          .select((col("doc_id") % 8).as("part"),
+            explode(tokens(col("text"))).as("tok")))
+        val pc = Materialize(
+          tok.groupBy("part", "tok").agg(count(lit(1)).as("c")))
+        val wnd = Window.partitionBy("part")
+          .orderBy(col("c").desc, col("tok").asc)
+        val rk = pc.withColumn("r", row_number().over(wnd))
+        val summ = rk
+          .withColumn("fk1", coalesce(
+            max(when(col("r") === lit(k + 1), col("c")))
+              .over(Window.partitionBy("part")), lit(0L)))
+          .filter(col("c") - col("fk1") > 0)
+          .select(col("tok"), (col("c") - col("fk1")).as("adj"))
+        val bnd = rk.filter(col("r") === lit(k + 1))
+          .agg(coalesce(sum("c"), lit(0L)).as("bound"))
+        val est = summ.groupBy("tok").agg(sum("adj").as("est"))
+        val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_c"))
+        est.join(exact, Seq("tok"))
+          .join(broadcast(bnd))
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("est").desc, col("tok")))
+            .cast("long"))
+          .filter(col("rk") <= 20)
+          .withColumn("undercount", col("exact_c") - col("est"))
+          .withColumn("ok", when(col("undercount") >= 0 &&
+            col("undercount") <= col("bound"), 1L).otherwise(0L))
+          .select("rk", "tok", "est", "exact_c", "undercount",
+            "bound", "ok")
+          .orderBy("rk")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id % 8 AS part,
+              |    unnest($duckToks) AS tok
+              |  FROM documents),
+              |pc AS (SELECT part, tok, CAST(count(*) AS BIGINT) AS c
+              |  FROM tk GROUP BY 1, 2),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY part
+              |    ORDER BY c DESC, tok) AS r FROM pc),
+              |sm AS (SELECT tok, c - fk1 AS adj FROM (
+              |    SELECT *, COALESCE(max(CASE WHEN r = 17 THEN c END)
+              |      OVER (PARTITION BY part), 0) AS fk1 FROM rk)
+              |  WHERE c - fk1 > 0),
+              |bnd AS (SELECT COALESCE(sum(c), 0) AS bound FROM rk
+              |  WHERE r = 17),
+              |est AS (SELECT tok, CAST(sum(adj) AS BIGINT) AS est
+              |  FROM sm GROUP BY 1),
+              |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_c
+              |  FROM tk GROUP BY 1),
+              |top AS (SELECT e.tok, e.est, x.exact_c,
+              |    row_number() OVER (ORDER BY e.est DESC, e.tok) AS rk
+              |  FROM est e JOIN ex x USING (tok))
+              |SELECT CAST(rk AS BIGINT) AS rk, tok, est, exact_c,
+              |  exact_c - est AS undercount,
+              |  CAST(bound AS BIGINT) AS bound,
+              |  CAST(CASE WHEN exact_c - est >= 0
+              |    AND exact_c - est <= bound
+              |    THEN 1 ELSE 0 END AS BIGINT) AS ok
+              |FROM top CROSS JOIN bnd
+              |WHERE rk <= 20 ORDER BY rk""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -5114,5 +5114,583 @@ object TrainingQueries {
              |      * 100000 > CAST(384146 AS HUGEINT) * (na + nb)
              |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
              |FROM sch ORDER BY scheme""".stripMargin)),
+
+    // ---- Bradley–Terry preference strength (RLHF reward-data prep) --------
+    // Pairwise preference data is the raw material of reward modeling;
+    // before training on it, fit per-source strength to sanity-check the
+    // label pipeline (a source whose BT strength contradicts its known
+    // quality tier has a labeling bug). Preferences are synthesized
+    // deterministically: docs bucketed by (lang, md5-bucket-of-8) are
+    // compared pairwise across sources, longer doc wins (ties -> the
+    // lower doc_id's side). The ONLY corpus-scale stages are the bounded
+    // bucket equi-join (cell size ~ corpus/(langs*8), the bucket count
+    // scales with the corpus at 100 TB — never an all-pairs join) and
+    // one groupBy to the k*k win matrix; k = |sources| is tiny, so the
+    // minorization–maximization fixpoint runs on the driver exactly like
+    // MLlib holds a factor vector. 3 MM rounds in BigInt (the q296
+    // lesson: driver arithmetic must not wrap where the HUGEINT oracle
+    // would raise): d_i = sum_j n_ij*1e9/(p_i+p_j), p_i' = W_i*1e9/d_i,
+    // renormalized to sum k*1000 with a floor of 1 milli (a winless
+    // source must not zero a later denominator). All divisions are
+    // floor-on-nonnegative, identical in BigInt and HUGEINT //.
+    "q309_bradley_terry" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"),
+            (hash32(concat(lit("bt|"), col("doc_id").cast("string")))
+              % 8).as("bkt")))
+        val wins = docs.as("a").join(docs.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.bkt") === col("b.bkt") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              col("a.source") =!= col("b.source"))
+          .select(
+            when(col("a.n_chars") >= col("b.n_chars"), col("a.source"))
+              .otherwise(col("b.source")).as("win_src"),
+            when(col("a.n_chars") >= col("b.n_chars"), col("b.source"))
+              .otherwise(col("a.source")).as("lose_src"))
+          .groupBy("win_src", "lose_src").agg(count(lit(1)).as("w"))
+        val srcs = docs.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        val wmap = wins.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        def w(i: String, j: String) = BigInt(wmap.getOrElse((i, j), 0L))
+        val bigW = srcs.map(i =>
+          i -> srcs.filter(_ != i).map(j => w(i, j)).sum).toMap
+        val games = srcs.map(i =>
+          i -> srcs.filter(_ != i).map(j => w(i, j) + w(j, i)).sum).toMap
+        val k = srcs.length
+        val sc = BigInt(1000000000L)
+        var p = srcs.map(_ -> BigInt(1000)).toMap
+        for (_ <- 1 to 3) {
+          val d = srcs.map { i =>
+            i -> srcs.filter(j => j != i && (w(i, j) + w(j, i)) > 0)
+              .map(j => (w(i, j) + w(j, i)) * sc / (p(i) + p(j))).sum
+          }.toMap
+          val praw = srcs.map { i =>
+            i -> (if (d(i) == 0) BigInt(0) else bigW(i) * sc / d(i))
+          }.toMap
+          val tot = praw.values.sum.max(BigInt(1))
+          p = srcs.map(i =>
+            i -> (praw(i) * 1000 * k / tot).max(BigInt(1))).toMap
+        }
+        val ranked = srcs.sortBy(i => (-p(i), i)).zipWithIndex
+          .map { case (i, r) => i -> (r + 1L) }.toMap
+        import s.implicits._
+        srcs.map(i => (i, games(i).toLong, bigW(i).toLong,
+            p(i).toLong, ranked(i)))
+          .toSeq
+          .toDF("source", "games", "wins", "p_milli", "bt_rank")
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, lang, n_chars,
+             |    CAST(('0x' || substr(md5('bt|' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+             |      AS bkt
+             |  FROM documents),
+             |pw AS (SELECT
+             |    CASE WHEN a.n_chars >= b.n_chars THEN a.source
+             |      ELSE b.source END AS win_src,
+             |    CASE WHEN a.n_chars >= b.n_chars THEN b.source
+             |      ELSE a.source END AS lose_src
+             |  FROM docs a JOIN docs b
+             |    ON a.lang = b.lang AND a.bkt = b.bkt
+             |    AND a.doc_id < b.doc_id AND a.source <> b.source),
+             |wm AS (SELECT win_src, lose_src,
+             |    CAST(count(*) AS BIGINT) AS w
+             |  FROM pw GROUP BY 1, 2),
+             |srcs AS (SELECT DISTINCT source FROM documents),
+             |g AS (SELECT st.i, st.j,
+             |    COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS n,
+             |    COALESCE(w1.w, 0) AS wij
+             |  FROM (SELECT s.source AS i, t.source AS j
+             |    FROM srcs s JOIN srcs t ON s.source <> t.source) st
+             |  LEFT JOIN wm w1
+             |    ON w1.win_src = st.i AND w1.lose_src = st.j
+             |  LEFT JOIN wm w2
+             |    ON w2.win_src = st.j AND w2.lose_src = st.i),
+             |wtot AS (SELECT i AS source,
+             |    CAST(sum(wij) AS HUGEINT) AS wins,
+             |    CAST(sum(n) AS BIGINT) AS games
+             |  FROM g GROUP BY 1),
+             |p0 AS (SELECT source, CAST(1000 AS HUGEINT) AS p
+             |  FROM srcs),
+             |d1 AS (SELECT g.i AS source,
+             |    sum((CAST(g.n AS HUGEINT) * 1000000000) //
+             |      (pi.p + pj.p)) AS d
+             |  FROM g JOIN p0 pi ON pi.source = g.i
+             |    JOIN p0 pj ON pj.source = g.j
+             |  WHERE g.n > 0 GROUP BY 1),
+             |q1 AS (SELECT w.source, CASE WHEN COALESCE(d.d, 0) = 0
+             |    THEN CAST(0 AS HUGEINT)
+             |    ELSE (w.wins * 1000000000) // d.d END AS praw
+             |  FROM wtot w LEFT JOIN d1 d ON d.source = w.source),
+             |p1 AS (SELECT source, greatest(CAST(1 AS HUGEINT),
+             |    (praw * 1000 * (count(*) OVER ())) //
+             |      greatest(CAST(1 AS HUGEINT), sum(praw) OVER ()))
+             |    AS p
+             |  FROM q1),
+             |d2 AS (SELECT g.i AS source,
+             |    sum((CAST(g.n AS HUGEINT) * 1000000000) //
+             |      (pi.p + pj.p)) AS d
+             |  FROM g JOIN p1 pi ON pi.source = g.i
+             |    JOIN p1 pj ON pj.source = g.j
+             |  WHERE g.n > 0 GROUP BY 1),
+             |q2 AS (SELECT w.source, CASE WHEN COALESCE(d.d, 0) = 0
+             |    THEN CAST(0 AS HUGEINT)
+             |    ELSE (w.wins * 1000000000) // d.d END AS praw
+             |  FROM wtot w LEFT JOIN d2 d ON d.source = w.source),
+             |p2 AS (SELECT source, greatest(CAST(1 AS HUGEINT),
+             |    (praw * 1000 * (count(*) OVER ())) //
+             |      greatest(CAST(1 AS HUGEINT), sum(praw) OVER ()))
+             |    AS p
+             |  FROM q2),
+             |d3 AS (SELECT g.i AS source,
+             |    sum((CAST(g.n AS HUGEINT) * 1000000000) //
+             |      (pi.p + pj.p)) AS d
+             |  FROM g JOIN p2 pi ON pi.source = g.i
+             |    JOIN p2 pj ON pj.source = g.j
+             |  WHERE g.n > 0 GROUP BY 1),
+             |q3 AS (SELECT w.source, CASE WHEN COALESCE(d.d, 0) = 0
+             |    THEN CAST(0 AS HUGEINT)
+             |    ELSE (w.wins * 1000000000) // d.d END AS praw
+             |  FROM wtot w LEFT JOIN d3 d ON d.source = w.source),
+             |p3 AS (SELECT source, greatest(CAST(1 AS HUGEINT),
+             |    (praw * 1000 * (count(*) OVER ())) //
+             |      greatest(CAST(1 AS HUGEINT), sum(praw) OVER ()))
+             |    AS p
+             |  FROM q3)
+             |SELECT w.source, w.games,
+             |  CAST(w.wins AS BIGINT) AS wins,
+             |  CAST(p3.p AS BIGINT) AS p_milli,
+             |  CAST(row_number() OVER (ORDER BY p3.p DESC, w.source)
+             |    AS BIGINT) AS bt_rank
+             |FROM wtot w JOIN p3 ON p3.source = w.source
+             |ORDER BY w.source""".stripMargin)),
+
+    // ---- Condorcet / Copeland preference-aggregation audit -----------------
+    // The q309 pairwise matrix answers "how strong is each source"; this
+    // audits whether the preference data is even RANKABLE: Copeland
+    // scores (majority wins/losses per source), the Condorcet-winner
+    // flag (beats every opponent head-to-head), and the number of
+    // majority 3-cycles (rock-paper-scissors triples — each one is
+    // direct evidence of inconsistent labeling, since a transitive
+    // ground truth cannot produce a cycle). Fully distributed: the
+    // corpus collapses to the k*k majority matrix in one bucketed
+    // equi-join + groupBy; the cycle count is a 3-way self-join of the
+    // <=k^2-row edge frame (broadcast, bounded by construction). Each
+    // directed 3-cycle is counted once: the rotation with the smallest
+    // source first.
+    "q310_condorcet_cycles" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"),
+            (hash32(concat(lit("bt|"), col("doc_id").cast("string")))
+              % 8).as("bkt")))
+        val wm = Materialize(docs.as("a").join(docs.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.bkt") === col("b.bkt") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              col("a.source") =!= col("b.source"))
+          .select(
+            when(col("a.n_chars") >= col("b.n_chars"), col("a.source"))
+              .otherwise(col("b.source")).as("win_src"),
+            when(col("a.n_chars") >= col("b.n_chars"), col("b.source"))
+              .otherwise(col("a.source")).as("lose_src"))
+          .groupBy("win_src", "lose_src").agg(count(lit(1)).as("w")))
+        // ordered pairs with >=1 game, by a full-outer equi-join of the
+        // win matrix with its own transpose — NEVER a srcs*srcs cross
+        // (that would be an unbounded-build NLJ; here every join is an
+        // equi-join and the frame is at most k*(k-1) rows). Sources with
+        // zero games rejoin via the left join below; their no_game count
+        // falls out of k-1 minus the played opponents.
+        val gm = Materialize(wm.as("w1").join(wm.as("w2"),
+            col("w1.win_src") === col("w2.lose_src") &&
+              col("w1.lose_src") === col("w2.win_src"), "full_outer")
+          .select(
+            coalesce(col("w1.win_src"), col("w2.lose_src")).as("i"),
+            coalesce(col("w1.lose_src"), col("w2.win_src")).as("j"),
+            coalesce(col("w1.w"), lit(0L)).as("wij"),
+            coalesce(col("w2.w"), lit(0L)).as("wji")))
+        val played = gm.groupBy(col("i").as("source")).agg(
+          sum(when(col("wij") > col("wji"), 1L).otherwise(0L))
+            .as("maj_wins"),
+          sum(when(col("wij") < col("wji"), 1L).otherwise(0L))
+            .as("maj_losses"),
+          sum(when(col("wij") === col("wji"), 1L).otherwise(0L))
+            .as("maj_ties"))
+        val srcs = docs.select("source").distinct()
+        val kdf = srcs.agg(count(lit(1)).as("k"))
+        val e = gm.filter(col("wij") > col("wji"))
+          .select(col("i").as("esrc"), col("j").as("edst"))
+        val cyc = e.as("e1")
+          .join(e.as("e2"), col("e1.edst") === col("e2.esrc"))
+          .join(e.as("e3"), col("e2.edst") === col("e3.esrc") &&
+            col("e3.edst") === col("e1.esrc"))
+          .filter(col("e1.esrc") < col("e2.esrc") &&
+            col("e1.esrc") < col("e3.esrc"))
+          .agg(count(lit(1)).as("cycles_total"))
+        srcs.join(played, Seq("source"), "left")
+          .join(broadcast(kdf)).join(broadcast(cyc))
+          .select(col("source"),
+            coalesce(col("maj_wins"), lit(0L)).as("maj_wins"),
+            coalesce(col("maj_losses"), lit(0L)).as("maj_losses"),
+            coalesce(col("maj_ties"), lit(0L)).as("maj_ties"),
+            col("k"), col("cycles_total"))
+          .withColumn("no_game", col("k") - 1 -
+            col("maj_wins") - col("maj_losses") - col("maj_ties"))
+          .withColumn("condorcet",
+            when(col("maj_wins") === col("k") - 1, 1L).otherwise(0L))
+          .select("source", "maj_wins", "maj_losses", "maj_ties",
+            "no_game", "condorcet", "cycles_total")
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, lang, n_chars,
+             |    CAST(('0x' || substr(md5('bt|' ||
+             |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+             |      AS bkt
+             |  FROM documents),
+             |pw AS (SELECT
+             |    CASE WHEN a.n_chars >= b.n_chars THEN a.source
+             |      ELSE b.source END AS win_src,
+             |    CASE WHEN a.n_chars >= b.n_chars THEN b.source
+             |      ELSE a.source END AS lose_src
+             |  FROM docs a JOIN docs b
+             |    ON a.lang = b.lang AND a.bkt = b.bkt
+             |    AND a.doc_id < b.doc_id AND a.source <> b.source),
+             |wm AS (SELECT win_src, lose_src,
+             |    CAST(count(*) AS BIGINT) AS w
+             |  FROM pw GROUP BY 1, 2),
+             |srcs AS (SELECT DISTINCT source FROM documents),
+             |gm AS (SELECT st.i, st.j, COALESCE(w1.w, 0) AS wij,
+             |    COALESCE(w2.w, 0) AS wji
+             |  FROM (SELECT s.source AS i, t.source AS j
+             |    FROM srcs s JOIN srcs t ON s.source <> t.source) st
+             |  LEFT JOIN wm w1
+             |    ON w1.win_src = st.i AND w1.lose_src = st.j
+             |  LEFT JOIN wm w2
+             |    ON w2.win_src = st.j AND w2.lose_src = st.i),
+             |cope AS (SELECT i AS source,
+             |    CAST(sum(CASE WHEN wij > wji THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS maj_wins,
+             |    CAST(sum(CASE WHEN wij < wji THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS maj_losses,
+             |    CAST(sum(CASE WHEN wij = wji AND wij + wji > 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS maj_ties,
+             |    CAST(sum(CASE WHEN wij + wji = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS no_game
+             |  FROM gm GROUP BY 1),
+             |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM srcs),
+             |e AS (SELECT i AS esrc, j AS edst FROM gm
+             |  WHERE wij > wji),
+             |cyc AS (SELECT CAST(count(*) AS BIGINT) AS cycles_total
+             |  FROM e e1 JOIN e e2 ON e1.edst = e2.esrc
+             |    JOIN e e3 ON e2.edst = e3.esrc
+             |      AND e3.edst = e1.esrc
+             |  WHERE e1.esrc < e2.esrc AND e1.esrc < e3.esrc)
+             |SELECT source, maj_wins, maj_losses, maj_ties, no_game,
+             |  CAST(CASE WHEN maj_wins = k - 1 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS condorcet,
+             |  cycles_total
+             |FROM cope CROSS JOIN kk CROSS JOIN cyc
+             |ORDER BY source""".stripMargin)),
+
+    // ---- leave-one-out influence (exact-rational ridge leverage) -----------
+    // Data valuation for the training set: which rows move the model
+    // most if dropped? For ridge regression the answer is closed-form —
+    // leverage h_i = x_iᵀ(XᵀX+λI)⁻¹x_i and LOO residual e_i/(1−h_i) —
+    // no refitting. Everything is EXACT integer arithmetic: the 3×3
+    // moment matrix A aggregates in one corpus pass (DECIMAL(38,0) /
+    // HUGEINT sums); its adjugate and determinant are cofactor
+    // polynomials of the moments (det > 0 since A ≻ 0 with λ = 100);
+    // h_num = xᵀadj(A)x and e_num = y·det − xᵀadj(A)b are integers, and
+    // h_num < det exactly because A ≻ x xᵀ for every row under ridge —
+    // so det − h_num ≥ 1 and the LOO quotient is well-defined. The
+    // per-row pass is a codegen'd projection against the broadcast
+    // 1-row moment frame; top-20 by |LOO residual| via
+    // TakeOrderedAndProject (never a global sort). Features are
+    // quantized small (priority digit 1–5, order month 0–80, whole
+    // dollars) so every product stays ≤ ~1e30 ≪ 1e38 through sf10;
+    // past that the audit contract is a hash-sampled slice.
+    "q312_loo_influence" -> QueryDef(
+      (s, dir) => {
+        def sdiv(a: String, b: String) =
+          s"CASE WHEN ($a) >= 0 THEN ($a) DIV ($b) " +
+            s"ELSE -((-($a)) DIV ($b)) END"
+        val rows = Materialize(table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+              .as("p"),
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+              "DATE '1995-01-01') AS BIGINT) DIV 30").as("m"),
+            expr("CAST(floor(o_totalprice) AS BIGINT)").as("y")))
+        val mom = rows.agg(
+          expr("CAST(count(*) AS DECIMAL(38,0)) + 100").as("s11"),
+          expr("CAST(sum(p) AS DECIMAL(38,0))").as("s12"),
+          expr("CAST(sum(m) AS DECIMAL(38,0))").as("s13"),
+          expr("CAST(sum(p * p) AS DECIMAL(38,0)) + 100").as("s22"),
+          expr("CAST(sum(p * m) AS DECIMAL(38,0))").as("s23"),
+          expr("CAST(sum(m * m) AS DECIMAL(38,0)) + 100").as("s33"),
+          expr("CAST(sum(y) AS DECIMAL(38,0))").as("b1"),
+          expr("CAST(sum(p * y) AS DECIMAL(38,0))").as("b2"),
+          expr("CAST(sum(m * y) AS DECIMAL(38,0))").as("b3"))
+        val cof = mom
+          .withColumn("c11", expr("s22 * s33 - s23 * s23"))
+          .withColumn("c12", expr("-(s12 * s33 - s13 * s23)"))
+          .withColumn("c13", expr("s12 * s23 - s13 * s22"))
+          .withColumn("c22", expr("s11 * s33 - s13 * s13"))
+          .withColumn("c23", expr("-(s11 * s23 - s12 * s13)"))
+          .withColumn("c33", expr("s11 * s22 - s12 * s12"))
+          .withColumn("det", expr("s11 * (s22 * s33 - s23 * s23) " +
+            "+ s12 * (-(s12 * s33 - s13 * s23)) " +
+            "+ s13 * (s12 * s23 - s13 * s22)"))
+          .withColumn("bn1", expr("(s22 * s33 - s23 * s23) * b1 " +
+            "+ (-(s12 * s33 - s13 * s23)) * b2 " +
+            "+ (s12 * s23 - s13 * s22) * b3"))
+          .withColumn("bn2", expr("(-(s12 * s33 - s13 * s23)) * b1 " +
+            "+ (s11 * s33 - s13 * s13) * b2 " +
+            "+ (-(s11 * s23 - s12 * s13)) * b3"))
+          .withColumn("bn3", expr("(s12 * s23 - s13 * s22) * b1 " +
+            "+ (-(s11 * s23 - s12 * s13)) * b2 " +
+            "+ (s11 * s22 - s12 * s12) * b3"))
+          .select("c11", "c12", "c13", "c22", "c23", "c33",
+            "det", "bn1", "bn2", "bn3")
+        rows.join(broadcast(cof))
+          .withColumn("hnum", expr(
+            "c11 + 2 * c12 * p + 2 * c13 * m + c22 * p * p " +
+              "+ 2 * c23 * p * m + c33 * m * m"))
+          .withColumn("enum_", expr(
+            "CAST(y AS DECIMAL(38,0)) * det - (bn1 + bn2 * p + bn3 * m)"))
+          .withColumn("h_bp", expr(s"CAST(${sdiv("hnum * 10000", "det")}" +
+            " AS BIGINT)"))
+          .withColumn("e_milli", expr(
+            s"CAST(${sdiv("enum_ * 1000", "det")} AS BIGINT)"))
+          .withColumn("e_loo_milli", expr(
+            s"CAST(${sdiv("enum_ * 1000", "det - hnum")} AS BIGINT)"))
+          .select(col("o_orderkey"), col("p"), col("m"), col("y"),
+            col("h_bp"), col("e_milli"), col("e_loo_milli"))
+          .orderBy(abs(col("e_loo_milli")).desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some {
+        def sdiv(a: String, b: String) =
+          s"CASE WHEN ($a) >= 0 THEN ($a) // ($b) " +
+            s"ELSE -((-($a)) // ($b)) END"
+        s"""WITH r AS (SELECT o_orderkey,
+           |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS p,
+           |    CAST(datediff('day', DATE '1995-01-01',
+           |      CAST(o_orderdate AS DATE)) AS BIGINT) // 30 AS m,
+           |    CAST(floor(o_totalprice) AS BIGINT) AS y
+           |  FROM orders),
+           |mom AS (SELECT
+           |    CAST(count(*) AS HUGEINT) + 100 AS s11,
+           |    CAST(sum(p) AS HUGEINT) AS s12,
+           |    CAST(sum(m) AS HUGEINT) AS s13,
+           |    CAST(sum(p * p) AS HUGEINT) + 100 AS s22,
+           |    CAST(sum(p * m) AS HUGEINT) AS s23,
+           |    CAST(sum(m * m) AS HUGEINT) + 100 AS s33,
+           |    CAST(sum(y) AS HUGEINT) AS b1,
+           |    CAST(sum(p * y) AS HUGEINT) AS b2,
+           |    CAST(sum(m * y) AS HUGEINT) AS b3
+           |  FROM r),
+           |cof AS (SELECT
+           |    s22 * s33 - s23 * s23 AS c11,
+           |    -(s12 * s33 - s13 * s23) AS c12,
+           |    s12 * s23 - s13 * s22 AS c13,
+           |    s11 * s33 - s13 * s13 AS c22,
+           |    -(s11 * s23 - s12 * s13) AS c23,
+           |    s11 * s22 - s12 * s12 AS c33,
+           |    s11 * (s22 * s33 - s23 * s23)
+           |      + s12 * (-(s12 * s33 - s13 * s23))
+           |      + s13 * (s12 * s23 - s13 * s22) AS det,
+           |    (s22 * s33 - s23 * s23) * b1
+           |      + (-(s12 * s33 - s13 * s23)) * b2
+           |      + (s12 * s23 - s13 * s22) * b3 AS bn1,
+           |    (-(s12 * s33 - s13 * s23)) * b1
+           |      + (s11 * s33 - s13 * s13) * b2
+           |      + (-(s11 * s23 - s12 * s13)) * b3 AS bn2,
+           |    (s12 * s23 - s13 * s22) * b1
+           |      + (-(s11 * s23 - s12 * s13)) * b2
+           |      + (s11 * s22 - s12 * s12) * b3 AS bn3
+           |  FROM mom),
+           |sc AS (SELECT r.o_orderkey, r.p, r.m, r.y,
+           |    c11 + 2 * c12 * p + 2 * c13 * m + c22 * p * p
+           |      + 2 * c23 * p * m + c33 * m * m AS hnum,
+           |    CAST(y AS HUGEINT) * det
+           |      - (bn1 + bn2 * p + bn3 * m) AS enum_,
+           |    det
+           |  FROM r CROSS JOIN cof)
+           |SELECT o_orderkey, p, m, y,
+           |  CAST(${sdiv("hnum * 10000", "det")} AS BIGINT) AS h_bp,
+           |  CAST(${sdiv("enum_ * 1000", "det")} AS BIGINT) AS e_milli,
+           |  CAST(${sdiv("enum_ * 1000", "det - hnum")} AS BIGINT)
+           |    AS e_loo_milli
+           |FROM sc
+           |ORDER BY abs(CAST(${sdiv("enum_ * 1000", "det - hnum")}
+           |  AS BIGINT)) DESC, o_orderkey
+           |LIMIT 20""".stripMargin
+      }),
+
+    // ---- Sinkhorn optimal-transport distance between source mixes ----------
+    // How far apart are two sources' token distributions, RESPECTING
+    // token similarity? KL/KS (q160/q207) treat tokens as unordered
+    // symbols; optimal transport prices moving mass BETWEEN tokens via a
+    // ground metric (here |global-rank difference| over the top-16
+    // support — rank adjacency as the stand-in for similarity). The
+    // entropic kernel is e^{-c/ε} in the standard algorithm; using base
+    // 2 with ε = 1/ln2 makes it EXACTLY 2^(15−c) — an integer, so the
+    // whole Sinkhorn fixpoint runs in integer arithmetic: scaling
+    // vectors U,V at scale S=1e9, u-update U_i = a_i·S² // Σ_j K_ij V_j,
+    // three full (u,v) rounds, transport plan P_ij = U_i K_ij V_j // S².
+    // Masses are cross-scaled (a_i = cntA_i·NB, b_j = cntB_j·NA) so both
+    // marginals total NA·NB exactly — no largest-remainder rounding.
+    // The corpus-scale stages are one token count (support selection)
+    // and one conditional per-source count; the 16×16 fixpoint is
+    // bounded state on the driver (BigInt — q296's wrap rule), and the
+    // audit emits per-token row/col marginal deviations (col exact
+    // after the final v-update, rows carry the residual) plus the
+    // entropic OT cost.
+    "q313_sinkhorn_mixing" -> QueryDef(
+      (s, dir) => {
+        val toks = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("tok")))
+        val top16 = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(16)
+          .collect().map(_.getString(0)).zipWithIndex
+          .map { case (t, i) => t -> (i + 1) }
+        val support = top16.map(_._1).toSet
+        val perSrc = toks
+          .filter(col("source").isin("src0", "src1") &&
+            col("tok").isInCollection(support))
+          .groupBy("tok", "source").agg(count(lit(1)).as("c"))
+          .collect().map(r =>
+            (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val rnkOf = top16.toMap
+        val idx = top16.sortBy(_._2)
+        val cA = idx.map { case (t, _) =>
+          BigInt(perSrc.getOrElse((t, "src0"), 0L)) }
+        val cB = idx.map { case (t, _) =>
+          BigInt(perSrc.getOrElse((t, "src1"), 0L)) }
+        val na = cA.sum
+        val nb = cB.sum
+        val a = cA.map(_ * nb)
+        val b = cB.map(_ * na)
+        val n = idx.length
+        def ker(i: Int, j: Int) = BigInt(1L << (15 - math.abs(i - j)))
+        val sS = BigInt(1000000000L)
+        var u = Array.fill(n)(BigInt(0))
+        var v = Array.fill(n)(sS)
+        for (_ <- 1 to 3) {
+          u = Array.tabulate(n) { i =>
+            val d = (0 until n).map(j => ker(i, j) * v(j)).sum.max(1)
+            a(i) * sS * sS / d
+          }
+          v = Array.tabulate(n) { j =>
+            val d = (0 until n).map(i => ker(i, j) * u(i)).sum.max(1)
+            b(j) * sS * sS / d
+          }
+        }
+        def p(i: Int, j: Int) = u(i) * ker(i, j) * v(j) / (sS * sS)
+        val rowM = Array.tabulate(n)(i => (0 until n).map(p(i, _)).sum)
+        val colM = Array.tabulate(n)(j => (0 until n).map(p(_, j)).sum)
+        val cost = (for (i <- 0 until n; j <- 0 until n)
+          yield BigInt(math.abs(i - j)) * p(i, j)).sum
+        def devBp(m: BigInt, t: BigInt) =
+          ((m - t).abs * 10000 / t.max(1)).toLong
+        import s.implicits._
+        idx.map { case (t, r) =>
+          val i = r - 1
+          (r.toLong, t, a(i).toLong, b(i).toLong,
+            rowM(i).toLong, colM(i).toLong,
+            devBp(rowM(i), a(i)), devBp(colM(i), b(i)),
+            cost.toLong)
+        }.toSeq
+          .toDF("rnk", "tok", "a_mass", "b_mass", "row_marg",
+            "col_marg", "row_dev_bp", "col_dev_bp", "ot_cost")
+          .orderBy("rnk")
+      },
+      Some(s"""WITH tk AS (SELECT source, unnest($duckToks) AS tok
+              |  FROM documents),
+              |gc AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+              |top16 AS (SELECT tok, rnk FROM (SELECT tok,
+              |    row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+              |  FROM gc) WHERE rnk <= 16),
+              |pc AS (SELECT t.rnk, t.tok,
+              |    CAST(COALESCE(sum(CASE WHEN tk.source = 'src0'
+              |      THEN 1 END), 0) AS HUGEINT) AS ca,
+              |    CAST(COALESCE(sum(CASE WHEN tk.source = 'src1'
+              |      THEN 1 END), 0) AS HUGEINT) AS cb
+              |  FROM top16 t LEFT JOIN tk ON tk.tok = t.tok
+              |    AND tk.source IN ('src0', 'src1')
+              |  GROUP BY 1, 2),
+              |ma AS (SELECT rnk, tok,
+              |    ca * (sum(cb) OVER ()) AS a,
+              |    cb * (sum(ca) OVER ()) AS b
+              |  FROM pc),
+              |ker AS (SELECT i.rnk AS i, j.rnk AS j,
+              |    CAST(1 AS HUGEINT) << (15 - abs(i.rnk - j.rnk)) AS k
+              |  FROM top16 i JOIN top16 j ON true),
+              |v0 AS (SELECT rnk AS j,
+              |    CAST(1000000000 AS HUGEINT) AS v FROM top16),
+              |u1 AS (SELECT ker.i, (ma.a * 1000000000 * 1000000000) //
+              |    greatest(CAST(1 AS HUGEINT), sum(ker.k * v0.v)) AS u
+              |  FROM ker JOIN v0 ON v0.j = ker.j
+              |    JOIN ma ON ma.rnk = ker.i
+              |  GROUP BY ker.i, ma.a),
+              |v1 AS (SELECT ker.j, (ma.b * 1000000000 * 1000000000) //
+              |    greatest(CAST(1 AS HUGEINT), sum(ker.k * u1.u)) AS v
+              |  FROM ker JOIN u1 ON u1.i = ker.i
+              |    JOIN ma ON ma.rnk = ker.j
+              |  GROUP BY ker.j, ma.b),
+              |u2 AS (SELECT ker.i, (ma.a * 1000000000 * 1000000000) //
+              |    greatest(CAST(1 AS HUGEINT), sum(ker.k * v1.v)) AS u
+              |  FROM ker JOIN v1 ON v1.j = ker.j
+              |    JOIN ma ON ma.rnk = ker.i
+              |  GROUP BY ker.i, ma.a),
+              |v2 AS (SELECT ker.j, (ma.b * 1000000000 * 1000000000) //
+              |    greatest(CAST(1 AS HUGEINT), sum(ker.k * u2.u)) AS v
+              |  FROM ker JOIN u2 ON u2.i = ker.i
+              |    JOIN ma ON ma.rnk = ker.j
+              |  GROUP BY ker.j, ma.b),
+              |u3 AS (SELECT ker.i, (ma.a * 1000000000 * 1000000000) //
+              |    greatest(CAST(1 AS HUGEINT), sum(ker.k * v2.v)) AS u
+              |  FROM ker JOIN v2 ON v2.j = ker.j
+              |    JOIN ma ON ma.rnk = ker.i
+              |  GROUP BY ker.i, ma.a),
+              |v3 AS (SELECT ker.j, (ma.b * 1000000000 * 1000000000) //
+              |    greatest(CAST(1 AS HUGEINT), sum(ker.k * u3.u)) AS v
+              |  FROM ker JOIN u3 ON u3.i = ker.i
+              |    JOIN ma ON ma.rnk = ker.j
+              |  GROUP BY ker.j, ma.b),
+              |pl AS (SELECT ker.i, ker.j,
+              |    (u3.u * ker.k * v3.v) //
+              |      (CAST(1000000000 AS HUGEINT) * 1000000000) AS p
+              |  FROM ker JOIN u3 ON u3.i = ker.i
+              |    JOIN v3 ON v3.j = ker.j),
+              |rm AS (SELECT i AS rnk, sum(p) AS row_marg FROM pl
+              |  GROUP BY 1),
+              |cm AS (SELECT j AS rnk, sum(p) AS col_marg FROM pl
+              |  GROUP BY 1),
+              |ct AS (SELECT sum(CAST(abs(i - j) AS HUGEINT) * p)
+              |    AS ot_cost FROM pl)
+              |SELECT CAST(ma.rnk AS BIGINT) AS rnk, ma.tok,
+              |  CAST(ma.a AS BIGINT) AS a_mass,
+              |  CAST(ma.b AS BIGINT) AS b_mass,
+              |  CAST(rm.row_marg AS BIGINT) AS row_marg,
+              |  CAST(cm.col_marg AS BIGINT) AS col_marg,
+              |  CAST((abs(rm.row_marg - ma.a) * 10000) //
+              |    greatest(CAST(1 AS HUGEINT), ma.a) AS BIGINT)
+              |    AS row_dev_bp,
+              |  CAST((abs(cm.col_marg - ma.b) * 10000) //
+              |    greatest(CAST(1 AS HUGEINT), ma.b) AS BIGINT)
+              |    AS col_dev_bp,
+              |  CAST(ct.ot_cost AS BIGINT) AS ot_cost
+              |FROM ma JOIN rm ON rm.rnk = ma.rnk
+              |  JOIN cm ON cm.rnk = ma.rnk
+              |  CROSS JOIN ct
+              |ORDER BY rnk""".stripMargin)),
   )
 }

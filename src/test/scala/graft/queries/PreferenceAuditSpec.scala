@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+import graft.Tables.table
+
+/** Independent cross-checks for the round-10 preference/valuation wave:
+  * q309 Bradley–Terry, q310 Condorcet/cycles, q311 Misra–Gries merge,
+  * q312 LOO influence, q313 Sinkhorn. Each query's output relation is
+  * replayed from the raw tables in pure Scala (same hash family, same
+  * truncating integer divisions, BigInt throughout) — an analysis-time
+  * failure or a semantic drift shared with the DuckDB twin cannot pass.
+  * q312 additionally pins the exact trace identity
+  * Σ_rows h_num = 3·det − λ·tr(adj A), which the query's own output
+  * (a top-20 slice) cannot witness.
+  */
+class PreferenceAuditSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def hash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Raw docs: (doc_id, source, lang, n_chars, text). */
+  private lazy val docs: Seq[(Long, String, String, Long, String)] =
+    table(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSeq
+
+  /** The q309/q310 pairwise win matrix, replayed from scratch. */
+  private lazy val winMatrix: Map[(String, String), Long] = {
+    val keyed = docs.map { case (id, src, lang, nc, _) =>
+      (id, src, lang, nc, hash32(s"bt|$id") % 8)
+    }
+    val pairs = for {
+      a <- keyed
+      b <- keyed
+      if a._3 == b._3 && a._5 == b._5 && a._1 < b._1 && a._2 != b._2
+    } yield if (a._4 >= b._4) (a._2, b._2) else (b._2, a._2)
+    pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("q309: Bradley–Terry MM fixpoint replays exactly") {
+    val rows = run("q309_bradley_terry").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val srcs = docs.map(_._2).distinct.sorted
+    def w(i: String, j: String) =
+      BigInt(winMatrix.getOrElse((i, j), 0L))
+    val bigW = srcs.map(i =>
+      i -> srcs.filter(_ != i).map(j => w(i, j)).sum).toMap
+    val games = srcs.map(i =>
+      i -> srcs.filter(_ != i).map(j => w(i, j) + w(j, i)).sum).toMap
+    val sc = BigInt(1000000000L)
+    val k = srcs.length
+    var p = srcs.map(_ -> BigInt(1000)).toMap
+    for (_ <- 1 to 3) {
+      val d = srcs.map { i =>
+        i -> srcs.filter(j => j != i && (w(i, j) + w(j, i)) > 0)
+          .map(j => (w(i, j) + w(j, i)) * sc / (p(i) + p(j))).sum
+      }.toMap
+      val praw = srcs.map { i =>
+        i -> (if (d(i) == 0) BigInt(0) else bigW(i) * sc / d(i))
+      }.toMap
+      val tot = praw.values.sum.max(BigInt(1))
+      p = srcs.map(i =>
+        i -> (praw(i) * 1000 * k / tot).max(BigInt(1))).toMap
+    }
+    val rank = srcs.sortBy(i => (-p(i), i)).zipWithIndex
+      .map { case (i, r) => i -> (r + 1L) }.toMap
+    val expect = srcs.map(i => (i, games(i).toLong, bigW(i).toLong,
+      p(i).toLong, rank(i))).sortBy(_._1)
+    assert(rows.toSeq == expect)
+  }
+
+  test("q310: Copeland scores and majority 3-cycles replay exactly") {
+    val rows = run("q310_condorcet_cycles").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val srcs = docs.map(_._2).distinct.sorted
+    def w(i: String, j: String) = winMatrix.getOrElse((i, j), 0L)
+    val k = srcs.length
+    val expect = srcs.map { i =>
+      val opps = srcs.filter(_ != i)
+      val mw = opps.count(j => w(i, j) > w(j, i)).toLong
+      val ml = opps.count(j => w(i, j) < w(j, i)).toLong
+      val mt = opps.count(j =>
+        w(i, j) == w(j, i) && w(i, j) + w(j, i) > 0).toLong
+      val ng = opps.count(j => w(i, j) + w(j, i) == 0).toLong
+      (i, mw, ml, mt, ng, if (mw == k - 1) 1L else 0L)
+    }
+    val edges = (for {
+      i <- srcs; j <- srcs if i != j && w(i, j) > w(j, i)
+    } yield (i, j)).toSet
+    val cycles = (for {
+      a <- srcs; b <- srcs; c <- srcs
+      if a < b && a < c
+      if edges((a, b)) && edges((b, c)) && edges((c, a))
+    } yield 1).size.toLong
+    assert(rows.toSeq == expect.map(e =>
+      (e._1, e._2, e._3, e._4, e._5, e._6, cycles)))
+  }
+
+  /** q311's tokenizer, replayed: lowercased whitespace split of trim. */
+  private def toks(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+", -1).toSeq
+
+  test("q311: Misra–Gries merge replays exactly and honors the bound") {
+    val rows = run("q311_misra_gries_merge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val k = 16
+    val tok = docs.flatMap { case (id, _, _, _, text) =>
+      toks(text).map(t => (id % 8, t))
+    }
+    val pc = tok.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val parts = pc.keys.map(_._1).toSeq.distinct
+    val summaries = parts.map { p =>
+      val cs = pc.collect { case ((pp, t), c) if pp == p => (t, c) }
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+      val fk1 = if (cs.length >= k + 1) cs(k)._2 else 0L
+      p -> (cs.map { case (t, c) => (t, c - fk1) }
+        .filter(_._2 > 0), fk1)
+    }.toMap
+    val bound = summaries.values.map(_._2).sum
+    val est = summaries.values.flatMap(_._1)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val exact = tok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expect = est.toSeq.sortBy { case (t, e) => (-e, t) }
+      .take(20).zipWithIndex.map { case ((t, e), i) =>
+        val ex = exact(t)
+        val uc = ex - e
+        (i + 1L, t, e, ex, uc, bound,
+          if (uc >= 0 && uc <= bound) 1L else 0L)
+      }
+    assert(rows.toSeq == expect)
+    // the mergeability guarantee must actually HOLD, not just be flagged
+    assert(expect.forall(_._7 == 1L))
+  }
+
+  /** Raw orders rows quantized as q312 does: (key, p, m, y). */
+  private lazy val ordRows: Seq[(Long, Long, Long, Long)] =
+    table(spark, sf, "orders")
+      .selectExpr("o_orderkey",
+        "CAST(substring(o_orderpriority, 1, 1) AS BIGINT)",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') " +
+          "AS BIGINT) DIV 30",
+        "CAST(floor(o_totalprice) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("q312: LOO influence replays exactly and satisfies the trace identity") {
+    val out = run("q312_loo_influence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length == 20)
+    val lam = BigInt(100)
+    val n = BigInt(ordRows.length)
+    def S(f: ((Long, Long, Long, Long)) => BigInt) = ordRows.map(f).sum
+    val s11 = n + lam
+    val s12 = S(r => BigInt(r._2)); val s13 = S(r => BigInt(r._3))
+    val s22 = S(r => BigInt(r._2) * r._2) + lam
+    val s23 = S(r => BigInt(r._2) * r._3)
+    val s33 = S(r => BigInt(r._3) * r._3) + lam
+    val b1 = S(r => BigInt(r._4)); val b2 = S(r => BigInt(r._2) * r._4)
+    val b3 = S(r => BigInt(r._3) * r._4)
+    val c11 = s22 * s33 - s23 * s23
+    val c12 = -(s12 * s33 - s13 * s23)
+    val c13 = s12 * s23 - s13 * s22
+    val c22 = s11 * s33 - s13 * s13
+    val c23 = -(s11 * s23 - s12 * s13)
+    val c33 = s11 * s22 - s12 * s12
+    val det = s11 * c11 + s12 * c12 + s13 * c13
+    assert(det > 0)
+    val bn1 = c11 * b1 + c12 * b2 + c13 * b3
+    val bn2 = c12 * b1 + c22 * b2 + c23 * b3
+    val bn3 = c13 * b1 + c23 * b2 + c33 * b3
+    def sdiv(a: BigInt, b: BigInt) =
+      if (a.signum >= 0) a / b else -((-a) / b)
+    val scored = ordRows.map { case (key, p, m, y) =>
+      val hnum = c11 + 2 * c12 * p + 2 * c13 * m + c22 * p * p +
+        2 * c23 * p * m + c33 * m * m
+      val enum_ = BigInt(y) * det - (bn1 + bn2 * p + bn3 * m)
+      assert(hnum >= 0 && hnum < det,
+        s"leverage out of (0,1): $hnum / $det")
+      (key, p, m, y, sdiv(hnum * 10000, det).toLong,
+        sdiv(enum_ * 1000, det).toLong,
+        sdiv(enum_ * 1000, det - hnum).toLong, hnum)
+    }
+    // exact trace identity: Σ h_num = tr(adj(A)(A−λI)) = 3·det − λ·tr(adj A)
+    val traceLhs = scored.map(_._8).sum
+    assert(traceLhs == 3 * det - lam * (c11 + c22 + c33))
+    val expect = scored
+      .sortBy { case (key, _, _, _, _, _, eloo, _) =>
+        (-math.abs(eloo), key) }
+      .take(20)
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+    assert(out.sortBy(t => (-math.abs(t._7), t._1)).toSeq == expect)
+  }
+
+  test("q313: Sinkhorn fixpoint replays exactly; final col marginals tight") {
+    val rows = run("q313_sinkhorn_mixing").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val allToks = docs.flatMap { case (_, src, _, _, text) =>
+      toks(text).map(t => (src, t))
+    }
+    val support = allToks.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(16).map(_._1)
+    val cA = support.map(t =>
+      BigInt(allToks.count(x => x._1 == "src0" && x._2 == t)))
+    val cB = support.map(t =>
+      BigInt(allToks.count(x => x._1 == "src1" && x._2 == t)))
+    val na = cA.sum; val nb = cB.sum
+    val a = cA.map(_ * nb); val b = cB.map(_ * na)
+    val nn = support.length
+    def ker(i: Int, j: Int) = BigInt(1L << (15 - math.abs(i - j)))
+    val sS = BigInt(1000000000L)
+    var u = Array.fill(nn)(BigInt(0))
+    var v = Array.fill(nn)(sS)
+    for (_ <- 1 to 3) {
+      u = Array.tabulate(nn)(i => a(i) * sS * sS /
+        (0 until nn).map(j => ker(i, j) * v(j)).sum.max(1))
+      v = Array.tabulate(nn)(j => b(j) * sS * sS /
+        (0 until nn).map(i => ker(i, j) * u(i)).sum.max(1))
+    }
+    def pl(i: Int, j: Int) = u(i) * ker(i, j) * v(j) / (sS * sS)
+    def devBp(m: BigInt, t: BigInt) = ((m - t).abs * 10000 / t.max(1)).toLong
+    val cost = (for (i <- 0 until nn; j <- 0 until nn)
+      yield BigInt(math.abs(i - j)) * pl(i, j)).sum.toLong
+    val expect = support.zipWithIndex.map { case (t, i) =>
+      val rm = (0 until nn).map(pl(i, _)).sum
+      val cm = (0 until nn).map(pl(_, i)).sum
+      (i + 1L, t, a(i).toLong, b(i).toLong, rm.toLong, cm.toLong,
+        devBp(rm, a(i)), devBp(cm, b(i)), cost)
+    }
+    assert(rows.toSeq == expect)
+    // v updated last → column marginals are exact up to the per-cell
+    // floor: each |col − b_j| < n cells; in bp that is tiny for any
+    // token with real mass. Assert the audit's own promise.
+    rows.filter(_._4 > 1000).foreach { r =>
+      assert(r._8 <= 10, s"col marginal loose for ${r._2}: ${r._8} bp")
+    }
+  }
+}
