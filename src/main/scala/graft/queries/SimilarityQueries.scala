@@ -3828,6 +3828,131 @@ object SimilarityQueries {
              |    AS transitivity_bp
              |FROM cl JOIN ec ON cl.pct = ec.pct
              |GROUP BY 1, 2, 3 ORDER BY cl.pct""".stripMargin)),
+
+    // ---- minimum spanning tree / single-linkage clustering ------------------
+    // Single-linkage agglomerative clustering IS Kruskal's MST: the merge
+    // order of components equals the MST edge order, and cutting the
+    // tree at a distance threshold yields the clusters. Edge weights are
+    // made UNIQUE by packing the (u,v) pair id into the low bits of the
+    // quantized squared distance — a unique-weight graph has exactly ONE
+    // MST, so ANY correct algorithm must produce the identical edge set.
+    // That is the whole verification design: the Spark side runs Kruskal
+    // with a union-find over the collected kNN edge list (the corpus-
+    // scale stage is candidate generation — the bounded-slice pair join
+    // + per-endpoint top-3, the same plan family as q244; at corpus
+    // scale the contraction runs distributed via the q166 star-
+    // contraction machinery), while the ORACLE replays Kruskal
+    // SEQUENTIALLY inside DuckDB with a list_reduce over the
+    // weight-sorted edge list carrying the component labeling as its
+    // accumulator — two independent implementations that can only agree
+    // on the unique answer. The forest identity n_components =
+    // n_vertices − n_mst_edges is emitted and implicitly cross-checked.
+    "q315_mst_single_linkage" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i", "x")))
+          .withColumn("xv",
+            (floor((col("x").cast("double") + lit(1.0)) * 1000) * 1000)
+              .cast("long"))
+          .select("vec_id", "i", "xv"))
+        val pw = Materialize(comps.as("a").join(comps.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+          .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2"))
+          .withColumn("w",
+            expr("(d2 DIV 1000000) * 40000 + u * 200 + v")))
+        val dr = pw.select(col("u").as("n"), col("w"))
+          .unionAll(pw.select(col("v").as("n"), col("w")))
+        val keep = dr.withColumn("r", row_number().over(
+            Window.partitionBy("n").orderBy("w")))
+          .filter(col("r") <= 3).select("w").distinct()
+        val edges = pw.join(keep, Seq("w"))
+          .select("u", "v", "w").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._3)
+        val nVerts = comps.select("vec_id").distinct().count()
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          r
+        }
+        val kept = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        edges.foreach { case (u, v, w) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            parent(math.max(ru, rv)) = math.min(ru, rv)
+            kept += ((u, v, w))
+          }
+        }
+        val total = kept.map(_._3).sum
+        val nE = kept.size.toLong
+        import s.implicits._
+        kept.toSeq.map { case (u, v, w) =>
+          (u, v, w, total, nE, nVerts, nVerts - nE) }
+          .toDF("u", "v", "w", "mst_total", "n_edges", "n_vertices",
+            "n_components")
+          .orderBy("u", "v")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve
+             |  FROM embeddings WHERE vec_id < 200),
+             |comps AS (SELECT vec_id, i,
+             |    CAST(floor((ve[i + 1] + 1.0) * 1000) * 1000 AS BIGINT)
+             |      AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ix),
+             |pw AS (SELECT a.vec_id AS u, b.vec_id AS v,
+             |    (sum((a.xv - b.xv) * (a.xv - b.xv)) // 1000000)
+             |      * 40000 + a.vec_id * 200 + b.vec_id AS w
+             |  FROM comps a JOIN comps b
+             |    ON a.i = b.i AND a.vec_id < b.vec_id
+             |  GROUP BY 1, 2),
+             |dr AS (SELECT u AS n, w FROM pw
+             |  UNION ALL SELECT v, w FROM pw),
+             |keep AS (SELECT DISTINCT w FROM (SELECT n, w,
+             |    row_number() OVER (PARTITION BY n ORDER BY w) AS r
+             |  FROM dr) WHERE r <= 3),
+             |ed AS (SELECT pw.u, pw.v, pw.w FROM pw
+             |  JOIN keep USING (w)),
+             |packed AS (SELECT list(struct_pack(
+             |    lab := CAST([] AS BIGINT[]),
+             |    kept := CAST([] AS BIGINT[]),
+             |    u := u, v := v, w := w) ORDER BY w) AS es FROM ed),
+             |ini AS (SELECT struct_pack(
+             |    lab := list_transform(range(0, 200),
+             |      x -> CAST(x AS BIGINT)),
+             |    kept := CAST([] AS BIGINT[]),
+             |    u := CAST(0 AS BIGINT), v := CAST(0 AS BIGINT),
+             |    w := CAST(0 AS BIGINT)) AS i0),
+             |red AS (SELECT list_reduce([i0] || es, (acc, x) ->
+             |    CASE WHEN acc.lab[CAST(x.u AS INT) + 1]
+             |        = acc.lab[CAST(x.v AS INT) + 1]
+             |      THEN struct_pack(lab := acc.lab, kept := acc.kept,
+             |        u := x.u, v := x.v, w := x.w)
+             |      ELSE struct_pack(
+             |        lab := list_transform(acc.lab, y ->
+             |          CASE WHEN y = greatest(
+             |              acc.lab[CAST(x.u AS INT) + 1],
+             |              acc.lab[CAST(x.v AS INT) + 1])
+             |            THEN least(acc.lab[CAST(x.u AS INT) + 1],
+             |              acc.lab[CAST(x.v AS INT) + 1])
+             |            ELSE y END),
+             |        kept := list_append(acc.kept, x.w),
+             |        u := x.u, v := x.v, w := x.w) END) AS fin
+             |  FROM packed CROSS JOIN ini),
+             |mst AS (SELECT unnest(fin.kept) AS w FROM red),
+             |tot AS (SELECT CAST(sum(w) AS BIGINT) AS mst_total,
+             |    CAST(count(*) AS BIGINT) AS n_edges FROM mst),
+             |nv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT)
+             |    AS n_vertices FROM e)
+             |SELECT p.u, p.v, p.w, tot.mst_total, tot.n_edges,
+             |  nv.n_vertices, nv.n_vertices - tot.n_edges
+             |    AS n_components
+             |FROM pw p JOIN mst USING (w)
+             |CROSS JOIN tot CROSS JOIN nv
+             |ORDER BY p.u, p.v""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -5692,5 +5692,190 @@ object TrainingQueries {
               |  JOIN cm ON cm.rnk = ma.rnk
               |  CROSS JOIN ct
               |ORDER BY rnk""".stripMargin)),
+    // ---- Fellegi–Sunter record-linkage weights ------------------------------
+    // The probabilistic record-linkage standard: per-field agreement
+    // probabilities among known matches (m) and known non-matches (u)
+    // combine into a likelihood ratio per agreement pattern; thresholds
+    // split link / possible / non-link. Records are the customer table
+    // plus a deterministic DIRTY COPY of every customer (hash-seeded
+    // perturbations: 10% nation bumped, 20% segment mangled, 10%
+    // balance bucket shifted — the md5 seed makes the "data entry
+    // noise" replayable in both engines). Both training samples are
+    // LINEAR in the corpus — the defining scale constraint: m-pairs are
+    // original-vs-copy (equi-join on the entity key), u-pairs come from
+    // rank-PAIRING inside md5 hash buckets (consecutive ranks pair up —
+    // exactly n/2 pairs, never a within-block quadratic enumeration),
+    // cross-entity by filter. Probabilities are add-1 smoothed and kept
+    // as exact integer ratios; the pattern LR is the cross-multiplied
+    // product lr_num = Π m-term · (nU+2)³, lr_den = Π u-term · (nM+2)³
+    // (≤ ~1e37 at sf1 — DECIMAL(38,0)/HUGEINT headroom documented; past
+    // that the estimator runs on a hash sample). All 8 patterns are
+    // emitted from a literal range with observed m/u pair counts,
+    // truncated LR in milli, and the 10×/1× threshold decision — with
+    // real m≫u separation the all-agree pattern links and the
+    // all-disagree pattern firmly does not.
+    "q314_fellegi_sunter" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "customer").select(
+          col("c_custkey").as("ent"),
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal"))
+        val orig = base.select(
+          (col("ent") * 2).as("rid"), col("ent"),
+          col("nat"), col("seg"), col("bal"))
+        val dirty = base
+          .withColumn("pz",
+            hash32(concat(lit("fsp|"), col("ent").cast("string"))) % 10)
+          .select(
+            (col("ent") * 2 + 1).as("rid"), col("ent"),
+            when(col("pz") === 0, (col("nat") + 1) % 25)
+              .otherwise(col("nat")).as("nat"),
+            when(col("pz").isin(1, 2), concat(col("seg"), lit("_X")))
+              .otherwise(col("seg")).as("seg"),
+            when(col("pz") === 3, col("bal") + 1)
+              .otherwise(col("bal")).as("bal"))
+        val recs = Materialize(orig.unionAll(dirty)
+          .withColumn("h",
+            hash32(concat(lit("fsu|"), col("rid").cast("string")))))
+        def flags(a: String, b: String) = Seq(
+          (col(s"$a.nat") === col(s"$b.nat")).cast("long").as("fn"),
+          (col(s"$a.seg") === col(s"$b.seg")).cast("long").as("fs"),
+          (col(s"$a.bal") === col(s"$b.bal")).cast("long").as("fb"))
+        val mp = Materialize(recs.as("a").join(recs.as("b"),
+            col("a.ent") === col("b.ent") &&
+              col("a.rid") < col("b.rid"))
+          .select(flags("a", "b"): _*))
+        val ranked = recs
+          .withColumn("bkt", col("h") % 64)
+          .withColumn("r", row_number().over(
+            Window.partitionBy("bkt").orderBy("h", "rid")))
+          .withColumn("pid", expr("(r + 1) DIV 2"))
+        val up = Materialize(ranked.as("a").join(ranked.as("b"),
+            col("a.bkt") === col("b.bkt") &&
+              col("a.pid") === col("b.pid") &&
+              col("a.r") % 2 === 1 && col("b.r") % 2 === 0 &&
+              col("a.ent") =!= col("b.ent"))
+          .select(flags("a", "b"): _*))
+        val mstat = mp.agg(
+          expr("CAST(count(*) AS DECIMAL(38,0))").as("nm"),
+          expr("CAST(sum(fn) AS DECIMAL(38,0))").as("man"),
+          expr("CAST(sum(fs) AS DECIMAL(38,0))").as("mas"),
+          expr("CAST(sum(fb) AS DECIMAL(38,0))").as("mab"))
+        val ustat = up.agg(
+          expr("CAST(count(*) AS DECIMAL(38,0))").as("nu"),
+          expr("CAST(sum(fn) AS DECIMAL(38,0))").as("uan"),
+          expr("CAST(sum(fs) AS DECIMAL(38,0))").as("uas"),
+          expr("CAST(sum(fb) AS DECIMAL(38,0))").as("uab"))
+        val pats = s.range(8).select(
+          expr("CAST(id AS BIGINT)").as("pattern"),
+          expr("(id DIV 4) % 2").as("fn"),
+          expr("(id DIV 2) % 2").as("fs"),
+          expr("id % 2").as("fb"))
+        val mc = mp.groupBy("fn", "fs", "fb")
+          .agg(count(lit(1)).as("n_match"))
+        val uc = up.groupBy("fn", "fs", "fb")
+          .agg(count(lit(1)).as("n_nonmatch"))
+        def term(flag: String, agree: String, n: String) =
+          s"CASE WHEN $flag = 1 THEN $agree + 1 ELSE $n - $agree + 1 END"
+        pats.join(mc, Seq("fn", "fs", "fb"), "left")
+          .join(uc, Seq("fn", "fs", "fb"), "left")
+          .join(broadcast(mstat)).join(broadcast(ustat))
+          .withColumn("lr_num", expr(
+            s"(${term("fn", "man", "nm")}) * (${term("fs", "mas", "nm")})" +
+              s" * (${term("fb", "mab", "nm")}) * (nu + 2) * (nu + 2)" +
+              " * (nu + 2)"))
+          .withColumn("lr_den", expr(
+            s"(${term("fn", "uan", "nu")}) * (${term("fs", "uas", "nu")})" +
+              s" * (${term("fb", "uab", "nu")}) * (nm + 2) * (nm + 2)" +
+              " * (nm + 2)"))
+          .select(col("pattern"), col("fn"), col("fs"), col("fb"),
+            coalesce(col("n_match"), lit(0L)).as("n_match"),
+            coalesce(col("n_nonmatch"), lit(0L)).as("n_nonmatch"),
+            expr("CAST(lr_num * 1000 DIV lr_den AS BIGINT)")
+              .as("lr_milli"),
+            expr("CAST(CASE WHEN lr_num > 10 * lr_den THEN 2 " +
+              "WHEN lr_num > lr_den THEN 1 ELSE 0 END AS BIGINT)")
+              .as("decision"))
+          .orderBy("pattern")
+      },
+      Some {
+        def term(flag: String, agree: String, n: String) =
+          s"CASE WHEN $flag = 1 THEN $agree + 1 ELSE $n - $agree + 1 END"
+        s"""WITH base AS (SELECT c_custkey AS ent,
+           |    CAST(c_nationkey AS BIGINT) AS nat,
+           |    c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal
+           |  FROM customer),
+           |recs AS (
+           |  SELECT ent * 2 AS rid, ent, nat, seg, bal FROM base
+           |  UNION ALL
+           |  SELECT ent * 2 + 1, ent,
+           |    CASE WHEN pz = 0 THEN (nat + 1) % 25 ELSE nat END,
+           |    CASE WHEN pz IN (1, 2) THEN seg || '_X' ELSE seg END,
+           |    CASE WHEN pz = 3 THEN bal + 1 ELSE bal END
+           |  FROM (SELECT base.*,
+           |      CAST(('0x' || substr(md5('fsp|' ||
+           |        CAST(ent AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS pz
+           |    FROM base)),
+           |rh AS (SELECT recs.*,
+           |    CAST(('0x' || substr(md5('fsu|' ||
+           |      CAST(rid AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           |  FROM recs),
+           |mp AS (SELECT
+           |    CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS fn,
+           |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS fs,
+           |    CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS fb
+           |  FROM rh a JOIN rh b
+           |    ON a.ent = b.ent AND a.rid < b.rid),
+           |rkd AS (SELECT *, h % 64 AS bkt,
+           |    row_number() OVER (PARTITION BY h % 64
+           |      ORDER BY h, rid) AS r
+           |  FROM rh),
+           |up AS (SELECT
+           |    CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS fn,
+           |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS fs,
+           |    CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS fb
+           |  FROM rkd a JOIN rkd b ON a.bkt = b.bkt
+           |    AND (a.r + 1) // 2 = (b.r + 1) // 2
+           |    AND a.r % 2 = 1 AND b.r % 2 = 0
+           |    AND a.ent <> b.ent),
+           |mstat AS (SELECT CAST(count(*) AS HUGEINT) AS nm,
+           |    CAST(sum(fn) AS HUGEINT) AS man,
+           |    CAST(sum(fs) AS HUGEINT) AS mas,
+           |    CAST(sum(fb) AS HUGEINT) AS mab FROM mp),
+           |ustat AS (SELECT CAST(count(*) AS HUGEINT) AS nu,
+           |    CAST(sum(fn) AS HUGEINT) AS uan,
+           |    CAST(sum(fs) AS HUGEINT) AS uas,
+           |    CAST(sum(fb) AS HUGEINT) AS uab FROM up),
+           |pats AS (SELECT CAST(pid AS BIGINT) AS pattern,
+           |    CAST((pid // 4) % 2 AS BIGINT) AS fn,
+           |    CAST((pid // 2) % 2 AS BIGINT) AS fs,
+           |    CAST(pid % 2 AS BIGINT) AS fb
+           |  FROM range(8) t(pid)),
+           |mc AS (SELECT fn, fs, fb, CAST(count(*) AS BIGINT)
+           |    AS n_match FROM mp GROUP BY 1, 2, 3),
+           |uc AS (SELECT fn, fs, fb, CAST(count(*) AS BIGINT)
+           |    AS n_nonmatch FROM up GROUP BY 1, 2, 3),
+           |sc AS (SELECT pats.*, COALESCE(mc.n_match, 0) AS n_match,
+           |    COALESCE(uc.n_nonmatch, 0) AS n_nonmatch,
+           |    (${term("pats.fn", "man", "nm")})
+           |      * (${term("pats.fs", "mas", "nm")})
+           |      * (${term("pats.fb", "mab", "nm")})
+           |      * (nu + 2) * (nu + 2) * (nu + 2) AS lr_num,
+           |    (${term("pats.fn", "uan", "nu")})
+           |      * (${term("pats.fs", "uas", "nu")})
+           |      * (${term("pats.fb", "uab", "nu")})
+           |      * (nm + 2) * (nm + 2) * (nm + 2) AS lr_den
+           |  FROM pats LEFT JOIN mc USING (fn, fs, fb)
+           |    LEFT JOIN uc USING (fn, fs, fb)
+           |    CROSS JOIN mstat CROSS JOIN ustat)
+           |SELECT pattern, fn, fs, fb, n_match, n_nonmatch,
+           |  CAST(lr_num * 1000 // lr_den AS BIGINT) AS lr_milli,
+           |  CAST(CASE WHEN lr_num > 10 * lr_den THEN 2
+           |    WHEN lr_num > lr_den THEN 1 ELSE 0 END AS BIGINT)
+           |    AS decision
+           |FROM sc ORDER BY pattern""".stripMargin
+      }),
   )
 }

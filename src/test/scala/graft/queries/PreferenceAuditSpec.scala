@@ -256,4 +256,123 @@ class PreferenceAuditSpec extends AnyFunSuite {
       assert(r._8 <= 10, s"col marginal loose for ${r._2}: ${r._8} bp")
     }
   }
+
+  test("q314: Fellegi–Sunter weights replay exactly from raw customers") {
+    val out = run("q314_fellegi_sunter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(out.length == 8)
+    val cust = table(spark, sf, "customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)",
+        "c_mktsegment", "CAST(floor(c_acctbal / 1000) AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // (rid, ent, nat, seg, bal)
+    val recs = cust.toSeq.flatMap { case (k, nat, seg, bal) =>
+      val pz = hash32(s"fsp|$k") % 10
+      Seq(
+        (k * 2, k, nat, seg, bal),
+        (k * 2 + 1, k,
+          if (pz == 0) (nat + 1) % 25 else nat,
+          if (pz == 1 || pz == 2) seg + "_X" else seg,
+          if (pz == 3) bal + 1 else bal))
+    }
+    def fl(a: (Long, Long, Long, String, Long),
+           b: (Long, Long, Long, String, Long)) =
+      ((if (a._3 == b._3) 1L else 0L),
+        (if (a._4 == b._4) 1L else 0L),
+        (if (a._5 == b._5) 1L else 0L))
+    val mp = recs.groupBy(_._2).values.toSeq.flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1) yield fl(a, b)
+    }
+    val up = recs.map(r => (r, hash32(s"fsu|${r._1}")))
+      .groupBy(_._2 % 64).values.toSeq.flatMap { g =>
+        val sorted = g.sortBy { case (r, h) => (h, r._1) }
+        sorted.grouped(2).collect {
+          case Seq((a, _), (b, _)) if a._2 != b._2 => fl(a, b)
+        }
+      }
+    val nm = BigInt(mp.size); val nu = BigInt(up.size)
+    def agr(ps: Seq[(Long, Long, Long)], f: ((Long, Long, Long)) => Long) =
+      BigInt(ps.map(f).sum)
+    val (man, mas, mab) = (agr(mp, _._1), agr(mp, _._2), agr(mp, _._3))
+    val (uan, uas, uab) = (agr(up, _._1), agr(up, _._2), agr(up, _._3))
+    val mcnt = mp.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ucnt = up.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def term(flag: Long, a: BigInt, n: BigInt) =
+      if (flag == 1) a + 1 else n - a + 1
+    val expect = (0L until 8L).map { pid =>
+      val (fn, fs, fb) = ((pid / 4) % 2, (pid / 2) % 2, pid % 2)
+      val num = term(fn, man, nm) * term(fs, mas, nm) *
+        term(fb, mab, nm) * (nu + 2) * (nu + 2) * (nu + 2)
+      val den = term(fn, uan, nu) * term(fs, uas, nu) *
+        term(fb, uab, nu) * (nm + 2) * (nm + 2) * (nm + 2)
+      (pid, fn, fs, fb,
+        mcnt.getOrElse((fn, fs, fb), 0L),
+        ucnt.getOrElse((fn, fs, fb), 0L),
+        (num * 1000 / den).toLong,
+        if (num > 10 * den) 2L else if (num > den) 1L else 0L)
+    }
+    assert(out.toSeq == expect)
+    // the synthetic duplicates must actually separate: all-agree links,
+    // all-disagree does not
+    assert(out.last._8 == 2L && out.head._8 == 0L)
+  }
+
+  test("q315: MST replays via Prim — a third independent algorithm") {
+    val out = run("q315_mst_single_linkage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.nonEmpty)
+    val vecs = table(spark, sf, "embeddings")
+      .filter("vec_id < 200").select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quant(x: Float): Long =
+      (math.floor((x.toDouble + 1.0) * 1000) * 1000).toLong
+    val pw = (for {
+      (u, va) <- vecs; (v, vb) <- vecs if u < v
+    } yield {
+      val d2 = va.indices.map { i =>
+        val d = quant(va(i)) - quant(vb(i)); d * d
+      }.sum
+      (u, v, (d2 / 1000000) * 40000 + u * 200 + v)
+    }).toSeq
+    val byNode = (pw.map(e => (e._1, e._3)) ++ pw.map(e => (e._2, e._3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(3).toSet).toMap
+    val keepW = byNode.values.flatten.toSet
+    val edges = pw.filter(e => keepW(e._3))
+    // Prim, grown from each still-unvisited minimum vertex
+    val adj = (edges.map(e => (e._1, (e._2, e._3))) ++
+      edges.map(e => (e._2, (e._1, e._3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val visited = scala.collection.mutable.Set[Long]()
+    val mst = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    vecs.map(_._1).sorted.foreach { seed =>
+      if (!visited(seed)) {
+        visited += seed
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Long, Long)](Ordering.by(t => -t._3))
+        adj.getOrElse(seed, Nil).foreach { case (t, w) =>
+          pq.enqueue((seed, t, w)) }
+        while (pq.nonEmpty) {
+          val (f, t, w) = pq.dequeue()
+          if (!visited(t)) {
+            visited += t
+            mst += ((math.min(f, t), math.max(f, t), w))
+            adj.getOrElse(t, Nil).foreach { case (t2, w2) =>
+              if (!visited(t2)) pq.enqueue((t, t2, w2)) }
+          }
+        }
+      }
+    }
+    val total = mst.map(_._3).sum
+    val nV = vecs.length.toLong
+    val nE = mst.size.toLong
+    val expect = mst.toSeq.sortBy(t => (t._1, t._2))
+      .map(t => (t._1, t._2, t._3, total, nE, nV, nV - nE))
+    assert(out.toSeq == expect)
+  }
 }
