@@ -5877,5 +5877,182 @@ object TrainingQueries {
            |    AS decision
            |FROM sc ORDER BY pattern""".stripMargin
       }),
+
+    // ---- truncated SPRT quality gate ----------------------------------------
+    // CUSUM (q210) asks "did the rate CHANGE"; the sequential probability
+    // ratio test asks "is this cohort's rate p0 or p1" with the earliest
+    // possible stop — the canonical gate for aborting a bad ingest batch
+    // before reading all of it. For Bernoulli streams the Wald LR after
+    // (n, k) is a pure RATIONAL whose numerator/denominator are products
+    // of small-prime powers, so with a 44-observation truncation horizon
+    // every comparison is EXACT integer arithmetic against 7^0-free
+    // lookup tables (the q284 inline-power-table pattern; max term
+    // 19·6⁴⁴ ≈ 3e35 ≪ 1e38). Two designs run side by side — A: ½ vs ⅝
+    // (LR = 5^k·3^(n−k)/4^n) and B: ⅝ vs ¾ (LR = 6^k·2^(n−k)/(5^k·3^(n−k)))
+    // — with the observed ~0.6 success rate between them, so the output
+    // exhibits genuine early H1 stops, early H0 stops, and truncation.
+    // The only corpus-scale work is one per-cohort ordered window pass;
+    // the decision row is selected by a per-cohort min-crossing window,
+    // never a driver loop.
+    "q316_sprt_quality_gate" -> QueryDef(
+      (s, dir) => {
+        def pick(base: Int, idx: String): String =
+          (0 to 44).map(k =>
+            s"WHEN $k THEN CAST('${BigInt(base).pow(k)}' " +
+              "AS DECIMAL(38,0))")
+            .mkString(s"(CASE ($idx) ", " ", " END)")
+        val p2k = pick(2, "n - k"); val p3k = pick(3, "n - k")
+        val p4n = pick(4, "n"); val p5k = pick(5, "k")
+        val p6k = pick(6, "k")
+        val ev = Materialize(table(s, dir, "events")
+          .select((col("user_id") % 16).as("g"),
+            expr("CASE WHEN event_type IN ('click', 'view', " +
+              "'purchase') THEN 1 ELSE 0 END").as("sx"),
+            col("ts"), col("event_id"))
+          .withColumn("n", row_number().over(Window.partitionBy("g")
+            .orderBy("ts", "event_id")).cast("long"))
+          .withColumn("k", sum("sx").over(Window.partitionBy("g")
+            .orderBy("ts", "event_id")))
+          .filter(col("n") <= 44)
+          .select("g", "n", "k"))
+        def design(name: String, numE: String, denE: String) = {
+          val flagged = ev
+            .withColumn("numx", expr(numE))
+            .withColumn("denx", expr(denE))
+            .withColumn("hi", expr("CASE WHEN numx >= 19 * denx " +
+              "THEN 1 ELSE 0 END"))
+            .withColumn("lo", expr("CASE WHEN 19 * numx <= denx " +
+              "THEN 1 ELSE 0 END"))
+          flagged
+            .withColumn("stopn", min(when(col("hi") === 1 ||
+                col("lo") === 1, col("n")))
+              .over(Window.partitionBy("g")))
+            .filter(col("n") === coalesce(col("stopn"), lit(44L)))
+            .select(lit(name).as("design"), col("g"),
+              col("n").as("stop_n"), col("k").as("k_at_stop"),
+              expr("CAST(CASE WHEN hi = 1 THEN 1 WHEN lo = 1 THEN -1 " +
+                "ELSE 0 END AS BIGINT)").as("decision"),
+              expr("CAST(numx * 1000 DIV denx AS BIGINT)")
+                .as("lr_milli"))
+        }
+        design("a_500_625", s"$p5k * $p3k", p4n)
+          .unionAll(design("b_625_750", s"$p6k * $p2k",
+            s"$p5k * $p3k"))
+          .orderBy("design", "g")
+      },
+      Some {
+        def pick(base: Int, idx: String): String =
+          (0 to 44).map(k =>
+            s"WHEN $k THEN CAST('${BigInt(base).pow(k)}' AS HUGEINT)")
+            .mkString(s"(CASE ($idx) ", " ", " END)")
+        val p2k = pick(2, "n - k"); val p3k = pick(3, "n - k")
+        val p4n = pick(4, "n"); val p5k = pick(5, "k")
+        val p6k = pick(6, "k")
+        def design(name: String, numE: String, denE: String) =
+          s"""SELECT '$name' AS design, g,
+             |  CAST(n AS BIGINT) AS stop_n,
+             |  CAST(k AS BIGINT) AS k_at_stop,
+             |  CAST(CASE WHEN hi = 1 THEN 1 WHEN lo = 1 THEN -1
+             |    ELSE 0 END AS BIGINT) AS decision,
+             |  CAST(numx * 1000 // denx AS BIGINT) AS lr_milli
+             |FROM (SELECT *, min(CASE WHEN hi = 1 OR lo = 1 THEN n
+             |    END) OVER (PARTITION BY g) AS stopn
+             |  FROM (SELECT *, $numE AS numx, $denE AS denx,
+             |      CASE WHEN $numE >= 19 * ($denE) THEN 1 ELSE 0 END
+             |        AS hi,
+             |      CASE WHEN 19 * ($numE) <= $denE THEN 1 ELSE 0 END
+             |        AS lo
+             |    FROM ev))
+             |WHERE n = COALESCE(stopn, 44)""".stripMargin
+        s"""WITH ev AS (SELECT g, n, k FROM (
+           |    SELECT user_id % 16 AS g,
+           |      row_number() OVER (PARTITION BY user_id % 16
+           |        ORDER BY ts, event_id) AS n,
+           |      sum(CASE WHEN event_type IN ('click', 'view',
+           |        'purchase') THEN 1 ELSE 0 END)
+           |        OVER (PARTITION BY user_id % 16
+           |          ORDER BY ts, event_id) AS k
+           |    FROM events) WHERE n <= 44)
+           |${design("a_500_625", s"$p5k * $p3k", p4n)}
+           |UNION ALL
+           |${design("b_625_750", s"$p6k * $p2k", s"$p5k * $p3k")}
+           |ORDER BY design, g""".stripMargin
+      }),
+
+    // ---- l-diversity / t-closeness privacy audit ----------------------------
+    // k-anonymity (q134) counts group sizes; it says nothing about the
+    // SENSITIVE attribute's spread inside a quasi-identifier group. This
+    // audits both refinements over (lang, 100-char length bucket) groups
+    // with `source` as the sensitive attribute: l-diversity = distinct
+    // sensitive values per group; t-closeness = total-variation distance
+    // between the group's source distribution and the corpus-wide one
+    // (the equal-ground-distance EMD), exactly in integers via the
+    // cross-multiplied form Σ_s |n_gs·N − n_s·N_g| over PRESENT sources
+    // plus (N − Σ_present n_s)·N_g for the group's missing sources —
+    // omitting the missing-source mass understates TVD, the classic
+    // implementation bug. One rollup to (group, source) cells, one
+    // equi-join to global source counts; everything downstream is
+    // group-cardinality-sized.
+    "q317_ldiversity_tcloseness" -> QueryDef(
+      (s, dir) => {
+        val docs = Materialize(table(s, dir, "documents")
+          .select(col("lang"), expr("n_chars DIV 100").as("nb"),
+            col("source")))
+        val gs = docs.groupBy("lang", "nb", "source")
+          .agg(count(lit(1)).as("ngs"))
+        val sg = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+        val nAll = docs.agg(count(lit(1)).as("n"))
+        val cell = gs.join(sg, Seq("source")).join(broadcast(nAll))
+          .withColumn("n_g",
+            sum("ngs").over(Window.partitionBy("lang", "nb")))
+        cell.groupBy("lang", "nb")
+          .agg(max("n_g").as("n_g"),
+            countDistinct("source").as("l_distinct"),
+            sum(expr("abs(CAST(ngs AS DECIMAL(38,0)) * n - " +
+              "CAST(ns AS DECIMAL(38,0)) * n_g)"))
+              .as("present_term"),
+            max(col("n")).as("n"),
+            sum("ns").as("present_ns"))
+          .withColumn("tvd_bp", expr(
+            "CAST((present_term + CAST(n - present_ns AS " +
+              "DECIMAL(38,0)) * n_g) * 10000 DIV " +
+              "(2 * CAST(n_g AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          .withColumn("l_ok",
+            when(col("l_distinct") >= 3, 1L).otherwise(0L))
+          .withColumn("t_ok",
+            when(col("tvd_bp") <= 2000, 1L).otherwise(0L))
+          .select("lang", "nb", "n_g", "l_distinct", "tvd_bp",
+            "l_ok", "t_ok")
+          .orderBy("lang", "nb")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars // 100 AS nb, source
+             |  FROM documents),
+             |gs AS (SELECT lang, nb, source,
+             |    CAST(count(*) AS BIGINT) AS ngs
+             |  FROM d GROUP BY 1, 2, 3),
+             |sg AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+             |  FROM d GROUP BY 1),
+             |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+             |cell AS (SELECT gs.*, sg.ns, na.n,
+             |    sum(gs.ngs) OVER (PARTITION BY gs.lang, gs.nb)
+             |      AS n_g
+             |  FROM gs JOIN sg USING (source) CROSS JOIN na)
+             |SELECT lang, CAST(nb AS BIGINT) AS nb,
+             |  CAST(max(n_g) AS BIGINT) AS n_g,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+             |  CAST((sum(abs(CAST(ngs AS HUGEINT) * n
+             |      - CAST(ns AS HUGEINT) * n_g))
+             |    + CAST(max(n) - sum(ns) AS HUGEINT) * max(n_g))
+             |    * 10000 // (2 * CAST(max(n_g) AS HUGEINT) * max(n))
+             |    AS BIGINT) AS tvd_bp,
+             |  CAST(CASE WHEN count(DISTINCT source) >= 3
+             |    THEN 1 ELSE 0 END AS BIGINT) AS l_ok,
+             |  CAST(CASE WHEN (sum(abs(CAST(ngs AS HUGEINT) * n
+             |        - CAST(ns AS HUGEINT) * n_g))
+             |      + CAST(max(n) - sum(ns) AS HUGEINT) * max(n_g))
+             |      * 10000 // (2 * CAST(max(n_g) AS HUGEINT) * max(n))
+             |      <= 2000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS t_ok
+             |FROM cell GROUP BY 1, 2 ORDER BY lang, nb""".stripMargin)),
   )
 }

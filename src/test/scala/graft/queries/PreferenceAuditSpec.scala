@@ -375,4 +375,81 @@ class PreferenceAuditSpec extends AnyFunSuite {
       .map(t => (t._1, t._2, t._3, total, nE, nV, nV - nE))
     assert(out.toSeq == expect)
   }
+
+  test("q316: truncated SPRT replays sequentially from the raw events") {
+    val out = run("q316_sprt_quality_gate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.nonEmpty)
+    val evs = table(spark, sf, "events")
+      .selectExpr("user_id % 16", "unix_micros(ts)", "event_id",
+        "CAST(CASE WHEN event_type IN ('click', 'view', 'purchase') " +
+          "THEN 1 ELSE 0 END AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byG = evs.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).take(44)).toMap
+    def replay(name: String,
+               num: (Int, Int) => BigInt, den: (Int, Int) => BigInt) =
+      byG.keys.toSeq.sorted.map { g =>
+        val seq = byG(g)
+        var k = 0
+        var res: Option[(Long, Long, Long, BigInt, BigInt)] = None
+        for ((sx, i) <- seq.zipWithIndex if res.isEmpty) {
+          val n = i + 1
+          k += sx.toInt
+          val (nu, de) = (num(k, n), den(k, n))
+          if (nu >= 19 * de) res = Some((n.toLong, k.toLong, 1L, nu, de))
+          else if (19 * nu <= de)
+            res = Some((n.toLong, k.toLong, -1L, nu, de))
+          else if (n == seq.length || n == 44)
+            res = Some((n.toLong, k.toLong, 0L, nu, de))
+        }
+        val (sn, ka, dec, nu, de) = res.get
+        (name, g, sn, ka, dec, (nu * 1000 / de).toLong)
+      }
+    val expect = (replay("a_500_625",
+        (k, n) => BigInt(5).pow(k) * BigInt(3).pow(n - k),
+        (_, n) => BigInt(4).pow(n)) ++
+      replay("b_625_750",
+        (k, n) => BigInt(6).pow(k) * BigInt(2).pow(n - k),
+        (k, n) => BigInt(5).pow(k) * BigInt(3).pow(n - k)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect)
+    // the demonstration must demonstrate: early stops AND truncation
+    // both occur (at this SF the H1 direction may not trigger; the
+    // sf0.01 oracle run exhibits all three outcomes)
+    assert(out.exists(t => t._5 == 1L || t._5 == -1L) &&
+      out.exists(_._5 == 0L))
+    // an early stop must actually be early
+    assert(out.filter(t => t._5 != 0L).forall(_._3 < 44L))
+  }
+
+  test("q317: l-diversity / t-closeness replays incl. missing-source mass") {
+    val out = run("q317_ldiversity_tcloseness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.nonEmpty)
+    val d = docs.map { case (_, src, lang, nc, _) => (lang, nc / 100, src) }
+    val n = BigInt(d.size)
+    val ns = d.groupBy(_._3).view.mapValues(x => BigInt(x.size)).toMap
+    val expect = d.groupBy(t => (t._1, t._2)).toSeq
+      .sortBy(_._1).map { case ((lang, nb), rows) =>
+        val ng = BigInt(rows.size)
+        val bySrc = rows.groupBy(_._3).view
+          .mapValues(x => BigInt(x.size)).toMap
+        val present = bySrc.map { case (src, ngs) =>
+          (ngs * n - ns(src) * ng).abs }.sum
+        // keys is a SET — mapping to counts before summing would
+        // collapse equal counts; iterate instead
+        val missing = (n - bySrc.keys.iterator.map(ns).sum) * ng
+        val tvd = ((present + missing) * 10000 / (2 * ng * n)).toLong
+        val l = bySrc.size.toLong
+        (lang, nb, ng.toLong, l, tvd,
+          if (l >= 3) 1L else 0L, if (tvd <= 2000) 1L else 0L)
+      }
+    assert(out.toSeq == expect)
+  }
 }
