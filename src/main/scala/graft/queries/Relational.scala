@@ -4019,6 +4019,61 @@ object Relational {
              |  CAST(abs(est_i - exact_i) * 10000
              |    // greatest(exact_i, 1) AS BIGINT) AS err_i_bp
              |FROM er2 CROSS JOIN exu CROSS JOIN exab""".stripMargin)),
+
+    // ---- observed metrics (CollectMetrics / Observation API) ---------------
+    // Pipeline data-quality counters the way a 100 TB job should collect
+    // them: `Dataset.observe` piggybacks the aggregates on the SAME pass
+    // that does the real work (a CollectMetrics node in the plan — zero
+    // extra scans, metrics travel to the driver with task completion),
+    // instead of a separate count()/agg() job per counter. Here the
+    // "real work" is a filtered export of open-status orders; the
+    // observation simultaneously counts total rows, filtered-in rows,
+    // revenue dollars, and the priority-1 share OF THE FULL PASS — the
+    // numbers a lakehouse ingest job logs to its metrics sink. The
+    // result relation is the observed metric row itself, which the
+    // oracle recomputes declaratively — proving the piggybacked counters
+    // equal the stand-alone aggregation.
+    "q319_observed_metrics" -> QueryDef(
+      (s, dir) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val passed = table(s, dir, "orders")
+          .observe(obs,
+            count(lit(1)).as("n_total"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+              .as("n_open"),
+            sum(expr("CAST(floor(o_totalprice) AS BIGINT)"))
+              .as("revenue_dollars"),
+            sum(when(expr("substring(o_orderpriority, 1, 1) = '1'"),
+              1L).otherwise(0L)).as("n_urgent"))
+          .filter(col("o_orderstatus") === "O")
+        // drive the observed pass with the no-op sink: the metrics are
+        // collected as a side effect of the export, not by a second scan
+        passed.write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_total").asInstanceOf[Long],
+            m("n_open").asInstanceOf[Long],
+            m("revenue_dollars").asInstanceOf[Long],
+            m("n_urgent").asInstanceOf[Long]))
+          .toDF("n_total", "n_open", "revenue_dollars", "n_urgent")
+          .withColumn("open_bp",
+            expr("n_open * 10000 DIV n_total"))
+          .withColumn("urgent_bp",
+            expr("n_urgent * 10000 DIV n_total"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_open,
+             |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+             |    AS BIGINT) AS revenue_dollars,
+             |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '1'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+             |      END) * 10000 // count(*) AS BIGINT) AS open_bp,
+             |  CAST(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '1'
+             |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             |    AS urgent_bp
+             |FROM orders""".stripMargin)),
   )
 
   /** One canonical Hilbert xy2d level (Wikipedia's loop body) on the

@@ -5360,6 +5360,97 @@ object TextQueries {
               |    THEN 1 ELSE 0 END AS BIGINT) AS ok
               |FROM top CROSS JOIN bnd
               |WHERE rk <= 20 ORDER BY rk""".stripMargin)),
+
+    // ---- greedy set cover (benchmark-coverage data selection) ---------------
+    // Given a benchmark's shingle universe (src0's English docs), pick
+    // the candidate training docs that COVER it fastest — the classic
+    // (1−1/e)-approximate greedy: each round takes the doc with the most
+    // not-yet-covered universe shingles (ties → lower doc_id), up to 6
+    // rounds or exhaustion. The corpus-scale stages are the shingle
+    // build and one pre-intersection with the universe (equi-joins);
+    // each greedy round is then one aggregation over the intersected
+    // frame against the driver-held covered set (bounded by the
+    // UNIVERSE, which is fixed by the benchmark's size at any corpus
+    // scale — broadcast as a local relation, never a giant IN-literal).
+    // The oracle unrolls the same 6 rounds; rounds after exhaustion
+    // vanish naturally because a fully-covered candidate contributes no
+    // gain rows.
+    "q318_greedy_set_cover" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        val docs = Materialize(tableParallel(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("source"),
+            explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+          .distinct())
+        val universe = docs.filter(col("source") === "src0")
+          .select("sh").distinct()
+          .collect().map(_.getLong(0)).toSet
+        import s.implicits._
+        val uniDf = broadcast(universe.toSeq.toDF("sh"))
+        val candU = Materialize(docs.filter(col("source") =!= "src0")
+          .join(uniDf, Seq("sh")).select("doc_id", "sh"))
+        val covered = scala.collection.mutable.Set[Long]()
+        val outRows = scala.collection.mutable
+          .ArrayBuffer[(Long, Long, Long, Long, Long, Long)]()
+        val uSize = universe.size.toLong
+        var r = 1
+        var exhausted = false
+        while (r <= 6 && !exhausted) {
+          val covDf = broadcast(covered.toSeq.toDF("sh"))
+          val pick = candU.join(covDf, Seq("sh"), "left_anti")
+            .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id"))
+            .limit(1).collect()
+          if (pick.isEmpty) exhausted = true
+          else {
+            val doc = pick(0).getLong(0)
+            val gain = pick(0).getLong(1)
+            candU.filter(col("doc_id") === doc).select("sh")
+              .collect().foreach(row => covered += row.getLong(0))
+            outRows += ((r.toLong, doc, gain, covered.size.toLong,
+              uSize, covered.size.toLong * 10000 / math.max(uSize, 1L)))
+            r += 1
+          }
+        }
+        outRows.toSeq.toDF("round", "doc_id", "gain", "covered_cum",
+            "universe_size", "coverage_bp")
+          .orderBy("round")
+      },
+      Some {
+        def round(r: Int): String = {
+          val notCov = if (r == 1) ""
+            else s"WHERE sh NOT IN (SELECT sh FROM v${r - 1})"
+          val prevU = if (r == 1) "" else s"SELECT sh FROM v${r - 1} UNION "
+          s"""p$r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+             |  FROM c $notCov GROUP BY 1
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |v$r AS (${prevU}SELECT c.sh FROM c
+             |  JOIN p$r USING (doc_id))""".stripMargin
+        }
+        val rounds = (1 to 6).map(round).mkString(",\n")
+        val emits = (1 to 6).map(r =>
+          s"""SELECT $r AS round, p$r.doc_id, p$r.gain,
+             |  (SELECT CAST(count(DISTINCT sh) AS BIGINT) FROM v$r)
+             |    AS covered_cum
+             |FROM p$r""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH ws AS (SELECT doc_id, source, $duckToks AS ws
+           |  FROM documents WHERE lang = 'en'),
+           |shx AS (SELECT DISTINCT doc_id, source, unnest(hs) AS sh
+           |  FROM (SELECT doc_id, source, $duckHs AS hs FROM ws)),
+           |u AS (SELECT DISTINCT sh FROM shx WHERE source = 'src0'),
+           |c AS (SELECT DISTINCT doc_id, sh FROM shx
+           |  JOIN u USING (sh) WHERE source <> 'src0'),
+           |un AS (SELECT CAST(count(*) AS BIGINT) AS universe_size
+           |  FROM u),
+           |$rounds,
+           |em AS ($emits)
+           |SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
+           |  covered_cum, un.universe_size,
+           |  covered_cum * 10000 // greatest(un.universe_size, 1)
+           |    AS coverage_bp
+           |FROM em CROSS JOIN un ORDER BY round""".stripMargin
+      }),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

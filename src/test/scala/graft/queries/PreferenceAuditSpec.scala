@@ -452,4 +452,66 @@ class PreferenceAuditSpec extends AnyFunSuite {
       }
     assert(out.toSeq == expect)
   }
+
+  /** The q318 shingle family: md5-hashed distinct word 3-grams. */
+  private def shingleHashes(text: String): Set[Long] = {
+    val ws = toks(text)
+    if (ws.length < 3) Set.empty
+    else ws.sliding(3).map(g => hash32(g.mkString(" "))).toSet
+  }
+
+  test("q318: greedy set cover replays exactly") {
+    val out = run("q318_greedy_set_cover").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val en = docs.filter(_._3 == "en")
+    val universe = en.filter(_._2 == "src0")
+      .flatMap(d => shingleHashes(d._5)).toSet
+    val cand = en.filter(_._2 != "src0")
+      .map(d => d._1 -> (shingleHashes(d._5) & universe))
+      .filter(_._2.nonEmpty).toMap
+    val covered = scala.collection.mutable.Set[Long]()
+    val expect = scala.collection.mutable
+      .ArrayBuffer[(Long, Long, Long, Long, Long, Long)]()
+    var r = 1
+    var done = false
+    while (r <= 6 && !done) {
+      val gains = cand.toSeq
+        .map { case (d, sh) => (d, (sh -- covered).size.toLong) }
+        .filter(_._2 > 0)
+      if (gains.isEmpty) done = true
+      else {
+        val (doc, gain) = gains.minBy { case (d, g) => (-g, d) }
+        covered ++= cand(doc)
+        expect += ((r.toLong, doc, gain, covered.size.toLong,
+          universe.size.toLong,
+          covered.size.toLong * 10000 / math.max(universe.size, 1)))
+        r += 1
+      }
+    }
+    assert(out.toSeq == expect.toSeq)
+    assert(out.nonEmpty)
+    // greedy gains must be non-increasing
+    assert(out.map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q319: observed metrics equal the stand-alone aggregation") {
+    val out = run("q319_observed_metrics").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val ord = table(spark, sf, "orders")
+      .selectExpr("o_orderstatus",
+        "CAST(floor(o_totalprice) AS BIGINT)",
+        "substring(o_orderpriority, 1, 1)").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2)))
+    val nTotal = ord.length.toLong
+    val nOpen = ord.count(_._1 == "O").toLong
+    val rev = ord.map(_._2).sum
+    val nUrg = ord.count(_._3 == "1").toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      (nTotal, nOpen, rev, nUrg,
+        nOpen * 10000 / nTotal, nUrg * 10000 / nTotal))
+  }
 }
