@@ -762,4 +762,53 @@ object StreamSessionize {
           AggView(g, s.n, s.cents, s.n_deltas)
       }
   }
+
+  /** A token arrival for the heavy-hitter screen: `part` is the LOGICAL
+    * partition (doc_id mod P), (doc_id, pos) pins fold order in a batch.
+    */
+  final case class TokEvent(part: Long, doc_id: Long, pos: Long,
+                            tok: String)
+  final case class MgState(counters: Map[String, Long], nSeen: Long)
+  final case class MgRow(part: Long, tok: String, est: Long,
+                         n_seen: Long)
+
+  /** Ingest-time Misra–Gries heavy-hitter screen — the STREAMING side of
+    * q311's mergeable-summary family: per logical partition the state is
+    * a bounded k-counter map (O(k), never O(distinct tokens) — the whole
+    * point of MG over a plain streaming groupBy count, whose state grows
+    * with the vocabulary). Classic update: tracked token increments; an
+    * untracked token takes a free slot, else ALL counters decrement by 1
+    * (zeros evicted) and the arrival is dropped. Fold order inside one
+    * micro-batch is pinned by (doc_id, pos) — the GroupState iterator
+    * itself carries no order guarantee. MG's deterministic guarantee
+    * holds under ANY batch split: for every token x with true partition
+    * frequency f(x), est(x) ≤ f(x) ≤ est(x) + ⌊N_p/(k+1)⌋, and every x
+    * with f(x) > ⌊N_p/(k+1)⌋ is tracked — exactly what the parity gate
+    * asserts against the exact batch counts. Emits the full summary per
+    * batch (Update mode); the converged summary is the rows at the
+    * maximum n_seen per partition.
+    */
+  def heavyHittersStream(toks: Dataset[TokEvent], k: Int = 16)
+      : Dataset[MgRow] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.part)
+      .flatMapGroupsWithState[MgState, MgRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        case (part, it, state: GroupState[MgState]) =>
+          var s = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          it.toSeq.sortBy(e => (e.doc_id, e.pos)).foreach { e =>
+            val c = s.counters
+            val next =
+              if (c.contains(e.tok)) c.updated(e.tok, c(e.tok) + 1)
+              else if (c.size < k) c.updated(e.tok, 1L)
+              else c.collect {
+                case (t, n) if n > 1 => t -> (n - 1)
+              }
+            s = MgState(next, s.nSeen + 1)
+          }
+          state.update(s)
+          s.counters.toSeq.sortBy(_._1)
+            .map { case (t, n) => MgRow(part, t, n, s.nSeen) }.iterator
+      }
+  }
 }

@@ -1271,4 +1271,70 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamedCounts.exists { case ((a, b), _) => a == b })
     }
   }
+
+  test("file-replay heavyHittersStream: MG guarantee holds vs exact batch " +
+      "counts (bounded O(k) ingest-time state)") {
+    failAfter(Span(300, Seconds)) {
+      import graft.functions.TextOps.tokens
+      val dir = Files.createTempDirectory("mg_replay_").toString
+      val ckpt = Files.createTempDirectory("mg_ckpt_").toString
+      val k = 16
+      val docs = Tables.table(spark, sf, "documents")
+      val tokDf = docs.select((col("doc_id") % 8).as("part"),
+        col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .selectExpr("part", "doc_id", "CAST(pos AS BIGINT) AS pos", "tok")
+      tokDf.repartition(3).write.mode("overwrite").parquet(dir)
+      import spark.implicits._
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .as[TokEvent]
+      val q = heavyHittersStream(stream, k)
+        .writeStream.format("memory").queryName("mg_replay")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val all = spark.table("mg_replay").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      assert(all.nonEmpty)
+      // converged summary = the emission at max n_seen per partition
+      val finalBy = all.groupBy(_._1).map { case (part, rows) =>
+        val nMax = rows.map(_._4).max
+        part -> (nMax, rows.filter(_._4 == nMax)
+          .map(r => r._2 -> r._3).toMap)
+      }
+      val exact = tokDf.groupBy("part", "tok").count().collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val np = exact.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      finalBy.foreach { case (part, (nSeen, counters)) =>
+        // every token of the partition was folded exactly once
+        assert(nSeen == np(part))
+        // bounded state: never more than k counters
+        assert(counters.size <= k)
+        val slack = np(part) / (k + 1)
+        counters.foreach { case (tok, est) =>
+          val f = exact((part, tok))
+          assert(est <= f, s"overcount $part/$tok: $est > $f")
+          assert(f - est <= slack,
+            s"undercount beyond MG bound $part/$tok: $f - $est > $slack")
+        }
+        // completeness: every true heavy hitter is tracked
+        exact.collect { case ((p, t), f) if p == part && f > slack => t }
+          .foreach(t => assert(counters.contains(t),
+            s"heavy hitter $part/$t missed"))
+      }
+      // the gate has teeth: at least one partition actually evicted
+      // (saw more distinct tokens than it kept)
+      val distinctBy = exact.keys.groupBy(_._1).view
+        .mapValues(_.size).toMap
+      assert(finalBy.exists { case (part, (_, counters)) =>
+        distinctBy(part) > counters.size })
+    }
+  }
 }
