@@ -5451,6 +5451,219 @@ object TextQueries {
            |    AS coverage_bp
            |FROM em CROSS JOIN un ORDER BY round""".stripMargin
       }),
+
+    // ---- McNemar paired-classifier comparison -------------------------------
+    // When two quality filters disagree, which one should the cascade
+    // trust? Accuracy deltas on UNPAIRED counts waste the pairing;
+    // McNemar's test uses only the discordant pairs — b (A right, B
+    // wrong) vs c (A wrong, B right) on the SAME documents — the
+    // standard way to compare two classifiers on one labeled set. Here
+    // the reference label is the char-length rule (n_chars ≥ 250) and
+    // the two filters are a token-count rule (≥ 45 tokens) and a
+    // lexical-diversity rule (≥ 35 distinct tokens); the χ²(1) decision
+    // is the exact cross-multiplication (b−c)²·10⁵ > 384146·(b+c) —
+    // no float, no division — with χ²·10⁴ carried for magnitude. One
+    // narrow projection + one per-source rollup.
+    "q320_mcnemar" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("source"),
+            (col("n_chars") >= 250).as("t"),
+            (size(tokens(col("text"))) >= 45).as("a"),
+            (size(array_distinct(tokens(col("text")))) >= 35).as("b"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END"))
+              .as("b_disc"),
+            sum(expr("CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END"))
+              .as("c_disc"))
+          .withColumn("chi2_e4", expr(
+            """CASE WHEN b_disc + c_disc = 0 THEN 0
+              |  ELSE CAST(CAST(b_disc - c_disc AS DECIMAL(38,0))
+              |    * (b_disc - c_disc) * 10000 DIV (b_disc + c_disc)
+              |    AS BIGINT) END""".stripMargin))
+          .withColumn("signif", expr(
+            """CAST(CASE WHEN CAST(b_disc - c_disc AS DECIMAL(38,0))
+              |    * (b_disc - c_disc) * 100000
+              |    > CAST(384146 AS DECIMAL(38,0)) * (b_disc + c_disc)
+              |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+          .select("source", "n_pairs", "b_disc", "c_disc", "chi2_e4",
+            "signif")
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |    n_chars >= 250 AS t,
+              |    len($duckToks) >= 45 AS a,
+              |    len(list_distinct($duckToks)) >= 35 AS b
+              |  FROM documents)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS b_disc,
+              |  CAST(sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS c_disc,
+              |  CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0
+              |    THEN 0
+              |    ELSE CAST(CAST(sum(CASE WHEN a = t AND b <> t
+              |        THEN 1 ELSE 0 END)
+              |      - sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END)
+              |        AS HUGEINT)
+              |      * (sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0
+              |          END)
+              |        - sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+              |          END)) * 10000
+              |      // (sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0
+              |          END)
+              |        + sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+              |          END)) AS BIGINT) END AS chi2_e4,
+              |  CAST(CASE WHEN CAST(sum(CASE WHEN a = t AND b <> t
+              |        THEN 1 ELSE 0 END)
+              |      - sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+              |        END) AS HUGEINT)
+              |      * (sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0
+              |          END)
+              |        - sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+              |          END)) * 100000
+              |      > CAST(384146 AS HUGEINT)
+              |        * (sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0
+              |            END)
+              |          + sum(CASE WHEN a <> t AND b = t THEN 1
+              |            ELSE 0 END))
+              |    THEN 1 ELSE 0 END AS BIGINT) AS signif
+              |FROM d GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- capture–recapture dedup-coverage estimate --------------------------
+    // The question no single dedup detector can answer: how many near-dup
+    // pairs does the pipeline MISS? Lincoln–Petersen mark-recapture over
+    // two INDEPENDENT detectors — MinHash-LSH band pairs (the q41
+    // pipeline) and SimHash pigeonhole pairs (q42) — estimates the total
+    // duplicate population from the overlap: N̂ = n₁n₂/m, plus Chapman's
+    // small-sample correction (n₁+1)(n₂+1)/(m+1) − 1 (exact integers,
+    // no float). Per-detector coverage in bp and the estimated
+    // caught-by-neither tail follow. One shingle pass feeds BOTH
+    // detectors (the signature pipelines share the cached hs frame);
+    // everything downstream of the pair sets is three scalar aggregates.
+    "q321_capture_recapture" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        MinhashBandKeys.register(s)
+        SimhashSig.register(s)
+        val hs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0))
+        val bands = Materialize(hs.select(col("doc_id"),
+            posexplode(MinhashBandKeys.of(col("hs"))))
+          .toDF("doc_id", "band_id", "key"))
+        val pa = Materialize(bands.as("a").join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .distinct())
+        val sim = hs.select(col("doc_id"), SimhashSig.of(col("hs")).as("sh"))
+        val chunks = Materialize(sim.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 5).map { c =>
+            val width = if (c < 4) 7 else 4
+            shiftright(col("sh"), 7 * c)
+              .bitwiseAND(lit((1L << width) - 1))
+          }: _*)))
+          .toDF("doc_id", "sh", "chunk_id", "cv"))
+        val pb = Materialize(chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.chunk_id") === col("b.chunk_id") &&
+              col("a.cv") === col("b.cv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int")
+              .as("hamming"))
+          .filter(col("hamming") <= 4)
+          .select("doc_a", "doc_b")
+          .distinct())
+        val c1 = pa.agg(count(lit(1)).as("n1"))
+        val c2 = pb.agg(count(lit(1)).as("n2"))
+        val cm = pa.join(pb, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("m"))
+        // DECIMAL(38,0) products: two pair counts of ~1e9 would wrap an
+        // Int64 multiply silently in Spark while the HUGEINT oracle
+        // raises — same divergence class as the q296 fix
+        c1.join(broadcast(c2)).join(broadcast(cm))
+          .withColumn("n_lp", expr(
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * n2 DIV greatest(m, 1) " +
+              "AS BIGINT)"))
+          .withColumn("n_chapman", expr(
+            "CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) " +
+              "DIV (m + 1) - 1 AS BIGINT)"))
+          .withColumn("cov_a_bp", expr(
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * 10000 " +
+              "DIV greatest(n_chapman, 1) AS BIGINT)"))
+          .withColumn("cov_b_bp", expr(
+            "CAST(CAST(n2 AS DECIMAL(38,0)) * 10000 " +
+              "DIV greatest(n_chapman, 1) AS BIGINT)"))
+          .withColumn("missed_est",
+            expr("greatest(n_chapman - (n1 + n2 - m), 0)"))
+          .select("n1", "n2", "m", "n_lp", "n_chapman", "cov_a_bp",
+            "cov_b_bp", "missed_est")
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bandsSel = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        val sums = (0 until 32).map(i =>
+          s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val build = (0 until 32).map(i =>
+          s"CASE WHEN b$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |hss AS (SELECT * FROM
+           |          (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $minhashes FROM hss),
+           |bands AS ($bandsSel),
+           |pa AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.key = b.key
+           |    AND a.doc_id < b.doc_id),
+           |th AS (SELECT doc_id, unnest(hs) AS th FROM hss),
+           |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+           |shf AS (SELECT doc_id, $build AS sh FROM bits),
+           |chunks AS (${(0 until 5).map { c =>
+               val width = if (c < 4) 7 else 4
+               s"SELECT doc_id, sh, $c AS chunk_id, " +
+                 s"(sh >> ${7 * c}) & ${(1L << width) - 1} AS cv FROM shf"
+             }.mkString("\n  UNION ALL ")}),
+           |pb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM chunks a JOIN chunks b
+           |    ON a.chunk_id = b.chunk_id AND a.cv = b.cv
+           |    AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sh, b.sh)) <= 4),
+           |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM pa),
+           |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM pb),
+           |cm AS (SELECT CAST(count(*) AS BIGINT) AS m
+           |  FROM pa JOIN pb USING (doc_a, doc_b))
+           |SELECT n1, n2, m,
+           |  CAST(CAST(n1 AS HUGEINT) * n2 // greatest(m, 1)
+           |    AS BIGINT) AS n_lp,
+           |  CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
+           |    AS BIGINT) AS n_chapman,
+           |  CAST(CAST(n1 AS HUGEINT) * 10000
+           |    // greatest(CAST(n1 + 1 AS HUGEINT) * (n2 + 1)
+           |      // (m + 1) - 1, 1) AS BIGINT) AS cov_a_bp,
+           |  CAST(CAST(n2 AS HUGEINT) * 10000
+           |    // greatest(CAST(n1 + 1 AS HUGEINT) * (n2 + 1)
+           |      // (m + 1) - 1, 1) AS BIGINT) AS cov_b_bp,
+           |  CAST(greatest(CAST(n1 + 1 AS HUGEINT) * (n2 + 1)
+           |    // (m + 1) - 1 - (n1 + n2 - m), 0) AS BIGINT)
+           |    AS missed_est
+           |FROM c1 CROSS JOIN c2 CROSS JOIN cm""".stripMargin
+      }),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -514,4 +514,74 @@ class PreferenceAuditSpec extends AnyFunSuite {
       (nTotal, nOpen, rev, nUrg,
         nOpen * 10000 / nTotal, nUrg * 10000 / nTotal))
   }
+
+  test("q320: McNemar discordant-pair test replays exactly") {
+    val out = run("q320_mcnemar").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.nonEmpty)
+    val expect = docs.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (src, rows) =>
+        val trip = rows.map { case (_, _, _, nc, text) =>
+          val tk = toks(text)
+          (nc >= 250, tk.length >= 45, tk.distinct.length >= 35)
+        }
+        val b = trip.count { case (t, a, bb) => a == t && bb != t }.toLong
+        val c = trip.count { case (t, a, bb) => a != t && bb == t }.toLong
+        val chi2 = if (b + c == 0) 0L
+          else (BigInt(b - c) * (b - c) * 10000 / (b + c)).toLong
+        val sig = if (BigInt(b - c) * (b - c) * 100000 >
+          BigInt(384146) * (b + c)) 1L else 0L
+        (src, rows.size.toLong, b, c, chi2, sig)
+      }
+    assert(out.toSeq == expect)
+    // the test has teeth: some source must actually flag
+    assert(out.exists(_._6 == 1L))
+  }
+
+  test("q321: capture–recapture replays from independent detector replays") {
+    val out = run("q321_capture_recapture").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val shs = docs.map { case (id, _, _, _, text) =>
+      id -> shingleHashes(text) }.filter(_._2.nonEmpty)
+    import graft.functions.TextOps.{minhashA, minhashB, MinhashP}
+    def bandKeys(hs: Set[Long]): Seq[(Int, String)] = {
+      val sig = (0 until 8).map(i =>
+        hs.iterator.map(h => (minhashA(i) * h + minhashB(i)) % MinhashP)
+          .min)
+      (0 until 4).map(b => b -> s"${sig(2 * b)},${sig(2 * b + 1)}")
+    }
+    val bk = shs.map { case (id, hs) => id -> bandKeys(hs).toSet }
+    val pa = (for {
+      (ia, ka) <- bk; (ib, kb) <- bk
+      if ia < ib && (ka & kb).nonEmpty
+    } yield (ia, ib)).toSet
+    def simhash(hs: Set[Long]): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        val cnt = hs.iterator.map(h =>
+          if (((h >> i) & 1L) == 1L) 1 else -1).sum
+        if (cnt >= 0) acc | (1L << i) else acc
+      }
+    val sh = shs.map { case (id, hs) => id -> simhash(hs) }
+    // pigeonhole candidate generation is LOSSLESS for hamming <= 4 with
+    // 5 chunks, so the replay may enumerate pairs directly
+    val pb = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (ia, ib)).toSet
+    val (n1, n2, m) =
+      (pa.size.toLong, pb.size.toLong, (pa & pb).size.toLong)
+    val chapman =
+      (BigInt(n1 + 1) * (n2 + 1) / (m + 1) - 1).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      (n1, n2, m,
+        (BigInt(n1) * n2 / math.max(m, 1)).toLong, chapman,
+        (BigInt(n1) * 10000 / math.max(chapman, 1)).toLong,
+        (BigInt(n2) * 10000 / math.max(chapman, 1)).toLong,
+        math.max(chapman - (n1 + n2 - m), 0L)))
+    // teeth: both detectors found pairs and they overlap
+    assert(n1 > 0 && n2 > 0 && m > 0)
+  }
 }
