@@ -3953,6 +3953,211 @@ object SimilarityQueries {
              |FROM pw p JOIN mst USING (w)
              |CROSS JOIN tot CROSS JOIN nv
              |ORDER BY p.u, p.v""".stripMargin)),
+
+    // ---- hubness audit (k-occurrence skew) ----------------------------------
+    // The high-dimensional pathology every ANN index inherits: a few
+    // points become "hubs" that appear in a disproportionate share of
+    // kNN lists while antihubs appear in none — degrading recall
+    // uniformity and poisoning kNN label propagation (q175/q215). The
+    // k-occurrence count N_k(y) = |{x : y ∈ kNN(x)}| is audited per
+    // k ∈ {3,5,10} on the bounded probe slice: antihub count, max N_k,
+    // the top-10 hubs' share of all kNN slots (bp), and the skewness of
+    // N_k via the float-free split sign(m₃) + m₃²·10⁶/m₂³ (the q286
+    // two-stage spelling; mean is exactly k so central moments are pure
+    // integers). Points in NOBODY's kNN must re-enter via the left join
+    // — dropping them silently understates hubness, the classic bug.
+    "q322_hubness_audit" -> QueryDef(
+      (s, dir) => {
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i", "x")))
+          .withColumn("xv",
+            (floor((col("x").cast("double") + lit(1.0)) * 1000) * 1000)
+              .cast("long"))
+          .select("vec_id", "i", "xv"))
+        val pd = Materialize(comps.as("a").join(comps.as("b"),
+            col("a.i") === col("b.i") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2"))
+          .withColumn("r", row_number().over(Window.partitionBy("va")
+            .orderBy(col("d2"), col("vb")))))
+        val ids = comps.select(col("vec_id").as("vb")).distinct()
+        val perK = Seq(3, 5, 10).map { k =>
+          val nk = ids.join(
+            pd.filter(col("r") <= k).groupBy("vb")
+              .agg(count(lit(1)).as("nk")), Seq("vb"), "left")
+            .select(col("vb"), coalesce(col("nk"), lit(0L)).as("nk"))
+          val hub = nk.orderBy(col("nk").desc, col("vb")).limit(10)
+            .agg(sum("nk").as("hub10"))
+          nk.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("nk") === 0, 1L).otherwise(0L))
+              .as("antihubs"),
+            max("nk").as("max_nk"),
+            sum(expr(s"CAST((nk - $k) AS DECIMAL(38,0)) * (nk - $k)"))
+              .as("m2"),
+            sum(expr(s"CAST((nk - $k) AS DECIMAL(38,0)) * (nk - $k) " +
+              s"* (nk - $k)")).as("m3"))
+            .withColumn("k", lit(k.toLong))
+            .join(broadcast(hub))
+            .withColumn("hub_top10_bp", expr(
+              s"CAST(CAST(hub10 AS DECIMAL(38,0)) * 10000 " +
+                s"DIV ($k * n) AS BIGINT)"))
+            .withColumn("skew_sign", expr(
+              "CAST(CASE WHEN m3 > 0 THEN 1 WHEN m3 < 0 THEN -1 " +
+                "ELSE 0 END AS BIGINT)"))
+            .withColumn("skew2_e6", expr(
+              "CASE WHEN m2 = 0 THEN CAST(0 AS BIGINT) " +
+                "ELSE CAST(m3 * m3 * 1000000 DIV (m2 * m2 * m2) " +
+                "AS BIGINT) END"))
+            .select("k", "n", "antihubs", "max_nk", "hub_top10_bp",
+              "skew_sign", "skew2_e6")
+        }
+        perK.reduce(_ unionAll _).orderBy("k")
+      },
+      Some {
+        def forK(k: Int): String =
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS antihubs,
+             |  CAST(max(nk) AS BIGINT) AS max_nk,
+             |  CAST((SELECT CAST(sum(nk) AS HUGEINT) FROM
+             |      (SELECT nk FROM nk$k ORDER BY nk DESC, vb LIMIT 10))
+             |    * 10000 // ($k * count(*)) AS BIGINT) AS hub_top10_bp,
+             |  CAST(CASE WHEN sum(CAST(nk - $k AS HUGEINT)
+             |      * (nk - $k) * (nk - $k)) > 0 THEN 1
+             |    WHEN sum(CAST(nk - $k AS HUGEINT) * (nk - $k)
+             |      * (nk - $k)) < 0 THEN -1 ELSE 0 END AS BIGINT)
+             |    AS skew_sign,
+             |  CASE WHEN sum(CAST(nk - $k AS HUGEINT) * (nk - $k)) = 0
+             |    THEN CAST(0 AS BIGINT)
+             |    ELSE CAST(sum(CAST(nk - $k AS HUGEINT) * (nk - $k)
+             |        * (nk - $k))
+             |      * sum(CAST(nk - $k AS HUGEINT) * (nk - $k)
+             |        * (nk - $k)) * 1000000
+             |      // (sum(CAST(nk - $k AS HUGEINT) * (nk - $k))
+             |        * sum(CAST(nk - $k AS HUGEINT) * (nk - $k))
+             |        * sum(CAST(nk - $k AS HUGEINT) * (nk - $k)))
+             |      AS BIGINT) END AS skew2_e6
+             |FROM nk$k""".stripMargin
+        val nks = Seq(3, 5, 10).map(k =>
+          s"""nk$k AS (SELECT ids.vb,
+             |    COALESCE(cnt.nk, 0) AS nk
+             |  FROM ids LEFT JOIN (SELECT vb,
+             |      CAST(count(*) AS BIGINT) AS nk
+             |    FROM pd WHERE r <= $k GROUP BY 1) cnt
+             |    USING (vb))""".stripMargin).mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve
+           |  FROM embeddings WHERE vec_id < 200),
+           |comps AS (SELECT vec_id, i,
+           |    CAST(floor((ve[i + 1] + 1.0) * 1000) * 1000 AS BIGINT)
+           |      AS xv
+           |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ix),
+           |pd AS (SELECT va, vb, row_number() OVER (PARTITION BY va
+           |    ORDER BY d2, vb) AS r
+           |  FROM (SELECT a.vec_id AS va, b.vec_id AS vb,
+           |      sum((a.xv - b.xv) * (a.xv - b.xv)) AS d2
+           |    FROM comps a JOIN comps b
+           |      ON a.i = b.i AND a.vec_id <> b.vec_id
+           |    GROUP BY 1, 2)),
+           |ids AS (SELECT DISTINCT vec_id AS vb FROM e),
+           |$nks
+           |${Seq(3, 5, 10).map(forK).mkString("\nUNION ALL\n")}
+           |ORDER BY k""".stripMargin
+      }),
+
+    // ---- mutual-kNN margin mining (bitext-mining shape) ---------------------
+    // The LASER/CCMatrix parallel-pair miner: candidate (x, y) pairs
+    // across two embedding sets are kept when they are MUTUAL nearest
+    // neighbors and scored by the margin criterion — the pair dot
+    // relative to the mean of each side's top-k neighborhood dots —
+    // which suppresses hubs that are "everyone's nearest neighbor"
+    // (exactly the q322 pathology). Sets A/B are the even/odd-label
+    // halves of the bounded probe slice; vectors are unit-norm so the
+    // milli-quantized integer dot IS the cosine. Both rank directions
+    // come from ONE cached cross-set dot frame with two windows; the
+    // margin is the sign-split integer 2k·dot·1000 / (Σtopk_x + Σtopk_y)
+    // (denominator floored at 1 — an all-negative neighborhood cannot
+    // flip the sign). At corpus scale the dot frame is IVF-blocked
+    // exactly like q122; the bounded slice keeps the audit exact here.
+    "q323_mutual_knn_margin" -> QueryDef(
+      (s, dir) => {
+        val k = 4
+        val comps = Materialize(tableParallel(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"), (col("label") % 2).as("side"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("xv",
+            floor(col("x").cast("double") * 1000).cast("long"))
+          .select("vec_id", "side", "i", "xv"))
+        val pd = Materialize(comps.filter(col("side") === 0).as("a")
+          .join(comps.filter(col("side") === 1).as("b"),
+            col("a.i") === col("b.i"))
+          .groupBy(col("a.vec_id").as("xa"), col("b.vec_id").as("yb"))
+          .agg(sum(expr("a.xv * b.xv")).as("d"))
+          .withColumn("rb", row_number().over(Window.partitionBy("xa")
+            .orderBy(col("d").desc, col("yb"))))
+          .withColumn("ra", row_number().over(Window.partitionBy("yb")
+            .orderBy(col("d").desc, col("xa")))))
+        val sx = pd.filter(col("rb") <= k).groupBy("xa")
+          .agg(sum("d").as("sx"))
+        val sy = pd.filter(col("ra") <= k).groupBy("yb")
+          .agg(sum("d").as("sy"))
+        val na = pd.select("xa").distinct().count()
+        val nb = pd.select("yb").distinct().count()
+        pd.filter(col("ra") === 1 && col("rb") === 1)
+          .join(sx, Seq("xa")).join(sy, Seq("yb"))
+          .withColumn("margin_milli", expr(
+            s"""CASE WHEN d >= 0
+               |  THEN (CAST(d AS DECIMAL(38,0)) * ${2 * k} * 1000)
+               |    DIV greatest(sx + sy, 1)
+               |  ELSE -((CAST(-d AS DECIMAL(38,0)) * ${2 * k} * 1000)
+               |    DIV greatest(sx + sy, 1)) END""".stripMargin)
+            .cast("long"))
+          .select(col("xa"), col("yb"), col("d").as("dot_micro2"),
+            col("margin_milli"), lit(na).as("n_a"), lit(nb).as("n_b"))
+          .orderBy("xa")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label % 2 AS BIGINT)
+             |    AS side, embedding::DOUBLE[] AS ve
+             |  FROM embeddings WHERE vec_id < 200),
+             |comps AS (SELECT vec_id, side, i,
+             |    CAST(floor(ve[i + 1] * 1000) AS BIGINT) AS xv
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+             |    ix),
+             |pd AS (SELECT xa, yb, d,
+             |    row_number() OVER (PARTITION BY xa
+             |      ORDER BY d DESC, yb) AS rb,
+             |    row_number() OVER (PARTITION BY yb
+             |      ORDER BY d DESC, xa) AS ra
+             |  FROM (SELECT a.vec_id AS xa, b.vec_id AS yb,
+             |      sum(a.xv * b.xv) AS d
+             |    FROM comps a JOIN comps b ON a.i = b.i
+             |      AND a.side = 0 AND b.side = 1
+             |    GROUP BY 1, 2)),
+             |sx AS (SELECT xa, sum(d) AS sx FROM pd WHERE rb <= 4
+             |  GROUP BY 1),
+             |sy AS (SELECT yb, sum(d) AS sy FROM pd WHERE ra <= 4
+             |  GROUP BY 1),
+             |na AS (SELECT CAST(count(DISTINCT xa) AS BIGINT) AS n_a
+             |  FROM pd),
+             |nb AS (SELECT CAST(count(DISTINCT yb) AS BIGINT) AS n_b
+             |  FROM pd)
+             |SELECT pd.xa, pd.yb, pd.d AS dot_micro2,
+             |  CAST(CASE WHEN pd.d >= 0
+             |    THEN (CAST(pd.d AS HUGEINT) * 8 * 1000)
+             |      // greatest(sx.sx + sy.sy, 1)
+             |    ELSE -((CAST(-pd.d AS HUGEINT) * 8 * 1000)
+             |      // greatest(sx.sx + sy.sy, 1)) END AS BIGINT)
+             |    AS margin_milli,
+             |  na.n_a, nb.n_b
+             |FROM pd JOIN sx USING (xa) JOIN sy USING (yb)
+             |CROSS JOIN na CROSS JOIN nb
+             |WHERE pd.ra = 1 AND pd.rb = 1
+             |ORDER BY xa""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -584,4 +584,79 @@ class PreferenceAuditSpec extends AnyFunSuite {
     // teeth: both detectors found pairs and they overlap
     assert(n1 > 0 && n2 > 0 && m > 0)
   }
+
+  private lazy val probeVecs: Seq[(Long, Array[Float], Long)] =
+    table(spark, sf, "embeddings").filter("vec_id < 200")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getInt(2).toLong)).toSeq
+
+  test("q322: hubness k-occurrence stats replay exactly") {
+    val out = run("q322_hubness_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(out.length == 3)
+    def quant(x: Float): Long =
+      (math.floor((x.toDouble + 1.0) * 1000) * 1000).toLong
+    val ids = probeVecs.map(_._1)
+    val nnLists = probeVecs.map { case (va, xa, _) =>
+      va -> probeVecs.filter(_._1 != va).map { case (vb, xb, _) =>
+        (xa.indices.map { i =>
+          val d = quant(xa(i)) - quant(xb(i)); d * d
+        }.sum, vb)
+      }.sorted.map(_._2)
+    }.toMap
+    val expect = Seq(3, 5, 10).map { k =>
+      val nk = ids.map(v => v -> 0L).toMap ++
+        nnLists.values.flatMap(_.take(k)).groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+      val n = ids.size.toLong
+      val m2 = nk.values.map(v => BigInt(v - k) * (v - k)).sum
+      val m3 = nk.values.map(v => BigInt(v - k).pow(3)).sum
+      val hub10 = nk.toSeq.sortBy { case (v, c) => (-c, v) }
+        .take(10).map(_._2).sum
+      (k.toLong, n, nk.values.count(_ == 0).toLong, nk.values.max,
+        (BigInt(hub10) * 10000 / (k * n)).toLong,
+        m3.signum.toLong,
+        if (m2 == 0) 0L else (m3 * m3 * 1000000 / m2.pow(3)).toLong)
+    }
+    assert(out.toSeq == expect)
+    // the audit must detect positive skew (hubs) at small k on this data
+    assert(out.head._6 == 1L)
+  }
+
+  test("q323: mutual-kNN margin pairs replay exactly") {
+    val out = run("q323_mutual_knn_margin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.nonEmpty)
+    val k = 4
+    def q(x: Float): Long = math.floor(x.toDouble * 1000).toLong
+    val a = probeVecs.filter(_._3 % 2 == 0)
+    val b = probeVecs.filter(_._3 % 2 == 1)
+    val dots = (for {
+      (xa, va, _) <- a.map(t => (t._2, t._1, t._3))
+      (xb, vb, _) <- b.map(t => (t._2, t._1, t._3))
+    } yield (va, vb,
+      xa.indices.map(i => q(xa(i)) * q(xb(i))).sum)).toSeq
+    val byA = dots.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2))).toMap
+    val byB = dots.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1))).toMap
+    val sx = byA.view.mapValues(_.take(k).map(_._3).sum).toMap
+    val sy = byB.view.mapValues(_.take(k).map(_._3).sum).toMap
+    def sdiv(x: BigInt, d: BigInt) =
+      if (x.signum >= 0) x / d else -((-x) / d)
+    val expect = byA.toSeq.collect {
+      case (va, lst) if byB(lst.head._2).head._1 == va =>
+        val (_, vb, d) = lst.head
+        (va, vb, d,
+          sdiv(BigInt(d) * 2 * k * 1000,
+            BigInt(sx(va) + sy(vb)).max(1)).toLong,
+          a.size.toLong, b.size.toLong)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect)
+    // teeth: mutuality prunes — strictly fewer matches than either side
+    assert(out.length < a.size && out.length < b.size)
+  }
 }
