@@ -6054,5 +6054,373 @@ object TrainingQueries {
              |      <= 2000
              |    THEN 1 ELSE 0 END AS BIGINT) AS t_ok
              |FROM cell GROUP BY 1, 2 ORDER BY lang, nb""".stripMargin)),
+
+    // ---- Simpson's-paradox / confounding audit (Mantel–Haenszel) -----------
+    // The amalgamation trap every pooled dashboard metric walks into:
+    // the pooled odds ratio of (long doc → lexically diverse) can
+    // contradict the within-language association because language
+    // confounds both. The audit emits the 2×2 cells and odds ratio per
+    // language stratum plus the pooled row, the Mantel–Haenszel
+    // stratum-adjusted odds ratio (Σ aᵢdᵢ/nᵢ over Σ bᵢcᵢ/nᵢ, each term
+    // an integer milli via sign-free DIV — both engines truncate
+    // identically), and a confounding flag when pooled and MH differ by
+    // more than 20% (cross-multiplied, no float). One corpus projection
+    // + one stratum rollup; everything after is a 6-row frame.
+    "q324_simpson_audit" -> QueryDef(
+      (s, dir) => {
+        val cells = Materialize(table(s, dir, "documents")
+          .select(col("lang"),
+            (col("n_chars") >= 250).as("e"),
+            (size(array_distinct(tokens(col("text")))) >= 24).as("y"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN e AND y THEN 1 ELSE 0 END")).as("a"),
+            sum(expr("CASE WHEN e AND NOT y THEN 1 ELSE 0 END"))
+              .as("b"),
+            sum(expr("CASE WHEN NOT e AND y THEN 1 ELSE 0 END"))
+              .as("c"),
+            sum(expr("CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END"))
+              .as("d")))
+        val mh = cells.agg(
+          sum(expr("CAST(a AS DECIMAL(38,0)) * d * 1000 DIV n"))
+            .as("mh_num"),
+          sum(expr("CAST(b AS DECIMAL(38,0)) * c * 1000 DIV n"))
+            .as("mh_den"))
+        val pooled = cells.agg(
+          sum("n").as("n"), sum("a").as("a"), sum("b").as("b"),
+          sum("c").as("c"), sum("d").as("d"))
+          .withColumn("stratum", lit("zz_all"))
+          .select("stratum", "n", "a", "b", "c", "d")
+        val strata = cells.select(col("lang").as("stratum"),
+          col("n"), col("a"), col("b"), col("c"), col("d"))
+        strata.unionAll(pooled)
+          .join(broadcast(mh))
+          .withColumn("or_milli", expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000 " +
+              "DIV greatest(CAST(b AS DECIMAL(38,0)) * c, 1) " +
+              "AS BIGINT)"))
+          .withColumn("or_mh_milli", expr(
+            "CAST(mh_num * 1000 DIV greatest(mh_den, 1) AS BIGINT)"))
+          .withColumn("confounded", expr(
+            // or_p = A/B vs or_mh = N/D differ by > 20% either way:
+            // A·D·10 > B·N·12  OR  N·B·10 > A·D·12 (cross-multiplied)
+            """CAST(CASE WHEN stratum = 'zz_all' AND (
+              |    CAST(a AS DECIMAL(38,0)) * d
+              |      * greatest(mh_den, 1) * 10
+              |    > greatest(CAST(b AS DECIMAL(38,0)) * c, 1)
+              |      * mh_num * 12
+              |  OR mh_num
+              |      * greatest(CAST(b AS DECIMAL(38,0)) * c, 1) * 10
+              |    > CAST(a AS DECIMAL(38,0)) * d
+              |      * greatest(mh_den, 1) * 12
+              |) THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+          .select("stratum", "n", "a", "b", "c", "d", "or_milli",
+            "or_mh_milli", "confounded")
+          .orderBy("stratum")
+      },
+      Some("""WITH cells AS (SELECT lang,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c,
+             |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS d
+             |  FROM (SELECT lang, n_chars >= 250 AS e,
+             |      len(list_distinct(regexp_split_to_array(
+             |        lower(trim(text)), '\s+'))) >= 24 AS y
+             |    FROM documents) GROUP BY 1),
+             |mh AS (SELECT
+             |    sum(CAST(a AS HUGEINT) * d * 1000 // n) AS mh_num,
+             |    sum(CAST(b AS HUGEINT) * c * 1000 // n) AS mh_den
+             |  FROM cells),
+             |allr AS (SELECT 'zz_all' AS stratum,
+             |    sum(n) AS n, sum(a) AS a, sum(b) AS b, sum(c) AS c,
+             |    sum(d) AS d
+             |  FROM cells),
+             |uni AS (SELECT lang AS stratum, n, a, b, c, d FROM cells
+             |  UNION ALL SELECT * FROM allr)
+             |SELECT stratum, CAST(n AS BIGINT) AS n,
+             |  CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+             |  CAST(CAST(a AS HUGEINT) * d * 1000
+             |    // greatest(CAST(b AS HUGEINT) * c, 1) AS BIGINT)
+             |    AS or_milli,
+             |  CAST(mh_num * 1000 // greatest(mh_den, 1) AS BIGINT)
+             |    AS or_mh_milli,
+             |  CAST(CASE WHEN stratum = 'zz_all' AND (
+             |      CAST(a AS HUGEINT) * d
+             |        * greatest(mh_den, 1) * 10
+             |      > greatest(CAST(b AS HUGEINT) * c, 1)
+             |        * mh_num * 12
+             |    OR mh_num
+             |        * greatest(CAST(b AS HUGEINT) * c, 1) * 10
+             |      > CAST(a AS HUGEINT) * d
+             |        * greatest(mh_den, 1) * 12
+             |  ) THEN 1 ELSE 0 END AS BIGINT) AS confounded
+             |FROM uni CROSS JOIN mh ORDER BY stratum""".stripMargin)),
+
+    // ---- Benjamini–Hochberg FDR over a mixed test family -------------------
+    // Twenty per-source tests where the null is TRUE (language-mix χ²
+    // goodness-of-fit vs the corpus mix, 4 df — sources are random
+    // mixes) plus twenty where it is FALSE (the q320 McNemar χ², 1 df —
+    // the filters genuinely differ) — exactly the mixed bag FDR control
+    // exists for. BH's decisions need only the comparisons
+    // p_t ≤ α·i/m, so the whole procedure runs on EXACT integers
+    // against per-df inline threshold ladders (χ²·10⁴ quantiles at the
+    // 40 grid levels, fixed constants spelled identically in both
+    // engines): k_t = the smallest grid level the quantized statistic
+    // clears (41 − #thresholds-cleared, since ladders descend), tests
+    // rank by (k_t, kind, source), k* = max rank r with k_(r) ≤ r, BH
+    // rejects ranks ≤ k*; Bonferroni is k_t ≤ 1. The statistic itself
+    // is the floor-quantized χ²·10⁴ — both engines share the
+    // quantization, so decisions are bit-identical.
+    "q325_benjamini_hochberg" -> QueryDef(
+      (s, dir) => {
+        val thr1 = Seq(104149, 91406, 84011, 78794, 74768, 71491, 68732, 66349, 64254, 62385, 60700, 59165, 57756, 56455, 55247, 54119, 53062, 52067, 51128, 50239, 49395, 48591, 47825, 47093, 46392, 45719, 45073, 44452, 43853, 43276, 42718, 42179, 41657, 41152, 40662, 40186, 39725, 39276, 38839, 38415)
+        val thr4 = Seq(179715, 164239, 155114, 148603, 143529, 139367, 135835, 132767, 130053, 127619, 125411, 123391, 121529, 119801, 118189, 116678, 115257, 113914, 112642, 111433, 110281, 109181, 108128, 107119, 106149, 105217, 104318, 103450, 102612, 101801, 101016, 100255, 99517, 98799, 98102, 97423, 96762, 96118, 95490, 94877)
+        def cleared(thr: Seq[Int]): String = thr.map(t =>
+          s"(CASE WHEN stat_e4 >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val d = Materialize(table(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            (col("n_chars") >= 250).as("t"),
+            (size(tokens(col("text"))) >= 45).as("a"),
+            (size(array_distinct(tokens(col("text")))) >= 35)
+              .as("b")))
+        val mc = d.groupBy("source")
+          .agg(sum(expr("CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END"))
+              .as("bd"),
+            sum(expr("CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END"))
+              .as("cd"))
+          .select(lit("mcnemar").as("kind"), col("source"),
+            lit(1L).as("df"),
+            expr("""CASE WHEN bd + cd = 0 THEN CAST(0 AS BIGINT)
+              |  ELSE CAST(CAST(bd - cd AS DECIMAL(38,0)) * (bd - cd)
+              |    * 10000 DIV (bd + cd) AS BIGINT) END"""
+              .stripMargin).as("stat_e4"))
+        import s.implicits._
+        val gl = d.groupBy("lang").agg(count(lit(1)).as("g"))
+        val glLocal = broadcast(gl.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1)))
+          .toDF("lang", "g"))
+        val ns = d.groupBy("source").agg(count(lit(1)).as("ns"))
+        val nAll = d.agg(count(lit(1)).as("nn"))
+        val cellsO = d.groupBy("source", "lang")
+          .agg(count(lit(1)).as("o"))
+        val gof = ns.join(glLocal)
+          .join(cellsO, Seq("source", "lang"), "left")
+          .join(broadcast(nAll))
+          .select(col("source"), col("ns"), col("g"), col("nn"),
+            coalesce(col("o"), lit(0L)).as("o"))
+          .withColumn("term", expr(
+            "(CAST(o AS DECIMAL(38,0)) * nn - CAST(ns AS " +
+              "DECIMAL(38,0)) * g) * (CAST(o AS DECIMAL(38,0)) * nn " +
+              "- CAST(ns AS DECIMAL(38,0)) * g) * 10000 DIV " +
+              "(CAST(nn AS DECIMAL(38,0)) * ns * g)"))
+          .groupBy("source")
+          .agg(sum("term").cast("long").as("stat_e4"))
+          .select(lit("langmix_gof").as("kind"), col("source"),
+            lit(4L).as("df"), col("stat_e4"))
+        val tests = mc.unionAll(gof)
+          .withColumn("k_level", expr(
+            s"""CAST(41 - (CASE WHEN df = 1
+               |  THEN ${cleared(thr1)}
+               |  ELSE ${cleared(thr4)} END) AS BIGINT)"""
+              .stripMargin))
+        tests
+          .withColumn("p_rank", row_number().over(
+            Window.orderBy("k_level", "kind", "source")).cast("long"))
+          .withColumn("kstar", coalesce(
+            max(when(col("k_level") <= col("p_rank"), col("p_rank")))
+              .over(Window.partitionBy()), lit(0L)))
+          .withColumn("bh_reject",
+            when(col("p_rank") <= col("kstar"), 1L).otherwise(0L))
+          .withColumn("bonf_reject",
+            when(col("k_level") <= 1, 1L).otherwise(0L))
+          .select("kind", "source", "df", "stat_e4", "k_level",
+            "p_rank", "bh_reject", "bonf_reject")
+          .orderBy("kind", "source")
+      },
+      Some {
+        def cleared(thr: Seq[Int]): String = thr.map(t =>
+          s"(CASE WHEN stat_e4 >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val thr1 = Seq(104149, 91406, 84011, 78794, 74768, 71491, 68732, 66349, 64254, 62385, 60700, 59165, 57756, 56455, 55247, 54119, 53062, 52067, 51128, 50239, 49395, 48591, 47825, 47093, 46392, 45719, 45073, 44452, 43853, 43276, 42718, 42179, 41657, 41152, 40662, 40186, 39725, 39276, 38839, 38415)
+        val thr4 = Seq(179715, 164239, 155114, 148603, 143529, 139367, 135835, 132767, 130053, 127619, 125411, 123391, 121529, 119801, 118189, 116678, 115257, 113914, 112642, 111433, 110281, 109181, 108128, 107119, 106149, 105217, 104318, 103450, 102612, 101801, 101016, 100255, 99517, 98799, 98102, 97423, 96762, 96118, 95490, 94877)
+        s"""WITH d AS (SELECT source, lang,
+           |    n_chars >= 250 AS t,
+           |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 45 AS a,
+           |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) >= 35 AS b
+           |  FROM documents),
+           |mc AS (SELECT 'mcnemar' AS kind, source,
+           |    CAST(1 AS BIGINT) AS df,
+           |    CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END)
+           |        = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST(CAST(sum(CASE WHEN a = t AND b <> t
+           |          THEN 1 ELSE 0 END)
+           |        - sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+           |          END) AS HUGEINT)
+           |        * (sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0
+           |            END)
+           |          - sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+           |            END)) * 10000
+           |        // (sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0
+           |            END)
+           |          + sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0
+           |            END)) AS BIGINT) END AS stat_e4
+           |  FROM d GROUP BY 1, 2),
+           |gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS g
+           |  FROM d GROUP BY 1),
+           |nsf AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+           |  FROM d GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+           |cells AS (SELECT source, lang,
+           |    CAST(count(*) AS BIGINT) AS o
+           |  FROM d GROUP BY 1, 2),
+           |gof AS (SELECT 'langmix_gof' AS kind, nsf.source,
+           |    CAST(4 AS BIGINT) AS df,
+           |    CAST(sum((CAST(COALESCE(cells.o, 0) AS HUGEINT) * nn
+           |        - CAST(nsf.ns AS HUGEINT) * gl.g)
+           |      * (CAST(COALESCE(cells.o, 0) AS HUGEINT) * nn
+           |        - CAST(nsf.ns AS HUGEINT) * gl.g) * 10000
+           |      // (CAST(nn AS HUGEINT) * nsf.ns * gl.g)) AS BIGINT)
+           |      AS stat_e4
+           |  FROM nsf CROSS JOIN gl
+           |  LEFT JOIN cells ON cells.source = nsf.source
+           |    AND cells.lang = gl.lang
+           |  CROSS JOIN nn
+           |  GROUP BY 1, 2, 3),
+           |tests AS (SELECT *, CAST(41 - (CASE WHEN df = 1
+           |      THEN ${cleared(thr1)}
+           |      ELSE ${cleared(thr4)} END) AS BIGINT) AS k_level
+           |  FROM (SELECT * FROM mc UNION ALL SELECT * FROM gof)),
+           |ranked AS (SELECT *, CAST(row_number() OVER (
+           |      ORDER BY k_level, kind, source) AS BIGINT) AS p_rank
+           |  FROM tests),
+           |ks AS (SELECT *, COALESCE(max(CASE WHEN k_level <= p_rank
+           |      THEN p_rank END) OVER (), 0) AS kstar
+           |  FROM ranked)
+           |SELECT kind, source, df, stat_e4, k_level, p_rank,
+           |  CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END
+           |    AS BIGINT) AS bh_reject,
+           |  CAST(CASE WHEN k_level <= 1 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS bonf_reject
+           |FROM ks ORDER BY kind, source""".stripMargin
+      }),
+
+    // ---- stratified ATE under confounded assignment -------------------------
+    // The confounding-adjustment twin of the q324 association audit, on
+    // the experimentation side: treatment assignment is deliberately
+    // CORRELATED with user activity (md5 coin whose threshold rises
+    // 20%→80% across activity buckets), while the outcome (purchase
+    // cents) depends on activity but NOT on treatment — so the naive
+    // treated-vs-control difference is pure confounding bias and the
+    // stratified estimator (bucket-weighted within-bucket differences,
+    // all sign-split integer milli-cents) must collapse toward zero.
+    // One user rollup, one bucket rollup; the ALL-row carries naive,
+    // stratified, and the bias their difference.
+    "q326_stratified_ate" -> QueryDef(
+      (s, dir) => {
+        def sdiv(a: String, b: String) =
+          s"CASE WHEN ($a) >= 0 THEN ($a) DIV ($b) " +
+            s"ELSE -((-($a)) DIV ($b)) END"
+        val users = Materialize(table(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"),
+            sum(expr("CASE WHEN event_type = 'purchase' " +
+              "THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END"))
+              .as("y_cents"))
+          .withColumn("b", expr("greatest(least((n_ev - 50) DIV 10, 3), 0)"))
+          .withColumn("t", expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('trt|', " +
+              "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+              "% 100 < 20 + 20 * b THEN 1 ELSE 0 END")))
+        val byB = Materialize(users.groupBy("b")
+          .agg(count(lit(1)).as("n"),
+            sum("t").as("n1"),
+            sum(expr("1 - t")).as("n0"),
+            sum(expr("CASE WHEN t = 1 THEN y_cents ELSE 0 END"))
+              .as("s1"),
+            sum(expr("CASE WHEN t = 0 THEN y_cents ELSE 0 END"))
+              .as("s0"))
+          .withColumn("diff_milli", expr(
+            s"(${sdiv("s1 * 1000", "greatest(n1, 1)")}) - " +
+              s"(${sdiv("s0 * 1000", "greatest(n0, 1)")})")))
+        val glob = byB.agg(
+            sum("n").as("nn"), sum("n1").as("gn1"),
+            sum("n0").as("gn0"), sum("s1").as("gs1"),
+            sum("s0").as("gs0"),
+            sum(expr("CAST(diff_milli AS DECIMAL(38,0)) * n"))
+              .as("wsum"))
+          .withColumn("naive_milli", expr(
+            s"(${sdiv("gs1 * 1000", "greatest(gn1, 1)")}) - " +
+              s"(${sdiv("gs0 * 1000", "greatest(gn0, 1)")})"))
+          .withColumn("strat_milli", expr(
+            s"CAST(${sdiv("wsum", "nn")} AS BIGINT)"))
+          .select("naive_milli", "strat_milli")
+        byB.join(broadcast(glob))
+          .withColumn("bias_milli",
+            expr("naive_milli - strat_milli"))
+          .select("b", "n", "n1", "n0", "diff_milli", "naive_milli",
+            "strat_milli", "bias_milli")
+          .orderBy("b")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(count(*) AS BIGINT) AS n_ev,
+             |    CAST(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0
+             |      END) AS BIGINT) AS y_cents
+             |  FROM events GROUP BY 1),
+             |ub AS (SELECT *,
+             |    greatest(least((n_ev - 50) // 10, 3), 0) AS b,
+             |    CASE WHEN CAST(('0x' || substr(md5('trt|' ||
+             |        CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      % 100 < 20 + 20 *
+             |        greatest(least((n_ev - 50) // 10, 3), 0)
+             |      THEN 1 ELSE 0 END AS t
+             |  FROM u),
+             |byb AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(t) AS BIGINT) AS n1,
+             |    CAST(sum(1 - t) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN t = 1 THEN y_cents ELSE 0 END)
+             |      AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN t = 0 THEN y_cents ELSE 0 END)
+             |      AS BIGINT) AS s0
+             |  FROM ub GROUP BY 1),
+             |bd AS (SELECT *,
+             |    (CASE WHEN s1 >= 0
+             |      THEN (s1 * 1000) // greatest(n1, 1)
+             |      ELSE -((-(s1 * 1000)) // greatest(n1, 1)) END)
+             |    - (CASE WHEN s0 >= 0
+             |      THEN (s0 * 1000) // greatest(n0, 1)
+             |      ELSE -((-(s0 * 1000)) // greatest(n0, 1)) END)
+             |      AS diff_milli
+             |  FROM byb),
+             |gl AS (SELECT
+             |    (CASE WHEN sum(s1) >= 0
+             |      THEN (sum(s1) * 1000) // greatest(sum(n1), 1)
+             |      ELSE -((-(sum(s1) * 1000))
+             |        // greatest(sum(n1), 1)) END)
+             |    - (CASE WHEN sum(s0) >= 0
+             |      THEN (sum(s0) * 1000) // greatest(sum(n0), 1)
+             |      ELSE -((-(sum(s0) * 1000))
+             |        // greatest(sum(n0), 1)) END) AS naive_milli,
+             |    CAST(CASE WHEN sum(CAST(diff_milli AS HUGEINT) * n)
+             |        >= 0
+             |      THEN sum(CAST(diff_milli AS HUGEINT) * n)
+             |        // sum(n)
+             |      ELSE -((-sum(CAST(diff_milli AS HUGEINT) * n))
+             |        // sum(n)) END AS BIGINT) AS strat_milli
+             |  FROM bd)
+             |SELECT CAST(bd.b AS BIGINT) AS b, bd.n, bd.n1, bd.n0,
+             |  CAST(bd.diff_milli AS BIGINT) AS diff_milli,
+             |  CAST(gl.naive_milli AS BIGINT) AS naive_milli,
+             |  gl.strat_milli,
+             |  CAST(gl.naive_milli - gl.strat_milli AS BIGINT)
+             |    AS bias_milli
+             |FROM bd CROSS JOIN gl ORDER BY b""".stripMargin)),
   )
 }

@@ -659,4 +659,131 @@ class PreferenceAuditSpec extends AnyFunSuite {
     // teeth: mutuality prunes — strictly fewer matches than either side
     assert(out.length < a.size && out.length < b.size)
   }
+
+  test("q324: Simpson/Mantel–Haenszel audit replays exactly") {
+    val out = run("q324_simpson_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).sortBy(_._1)
+    assert(out.nonEmpty)
+    val cells = docs.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (lang, rows) =>
+        val ey = rows.map { case (_, _, _, nc, text) =>
+          (nc >= 250, toks(text).distinct.length >= 24) }
+        (lang, rows.size.toLong,
+          ey.count(t => t._1 && t._2).toLong,
+          ey.count(t => t._1 && !t._2).toLong,
+          ey.count(t => !t._1 && t._2).toLong,
+          ey.count(t => !t._1 && !t._2).toLong)
+      }
+    val mhN = cells.map { case (_, n, a, _, _, d) =>
+      BigInt(a) * d * 1000 / n }.sum
+    val mhD = cells.map { case (_, n, _, b, c, _) =>
+      BigInt(b) * c * 1000 / n }.sum
+    val orMh = (mhN * 1000 / mhD.max(1)).toLong
+    val pooled = ("zz_all", cells.map(_._2).sum, cells.map(_._3).sum,
+      cells.map(_._4).sum, cells.map(_._5).sum, cells.map(_._6).sum)
+    val expect = (cells :+ pooled).map {
+      case (st, n, a, b, c, d) =>
+        val orM = (BigInt(a) * d * 1000 /
+          (BigInt(b) * c).max(1)).toLong
+        val conf = if (st == "zz_all" && (
+            BigInt(a) * d * mhD.max(1) * 10 >
+              (BigInt(b) * c).max(1) * mhN * 12 ||
+            mhN * (BigInt(b) * c).max(1) * 10 >
+              BigInt(a) * d * mhD.max(1) * 12)) 1L else 0L
+        (st, n, a, b, c, d, orM, orMh, conf)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect)
+  }
+
+  test("q325: discrete-grid BH replays exactly and splits the mixed family") {
+    val out = run("q325_benjamini_hochberg").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).sortBy(t => (t._1, t._2))
+    assert(out.length == 40)
+    // replay only the BH mechanics from the emitted stats (the stats
+    // themselves are oracled + the mcnemar/GOF pipelines are replayed
+    // by the q320/q317-style tests): recompute k_level, ranks, k*,
+    // decisions from (df, stat_e4) alone with the same ladders
+    val t1 = Seq(104149, 91406, 84011, 78794, 74768, 71491, 68732,
+      66349, 64254, 62385, 60700, 59165, 57756, 56455, 55247, 54119,
+      53062, 52067, 51128, 50239, 49395, 48591, 47825, 47093, 46392,
+      45719, 45073, 44452, 43853, 43276, 42718, 42179, 41657, 41152,
+      40662, 40186, 39725, 39276, 38839, 38415)
+    val t4 = Seq(179715, 164239, 155114, 148603, 143529, 139367,
+      135835, 132767, 130053, 127619, 125411, 123391, 121529, 119801,
+      118189, 116678, 115257, 113914, 112642, 111433, 110281, 109181,
+      108128, 107119, 106149, 105217, 104318, 103450, 102612, 101801,
+      101016, 100255, 99517, 98799, 98102, 97423, 96762, 96118, 95490,
+      94877)
+    val withK = out.map { t =>
+      val thr = if (t._3 == 1L) t1 else t4
+      (t, 41L - thr.count(t._4 >= _))
+    }
+    val ranked = withK.sortBy { case ((kind, src, _, _, _, _, _, _), k) =>
+      (k, kind, src) }.zipWithIndex
+      .map { case ((t, k), i) => (t, k, i + 1L) }
+    val kstar = ranked.collect {
+      case (_, k, r) if k <= r => r }.maxOption.getOrElse(0L)
+    ranked.foreach { case (t, k, r) =>
+      assert(t._5 == k, s"k_level ${t._1}/${t._2}")
+      assert(t._6 == r, s"p_rank ${t._1}/${t._2}")
+      assert(t._7 == (if (r <= kstar) 1L else 0L),
+        s"bh ${t._1}/${t._2}")
+      assert(t._8 == (if (k <= 1) 1L else 0L),
+        s"bonf ${t._1}/${t._2}")
+    }
+    // the mixed family must SPLIT: FDR rejects the true alternatives
+    // (mcnemar) and none of the true nulls (langmix)
+    assert(out.filter(_._1 == "mcnemar").forall(_._7 == 1L))
+    assert(out.filter(_._1 == "langmix_gof").forall(_._7 == 0L))
+    // and BH must dominate Bonferroni somewhere on this fixture
+    assert(out.map(_._7).sum > out.map(_._8).sum)
+  }
+
+  test("q326: stratified ATE replays exactly; naive is confounding-biased") {
+    val out = run("q326_stratified_ate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    val evs = table(spark, sf, "events")
+      .selectExpr("user_id",
+        "CAST(CASE WHEN event_type = 'purchase' " +
+          "THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END " +
+          "AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val users = evs.groupBy(_._1).toSeq.map { case (uid, rows) =>
+      val nEv = rows.size.toLong
+      val b = math.max(math.min((nEv - 50) / 10, 3L), 0L)
+      val t = if (hash32(s"trt|$uid") % 100 < 20 + 20 * b) 1L else 0L
+      (uid, b, t, rows.map(_._2).sum)
+    }
+    def sdiv(a: BigInt, b: BigInt) =
+      if (a.signum >= 0) a / b else -((-a) / b)
+    val byB = users.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (b, us) =>
+        val n1 = us.count(_._3 == 1L).toLong
+        val n0 = us.count(_._3 == 0L).toLong
+        val s1 = us.filter(_._3 == 1L).map(_._4).sum
+        val s0 = us.filter(_._3 == 0L).map(_._4).sum
+        val diff = sdiv(BigInt(s1) * 1000, BigInt(n1).max(1)) -
+          sdiv(BigInt(s0) * 1000, BigInt(n0).max(1))
+        (b, us.size.toLong, n1, n0, diff.toLong, s1, s0)
+    }
+    val nn = byB.map(_._2).sum
+    val naive = (sdiv(BigInt(byB.map(_._6).sum) * 1000,
+      BigInt(byB.map(_._3).sum).max(1)) -
+      sdiv(BigInt(byB.map(_._7).sum) * 1000,
+        BigInt(byB.map(_._4).sum).max(1))).toLong
+    val strat = sdiv(
+      byB.map(r => BigInt(r._5) * r._2).sum, BigInt(nn)).toLong
+    val expect = byB.map(r =>
+      (r._1, r._2, r._3, r._4, r._5, naive, strat, naive - strat))
+    assert(out.toSeq == expect)
+    // negative-division clamp parity: bucket 0 exists (n_ev < 50 users)
+    assert(out.head._1 == 0L)
+  }
 }
