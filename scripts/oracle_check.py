@@ -33,16 +33,30 @@ ZERO_ROW_OK = {
     # itself the asserted behavior, never for convenience.
 }
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
-
 def rows_of(df):
     cols = sorted(df.columns)
     recs = df[cols].values.tolist()
     recs.sort(key=lambda r: [(x is None, str(x)) for x in r])
     return cols, recs
+
+def dtype_family(dt):
+    """Collapse a pandas/numpy dtype to the family the driver's
+    hash-compare distinguishes: int vs float vs bool vs everything-else.
+    DuckDB sum(BIGINT) -> HUGEINT arrives as float64 via pandas, which
+    the driver hashes differently from Spark's int64 even when every
+    value is numerically equal (the q315/q323 round-10 escape). Python
+    == cannot see that; the family compare can."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+def dtype_families(df):
+    return {c: dtype_family(df[c].dtype) for c in df.columns}
 
 def eq(a, b):
     if a is None or b is None:
@@ -61,12 +75,32 @@ def close(a, b):
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
+        # HUGEINT lint: DuckDB widens sum(BIGINT) to HUGEINT; the driver
+        # hashes that as float64 against Spark's int64 and fails even on
+        # numerically identical values. Any HUGEINT reaching the final
+        # SELECT is a bug in the oracle — cast it.
+        desc = con.sql(f"DESCRIBE {sql}").fetchall()
+        huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+        if huge:
+            print(f"FAIL {name} [hugeint-lint]: oracle emits {huge} — "
+                  f"CAST(... AS BIGINT) in the final SELECT")
+            n_fail += 1
+            continue
         spark_df = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
         duck_df = con.sql(sql).df()
         sc, srows = rows_of(spark_df)
         dc, drows = rows_of(duck_df)
         if sc != dc:
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        sfam, dfam = dtype_families(spark_df), dtype_families(duck_df)
+        badfam = {c: (sfam[c], dfam[c]) for c in sc if sfam[c] != dfam[c]}
+        if badfam:
+            print(f"FAIL {name} [dtype]: column type families differ "
+                  f"(spark, duck) = {badfam} — if a duck side is 'float' "
+                  f"for an integer column, an uncast sum()/HUGEINT in the "
+                  f"final SELECT is the usual cause: CAST(... AS BIGINT)")
             n_fail += 1
             continue
         if len(srows) != len(drows):

@@ -73,19 +73,31 @@ object Bench {
     // become the next round's baseline or the archived full dump
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // streaming family (round-10 #9): stateful twins timed like queries —
+    // they dispatch through streamJobs instead of the QueryDef catalog
+    val streamJobs = graft.streaming.StreamBench.jobs.toMap
     val names = {
-      val all = families.flatMap(_._2)
+      val all = families.flatMap(_._2) ++
+        graft.streaming.StreamBench.jobs.map(_._1)
       only.fold(all)(o => all.filter(o))
     }
     val queries = SparkEntry.queries
+
+    // one execution path for both kinds: batch QueryDefs force through
+    // the no-op sink; streaming jobs run their AvailableNow replay
+    def execOne(name: String, dir: String): Unit =
+      streamJobs.get(name) match {
+        case Some(job) => job(spark, dir)
+        case None => queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
 
     // warm-up: touch every table's footer, then run the whole catalog once
     // at the smallest SF — generated code is structurally identical across
     // SFs, so the codegen cache is hot and timed runs measure execution.
     Tables.names.foreach(t => Tables.table(spark, sfDir, t).count())
     names.foreach { name =>
-      try queries(name)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
+      try execOne(name, "/root/testdata/sf0.001")
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
@@ -103,8 +115,7 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
       val t0 = System.nanoTime()
       names.foreach { name =>
-        try queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        try execOne(name, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] full-SF warm-up $name failed: ${e.getMessage}")
         }
@@ -119,8 +130,7 @@ object Bench {
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        execOne(name, sfDir)
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -272,11 +282,18 @@ object Bench {
         f"[bench] ambient slowdown ${ambient}%.2fx vs baseline " +
           "(pinned-corroborated median) — per-query tripwire " +
           "normalized by it")
+    // Absolute floor raised 0.5 -> 1.5 s (round-10 verdict #4): the
+    // observed cross-run spread on 1-2 s queries is ~±10% but single
+    // outlier passes blip past 1.5x with deltas well under a second
+    // (q292: +0.66 s tripped rc=1 on a run that was 10% faster overall).
+    // A genuine plan regression on a query that MATTERS to the 386 s
+    // total moves it by >1.5 s; anything smaller is latent until the
+    // ratio persists, at which point the baseline-vs-now diff shows it.
     val regressions = best.collect {
       case (name, now) if now >= 0 &&
           priorTimes.get(name).exists(p =>
             p >= 0.3 && now > 1.5 * ambient * p &&
-              now - ambient * p > 0.5) =>
+              now - ambient * p > 1.5) =>
         (name, priorTimes(name), now)
     }
     regressions.foreach { case (name, p, now) =>
@@ -284,7 +301,9 @@ object Bench {
         f"[bench] REGRESSION $name: $p%.2f s -> $now%.2f s (${now / p}%.2fx" +
           f", ${now / (ambient * p)}%.2fx ambient-normalized)")
     }
-    val fams = families.map { case (fam, qn) =>
+    val fams = (families :+
+        ("streaming" -> graft.streaming.StreamBench.jobs.map(_._1)))
+      .map { case (fam, qn) =>
       "\"" + fam + "\":" +
         fmt(qn.filter(bestMap.contains).map(bestMap).filter(_ >= 0).sum)
     }.mkString("{", ",", "}")
@@ -299,8 +318,14 @@ object Bench {
     val regs = regressions.map { case (name, p, now) =>
       s"""{"query":"$name","prior":${fmt(p)},"now":${fmt(now)}}"""
     }.mkString("[", ",", "]")
+    // queries_normalized: ambient-divided per-query times persisted next
+    // to the raw map (round-9 verdict #5) — cross-round diffs on the
+    // archives read true without re-deriving each run's ambient factor.
+    val qsNorm = best.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(if (v >= 0) v / ambient else v)
+    }.mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","ambient_ratio":${fmt(ambient)},"errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
+      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"queries_normalized":$qsNorm,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","ambient_ratio":${fmt(ambient)},"errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
     println(jsonLine)
     if (only.isDefined) {
       // subset run: report only — no artifact may record a partial map
@@ -363,6 +388,26 @@ object Bench {
       // next round diffs against THIS run's minima
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
         qs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else if (failed.isEmpty && partial.isEmpty) {
+      // COMPLETE run flagged only by regressions: it may still refresh
+      // the per-query minima it IMPROVED (round-10 lesson: a 10%-faster
+      // run was barred from the baseline by one sub-second blip, so its
+      // improvements were lost). Regressed/absent entries keep their
+      // prior values — a flagged run can only tighten the tripwire.
+      val merged = (priorTimes.keySet ++ bestMap.keySet).toSeq.sorted
+        .map { n =>
+          val now = bestMap.getOrElse(n, -1.0)
+          val v = (priorTimes.get(n), now) match {
+            case (Some(p), x) if x >= 0 => math.min(p, x)
+            case (Some(p), _)           => p
+            case (None, x)              => x
+          }
+          "\"" + n + "\":" + fmt(v)
+        }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
+        merged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println("[bench] flagged-but-complete run: baseline " +
+        "minima refreshed for improved queries only")
     }
     spark.stop()
     if (!clean) sys.exit(1)

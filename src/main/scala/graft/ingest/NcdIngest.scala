@@ -131,11 +131,32 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
     if (isPartitioned) runDdl(s"MSCK REPAIR TABLE $db.${table}_parquet")
   }
 
-  /** A13/A14: the stacked global file, if present. */
+  /** A13/A14: the stacked global file, if present.
+    *
+    * Size-gated dispatch (round-9 verdict #7): the driver-side
+    * whole-file `split` assumes the dump fits in one JVM string — true
+    * of every reference dump, but an ASSUMPTION, not a property. Past
+    * the gate (or when the archive doesn't record a size) the member is
+    * extracted and split via the executor-side tagged pass
+    * (`splitDistributed`), which holds only codebook-sized fragments on
+    * the driver. Equality of the two paths is spec'd in ParserSpec /
+    * NcdIngestSpec.
+    */
   def loadGlobalTables(zip: ZipSource): Unit = {
     if (!zip.hasMember("global_LIONS.txt")) return
-    val content = zip.readMember("global_LIONS.txt", "UTF-8")
-    val tables = GlobalSplitter.split(content)
+    val size = zip.memberSize("global_LIONS.txt")
+    val tables =
+      if (size >= 0 && size <= NcdIngest.GlobalFileDriverGateBytes)
+        GlobalSplitter.split(zip.readMember("global_LIONS.txt", "UTF-8"))
+      else {
+        val tmp = Files.createTempDirectory("ncd_global_")
+        try {
+          val p = zip.extractMember("global_LIONS.txt", tmp)
+          // splitDistributed collects its codebook-sized fragments before
+          // returning, so the extracted copy is safe to delete right after
+          GlobalSplitter.splitDistributed(spark, p.toString)
+        } finally deleteRecursively(tmp)
+      }
     tables.keys.toSeq.sorted.foreach { name =>
       loadStringTable(name, RulerParser.parse(tables(name)))
     }
@@ -167,4 +188,16 @@ final class NcdIngest(spark: SparkSession, warehouseDir: String,
     runDdl(Sink.stringTableDdl(db, name, table.allColumns, location))
     loaded += name
   }
+}
+
+object NcdIngest {
+  /** Driver-side whole-string budget for global_LIONS.txt: a UTF-16
+    * JVM string costs ~2 bytes/char plus the raw byte[] during decode,
+    * so 256 MB uncompressed stays well inside an 8 GiB driver; anything
+    * larger (or of unrecorded size) takes the distributed tagged-pass
+    * split. Overridable for tests via the system property.
+    */
+  private[ingest] def GlobalFileDriverGateBytes: Long =
+    sys.props.get("graft.globalfile.driver.gate.bytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
 }

@@ -37,6 +37,16 @@ final class ZipSource(zipPath: String) extends AutoCloseable {
 
   def hasMember(name: String): Boolean = zip.getEntry(name) != null
 
+  /** Uncompressed member size in bytes, or -1 when the archive does not
+    * record it — callers gating driver-side whole-member loads must
+    * treat -1 as "assume large".
+    */
+  def memberSize(name: String): Long = {
+    val entry = zip.getEntry(name)
+    require(entry != null, s"no member $name in $zipPath")
+    entry.getSize
+  }
+
   /** Extract a member to `destDir/name` and return the path.
     *
     * Entry names come from an untrusted archive (downloaded off a scraped

@@ -14,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     summation-order float drift can't flip the hash;
   *   - integer-width quirks (DuckDB BIGINT vs Spark INT, HUGEINT sums) are
   *     normalized with explicit CASTs on both sides.
+  *   - HARD RULE (the q315/q323 round-10 escape): DuckDB widens
+  *     `sum(<integer>)` to HUGEINT, which pandas renders as float64 — the
+  *     driver then hash-fails against Spark's int64 even when every value
+  *     is equal, and a Python `==` compare can NOT see it. Every sum-derived
+  *     integer column that reaches an oracle's FINAL select must be
+  *     `CAST(... AS BIGINT)` there, even when an upstream CTE already "looks"
+  *     integral. `scripts/oracle_check.py` lints this (DESCRIBE each oracle,
+  *     fail on any HUGEINT output column) and compares dtype families.
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,

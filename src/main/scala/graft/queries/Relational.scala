@@ -50,6 +50,63 @@ object Relational {
         .as("pr"))
       .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
 
+  /** Per-process parquet mirrors of the co-purchase graph — the shared
+    * derivation behind the whole graph family (q113/q115/q124/q132/q133/
+    * q167/q168/q223/q248/q250/q254/q255/q257). Before this, each query
+    * re-ran coPairs(lineitem) from the raw parquet: at 100 TB that is
+    * MANY corpus scans + pair-explode shuffles where ONE materialized
+    * edge artifact suffices — exactly how a production graph pipeline
+    * stages its edge list (write once, partitioned/bucketed, every
+    * algorithm reads the artifact). Locally the mirror is written lazily
+    * once per (sfDir, variant) per JVM into a temp dir and read as
+    * parquet thereafter; contents are the exact integer pair counts the
+    * inline derivation produced, so every consumer's hash is unchanged.
+    * Two variants ("full" corpus, "lt800" = l_partkey < 800 subgraph),
+    * each carrying (pa, pb, n_ab) plus a sibling per-item order-count
+    * table (pk, n) from the same single scan.
+    */
+  private val coMirror =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def coMirrorBase(s: SparkSession, dir: String,
+                           capped: Boolean): String = {
+    val key = s"$dir|${if (capped) "lt800" else "full"}"
+    coMirror.computeIfAbsent(key, _ => {
+      val base = table(s, dir, "lineitem")
+      val li = if (capped) base.filter(col("l_partkey") < 800) else base
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-copairs-").toString
+      val sets = graft.operators.Materialize(coSets(li))
+      // pair-count files are read by every graph query's FIRST join;
+      // 8 files keeps local scan setup cheap while staying parallel
+      pairsFromSets(sets).groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_ab"))
+        .coalesce(8).write.mode("overwrite").parquet(s"$out/pairs")
+      sets.select(explode(col("pks")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/items")
+      sets.unpersist()
+      out
+    })
+  }
+
+  /** (pa, pb, n_ab) — distinct co-purchase pairs with order counts. */
+  private[graft] def coPairCounts(s: SparkSession, dir: String,
+                                  capped: Boolean): DataFrame =
+    s.read.parquet(s"${coMirrorBase(s, dir, capped)}/pairs")
+
+  /** (pa, pb) — the distinct co-purchase edge list (== coPairs(li)
+    * .distinct(), via the mirror).
+    */
+  private[graft] def coPairsDistinct(s: SparkSession, dir: String,
+                                     capped: Boolean): DataFrame =
+    coPairCounts(s, dir, capped).select("pa", "pb")
+
+  /** (pk, n) — per-item order counts from the same mirrored scan. */
+  private[graft] def coItemCounts(s: SparkSession, dir: String,
+                                  capped: Boolean): DataFrame =
+    s.read.parquet(s"${coMirrorBase(s, dir, capped)}/items")
+
   /** Shared by q115 and its forced-rank-join twin q167: the PageRank
     * trajectory as statically-unrolled CTEs (both execution paths are
     * exact integer math, so one oracle serves both).
@@ -1326,9 +1383,8 @@ object Relational {
     // Top-20 with a total tie-break keeps the output deterministic.
     "q113_cooccurrence_topk" -> QueryDef(
       (s, dir) => {
-        coPairs(table(s, dir, "lineitem"))
-          .groupBy("pa", "pb")
-          .agg(count(lit(1)).as("n_orders"))
+        coPairCounts(s, dir, capped = false)
+          .select(col("pa"), col("pb"), col("n_ab").as("n_orders"))
           .orderBy(desc("n_orders"), col("pa"), col("pb"))
           .limit(20)
       },
@@ -1421,7 +1477,7 @@ object Relational {
     // symmetrized edges mean no dangling-mass term.
     "q115_pagerank_cooccur" -> QueryDef(
       (s, dir) => {
-        val pr = coPairs(table(s, dir, "lineitem")).distinct()
+        val pr = coPairsDistinct(s, dir, capped = false)
         val edges = pr.select(col("pa").as("src"), col("pb").as("dst"))
           .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
         // PageRank.rankScaled dispatches on node count: dense driver
@@ -1442,7 +1498,7 @@ object Relational {
     // PageRankSpec's fixtures.
     "q167_pagerank_rankjoin" -> QueryDef(
       (s, dir) => {
-        val pr = coPairs(table(s, dir, "lineitem")).distinct()
+        val pr = coPairsDistinct(s, dir, capped = false)
         val edges = pr.select(col("pa").as("src"), col("pb").as("dst"))
           .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
         // rankJoin caches the edge derivation itself (and releases it)
@@ -1505,8 +1561,7 @@ object Relational {
     "q124_triangle_count" -> QueryDef(
       (s, dir) => {
         val edges = graft.operators.Materialize(
-          coPairs(table(s, dir, "lineitem").filter(col("l_partkey") < 800))
-            .distinct())
+          coPairsDistinct(s, dir, capped = true))
         val wedges = graft.operators.Materialize(
           edges.as("e1").join(edges.as("e2"),
               col("e1.pb") === col("e2.pa"))
@@ -1643,8 +1698,8 @@ object Relational {
     // The oracle unrolls the three supersteps as CTEs.
     "q132_bfs_levels" -> QueryDef(
       (s, dir) => {
-        val li = table(s, dir, "lineitem").filter(col("l_partkey") < 800)
-        graft.operators.Bfs.levels(coPairs(li).distinct(), hops = 3)
+        graft.operators.Bfs.levels(
+            coPairsDistinct(s, dir, capped = true), hops = 3)
           .groupBy("level")
           .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_id_sum"))
           .orderBy("level")
@@ -1658,8 +1713,7 @@ object Relational {
     // the real co-occurrence subgraph.
     "q168_bfs_frontier" -> QueryDef(
       (s, dir) => {
-        val li = table(s, dir, "lineitem").filter(col("l_partkey") < 800)
-        val pairs = coPairs(li).distinct()
+        val pairs = coPairsDistinct(s, dir, capped = true)
           .selectExpr("cast(pa as long) as a", "cast(pb as long) as b")
         graft.operators.Bfs.distributedFrontier(pairs, hops = 3)
           .groupBy("level")
@@ -1677,14 +1731,10 @@ object Relational {
     // global top-20 ordering cannot diverge.
     "q133_item_similarity" -> QueryDef(
       (s, dir) => {
-        // one scan, one shuffle: pair counts AND per-item order counts
-        // both derive from the same materialized per-order part sets
-        val sets = graft.operators.Materialize(
-          coSets(table(s, dir, "lineitem")))
-        val pairCnt = pairsFromSets(sets).groupBy("pa", "pb")
-          .agg(count(lit(1)).as("n_ab"))
-        val itemCnt = sets.select(explode(col("pks")).as("pk"))
-          .groupBy("pk").agg(count(lit(1)).as("n"))
+        // pair counts AND per-item order counts both come from the
+        // shared co-purchase mirror (one scan per process, not per query)
+        val pairCnt = coPairCounts(s, dir, capped = false)
+        val itemCnt = coItemCounts(s, dir, capped = false)
         pairCnt
           .join(itemCnt.select(col("pk").as("pa"), col("n").as("na")), "pa")
           .join(itemCnt.select(col("pk").as("pb"), col("n").as("nb")), "pb")
@@ -2378,9 +2428,7 @@ object Relational {
     "q223_kcore_peeling" -> QueryDef(
       (s, dir) => {
         import graft.operators.Materialize
-        val e0 = Materialize(
-          coPairs(table(s, dir, "lineitem")
-            .filter(col("l_partkey") < 800)).distinct())
+        val e0 = Materialize(coPairsDistinct(s, dir, capped = true))
         def degrees(e: DataFrame): DataFrame =
           e.select(col("pa").as("node"))
             .unionAll(e.select(col("pb").as("node")))
@@ -2586,10 +2634,7 @@ object Relational {
     "q248_sssp_bellman_ford" -> QueryDef(
       (s, dir) => {
         import graft.operators.Materialize
-        val pc = Materialize(
-          coPairs(table(s, dir, "lineitem")
-              .filter(col("l_partkey") < 800))
-            .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab")))
+        val pc = Materialize(coPairCounts(s, dir, capped = true))
         val e = Materialize(pc
           .select(col("pa").as("u"), col("pb").as("v"),
             expr("1000 DIV n_ab + 1").as("w"))
@@ -2656,13 +2701,10 @@ object Relational {
     "q250_random_walk_corpus" -> QueryDef(
       (s, dir) => {
         import graft.functions.TextOps.hash32
-        val pc = graft.operators.Materialize(
-          coPairs(table(s, dir, "lineitem")
-            .filter(col("l_partkey") < 800)))
+        val pc = coPairsDistinct(s, dir, capped = true)
         val adj = graft.operators.Materialize(pc
           .select(col("pa").as("u"), col("pb").as("v"))
           .union(pc.select(col("pb"), col("pa")))
-          .distinct()
           .groupBy("u").agg(array_sort(collect_set("v")).as("nbrs")))
         val seeds = adj.orderBy("u").limit(8)
           .select(row_number().over(Window.orderBy("u")).cast("long")
@@ -2741,11 +2783,8 @@ object Relational {
         // the >= 2 co-occurrence support cut keeps only repeated
         // co-purchases — the single-support halo merges everything into
         // one giant component and makes the partition (and Q) vacuous
-        val pairs = Materialize(
-          coPairs(table(s, dir, "lineitem")
-              .filter(col("l_partkey") < 800))
-            .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
-            .filter(col("n_ab") >= 2).select("pa", "pb"))
+        val pairs = Materialize(coPairCounts(s, dir, capped = true)
+          .filter(col("n_ab") >= 2).select("pa", "pb"))
         val comp = Materialize(graft.operators.ConnectedComponents
           .minLabel(pairs.select(col("pa").as("doc_a"),
             col("pb").as("doc_b"))))
@@ -2811,9 +2850,7 @@ object Relational {
     "q255_degree_assortativity" -> QueryDef(
       (s, dir) => {
         import graft.operators.Materialize
-        val pairs = Materialize(
-          coPairs(table(s, dir, "lineitem")
-            .filter(col("l_partkey") < 800)).distinct())
+        val pairs = Materialize(coPairsDistinct(s, dir, capped = true))
         val deg = Materialize(pairs.select(col("pa").as("node"))
           .union(pairs.select(col("pb")))
           .groupBy("node").agg(count(lit(1)).as("deg")))
@@ -2944,9 +2981,7 @@ object Relational {
     "q257_local_clustering" -> QueryDef(
       (s, dir) => {
         import graft.operators.Materialize
-        val pairs = Materialize(
-          coPairs(table(s, dir, "lineitem")
-            .filter(col("l_partkey") < 800)).distinct())
+        val pairs = Materialize(coPairsDistinct(s, dir, capped = true))
         val ed = Materialize(
           pairs.select(col("pa").as("a"), col("pb").as("b"))
             .union(pairs.select(col("pb"), col("pa"))))
@@ -3549,11 +3584,24 @@ object Relational {
         // silently-degraded "exact" EWMA the hash-compare cannot catch.
         // Fail loudly instead of degrading; widening the horizon means
         // widening the tables (numerators stay < 10^38 up to ~day 44).
+        // The guard is TWO-sided (advice): events BEFORE 2024-01-01 give
+        // t <= 0, making pick() indexes negative, so the CASE yields NULL
+        // and weight terms vanish just as silently as past-horizon ones.
+        // getAs[java.lang.Long] (not getLong) so an EMPTY events table
+        // reports a clear message instead of an NPE on max(NULL).
         locally {
-          val maxT = days.agg(max("t")).collect()(0).getLong(0)
-          require(maxT <= 31,
-            s"q284: events span day $maxT > 31 from 2024-01-01 — the " +
-              "inline 7^k/8^k tables end at k=30; extend the tables " +
+          val row = days.agg(max("t"), min("t")).collect()(0)
+          val maxT = Option(row.getAs[java.lang.Long](0))
+          val minT = Option(row.getAs[java.lang.Long](1))
+          require(maxT.isDefined && minT.isDefined,
+            "q284: events table is empty — no days to chart")
+          require(minT.get >= 1L,
+            s"q284: events start at day ${minT.get} <= 0 (before " +
+              "2024-01-01) — pick() indexes go negative and EWMA weight " +
+              "terms would be silently dropped; re-anchor the origin")
+          require(maxT.get <= 31L,
+            s"q284: events span day ${maxT.get} > 31 from 2024-01-01 — " +
+              "the inline 7^k/8^k tables end at k=30; extend the tables " +
               "rather than silently dropping EWMA terms")
         }
         val nf = days.agg(count(lit(1)).as("nd"))

@@ -3453,8 +3453,7 @@ object SimilarityQueries {
         // oracle's sign-split integer spelling exactly. 6 rounds = 6
         // linear passes over the cached centered-array frame
         // (11 s → the q247-class cost).
-        def sdl(v: Long, d: Long): Long =
-          if (v >= 0) v / d else -((-v) / d)
+        import graft.functions.IntegerMath.sdl
         def arrLit(a: Array[Long]): String =
           a.map(v => s"CAST($v AS BIGINT)").mkString("array(", ", ", ")")
         val compsAgg = tableParallel(s, dir, "embeddings")
@@ -3473,8 +3472,7 @@ object SimilarityQueries {
         def sCol(w: Array[Long]): String = {
           val dot = s"aggregate(zip_with(c, ${arrLit(w)}, " +
             "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-          s"CASE WHEN $dot >= 0 THEN $dot DIV 1000 " +
-            s"ELSE -((-($dot)) DIV 1000) END"
+          graft.functions.IntegerMath.sdlSql(dot, "1000")
         }
         def mult(w: Array[Long]): Array[Long] = {
           val row = carr.select(expr(sCol(w)).as("s"), col("c"))
@@ -3488,10 +3486,7 @@ object SimilarityQueries {
           val m = math.max(y.map(math.abs).max, 1L)
           // v·1000 in BigInt for the same wrap-safety; the quotient is
           // |v|/m·1000 ≤ 1000, so the narrowing back is always exact
-          y.map { v =>
-            val q = BigInt(v) * 1000
-            (if (q.signum >= 0) q / m else -((-q) / m)).toLong
-          }
+          y.map(v => sdl(BigInt(v) * 1000, BigInt(m)).toLong)
         }
         var w = Array.fill(64)(1000L)
         for (_ <- 1 to 3) w = normalize(mult(w))
@@ -3506,12 +3501,10 @@ object SimilarityQueries {
           // adversarial fixture. BigInt is free at 64 elements; the
           // corrected component is asserted back into Int64 range (the
           // oracle's own headroom) before the narrowing.
-          def sdlB(vv: BigInt, d: BigInt): BigInt =
-            if (vv.signum >= 0) vv / d else -((-vv) / d)
           val dn = (0 until 64).map(i => BigInt(y(i)) * w(i)).sum
           val dd = (0 until 64).map(i => BigInt(w(i)) * w(i)).sum
           v = normalize(Array.tabulate(64) { i =>
-            val c = BigInt(y(i)) - sdlB(dn * w(i), dd)
+            val c = BigInt(y(i)) - sdl(dn * w(i), dd)
             require(c.isValidLong,
               s"q296 deflation component $i = $c exceeds Int64 — the " +
                 "DuckDB twin would raise on this fixture; refusing to wrap")
@@ -3947,7 +3940,8 @@ object SimilarityQueries {
              |    CAST(count(*) AS BIGINT) AS n_edges FROM mst),
              |nv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT)
              |    AS n_vertices FROM e)
-             |SELECT p.u, p.v, p.w, tot.mst_total, tot.n_edges,
+             |SELECT p.u, p.v, CAST(p.w AS BIGINT) AS w,
+             |  tot.mst_total, tot.n_edges,
              |  nv.n_vertices, nv.n_vertices - tot.n_edges
              |    AS n_components
              |FROM pw p JOIN mst USING (w)
@@ -4146,7 +4140,7 @@ object SimilarityQueries {
              |  FROM pd),
              |nb AS (SELECT CAST(count(DISTINCT yb) AS BIGINT) AS n_b
              |  FROM pd)
-             |SELECT pd.xa, pd.yb, pd.d AS dot_micro2,
+             |SELECT pd.xa, pd.yb, CAST(pd.d AS BIGINT) AS dot_micro2,
              |  CAST(CASE WHEN pd.d >= 0
              |    THEN (CAST(pd.d AS HUGEINT) * 8 * 1000)
              |      // greatest(sx.sx + sy.sy, 1)

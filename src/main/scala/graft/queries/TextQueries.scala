@@ -5386,6 +5386,18 @@ object TextQueries {
         val universe = docs.filter(col("source") === "src0")
           .select("sh").distinct()
           .collect().map(_.getLong(0)).toSet
+        // Universe-size guard (round-10 verdict): the scale contract says
+        // the covered set is "bounded by the BENCHMARK" — a FIXED suite —
+        // but in this fixture the universe is src0's shingles, which grows
+        // with sf. The driver-held set and per-round broadcast are only
+        // valid while the benchmark stays broadcast-sized; enforce the
+        // documented assumption loudly (the q284 horizon-guard pattern)
+        // instead of degrading into a driver-memory failure at scale.
+        require(universe.size <= 1000000,
+          s"q318: cover universe has ${universe.size} shingles > 1e6 — " +
+            "the greedy rounds broadcast the covered set, which is only " +
+            "sound for a fixed benchmark-sized universe; shard the " +
+            "benchmark or move the covered set to a distributed anti-join")
         import s.implicits._
         val uniDf = broadcast(universe.toSeq.toDF("sh"))
         val candU = Materialize(docs.filter(col("source") =!= "src0")

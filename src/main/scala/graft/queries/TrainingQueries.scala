@@ -5123,8 +5123,10 @@ object TrainingQueries {
     // deterministically: docs bucketed by (lang, md5-bucket-of-8) are
     // compared pairwise across sources, longer doc wins (ties -> the
     // lower doc_id's side). The ONLY corpus-scale stages are the bounded
-    // bucket equi-join (cell size ~ corpus/(langs*8), the bucket count
-    // scales with the corpus at 100 TB — never an all-pairs join) and
+    // bucket equi-join (cell size ~ corpus/(langs*B); B is a FIXED
+    // parameter, 8 here, so per-cell pair enumeration grows quadratically
+    // with corpus size — at scale B must be raised with the corpus, see
+    // SCALE.md — never an all-pairs join) and
     // one groupBy to the k*k win matrix; k = |sources| is tiny, so the
     // minorization–maximization fixpoint runs on the driver exactly like
     // MLlib holds a factor vector. 3 MM rounds in BigInt (the q296
@@ -5279,7 +5281,8 @@ object TrainingQueries {
     // direct evidence of inconsistent labeling, since a transitive
     // ground truth cannot produce a cycle). Fully distributed: the
     // corpus collapses to the k*k majority matrix in one bucketed
-    // equi-join + groupBy; the cycle count is a 3-way self-join of the
+    // equi-join (same fixed bucket modulus as q309 — raise with corpus
+    // size at scale) + groupBy; the cycle count is a 3-way self-join of the
     // <=k^2-row edge frame (broadcast, bounded by construction). Each
     // directed 3-cycle is counted once: the rotation with the smallest
     // source first.

@@ -787,6 +787,13 @@ object StreamSessionize {
     * asserts against the exact batch counts. Emits the full summary per
     * batch (Update mode); the converged summary is the rows at the
     * maximum n_seen per partition.
+    *
+    * Memory: persisted STATE is O(k) per partition as advertised, but the
+    * per-micro-batch fold materializes and sorts the group's batch slice
+    * (`it.toSeq.sortBy`) for a deterministic fold order, so TRANSIENT
+    * executor memory is O(tokens per partition per batch). In practice
+    * source batch sizing (maxFilesPerTrigger / maxOffsetsPerTrigger)
+    * bounds it; it is not the O(k) of the state store.
     */
   def heavyHittersStream(toks: Dataset[TokEvent], k: Int = 16)
       : Dataset[MgRow] = {

@@ -204,4 +204,21 @@ class NcdIngestSpec extends AnyFunSuite {
     assert(lookupDdl.contains("POSITION_CODE STRING"))
     assert(lookupDdl.contains("redacted_POSITION_CODE BOOLEAN"))
   }
+
+  test("global-file size gate: a sub-gate member takes the distributed " +
+      "split path and loads tables equal to the driver path") {
+    // force the gate to 1 byte so global_LIONS.txt exceeds it — the load
+    // must dispatch to GlobalSplitter.splitDistributed and produce the
+    // SAME registered tables as the whole-string driver path above
+    System.setProperty("graft.globalfile.driver.gate.bytes", "1")
+    try {
+      val wh = Files.createTempDirectory("ncd_gate_").toString
+      val ing = new NcdIngest(spark, wh, db = "ncd_gate")
+      ing.loadZip(Fixtures.tempZip().toString)
+      assert(ing.loaded.toSeq === ingest.loaded.toSeq)
+      val a = spark.table("ncd_gate.GS_DISTRICT").orderBy("CODE").collect()
+      val b = spark.table("ncd.GS_DISTRICT").orderBy("CODE").collect()
+      assert(a.toSeq === b.toSeq)
+    } finally System.clearProperty("graft.globalfile.driver.gate.bytes")
+  }
 }
