@@ -4152,6 +4152,115 @@ object SimilarityQueries {
              |CROSS JOIN na CROSS JOIN nb
              |WHERE pd.ra = 1 AND pd.rb = 1
              |ORDER BY xa""".stripMargin)),
+
+    // ---- embedding isotropy audit (participation ratio, no eigens) ----------
+    // Anisotropic embedding spaces (mass concentrated in a few
+    // directions) degrade every cosine-based operator in this catalog —
+    // LSH bucket balance, IVF recall, kNN hubness (q322). The two
+    // standard diagnostics are computed here WITHOUT an
+    // eigendecomposition, from trace identities on the scaled-integer
+    // second-moment matrix C = X^T X:
+    //   participation ratio  PR = tr(C)^2 / tr(C^2) in [1, d]
+    //     (tr(C^2) = ||C||_F^2 since C is symmetric), and
+    //   mean pairwise dot    (||sum x||^2 - sum ||x||^2) / (n(n-1))
+    //     relative to the mean self-dot (the anisotropy ratio).
+    // 100 TB shape: C's 2080 upper-triangle entries are emitted by a
+    // pure map-side pair-explode of each row against itself (the
+    // coPairs spelling — no self-join, no shuffle beyond the final
+    // 2080-group aggregate), and the trace algebra runs on that bounded
+    // frame in DECIMAL(38)/HUGEINT (entries ~1e9, squares ~1e18, sums
+    // past int64 by construction). At larger d you'd treeAggregate
+    // dense partials instead — a constant change, same plan shape.
+    "q332_isotropy_audit" -> QueryDef(
+      (s, dir) => {
+        val d = 64
+        // x_im = floor(x*1000): signed exact integers (q296 scaling;
+        // no +1 offset — an offset would fake a giant common component
+        // and swamp the anisotropy signal)
+        val comps = tableParallel(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            s"""transform(embedding, x ->
+               | CAST(floor(CAST(x AS DOUBLE) * 1000)
+               |   AS BIGINT))""".stripMargin).as("xm"))
+        // upper-triangle (i <= j) products per row, map-side
+        val tri = comps.select(explode(expr(
+            s"""flatten(transform(xm, (xi, i) ->
+               |  transform(slice(xm, i + 1, $d - i), (xj, j) ->
+               |    named_struct('i', i, 'j', i + j,
+               |      'p', xi * xj))))""".stripMargin)).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"),
+            col("e.p").as("p"))
+        val cmat = tri.groupBy("i", "j")
+          .agg(sum(expr("CAST(p AS DECIMAL(38,0))")).as("cij"))
+        val traces = cmat.agg(
+          sum(when(col("i") === col("j"), col("cij"))
+            .otherwise(lit(0))).as("tr_c"),
+          sum(expr("CASE WHEN i = j THEN cij * cij " +
+            "ELSE 2 * cij * cij END")).as("tr_c2"))
+        val sums = comps.agg(
+          count(lit(1)).as("n"),
+          (sum(expr("aggregate(xm, CAST(0 AS DECIMAL(38,0)), " +
+            "(acc, v) -> acc + CAST(v AS DECIMAL(38,0)) * v)"))
+            .as("q_self") +:
+            (0 until d).map(i =>
+              sum(expr(s"xm[$i]")).as(s"sv$i"))): _*)
+          .withColumn("s_norm2", expr(
+            (0 until d).map(i =>
+              s"CAST(sv$i AS DECIMAL(38,0)) * sv$i")
+              .mkString(" + ")))
+          .select("n", "q_self", "s_norm2")
+        traces.join(broadcast(sums))
+          .select(col("n").cast("long").as("n"), lit(d.toLong).as("d"),
+            col("tr_c").cast("long").as("tr_c"),
+            expr("CAST(tr_c2 DIV 1000000 AS BIGINT)")
+              .as("tr_c2_millionths"),
+            expr("CAST(tr_c * tr_c * 1000 DIV tr_c2 AS BIGINT)")
+              .as("pr_milli"),
+            expr("CAST(CASE WHEN s_norm2 >= q_self " +
+              "THEN (s_norm2 - q_self) * 1000 " +
+              "DIV ((n - 1) * CAST(q_self AS DECIMAL(38,0))) " +
+              "ELSE -((q_self - s_norm2) * 1000 " +
+              "DIV ((n - 1) * CAST(q_self AS DECIMAL(38,0)))) END " +
+              "AS BIGINT)").as("aniso_milli"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |    list_transform(embedding::DOUBLE[], x ->
+              |      CAST(floor(x * 1000) AS BIGINT)) AS xm
+              |  FROM embeddings),
+              |tri AS (SELECT u.i AS i, u.j AS j,
+              |    CAST(sum(CAST(u.p AS HUGEINT)) AS HUGEINT) AS cij
+              |  FROM e, unnest(flatten(list_transform(xm, (xi, i0) ->
+              |    list_transform(xm[i0:], (xj, j0) ->
+              |      struct_pack(i := i0 - 1, j := i0 + j0 - 2,
+              |        p := xi * xj))))) AS t(u)
+              |  GROUP BY 1, 2),
+              |tr AS (SELECT
+              |    sum(CASE WHEN i = j THEN cij ELSE 0 END) AS tr_c,
+              |    sum(CASE WHEN i = j THEN cij * cij
+              |      ELSE 2 * cij * cij END) AS tr_c2
+              |  FROM tri),
+              |sv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |    sum(CAST(list_sum(list_transform(xm, v ->
+              |      CAST(v AS HUGEINT) * v)) AS HUGEINT)) AS q_self,
+              |    ${(0 until 64).map(i =>
+                   s"sum(xm[${i + 1}]) AS sv$i").mkString(",\n    ")}
+              |  FROM e),
+              |sn AS (SELECT n, q_self,
+              |    ${(0 until 64).map(i =>
+                   s"CAST(sv$i AS HUGEINT) * sv$i").mkString(" + ")}
+              |      AS s_norm2
+              |  FROM sv)
+              |SELECT n, CAST(64 AS BIGINT) AS d,
+              |  CAST(tr_c AS BIGINT) AS tr_c,
+              |  CAST(tr_c2 // 1000000 AS BIGINT) AS tr_c2_millionths,
+              |  CAST(tr_c * tr_c * 1000 // tr_c2 AS BIGINT) AS pr_milli,
+              |  CAST(CASE WHEN s_norm2 >= q_self
+              |    THEN (s_norm2 - q_self) * 1000
+              |      // ((n - 1) * CAST(q_self AS HUGEINT))
+              |    ELSE -((q_self - s_norm2) * 1000
+              |      // ((n - 1) * CAST(q_self AS HUGEINT))) END
+              |    AS BIGINT) AS aniso_milli
+              |FROM tr CROSS JOIN sn""".stripMargin)),
   )
 
   /** DuckDB twin of the q174 farthest-point loop, unrolled like

@@ -77,6 +77,56 @@ object TextQueries {
       .withColumn("pass",
         when(col("score") >= 2000L, 1L).otherwise(0L))
 
+  /** The q327/q328/q329 multi-rater fixture: four deterministic raters
+    * grade each document 0/1/2 against the SAME latent signal (length),
+    * with realistic disagreement modes — r1 the reference thresholds
+    * (sf0.01 terciles, so all grades are populated), r2 shifted
+    * thresholds (systematic bias: disagrees only near boundaries), r3
+    * the reference thresholds over a hash-perturbed measurement
+    * (+/-40 chars of noise), r4 pure md5 noise (the
+    * rubber-stamp-random annotator every agreement audit must expose).
+    * Correlated-by-construction: Fleiss kappa lands ~0.45 here, so the
+    * statistics have signal to measure, not a chance-level hash match.
+    * One narrow codegen'd projection; exact integers, so DuckDB replays
+    * every label bit-identically.
+    */
+  private[graft] def raterLabels(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"))
+      .filter(length(lower(trim(col("text")))) > 0)
+      .withColumn("pert",
+        col("n_chars") +
+          hash32(concat(lit("r3|"), col("doc_id").cast("string"))) % 81
+          - lit(40L))
+      .select(col("doc_id"),
+        expr("CAST(CASE WHEN n_chars >= 370 THEN 2 " +
+          "WHEN n_chars >= 215 THEN 1 ELSE 0 END AS BIGINT)").as("g1"),
+        expr("CAST(CASE WHEN n_chars >= 390 THEN 2 " +
+          "WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT)").as("g2"),
+        expr("CAST(CASE WHEN pert >= 370 THEN 2 " +
+          "WHEN pert >= 215 THEN 1 ELSE 0 END AS BIGINT)").as("g3"),
+        (hash32(concat(lit("fk|"), col("doc_id").cast("string"))) % 3)
+          .as("g4"))
+
+  /** DuckDB twin of [[raterLabels]] — CTEs ending in
+    * `raters(doc_id, g1, g2, g3, g4)`.
+    */
+  private[graft] val duckRaterCtes =
+    """rd AS (SELECT doc_id, n_chars,
+      |    n_chars + CAST(('0x' || substr(md5('r3|' || doc_id), 1, 8))
+      |      AS BIGINT) % 81 - 40 AS pert
+      |  FROM documents WHERE length(lower(trim(text))) > 0),
+      |raters AS (SELECT doc_id,
+      |    CAST(CASE WHEN n_chars >= 370 THEN 2 WHEN n_chars >= 215
+      |      THEN 1 ELSE 0 END AS BIGINT) AS g1,
+      |    CAST(CASE WHEN n_chars >= 390 THEN 2 WHEN n_chars >= 200
+      |      THEN 1 ELSE 0 END AS BIGINT) AS g2,
+      |    CAST(CASE WHEN pert >= 370 THEN 2 WHEN pert >= 215
+      |      THEN 1 ELSE 0 END AS BIGINT) AS g3,
+      |    CAST(('0x' || substr(md5('fk|' || doc_id), 1, 8)) AS BIGINT)
+      |      % 3 AS g4
+      |  FROM rd)""".stripMargin
+
   /** The DuckDB twin of [[qualityScored]] — a CTE block ending in
     * `qsc(doc_id, source, score, pass)`.
     */
@@ -5676,6 +5726,383 @@ object TextQueries {
            |    AS missed_est
            |FROM c1 CROSS JOIN c2 CROSS JOIN cm""".stripMargin
       }),
+
+    // ---- Fleiss' kappa (multi-rater agreement) ------------------------------
+    // Cohen's kappa (q233) audits ONE classifier against ONE reference;
+    // a labeling pipeline has MANY annotators. Fleiss' kappa is the
+    // R-rater generalization: four deterministic raters grade every
+    // document 0/1/2 against the same latent signal (reference
+    // thresholds / shifted thresholds / noisy measurement / pure hash
+    // noise — see raterLabels), and kappa measures agreement beyond
+    // chance. 100 TB shape: the per-document category counts n_ic and
+    // their squares are a pure map-side projection (R is a constant, no
+    // explode, no join); the whole statistic then reduces through ONE
+    // scalar aggregate — two sums and three category totals — so the
+    // plan is scan -> project -> partial-agg, the cheapest distributed
+    // shape there is. Exact rational: kappa = (4NA - 3B)/(48N^2 - 3B)
+    // with A = sum_i(sum_c n_ic^2) - 4N, B = sum_c T_c^2, emitted
+    // sign-split in bp via DECIMAL(38)/HUGEINT (the N^2 terms wrap int64
+    // at corpus scale).
+    "q327_fleiss_kappa" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lab = raterLabels(tableParallel(s, dir, "documents"))
+        val perDoc = lab.select(
+          (0 to 2).map(c => (0 until 4).map(r =>
+            when(col(s"g${r + 1}") === c, 1L).otherwise(0L))
+            .reduce(_ + _).as(s"nc$c")): _*)
+          .withColumn("sq",
+            expr("nc0 * nc0 + nc1 * nc1 + nc2 * nc2"))
+        val tot = perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum("sq").as("sumsq"),
+          sum("nc0").as("t0"), sum("nc1").as("t1"), sum("nc2").as("t2"))
+        val grades = Seq(0L, 1L, 2L).toDF("grade")
+        grades.join(broadcast(tot))
+          .withColumn("t_c", expr(
+            "CASE grade WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END"))
+          .withColumn("p_c_bp", expr("t_c * 10000 DIV (4 * n_docs)"))
+          .withColumn("a_num", expr("sumsq - 4 * n_docs"))
+          .withColumn("b_num", expr("t0*t0 + t1*t1 + t2*t2"))
+          .withColumn("pbar_bp",
+            expr("a_num * 10000 DIV (12 * n_docs)"))
+          .withColumn("pe_bp", expr(
+            "CAST(CAST(b_num AS DECIMAL(38,0)) * 10000 " +
+              "DIV (16 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) " +
+              "AS BIGINT)"))
+          .withColumn("kappa_bp", expr(
+            """CAST(CASE WHEN 4 * CAST(n_docs AS DECIMAL(38,0)) * a_num
+              |    >= 3 * CAST(b_num AS DECIMAL(38,0))
+              |  THEN (4 * CAST(n_docs AS DECIMAL(38,0)) * a_num
+              |      - 3 * CAST(b_num AS DECIMAL(38,0))) * 10000
+              |    DIV (48 * CAST(n_docs AS DECIMAL(38,0)) * n_docs
+              |      - 3 * CAST(b_num AS DECIMAL(38,0)))
+              |  ELSE -((3 * CAST(b_num AS DECIMAL(38,0))
+              |      - 4 * CAST(n_docs AS DECIMAL(38,0)) * a_num) * 10000
+              |    DIV (48 * CAST(n_docs AS DECIMAL(38,0)) * n_docs
+              |      - 3 * CAST(b_num AS DECIMAL(38,0)))) END
+              |  AS BIGINT)""".stripMargin))
+          .select(col("grade"), col("t_c"), col("p_c_bp"),
+            col("n_docs"), col("pbar_bp"), col("pe_bp"), col("kappa_bp"))
+          .orderBy("grade")
+      },
+      Some(s"""WITH $duckRaterCtes,
+              |pd AS (SELECT
+              |    CAST((g1=0)::INT + (g2=0)::INT + (g3=0)::INT
+              |      + (g4=0)::INT AS BIGINT) AS nc0,
+              |    CAST((g1=1)::INT + (g2=1)::INT + (g3=1)::INT
+              |      + (g4=1)::INT AS BIGINT) AS nc1,
+              |    CAST((g1=2)::INT + (g2=2)::INT + (g3=2)::INT
+              |      + (g4=2)::INT AS BIGINT) AS nc2
+              |  FROM raters),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(nc0*nc0 + nc1*nc1 + nc2*nc2) AS BIGINT)
+              |      AS sumsq,
+              |    CAST(sum(nc0) AS BIGINT) AS t0,
+              |    CAST(sum(nc1) AS BIGINT) AS t1,
+              |    CAST(sum(nc2) AS BIGINT) AS t2
+              |  FROM pd),
+              |g AS (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS grade)
+              |SELECT grade,
+              |  CAST(CASE grade WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END
+              |    AS BIGINT) AS t_c,
+              |  CAST(CASE grade WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END
+              |    * 10000 // (4 * n_docs) AS BIGINT) AS p_c_bp,
+              |  n_docs,
+              |  CAST((sumsq - 4 * n_docs) * 10000 // (12 * n_docs)
+              |    AS BIGINT) AS pbar_bp,
+              |  CAST(CAST(t0*t0 + t1*t1 + t2*t2 AS HUGEINT) * 10000
+              |    // (16 * CAST(n_docs AS HUGEINT) * n_docs)
+              |    AS BIGINT) AS pe_bp,
+              |  CAST(CASE WHEN 4 * CAST(n_docs AS HUGEINT)
+              |      * (sumsq - 4 * n_docs)
+              |      >= 3 * CAST(t0*t0 + t1*t1 + t2*t2 AS HUGEINT)
+              |    THEN (4 * CAST(n_docs AS HUGEINT) * (sumsq - 4 * n_docs)
+              |        - 3 * CAST(t0*t0 + t1*t1 + t2*t2 AS HUGEINT)) * 10000
+              |      // (48 * CAST(n_docs AS HUGEINT) * n_docs
+              |        - 3 * CAST(t0*t0 + t1*t1 + t2*t2 AS HUGEINT))
+              |    ELSE -((3 * CAST(t0*t0 + t1*t1 + t2*t2 AS HUGEINT)
+              |        - 4 * CAST(n_docs AS HUGEINT) * (sumsq - 4 * n_docs))
+              |      * 10000
+              |      // (48 * CAST(n_docs AS HUGEINT) * n_docs
+              |        - 3 * CAST(t0*t0 + t1*t1 + t2*t2 AS HUGEINT))) END
+              |    AS BIGINT) AS kappa_bp
+              |FROM g CROSS JOIN tot ORDER BY grade""".stripMargin)),
+
+    // ---- Krippendorff's alpha (nominal) -------------------------------------
+    // The agreement coefficient that generalizes across missing raters
+    // and metrics; here the nominal form on the same 4-rater fixture,
+    // via the coincidence-matrix identities: observed disagreement
+    // D_o prop. sum_i (R^2 - sum_c n_ic^2), expected D_e prop.
+    // n^2 - sum_c T_c^2, and alpha = 1 - (n-1)*sum_i(16 - sq_i)
+    // / (3*(n^2 - sum T_c^2)) with n = 4N total ratings. Same
+    // scan -> project -> one-scalar-agg plan as q327 — the two
+    // coefficients differ only in the chance-correction algebra, so
+    // disagreement between them on the same data flags which assumption
+    // broke (kappa's per-category independence vs alpha's pooled
+    // marginals).
+    "q328_krippendorff_alpha" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lab = raterLabels(tableParallel(s, dir, "documents"))
+        val perDoc = lab.select(
+          (0 to 2).map(c => (0 until 4).map(r =>
+            when(col(s"g${r + 1}") === c, 1L).otherwise(0L))
+            .reduce(_ + _).as(s"nc$c")): _*)
+          .withColumn("sq",
+            expr("nc0 * nc0 + nc1 * nc1 + nc2 * nc2"))
+        val tot = perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("16 - sq")).as("dis"),
+          sum("nc0").as("t0"), sum("nc1").as("t1"), sum("nc2").as("t2"))
+        val grades = Seq(0L, 1L, 2L).toDF("grade")
+        grades.join(broadcast(tot))
+          .withColumn("t_c", expr(
+            "CASE grade WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END"))
+          .withColumn("n_ratings", expr("4 * n_docs"))
+          // U = (n-1)*sum(16-sq);  V = 3*(n^2 - sum T^2);
+          // alpha = (V - U) / V, sign-split in bp
+          .withColumn("u_num", expr(
+            "(4 * CAST(n_docs AS DECIMAL(38,0)) - 1) * dis"))
+          .withColumn("v_num", expr(
+            "3 * (16 * CAST(n_docs AS DECIMAL(38,0)) * n_docs " +
+              "- (CAST(t0 AS DECIMAL(38,0))*t0 " +
+              "+ CAST(t1 AS DECIMAL(38,0))*t1 " +
+              "+ CAST(t2 AS DECIMAL(38,0))*t2))"))
+          .withColumn("d_o_bp", expr(
+            "CAST(u_num * 10000 DIV v_num AS BIGINT)"))
+          .withColumn("alpha_bp", expr(
+            """CAST(CASE WHEN v_num >= u_num
+              |  THEN (v_num - u_num) * 10000 DIV v_num
+              |  ELSE -((u_num - v_num) * 10000 DIV v_num) END
+              |  AS BIGINT)""".stripMargin))
+          .select(col("grade"), col("t_c"), col("n_docs"),
+            col("n_ratings"), col("d_o_bp"), col("alpha_bp"))
+          .orderBy("grade")
+      },
+      Some(s"""WITH $duckRaterCtes,
+              |pd AS (SELECT
+              |    CAST((g1=0)::INT + (g2=0)::INT + (g3=0)::INT
+              |      + (g4=0)::INT AS BIGINT) AS nc0,
+              |    CAST((g1=1)::INT + (g2=1)::INT + (g3=1)::INT
+              |      + (g4=1)::INT AS BIGINT) AS nc1,
+              |    CAST((g1=2)::INT + (g2=2)::INT + (g3=2)::INT
+              |      + (g4=2)::INT AS BIGINT) AS nc2
+              |  FROM raters),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(16 - (nc0*nc0 + nc1*nc1 + nc2*nc2)) AS BIGINT)
+              |      AS dis,
+              |    CAST(sum(nc0) AS BIGINT) AS t0,
+              |    CAST(sum(nc1) AS BIGINT) AS t1,
+              |    CAST(sum(nc2) AS BIGINT) AS t2
+              |  FROM pd),
+              |sc AS (SELECT n_docs, t0, t1, t2,
+              |    (4 * CAST(n_docs AS HUGEINT) - 1) * dis AS u_num,
+              |    3 * (16 * CAST(n_docs AS HUGEINT) * n_docs
+              |      - (CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
+              |        + CAST(t2 AS HUGEINT)*t2)) AS v_num
+              |  FROM tot),
+              |g AS (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS grade)
+              |SELECT grade,
+              |  CAST(CASE grade WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END
+              |    AS BIGINT) AS t_c,
+              |  n_docs, CAST(4 * n_docs AS BIGINT) AS n_ratings,
+              |  CAST(u_num * 10000 // v_num AS BIGINT) AS d_o_bp,
+              |  CAST(CASE WHEN v_num >= u_num
+              |    THEN (v_num - u_num) * 10000 // v_num
+              |    ELSE -((u_num - v_num) * 10000 // v_num) END
+              |    AS BIGINT) AS alpha_bp
+              |FROM g CROSS JOIN sc ORDER BY grade""".stripMargin)),
+
+    // ---- Jensen-Shannon divergence per source --------------------------------
+    // The symmetric, bounded [0, ln2] companion to the KL drift audits:
+    // how far is each source's unigram distribution from the corpus?
+    // The JS sum over the FULL vocabulary is restructured so nothing
+    // ever joins vocab x sources: for tokens absent from the source
+    // (P = 0) the Q-side term is exactly Q*ln2, so
+    // JS_s = 1/2 * sum_{t in s}[P ln(2P/(P+Q)) + Q ln(2Q/(P+Q))]
+    //      + 1/2 * (1 - cov_s) * ln2,  cov_s = sum_{t in s} Q(t).
+    // Plan: one token explode -> (source, tok) counts -> equi-join to
+    // corpus token counts (derived from the same frame) -> per-source
+    // agg. Doubles appear only in the final ln/round (round(..., 4) on
+    // both sides per the parity rules); everything upstream is exact
+    // counts.
+    "q331_js_divergence" -> QueryDef(
+      (s, dir) => {
+        val toks = Materialize(tableParallel(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c_st")))
+        val corpus = toks.groupBy("t").agg(sum("c_st").as("c_t"))
+        val ns = toks.groupBy("source").agg(sum("c_st").as("n_s"))
+        val n = corpus.agg(sum("c_t").as("n"))
+        toks.join(corpus, "t")
+          .join(ns, "source")
+          .join(broadcast(n))
+          .withColumn("p", col("c_st").cast("double") / col("n_s"))
+          .withColumn("q", col("c_t").cast("double") / col("n"))
+          .withColumn("term",
+            col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+              col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .groupBy("source")
+          .agg(sum("term").as("in_sum"), sum("q").as("cov"),
+            count(lit(1)).as("n_shared_tokens"),
+            first("n_s").as("n_s"))
+          .withColumn("js_nats", round(
+            col("in_sum") / 2 +
+              (lit(1.0) - col("cov")) * log(lit(2.0)) / 2, 4))
+          .select(col("source"), col("n_s"), col("n_shared_tokens"),
+            col("js_nats"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ws AS (SELECT source, $duckToks AS ws FROM documents),
+              |tk AS (SELECT source, unnest(ws) AS t FROM ws),
+              |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+              |  FROM tk GROUP BY 1, 2),
+              |ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t
+              |  FROM st GROUP BY 1),
+              |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+              |  FROM st GROUP BY 1),
+              |nn AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+              |j AS (SELECT st.source, st.c_st, ct.c_t, ns.n_s, nn.n,
+              |    st.c_st * 1.0 / ns.n_s AS p,
+              |    ct.c_t * 1.0 / nn.n AS q
+              |  FROM st JOIN ct USING (t) JOIN ns USING (source)
+              |  CROSS JOIN nn)
+              |SELECT source, CAST(min(n_s) AS BIGINT) AS n_s,
+              |  CAST(count(*) AS BIGINT) AS n_shared_tokens,
+              |  round(sum(p * ln(2.0 * p / (p + q))
+              |      + q * ln(2.0 * q / (p + q))) / 2
+              |    + (1.0 - sum(q)) * ln(2.0) / 2, 4) AS js_nats
+              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- asymmetric containment (eval-in-train screening) -------------------
+    // Jaccard (q43) misses the case decontamination cares about most: a
+    // SMALL document fully embedded in a large one (|A∩B|/|A∪B| tiny,
+    // |A∩B|/|A| = 1). Containment is the asymmetric overlap in each
+    // direction, computed EXACTLY on the hashed-shingle sets — but only
+    // for LSH band candidates (the q41 generator), so the pair space
+    // stays bounded by bucket collisions, never corpus^2. The exact
+    // intersection is one array_intersect over the two per-doc sets
+    // (each bounded by doc length) after joining candidates back to the
+    // signature frame — no shingle-level shuffle join.
+    "q333_minhash_containment" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        MinhashBandKeys.register(s)
+        val hs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0))
+        val bands = Materialize(hs.select(col("doc_id"),
+            posexplode(MinhashBandKeys.of(col("hs"))))
+          .toDF("doc_id", "band_id", "key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+            "doc_a")
+          .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+            "doc_b")
+          .withColumn("n_inter",
+            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .withColumn("n_a", size(col("ha")).cast("long"))
+          .withColumn("n_b", size(col("hb")).cast("long"))
+          .filter(col("n_inter") > 0)
+          .withColumn("cont_a_bp", expr("n_inter * 10000 DIV n_a"))
+          .withColumn("cont_b_bp", expr("n_inter * 10000 DIV n_b"))
+          .withColumn("max_cont_bp", greatest(col("cont_a_bp"),
+            col("cont_b_bp")))
+          .select("doc_a", "doc_b", "n_a", "n_b", "n_inter",
+            "cont_a_bp", "cont_b_bp", "max_cont_bp")
+          .orderBy(desc("max_cont_bp"), col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bands = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |hss AS (SELECT * FROM
+           |          (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $minhashes FROM hss),
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.key = b.key
+           |    AND a.doc_id < b.doc_id),
+           |sc AS (SELECT doc_a, doc_b,
+           |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT)
+           |      AS n_inter,
+           |    CAST(len(ha.hs) AS BIGINT) AS n_a,
+           |    CAST(len(hb.hs) AS BIGINT) AS n_b
+           |  FROM cand
+           |  JOIN hss ha ON ha.doc_id = doc_a
+           |  JOIN hss hb ON hb.doc_id = doc_b)
+           |SELECT doc_a, doc_b, n_a, n_b, n_inter,
+           |  CAST(n_inter * 10000 // n_a AS BIGINT) AS cont_a_bp,
+           |  CAST(n_inter * 10000 // n_b AS BIGINT) AS cont_b_bp,
+           |  CAST(greatest(n_inter * 10000 // n_a,
+           |    n_inter * 10000 // n_b) AS BIGINT) AS max_cont_bp
+           |FROM sc WHERE n_inter > 0
+           |ORDER BY max_cont_bp DESC, doc_a, doc_b LIMIT 20""".stripMargin
+      }),
+
+    // ---- Hill tail-index estimator -------------------------------------------
+    // Token frequencies are heavy-tailed; HOW heavy decides whether
+    // frequency-based caps (top-k vocab, count cutoffs) lose mass. The
+    // Hill estimator over the top k=16 order statistics (the synthetic
+    // corpus has a ~31-token vocabulary; k scales with real vocabs),
+    // H = (1/k) * sum_{i<=k} ln(c_(i) / c_(k+1)), alpha_hat = 1/H, is
+    // the standard tail-exponent audit. Plan: token counts (one explode
+    // + groupBy), then a GLOBAL top-(k+1) — TakeOrderedAndProject, the
+    // bounded-output top-k shape, never a full sort — and the ln/round
+    // arithmetic runs on the 101-row frame.
+    "q335_hill_tail_index" -> QueryDef(
+      (s, dir) => {
+        val k = 16
+        val counts = tableParallel(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val top = counts
+          .orderBy(desc("c"), col("t")).limit(k + 1)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(desc("c"), col("t"))))
+        val ck1 = top.filter(col("rk") === k + 1)
+          .select(col("c").as("c_k1"))
+        top.filter(col("rk") <= k)
+          .join(broadcast(ck1))
+          .agg(count(lit(1)).as("k"),
+            first(col("c_k1")).as("c_k1"),
+            sum(log(col("c").cast("double") / col("c_k1"))).as("h_sum"))
+          .withColumn("hill", round(col("h_sum") / col("k"), 4))
+          .withColumn("alpha_hat",
+            round(col("k") / col("h_sum"), 4))
+          .select(col("k"), col("c_k1"), col("hill"), col("alpha_hat"))
+      },
+      Some(s"""WITH ws AS (SELECT $duckToks AS ws FROM documents),
+              |tk AS (SELECT unnest(ws) AS t FROM ws),
+              |ct AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk
+              |  GROUP BY 1),
+              |top AS (SELECT c, row_number()
+              |    OVER (ORDER BY c DESC, t) AS rk
+              |  FROM ct ORDER BY c DESC, t LIMIT 17),
+              |k1 AS (SELECT c AS c_k1 FROM top WHERE rk = 17)
+              |SELECT CAST(count(*) AS BIGINT) AS k,
+              |  CAST(min(c_k1) AS BIGINT) AS c_k1,
+              |  round(sum(ln(c * 1.0 / c_k1)) / count(*), 4) AS hill,
+              |  round(count(*) / sum(ln(c * 1.0 / c_k1)), 4) AS alpha_hat
+              |FROM top CROSS JOIN k1 WHERE rk <= 16""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -73,6 +73,53 @@ object TrainingQueries {
       : org.apache.spark.sql.DataFrame =
     graft.operators.Manifest.manifest(docs)
 
+  /** q330's corpus stage: per-bucket early/late event counts on FIXED
+    * integer-cent boundaries — shared verbatim by the streaming twin
+    * ([[graft.streaming.StreamSessionize.psiCountsStream]]); the
+    * bucketing is stateless, so the converged streaming counts equal
+    * the batch counts however micro-batches split the input.
+    */
+  private[graft] def psiBucketCounts(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.select(dayofmonth(col("ts")).as("dom"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("bucket", expr(
+        """CAST(CASE WHEN vc < 200 THEN 0 WHEN vc < 500 THEN 1
+          |  WHEN vc < 1000 THEN 2 WHEN vc < 2000 THEN 3
+          |  WHEN vc < 5000 THEN 4 WHEN vc < 10000 THEN 5
+          |  WHEN vc < 20000 THEN 6 ELSE 7 END AS BIGINT)"""
+          .stripMargin))
+      .groupBy("bucket")
+      .agg(sum(when(col("dom") <= 15, 1L).otherwise(0L)).as("c_early"),
+        sum(when(col("dom") > 15, 1L).otherwise(0L)).as("c_late"))
+
+  /** q330's projection: add-1-smoothed PSI terms over the 8 fixed
+    * buckets (missing buckets zero-filled) plus the window-summed
+    * total. Runs on an 8-row frame — shared by the batch query and the
+    * streaming parity gate.
+    */
+  private[graft] def psiFromCounts(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val buckets = (0L to 7L).toDF("bucket")
+    val filled = buckets.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_early"), lit(0L)).as("c_early"),
+        coalesce(col("c_late"), lit(0L)).as("c_late"))
+    val tot = filled.agg(sum(expr("c_early + 1")).as("te"),
+      sum(expr("c_late + 1")).as("tl"))
+    filled.join(broadcast(tot))
+      .withColumn("p", expr("(c_early + 1) * 1.0 / te"))
+      .withColumn("q", expr("(c_late + 1) * 1.0 / tl"))
+      .withColumn("term", (col("p") - col("q")) *
+        log(col("p") / col("q")))
+      .withColumn("psi_r4", round(
+        sum("term").over(Window.partitionBy()), 4))
+      .select(col("bucket"), col("c_early"), col("c_late"),
+        round(col("term"), 6).as("term_r6"), col("psi_r4"))
+  }
+
   /** q263's calibration artifacts — per-source predicted mean (`mu`),
     * calibration count, order-statistic rank `k` and conformal threshold
     * `qhat` — as a reusable fragment: the batch coverage audit (q263)
@@ -6425,5 +6472,249 @@ object TrainingQueries {
              |  CAST(gl.naive_milli - gl.strat_milli AS BIGINT)
              |    AS bias_milli
              |FROM bd CROSS JOIN gl ORDER BY b""".stripMargin)),
+
+    // ---- Dawid-Skene annotator-quality EM ------------------------------------
+    // Majority vote (the q327/q328 fixture's implicit aggregator) treats
+    // every rater as equally reliable; Dawid-Skene jointly estimates the
+    // per-rater confusion matrices AND the latent true labels, so a
+    // noise rater (g4 here, pure md5 hash) is LEARNED to be
+    // uninformative instead of diluting the consensus. Two EM rounds in
+    // exact integer milli fixed point, fully declarative on both
+    // engines. 100 TB shape: each M-step is ONE scalar aggregate over
+    // the document frame (the 36 confusion sums + 3 class masses +
+    // count reduce tree-style, no shuffle); each E-step is a pure
+    // map-side projection against the BROADCAST 1-row M-step result —
+    // there is no per-round join, no iteration-scale shuffle, and the
+    // state is O(R*K^2) regardless of corpus size. Products are bounded
+    // by 1000^5 * 1000 < 1e18, inside int64 on both engines (the q296
+    // wrap rule honored by construction). Laplace (+1 / +3) smoothing
+    // keeps every confusion cell positive so a zero cell cannot zero an
+    // E-step product.
+    "q329_dawid_skene" -> QueryDef(
+      (s, dir) => {
+        val rs = 1 to 4; val ks = 0 to 2; val cs = 0 to 2
+        // 36 confusion sums + 3 class masses + doc count, one scalar agg
+        def mAggExprs: Seq[String] =
+          (for { r <- rs; k <- ks; c <- cs } yield
+            s"sum(CASE WHEN g$r = $k THEN t$c ELSE 0 END) " +
+              s"AS n_r${r}k${k}c$c") ++
+            cs.map(c => s"sum(t$c) AS s$c") :+ "count(1) AS nd"
+        // smoothed confusion cells and priors, computed FROM the agg row
+        def mDerived: Seq[String] =
+          (for { r <- rs; k <- ks; c <- cs } yield
+            s"(n_r${r}k${k}c$c + 1) * 1000 DIV (s$c + 3) " +
+              s"AS pi_r${r}k${k}c$c") ++
+            cs.map(c => s"s$c DIV nd AS prior$c")
+        def pick(r: Int, c: Int): String =
+          s"(CASE g$r WHEN 0 THEN pi_r${r}k0c$c WHEN 1 THEN " +
+            s"pi_r${r}k1c$c ELSE pi_r${r}k2c$c END)"
+        def score(c: Int): String =
+          s"prior$c" + rs.map(r => s" * ${pick(r, c)}").mkString
+        def eDerived: Seq[String] =
+          cs.map(c => s"(${score(c)}) * 1000 DIV " +
+            s"(${cs.map(score).mkString(" + ")}) AS t$c")
+
+        val d0 = Materialize(
+          graft.queries.TextQueries
+            .raterLabels(tableParallel(s, dir, "documents"))
+            .selectExpr(Seq("doc_id", "g1", "g2", "g3", "g4") ++
+              cs.map(c =>
+                s"(CAST(g1 = $c AS BIGINT) + CAST(g2 = $c AS BIGINT) + " +
+                  s"CAST(g3 = $c AS BIGINT) + CAST(g4 = $c AS BIGINT)) " +
+                  s"* 250 AS t$c"): _*))
+        def mStep(d: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          d.agg(expr(mAggExprs.head),
+              mAggExprs.tail.map(expr): _*)
+            .selectExpr("*" +: mDerived: _*)
+        def eStep(d: org.apache.spark.sql.DataFrame,
+                  m: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          Materialize(d.crossJoin(broadcast(m))
+            .selectExpr(Seq("doc_id", "g1", "g2", "g3", "g4") ++
+              eDerived: _*))
+        val d1 = eStep(d0, mStep(d0))
+        val d2 = eStep(d1, mStep(d1))
+        val mF = mStep(d2)
+        import s.implicits._
+        val grid = (for { r <- rs; k <- ks; c <- cs }
+          yield (r.toLong, k.toLong, c.toLong))
+          .toDF("rater", "obs_k", "true_c")
+        grid.join(broadcast(mF))
+          .selectExpr("rater", "obs_k", "true_c",
+            "CASE " + (for { r <- rs; k <- ks; c <- cs } yield
+              s"WHEN rater = $r AND obs_k = $k AND true_c = $c " +
+                s"THEN pi_r${r}k${k}c$c").mkString(" ") +
+              " END AS pi_milli",
+            "CASE true_c WHEN 0 THEN prior0 WHEN 1 THEN prior1 " +
+              "ELSE prior2 END AS prior_milli",
+            "nd AS n_docs")
+          .orderBy("rater", "obs_k", "true_c")
+      },
+      Some {
+        val rs = 1 to 4; val ks = 0 to 2; val cs = 0 to 2
+        def mAgg: String =
+          ((for { r <- rs; k <- ks; c <- cs } yield
+            s"sum(CASE WHEN g$r = $k THEN t$c ELSE 0 END) " +
+              s"AS n_r${r}k${k}c$c") ++
+            cs.map(c => s"sum(t$c) AS s$c") :+
+            "CAST(count(1) AS BIGINT) AS nd").mkString(", ")
+        def mDer: String =
+          ((for { r <- rs; k <- ks; c <- cs } yield
+            s"(n_r${r}k${k}c$c + 1) * 1000 // (s$c + 3) " +
+              s"AS pi_r${r}k${k}c$c") ++
+            cs.map(c => s"s$c // nd AS prior$c")).mkString(", ")
+        def pick(r: Int, c: Int): String =
+          s"(CASE g$r WHEN 0 THEN pi_r${r}k0c$c WHEN 1 THEN " +
+            s"pi_r${r}k1c$c ELSE pi_r${r}k2c$c END)"
+        def score(c: Int): String =
+          s"prior$c" + rs.map(r => s" * ${pick(r, c)}").mkString
+        def eDer: String =
+          cs.map(c => s"(${score(c)}) * 1000 // " +
+            s"(${cs.map(score).mkString(" + ")}) AS t$c").mkString(", ")
+        s"""WITH ${TextQueries.duckRaterCtes},
+           |d0 AS (SELECT doc_id, g1, g2, g3, g4,
+           |    ${cs.map(c =>
+               s"((g1 = $c)::BIGINT + (g2 = $c)::BIGINT + " +
+                 s"(g3 = $c)::BIGINT + (g4 = $c)::BIGINT) * 250 AS t$c")
+               .mkString(",\n    ")}
+           |  FROM raters),
+           |ma0 AS (SELECT $mAgg FROM d0),
+           |m0 AS (SELECT *, $mDer FROM ma0),
+           |d1 AS (SELECT doc_id, g1, g2, g3, g4, $eDer
+           |  FROM d0 CROSS JOIN m0),
+           |ma1 AS (SELECT $mAgg FROM d1),
+           |m1 AS (SELECT *, $mDer FROM ma1),
+           |d2 AS (SELECT doc_id, g1, g2, g3, g4, $eDer
+           |  FROM d1 CROSS JOIN m1),
+           |ma2 AS (SELECT $mAgg FROM d2),
+           |m2 AS (SELECT *, $mDer FROM ma2),
+           |grid AS (SELECT CAST(r.r AS BIGINT) AS rater,
+           |    CAST(k.k AS BIGINT) AS obs_k, CAST(c.c AS BIGINT) AS true_c
+           |  FROM (SELECT unnest(range(1, 5)) AS r) r
+           |  CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+           |  CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c)
+           |SELECT rater, obs_k, true_c,
+           |  CAST(CASE ${(for { r <- rs; k <- ks; c <- cs } yield
+              s"WHEN rater = $r AND obs_k = $k AND true_c = $c " +
+                s"THEN pi_r${r}k${k}c$c").mkString(" ")}
+           |    END AS BIGINT) AS pi_milli,
+           |  CAST(CASE true_c WHEN 0 THEN prior0 WHEN 1 THEN prior1
+           |    ELSE prior2 END AS BIGINT) AS prior_milli,
+           |  nd AS n_docs
+           |FROM grid CROSS JOIN m2
+           |ORDER BY rater, obs_k, true_c""".stripMargin
+      }),
+
+    // ---- PSI drift between deployment windows --------------------------------
+    // The population-stability index — the standard "did the input
+    // distribution move" gate between a reference window and a live
+    // window: PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over fixed value
+    // buckets, with add-1 smoothing so an empty bucket cannot produce
+    // ln(0). Bucketing is on exact integer cents against FIXED
+    // boundaries (a quantile bucketing would entangle the two windows);
+    // the whole statistic is one scan -> two-sided conditional agg by
+    // bucket -> 8-row frame, so at 100 TB it costs one pass and a
+    // constant-size reduce, and the streaming twin can maintain the
+    // same counts incrementally. Convention: PSI < 0.1 stable, > 0.25
+    // action — the psi_r4 column is directly comparable to those gates.
+    "q330_psi_drift" -> QueryDef(
+      (s, dir) => psiFromCounts(psiBucketCounts(table(s, dir, "events")))
+        .orderBy("bucket"),
+      Some("""WITH ev AS (SELECT date_part('day', ts) AS dom,
+             |    CAST(floor(value * 100) AS BIGINT) AS vc
+             |  FROM events),
+             |eb AS (SELECT CASE WHEN vc < 200 THEN 0 WHEN vc < 500 THEN 1
+             |    WHEN vc < 1000 THEN 2 WHEN vc < 2000 THEN 3
+             |    WHEN vc < 5000 THEN 4 WHEN vc < 10000 THEN 5
+             |    WHEN vc < 20000 THEN 6 ELSE 7 END AS bucket, dom
+             |  FROM ev),
+             |cn AS (SELECT bucket,
+             |    CAST(sum(CASE WHEN dom <= 15 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c_early,
+             |    CAST(sum(CASE WHEN dom > 15 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c_late
+             |  FROM eb GROUP BY 1),
+             |bk AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bucket),
+             |fl AS (SELECT bk.bucket,
+             |    coalesce(cn.c_early, 0) AS c_early,
+             |    coalesce(cn.c_late, 0) AS c_late
+             |  FROM bk LEFT JOIN cn USING (bucket)),
+             |tt AS (SELECT CAST(sum(c_early + 1) AS BIGINT) AS te,
+             |    CAST(sum(c_late + 1) AS BIGINT) AS tl FROM fl),
+             |tm AS (SELECT bucket, c_early, c_late,
+             |    ((c_early + 1) * 1.0 / te - (c_late + 1) * 1.0 / tl)
+             |      * ln(((c_early + 1) * 1.0 / te)
+             |        / ((c_late + 1) * 1.0 / tl)) AS term
+             |  FROM fl CROSS JOIN tt)
+             |SELECT bucket, c_early, c_late,
+             |  round(term, 6) AS term_r6,
+             |  round(sum(term) OVER (), 4) AS psi_r4
+             |FROM tm ORDER BY bucket""".stripMargin)),
+
+    // ---- multiplicative-weights domain reweighting ---------------------------
+    // The hedge/DoReMi-style mixture update: sources whose documents
+    // fail a quality proxy at a higher rate get UP-weighted so the next
+    // training round spends more of its budget where the model (here, a
+    // fixed screen) struggles — three unrolled update rounds, exact
+    // integer milli arithmetic. The ONLY corpus-scale stage is the ONE
+    // groupBy computing per-source loss rates; the weight recursion
+    // runs on the k=|sources| row frame (scalar normalization folded in
+    // via window-over-() so each round references its predecessor
+    // exactly once — the q296 CTE discipline).
+    "q334_multiplicative_weights" -> QueryDef(
+      (s, dir) => {
+        val loss = tableParallel(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") < 215, 1L).otherwise(0L))
+              .as("n_low"))
+          .withColumn("loss_bp", expr("n_low * 10000 DIV n"))
+        // w0 = 1000; round: raw = w * (1000 + loss_bp DIV 20) DIV 1000,
+        // then renormalize to sum k*1000 (floor division both engines)
+        def roundStep(d: org.apache.spark.sql.DataFrame, i: Int)
+            : org.apache.spark.sql.DataFrame =
+          d.withColumn("raw", expr(
+              s"w${i - 1} * (1000 + loss_bp DIV 20) DIV 1000"))
+            .withColumn("wsum",
+              sum("raw").over(Window.partitionBy()))
+            .withColumn("ksrc",
+              count(lit(1)).over(Window.partitionBy()))
+            .withColumn(s"w$i",
+              expr("raw * ksrc * 1000 DIV wsum"))
+            .drop("raw", "wsum", "ksrc")
+        val w0 = loss.withColumn("w0", lit(1000L))
+        val w3 = (1 to 3).foldLeft(w0)(roundStep)
+        w3.select("source", "n", "loss_bp", "w1", "w2", "w3")
+          .orderBy("source")
+      },
+      Some("""WITH ls AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN n_chars < 215 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_low
+             |  FROM documents GROUP BY 1),
+             |l0 AS (SELECT source, n, n_low * 10000 // n AS loss_bp,
+             |    CAST(1000 AS BIGINT) AS w0 FROM ls),
+             |r1 AS (SELECT source, n, loss_bp,
+             |    (w0 * (1000 + loss_bp // 20) // 1000)
+             |      * count(*) OVER () * 1000
+             |      // sum(w0 * (1000 + loss_bp // 20) // 1000) OVER ()
+             |      AS w1
+             |  FROM l0),
+             |r2 AS (SELECT source, n, loss_bp,  w1,
+             |    (w1 * (1000 + loss_bp // 20) // 1000)
+             |      * count(*) OVER () * 1000
+             |      // sum(w1 * (1000 + loss_bp // 20) // 1000) OVER ()
+             |      AS w2
+             |  FROM r1),
+             |r3 AS (SELECT source, n, loss_bp, w1, w2,
+             |    (w2 * (1000 + loss_bp // 20) // 1000)
+             |      * count(*) OVER () * 1000
+             |      // sum(w2 * (1000 + loss_bp // 20) // 1000) OVER ()
+             |      AS w3
+             |  FROM r2)
+             |SELECT source, n, CAST(loss_bp AS BIGINT) AS loss_bp,
+             |  CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+             |  CAST(w3 AS BIGINT) AS w3
+             |FROM r3 ORDER BY source""".stripMargin)),
   )
 }

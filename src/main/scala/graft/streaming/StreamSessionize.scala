@@ -453,6 +453,18 @@ object StreamSessionize {
   def driftCountsStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.bucketCounts(docs)
 
+  /** Streaming PSI bucket counts — the incremental twin of batch q330:
+    * the SAME fixed-boundary integer-cent bucketing and early/late
+    * conditional counts (`TrainingQueries.psiBucketCounts`), maintained
+    * as a state-finite streaming aggregation (8 groups, complete mode).
+    * The PSI projection (`psiFromCounts`) runs on the CONVERGED counts
+    * frame — same composition rule as the drift monitor: the counts ARE
+    * the dashboard state; the smoothed ln terms are a stateless
+    * projection over 8 rows. Parity gate twenty-eight.
+    */
+  def psiCountsStream(events: DataFrame): DataFrame =
+    graft.queries.TrainingQueries.psiBucketCounts(events)
+
   /** Stream-static enrichment: each micro-batch joined to a STATIC
     * dimension frame (Structured Streaming re-resolves the static side
     * per batch; broadcast keeps it a map-side hash join — the standard

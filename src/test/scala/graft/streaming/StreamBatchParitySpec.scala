@@ -1337,4 +1337,38 @@ class StreamBatchParitySpec extends AnyFunSuite {
         distinctBy(part) > counters.size })
     }
   }
+
+  test("file-replay psiCountsStream + psiFromCounts == batch q330 PSI " +
+      "(state-finite 8-bucket drift gate, complete mode)") {
+    failAfter(Span(300, Seconds)) {
+      val dir = Files.createTempDirectory("psi_replay_").toString
+      val ckpt = Files.createTempDirectory("psi_ckpt_").toString
+      val events = Tables.table(spark, sf, "events")
+      events.repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+      val q = psiCountsStream(stream)
+        .writeStream.format("memory").queryName("psi_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      def rows(counts: org.apache.spark.sql.DataFrame) =
+        graft.queries.TrainingQueries.psiFromCounts(counts)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+      val streamed = rows(spark.table("psi_replay"))
+      val batch = rows(
+        graft.queries.TrainingQueries.psiBucketCounts(events))
+      assert(streamed === batch)
+      // teeth: multiple populated buckets on both halves, and the gate
+      // measures a REAL (finite, non-NaN) index
+      assert(streamed.count(t => t._2 > 0 && t._3 > 0) > 3)
+      assert(streamed.forall(t => !t._5.isNaN))
+    }
+  }
 }
