@@ -6103,6 +6103,356 @@ object TextQueries {
               |  round(sum(ln(c * 1.0 / c_k1)) / count(*), 4) AS hill,
               |  round(count(*) / sum(ln(c * 1.0 / c_k1)), 4) AS alpha_hat
               |FROM top CROSS JOIN k1 WHERE rk <= 16""".stripMargin)),
+
+    // ---- PMI collocations ----------------------------------------------------
+    // Pointwise mutual information over adjacent token bigrams — the
+    // classic collocation miner (phrases worth treating as units in a
+    // tokenizer/vocab build). PMI = ln(c_xy * Nt^2 / (Nb * c_x * c_y))
+    // with a min-support cut so rare-pair noise (PMI's known failure
+    // mode) can't top the list. Plan: ONE fused explode emits bigram
+    // positions, unigram counts come from the same token frame, and the
+    // join back to unigram counts is bigram-vocab-sized — never a
+    // corpus-row join. Reported as the exact-integer LIFT
+    // (lift_micro = c_xy*Nt^2*1e6 / (Nb*c_x*c_y), PMI = ln(lift)):
+    // ln is strictly monotone, so the ranking is identical, and the
+    // integer lift cannot hit the floor(ln)-straddles-an-integer ulp
+    // divergence between the two engines' libm (observed: 421446 vs
+    // 421445 micro on this very fixture).
+    "q336_pmi_collocations" -> QueryDef(
+      (s, dir) => {
+        val toks = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) > 0))
+        val uni = toks.select(explode(col("ws")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val nt = uni.agg(sum("c").as("nt"))
+        val bi = toks.select(explode(expr(
+            """transform(sequence(1, size(ws) - 1), i ->
+              |  named_struct('x', ws[i - 1], 'y', ws[i]))"""
+              .stripMargin)).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        val nb = bi.agg(sum("c_xy").as("nb"))
+        bi.filter(col("c_xy") >= 5)
+          .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+          .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+          .join(broadcast(nt)).join(broadcast(nb))
+          .withColumn("lift_micro", expr(
+            "CAST(CAST(c_xy AS DECIMAL(38,0)) * nt * nt * 1000000 " +
+              "DIV (CAST(nb AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)"))
+          .select("x", "y", "c_xy", "c_x", "c_y", "lift_micro")
+          .orderBy(desc("lift_micro"), col("x"), col("y"))
+          .limit(20)
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, $duckToks AS ws
+              |  FROM documents),
+              |wf AS (SELECT * FROM ws WHERE len(ws) > 0),
+              |uni AS (SELECT unnest(ws) AS t FROM wf),
+              |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni
+              |  GROUP BY 1),
+              |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc),
+              |bi AS (SELECT u.b.x AS x, u.b.y AS y
+              |  FROM wf, unnest(list_transform(range(2, len(ws) + 1),
+              |    i -> struct_pack(x := ws[i - 1], y := ws[i])))
+              |    AS u(b)),
+              |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+              |  FROM bi GROUP BY 1, 2),
+              |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM bc)
+              |SELECT bc.x, bc.y, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+              |  CAST(CAST(bc.c_xy AS HUGEINT) * nt.nt * nt.nt * 1000000
+              |    // (CAST(nb.nb AS HUGEINT) * ux.c * uy.c) AS BIGINT)
+              |    AS lift_micro
+              |FROM bc JOIN uc ux ON ux.t = bc.x
+              |JOIN uc uy ON uy.t = bc.y
+              |CROSS JOIN nt CROSS JOIN nb
+              |WHERE bc.c_xy >= 5
+              |ORDER BY lift_micro DESC, x, y LIMIT 20""".stripMargin)),
+
+    // ---- in-batch negative collision audit ------------------------------------
+    // Contrastive training treats other in-batch items as negatives; a
+    // near-duplicate landing in the SAME batch becomes a false negative
+    // that actively fights the objective. This audits hash-assigned
+    // batching (doc_id md5 mod 64) against the LSH near-dup pair set:
+    // observed same-batch collisions vs the n_pairs/64 a collision-
+    // oblivious batcher expects. Plan: the pair set is the bounded q41
+    // candidate generator; batch assignment is a map-side hash; the
+    // audit is one scalar aggregate. At 100 TB the fix this audit
+    // motivates — dedup-aware batch assignment — reuses the same pair
+    // artifact.
+    "q337_inbatch_collision_audit" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        MinhashBandKeys.register(s)
+        val hs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0))
+        val bands = Materialize(hs.select(col("doc_id"),
+            posexplode(MinhashBandKeys.of(col("hs"))))
+          .toDF("doc_id", "band_id", "key"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .distinct()
+        def batch(c: org.apache.spark.sql.Column) =
+          hash32(concat(lit("b|"), c.cast("string"))) % 64
+        cand
+          .withColumn("ba", batch(col("doc_a")))
+          .withColumn("bb", batch(col("doc_b")))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("ba") === col("bb"), 1L).otherwise(0L))
+              .as("n_collisions"))
+          .withColumn("expected_milli",
+            expr("n_pairs * 1000 DIV 64"))
+          .withColumn("excess_bp", expr(
+            "CASE WHEN n_pairs > 0 " +
+              "THEN n_collisions * 64 * 10000 DIV n_pairs " +
+              "ELSE 0 END"))
+          .select("n_pairs", "n_collisions", "expected_milli",
+            "excess_bp")
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bands = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |hss AS (SELECT * FROM
+           |          (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $minhashes FROM hss),
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.key = b.key
+           |    AND a.doc_id < b.doc_id),
+           |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(CASE WHEN
+           |        CAST(('0x' || substr(md5('b|' || doc_a), 1, 8))
+           |          AS BIGINT) % 64 =
+           |        CAST(('0x' || substr(md5('b|' || doc_b), 1, 8))
+           |          AS BIGINT) % 64
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions
+           |  FROM cand)
+           |SELECT n_pairs, n_collisions,
+           |  CAST(n_pairs * 1000 // 64 AS BIGINT) AS expected_milli,
+           |  CAST(CASE WHEN n_pairs > 0
+           |    THEN n_collisions * 64 * 10000 // n_pairs
+           |    ELSE 0 END AS BIGINT) AS excess_bp
+           |FROM ag""".stripMargin
+      }),
+
+    // ---- intra-document repetition -------------------------------------------
+    // q234's distinct-n measures repetition ACROSS a source; generation
+    // loops and boilerplate repeat WITHIN a document, which per-source
+    // ratios dilute away. Per-doc repeated-trigram rate
+    // (positions - distinct) / positions, aggregated per source (mass-
+    // weighted mean + worst doc). Pure map-side per-doc arithmetic from
+    // the one token projection, then a source-sized groupBy.
+    "q338_intradoc_repetition" -> QueryDef(
+      (s, dir) => {
+        val perDoc = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            tokens(col("text")).as("ws"))
+          .withColumn("n3",
+            greatest(size(col("ws")) - 2, lit(0)).cast("long"))
+          .filter(col("n3") > 0)
+          .withColumn("d3", size(graft.functions.TextOps
+            .shingles3(col("ws"))).cast("long"))
+          .withColumn("rep_bp", expr("(n3 - d3) * 10000 DIV n3"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n3").as("tri_positions"),
+            sum(expr("n3 - d3")).as("repeated_positions"),
+            max("rep_bp").as("max_rep_bp"))
+          .withColumn("avg_rep_bp", expr(
+            "repeated_positions * 10000 DIV tri_positions"))
+          .select("source", "n_docs", "tri_positions",
+            "repeated_positions", "avg_rep_bp", "max_rep_bp")
+          .orderBy("source")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, source, $duckToks AS ws
+              |  FROM documents),
+              |pd AS (SELECT doc_id, source,
+              |    CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n3,
+              |    CAST(len($duckShingles) AS BIGINT) AS d3
+              |  FROM ws),
+              |pf AS (SELECT *, (n3 - d3) * 10000 // n3 AS rep_bp
+              |  FROM pd WHERE n3 > 0)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n3) AS BIGINT) AS tri_positions,
+              |  CAST(sum(n3 - d3) AS BIGINT) AS repeated_positions,
+              |  CAST(sum(n3 - d3) * 10000 // sum(n3) AS BIGINT)
+              |    AS avg_rep_bp,
+              |  CAST(max(rep_bp) AS BIGINT) AS max_rep_bp
+              |FROM pf GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- incremental dedup against a standing index ---------------------------
+    // Production dedup is INCREMENTAL: yesterday's corpus is already
+    // signed and indexed; today's batch must dedup against it without
+    // recomputing a single old signature. Fixture: even doc_ids are the
+    // standing index, odd doc_ids the incoming batch. Candidates come
+    // from ONE equi-join of new band keys against the old band index
+    // (the artifact a real pipeline persists — same staging verb as the
+    // co-purchase mirror); exact Jaccard on the two bounded per-doc
+    // shingle sets confirms, >= 80% flags. Incremental cost is
+    // O(new batch), never O(corpus).
+    "q340_incremental_dedup_index" -> QueryDef(
+      (s, dir) => {
+        ShingleHashes.register(s)
+        MinhashBandKeys.register(s)
+        val hs = Materialize(tableParallel(s, dir, "documents")
+          .select(col("doc_id"),
+            ShingleHashes.of(tokens(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0))
+        val bands = Materialize(hs.select(col("doc_id"),
+            posexplode(MinhashBandKeys.of(col("hs"))))
+          .toDF("doc_id", "band_id", "key"))
+        val oldIdx = bands.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("old_doc"), col("band_id"),
+            col("key"))
+        val newBands = bands.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("new_doc"), col("band_id"),
+            col("key"))
+        val cand = newBands.join(oldIdx, Seq("band_id", "key"))
+          .select("new_doc", "old_doc").distinct()
+        val scored = cand
+          .join(hs.select(col("doc_id").as("new_doc"),
+            col("hs").as("hn")), "new_doc")
+          .join(hs.select(col("doc_id").as("old_doc"),
+            col("hs").as("ho")), "old_doc")
+          .withColumn("n_inter",
+            size(array_intersect(col("hn"), col("ho"))).cast("long"))
+          .withColumn("n_union",
+            (size(col("hn")) + size(col("ho"))).cast("long") -
+              col("n_inter"))
+          .withColumn("jacc_bp", expr("n_inter * 10000 DIV n_union"))
+          .filter(col("jacc_bp") >= 8000)
+        scored
+          .withColumn("rn", row_number().over(Window
+            .partitionBy("new_doc")
+            .orderBy(desc("jacc_bp"), asc("old_doc"))))
+          .filter(col("rn") === 1)
+          .select("new_doc", "old_doc", "n_inter", "n_union", "jacc_bp")
+          .orderBy("new_doc")
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP)) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bands = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""WITH ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |hss AS (SELECT * FROM
+           |          (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $minhashes FROM hss),
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT n.doc_id AS new_doc,
+           |    o.doc_id AS old_doc
+           |  FROM bands n JOIN bands o
+           |    ON n.band_id = o.band_id AND n.key = o.key
+           |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+           |sc AS (SELECT new_doc, old_doc,
+           |    CAST(len(list_intersect(hn.hs, ho.hs)) AS BIGINT)
+           |      AS n_inter,
+           |    CAST(len(hn.hs) + len(ho.hs)
+           |      - len(list_intersect(hn.hs, ho.hs)) AS BIGINT)
+           |      AS n_union
+           |  FROM cand
+           |  JOIN hss hn ON hn.doc_id = new_doc
+           |  JOIN hss ho ON ho.doc_id = old_doc),
+           |fl AS (SELECT *, n_inter * 10000 // n_union AS jacc_bp
+           |  FROM sc WHERE n_inter * 10000 // n_union >= 8000),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY new_doc
+           |    ORDER BY jacc_bp DESC, old_doc) AS rn FROM fl)
+           |SELECT new_doc, old_doc, n_inter, n_union,
+           |  CAST(jacc_bp AS BIGINT) AS jacc_bp
+           |FROM rk WHERE rn = 1 ORDER BY new_doc""".stripMargin
+      }),
+
+    // ---- training-chunk windowing accounting -----------------------------------
+    // The doc -> fixed-context training-chunk splitter every LM
+    // pipeline runs before packing: windows of 32 tokens at stride 24
+    // (8-token overlap for boundary context; the synthetic docs are
+    // 10-500 tokens — real pipelines use 2048/1536, same arithmetic),
+    // tail windows shorter than 8 tokens dropped unless they are the
+    // document's only window. This audits the split per source: how many chunks, how
+    // much token mass the overlap duplicates (overhead_bp — directly a
+    // storage/compute multiplier at 100 TB), and how many tails the
+    // minimum-length rule drops. Plan: window starts are a per-doc
+    // sequence explode (fan-out n/stride, bounded by doc length), then
+    // one source-sized groupBy — no joins, no corpus-scale shuffle.
+    "q339_chunk_windows" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n"))
+          .filter(col("n") > 0)
+        val chunks = docs
+          .select(col("doc_id"), col("source"), col("n"),
+            explode(expr(
+              "sequence(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))"))
+              .as("start"))
+          .withColumn("chunk_len", least(lit(32L), col("n") - col("start")))
+          .withColumn("kept",
+            col("chunk_len") >= 8L || col("start") === 0L)
+        // doc-level totals ride the start=0 row (every doc has exactly
+        // one), so the whole audit is ONE aggregation pass — no join
+        chunks.groupBy("source")
+          .agg(sum(when(col("start") === 0L, 1L).otherwise(0L))
+              .as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_chunks"),
+            sum(when(!col("kept"), 1L).otherwise(0L))
+              .as("n_tails_dropped"),
+            sum(when(col("kept"), col("chunk_len")).otherwise(0L))
+              .as("chunk_tokens"),
+            sum(when(col("start") === 0L, col("n")).otherwise(0L))
+              .as("doc_tokens"))
+          .withColumn("overhead_bp", expr(
+            "(chunk_tokens - doc_tokens) * 10000 DIV doc_tokens"))
+          .select("source", "n_docs", "n_chunks", "n_tails_dropped",
+            "doc_tokens", "chunk_tokens", "overhead_bp")
+          .orderBy("source")
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, source,
+              |    CAST(len($duckToks) AS BIGINT) AS n
+              |  FROM documents),
+              |docs AS (SELECT * FROM ws WHERE n > 0),
+              |ch AS (SELECT doc_id, source, n,
+              |    CAST(u.st AS BIGINT) AS start,
+              |    least(32, n - CAST(u.st AS BIGINT)) AS chunk_len
+              |  FROM docs, unnest(range(0, n, 24)) AS u(st)),
+              |ck AS (SELECT *, (chunk_len >= 8 OR start = 0) AS kept
+              |  FROM ch),
+              |ag AS (SELECT source,
+              |    CAST(sum(CASE WHEN start = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_docs,
+              |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_chunks,
+              |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+              |      AS n_tails_dropped,
+              |    CAST(sum(CASE WHEN kept THEN chunk_len ELSE 0 END)
+              |      AS BIGINT) AS chunk_tokens,
+              |    CAST(sum(CASE WHEN start = 0 THEN n ELSE 0 END)
+              |      AS BIGINT) AS doc_tokens
+              |  FROM ck GROUP BY 1)
+              |SELECT source, n_docs, n_chunks, n_tails_dropped,
+              |  doc_tokens, chunk_tokens,
+              |  CAST((chunk_tokens - doc_tokens) * 10000 // doc_tokens
+              |    AS BIGINT) AS overhead_bp
+              |FROM ag
+              |ORDER BY source""".stripMargin)),
   )
 
   /** Fixed-point micro-unit power base^e for e ∈ {1,2,4,8,16} by repeated

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+import graft.Tables.table
+
+/** Independent cross-checks for the wave-8 pipeline operators: q336 PMI
+  * collocations, q337 in-batch collision audit, q338 intra-doc
+  * repetition, q339 chunk windowing, q340 incremental dedup — each
+  * replayed in plain Scala folds over the raw rows.
+  */
+class PipelineAuditSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  private def hash32(x: String): Long =
+    java.lang.Long.parseLong(md5hex(x).take(8), 16)
+  private def toks(text: String): Array[String] = {
+    val t = text.toLowerCase.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+  private def shingleHashes(ws: Array[String]): Set[Long] =
+    if (ws.length < 3) Set.empty
+    else (0 until ws.length - 2)
+      .map(i => hash32(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).toSet
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    table(spark, sf, "documents")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("q336: PMI collocations replay from a Scala bigram fold") {
+    val tokLists = docs.map(d => toks(d._3)).filter(_.nonEmpty)
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+    tokLists.foreach { ws =>
+      ws.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      ws.sliding(2).filter(_.length == 2)
+        .foreach(p => bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val nt = BigInt(uni.values.sum)
+    val nb = BigInt(bi.values.sum)
+    def liftMicro(x: String, y: String, cxy: Long): Long =
+      (BigInt(cxy) * nt * nt * 1000000 /
+        (nb * uni(x) * uni(y))).toLong
+    val expected = bi.toSeq.filter(_._2 >= 5)
+      .map { case ((x, y), c) => (x, y, c, liftMicro(x, y, c)) }
+      .sortBy { case (x, y, _, p) => (-p, x, y) }.take(20)
+    val rows = run("q336_pmi_collocations").collect()
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, (x, y, c, p)) =>
+      assert(r.getAs[String]("x") === x)
+      assert(r.getAs[String]("y") === y)
+      assert(r.getAs[Long]("c_xy") === c)
+      assert(r.getAs[Long]("lift_micro") === p)
+    }
+    // teeth: the top collocation is genuinely associated
+    // (lift > 1, i.e. PMI = ln(lift) > 0)
+    assert(rows.head.getAs[Long]("lift_micro") > 1000000L)
+  }
+
+  test("q337: collision audit is consistent with the q41 pair set and " +
+      "the md5 batch assignment") {
+    val pairs = run("q41_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def batch(id: Long): Long = hash32(s"b|$id") % 64
+    val nColl = pairs.count { case (a, b) => batch(a) == batch(b) }
+    val row = run("q337_inbatch_collision_audit").collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(row(0).getAs[Long]("n_collisions") === nColl.toLong)
+    assert(row(0).getAs[Long]("expected_milli") ===
+      pairs.length.toLong * 1000 / 64)
+    assert(pairs.nonEmpty)
+  }
+
+  test("q338: intra-doc repetition replays from Scala trigram sets") {
+    val bySrc = docs.groupBy(_._2)
+    val rows = run("q338_intradoc_repetition").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val stats = bySrc(src).map { case (_, _, text) =>
+        val ws = toks(text)
+        val n3 = math.max(ws.length - 2, 0).toLong
+        val d3 = if (n3 == 0) 0L
+          else (0 until ws.length - 2)
+            .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+            .distinct.size.toLong
+        (n3, d3)
+      }.filter(_._1 > 0)
+      assert(r.getAs[Long]("n_docs") === stats.size.toLong)
+      val tot3 = stats.map(_._1).sum
+      val rep = stats.map(t => t._1 - t._2).sum
+      assert(r.getAs[Long]("tri_positions") === tot3)
+      assert(r.getAs[Long]("repeated_positions") === rep)
+      assert(r.getAs[Long]("avg_rep_bp") === rep * 10000 / tot3)
+      assert(r.getAs[Long]("max_rep_bp") ===
+        stats.map(t => (t._1 - t._2) * 10000 / t._1).max)
+    }
+    // teeth: the corpus has SOME intra-doc repetition to measure
+    assert(rows.map(_.getAs[Long]("max_rep_bp")).max > 0)
+  }
+
+  test("q339: chunk accounting replays from Scala window arithmetic") {
+    val rows = run("q339_chunk_windows").collect()
+    val bySrc = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ns = bySrc(src).map(d => toks(d._3).length.toLong)
+        .filter(_ > 0)
+      var (chunks, tails, ctoks) = (0L, 0L, 0L)
+      ns.foreach { n =>
+        (0L until n by 24L).foreach { start =>
+          val len = math.min(32L, n - start)
+          if (len >= 8 || start == 0) { chunks += 1; ctoks += len }
+          else tails += 1
+        }
+      }
+      assert(r.getAs[Long]("n_docs") === ns.size.toLong)
+      assert(r.getAs[Long]("n_chunks") === chunks)
+      assert(r.getAs[Long]("n_tails_dropped") === tails)
+      assert(r.getAs[Long]("chunk_tokens") === ctoks)
+      assert(r.getAs[Long]("doc_tokens") === ns.sum)
+      assert(r.getAs[Long]("overhead_bp") ===
+        (ctoks - ns.sum) * 10000 / ns.sum)
+    }
+    // teeth: overlap duplication is real (stride < size)
+    assert(rows.exists(_.getAs[Long]("overhead_bp") > 0))
+  }
+
+  test("q340: every reported incremental-dedup match is a true >= 80% " +
+      "Jaccard pair, best-per-new-doc, and none is fabricated") {
+    val sets = docs.map(d => d._1 -> shingleHashes(toks(d._3)))
+      .filter(_._2.nonEmpty).toMap
+    def jaccBp(a: Set[Long], b: Set[Long]): Long = {
+      val i = (a & b).size.toLong
+      i * 10000 / (a.size + b.size - i)
+    }
+    val rows = run("q340_incremental_dedup_index").collect()
+    assert(rows.nonEmpty, "fixture has no cross-parity duplicates")
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("new_doc"); val od = r.getAs[Long]("old_doc")
+      assert(nd % 2 === 1L); assert(od % 2 === 0L)
+      val j = jaccBp(sets(nd), sets(od))
+      assert(r.getAs[Long]("jacc_bp") === j)
+      assert(j >= 8000L)
+      // best-per-new-doc against the FULL old corpus (not just LSH
+      // candidates): nothing strictly better was skipped
+      val best = sets.keys.filter(_ % 2 == 0)
+        .map(o => (jaccBp(sets(nd), sets(o)), -o))
+        .max
+      assert(best._1 === j,
+        s"new_doc $nd: a better old match (jacc ${best._1}) was missed")
+    }
+  }
+}
