@@ -35,6 +35,11 @@ class PipelineAuditSpec extends AnyFunSuite {
       .selectExpr("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
+  private lazy val langOf: Map[Long, String] =
+    table(spark, sf, "documents")
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
   test("q336: PMI collocations replay from a Scala bigram fold") {
     val tokLists = docs.map(d => toks(d._3)).filter(_.nonEmpty)
     val uni = scala.collection.mutable.Map[String, Long]()
@@ -158,5 +163,86 @@ class PipelineAuditSpec extends AnyFunSuite {
       assert(best._1 === j,
         s"new_doc $nd: a better old match (jacc ${best._1}) was missed")
     }
+  }
+
+  test("q341: Theil's U replays from a Scala contingency fold") {
+    val cells = docs.groupBy(d => (d._2, langOf(d._1)))
+      .map { case (k, v) => k -> v.size.toLong }
+    val n = cells.values.sum.toDouble
+    val bySrc = cells.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.values.sum }
+    val byLang = cells.groupBy(_._1._2).map { case (k, v) =>
+      k -> v.values.sum }
+    val mi = cells.map { case ((src, lg), c) =>
+      (c / n) * math.log(c * n / (bySrc(src).toDouble * byLang(lg)))
+    }.sum
+    val hS = bySrc.values.map(c => -(c / n) * math.log(c / n)).sum
+    val hL = byLang.values.map(c => -(c / n) * math.log(c / n)).sum
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = run("q341_theil_u").collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Long]("n_cells") === cells.size.toLong)
+    assert(math.abs(row(0).getAs[Double]("mi_nats") - r4(mi)) < 1e-9)
+    assert(math.abs(row(0).getAs[Double]("u_lang_given_source")
+      - r4(mi / hL)) < 1e-9)
+    assert(math.abs(row(0).getAs[Double]("u_source_given_lang")
+      - r4(mi / hS)) < 1e-9)
+    // teeth: some real (nonzero) coupling exists in the fixture
+    assert(row(0).getAs[Double]("mi_nats") > 0.0)
+  }
+
+  test("q342: the count-embedding Perron vector replays from a BigInt " +
+      "matrix fold and is non-degenerate") {
+    val tokLists = docs.map(d => toks(d._3)).filter(_.nonEmpty)
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+    tokLists.foreach { ws =>
+      ws.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      ws.sliding(2).filter(_.length == 2)
+        .foreach(p => bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val nt = BigInt(uni.values.sum)
+    val nb = BigInt(bi.values.sum)
+    val sym = scala.collection.mutable.Map[(String, String), Long]()
+    bi.foreach { case ((x, y), c) =>
+      sym((x, y)) = sym.getOrElse((x, y), 0L) + c
+      sym((y, x)) = sym.getOrElse((y, x), 0L) + c
+    }
+    val w = sym.toSeq.collect { case ((x, y), cm) if cm >= 5 =>
+      val lift = BigInt(cm) * nt * nt * 1000000 /
+        (2 * nb * uni(x) * uni(y))
+      // zero-weight cells KEPT: they still create a group key (a v row
+      // of 0) on the SQL side, and the replay must match row-for-row
+      (x, y) -> (lift - 1000000).max(BigInt(0))
+    }.toMap
+    var v: Map[String, BigInt] =
+      uni.keys.map(_ -> BigInt(1000)).toMap
+    (1 to 3).foreach { _ =>
+      val mv = w.toSeq.groupBy(_._1._1).map { case (x, es) =>
+        x -> es.map { case ((_, y), wv) =>
+          wv * v.getOrElse(y, BigInt(0)) }.sum
+      }
+      val mx = mv.values.max.max(BigInt(1))
+      v = mv.map { case (t, x) => t -> x * 1000 / mx }
+    }
+    val rows = run("q342_count_embedding_power").collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("t")
+      assert(BigInt(r.getAs[Long]("loading_milli")) === v(t), s"tok $t")
+      assert(r.getAs[Long]("token_count") === uni(t))
+    }
+    // teeth, part 1: normalization held
+    assert(rows.map(_.getAs[Long]("loading_milli")).max === 1000L)
+    // teeth, part 2: at sf0.001 the one-hot answer IS correct (the only
+    // supported collocation cluster is the dup token), so the spectral
+    // spread is asserted at sf0.01 — the scale the driver verifies at —
+    // where the supported matrix covers the whole vocabulary
+    val ls01 = SparkEntry.queries("q342_count_embedding_power")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(_.getAs[Long]("loading_milli"))
+    assert(ls01.max === 1000L)
+    assert(ls01.count(_ > 500) > 3, "vector collapsed to a near-one-hot")
+    assert(ls01.distinct.length > 5, "vector is degenerate-flat")
   }
 }
