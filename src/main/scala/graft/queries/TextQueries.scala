@@ -6525,6 +6525,227 @@ object TextQueries {
              |SELECT v3.t, uc.c AS token_count, v3.v AS loading_milli
              |FROM v3 JOIN uc USING (t)
              |ORDER BY loading_milli DESC, t""".stripMargin)),
+    // ---- near-dup-aware split leakage audit ------------------------------------
+    // q201 audits USER-level splits; the dedup-era leak is finer: two
+    // near-duplicate documents landing on opposite sides of a
+    // train/eval split leak the training text into evaluation even
+    // though no key is shared. The fix every pipeline ships is
+    // CLUSTER-level assignment — hash the near-dup component's label,
+    // not the doc — and this audits both schemes side by side on the
+    // verified (Jaccard >= 80%) near-dup graph: doc-level md5 80/20
+    // leaks a measurable share of near-dup edges across the cut;
+    // cluster-level leaks exactly zero BY CONSTRUCTION (the column is
+    // in the output because the audit's job is to witness it). Edges
+    // come from the shared LSH mirror + exact-Jaccard confirm; the
+    // component labels from the same distributed min-label CC the dedup
+    // family uses. Costs: one candidate-set scan + CC on the bounded
+    // near-dup graph.
+    "q343_cluster_split_audit" -> QueryDef(
+      (s, dir) => {
+        val hs = Materialize(hsMirror(s, dir).select("doc_id", "hs"))
+        val edges = Materialize(candMirror(s, dir)
+          .join(hs.select(col("doc_id").as("doc_a"),
+            col("hs").as("ha")), "doc_a")
+          .join(hs.select(col("doc_id").as("doc_b"),
+            col("hs").as("hb")), "doc_b")
+          .withColumn("n_inter",
+            size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .withColumn("n_union",
+            (size(col("ha")) + size(col("hb"))).cast("long") -
+              col("n_inter"))
+          .filter(expr("n_inter * 10000 DIV n_union >= 8000"))
+          .select("doc_a", "doc_b"))
+        val comp = Materialize(graft.operators.ConnectedComponents
+          .minLabel(edges))
+        def evalSide(c: org.apache.spark.sql.Column) =
+          (hash32(concat(lit("sp|"), c.cast("string"))) % 10) >= 8
+        val docsSplit = comp
+          .withColumn("doc_eval", evalSide(col("doc")))
+          .withColumn("cluster_eval", evalSide(col("label")))
+        val byEdge = edges
+          .join(docsSplit.select(col("doc").as("doc_a"),
+            col("doc_eval").as("ea"), col("cluster_eval").as("ca")),
+            "doc_a")
+          .join(docsSplit.select(col("doc").as("doc_b"),
+            col("doc_eval").as("eb"), col("cluster_eval").as("cb")),
+            "doc_b")
+        val edgeAgg = byEdge.agg(
+          count(lit(1)).as("n_dup_edges"),
+          sum(when(col("ea") =!= col("eb"), 1L).otherwise(0L))
+            .as("leak_doc_split"),
+          sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L))
+            .as("leak_cluster_split"))
+        val docAgg = docsSplit.agg(
+          count(lit(1)).as("n_docs_clustered"),
+          countDistinct("label").as("n_clusters"),
+          sum(when(col("doc_eval"), 1L).otherwise(0L)).as("ev_doc"),
+          sum(when(col("cluster_eval"), 1L).otherwise(0L))
+            .as("ev_cluster"))
+        edgeAgg.join(broadcast(docAgg))
+          .select(col("n_dup_edges"), col("leak_doc_split"),
+            col("leak_cluster_split"),
+            col("n_docs_clustered"), col("n_clusters"),
+            expr("ev_doc * 10000 DIV n_docs_clustered")
+              .as("eval_bp_doc_split"),
+            expr("ev_cluster * 10000 DIV n_docs_clustered")
+              .as("eval_bp_cluster_split"))
+      },
+      Some {
+        val minhashes = (0 until 8).map { i =>
+          s"""list_min(list_transform(hs,
+             |   h -> (${minhashA(i)} * h + ${minhashB(i)}) % ${MinhashP})) AS m$i""".stripMargin
+        }.mkString(",\n ")
+        val bands = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band_id, m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""WITH RECURSIVE
+           |ws AS (SELECT doc_id, $duckToks AS ws FROM documents),
+           |hss AS (SELECT * FROM
+           |          (SELECT doc_id, $duckHs AS hs FROM ws)
+           |        WHERE len(hs) > 0),
+           |sig AS (SELECT doc_id, $minhashes FROM hss),
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.key = b.key
+           |    AND a.doc_id < b.doc_id),
+           |ed AS (SELECT doc_a, doc_b
+           |  FROM (SELECT doc_a, doc_b,
+           |      CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT)
+           |        AS n_inter,
+           |      CAST(len(ha.hs) + len(hb.hs)
+           |        - len(list_intersect(ha.hs, hb.hs)) AS BIGINT)
+           |        AS n_union
+           |    FROM cand
+           |    JOIN hss ha ON ha.doc_id = doc_a
+           |    JOIN hss hb ON hb.doc_id = doc_b)
+           |  WHERE n_inter * 10000 // n_union >= 8000),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+           |  UNION ALL SELECT doc_b, doc_a FROM ed),
+           |nodes AS (SELECT DISTINCT a AS node FROM sym),
+           |reach AS (SELECT node, node AS r FROM nodes
+           |  UNION
+           |  SELECT e.b AS node, reach.r FROM reach JOIN sym e
+           |    ON e.a = reach.node),
+           |comp AS (SELECT node AS doc, min(r) AS label FROM reach
+           |  GROUP BY 1),
+           |ds AS (SELECT doc, label,
+           |    CAST(('0x' || substr(md5('sp|' || doc), 1, 8)) AS BIGINT)
+           |      % 10 >= 8 AS doc_eval,
+           |    CAST(('0x' || substr(md5('sp|' || label), 1, 8))
+           |      AS BIGINT) % 10 >= 8 AS cluster_eval
+           |  FROM comp),
+           |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_edges,
+           |    CAST(sum(CASE WHEN da.doc_eval <> db.doc_eval
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS leak_doc_split,
+           |    CAST(sum(CASE WHEN da.cluster_eval <> db.cluster_eval
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS leak_cluster_split
+           |  FROM ed JOIN ds da ON da.doc = ed.doc_a
+           |  JOIN ds db ON db.doc = ed.doc_b),
+           |dg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_clustered,
+           |    CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
+           |    CAST(sum(CASE WHEN doc_eval THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ev_doc,
+           |    CAST(sum(CASE WHEN cluster_eval THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ev_cluster
+           |  FROM ds)
+           |SELECT n_dup_edges, leak_doc_split, leak_cluster_split,
+           |  n_docs_clustered, n_clusters,
+           |  CAST(ev_doc * 10000 // n_docs_clustered AS BIGINT)
+           |    AS eval_bp_doc_split,
+           |  CAST(ev_cluster * 10000 // n_docs_clustered AS BIGINT)
+           |    AS eval_bp_cluster_split
+           |FROM ea CROSS JOIN dg""".stripMargin
+      }),
+
+    // ---- exact Mann-Whitney AUC of the quality screen ---------------------------
+    // Does the q190 quality SCORE actually rank good documents above
+    // bad ones, independent of any threshold? AUC = U/(n1*n0) computed
+    // EXACTLY via tie-corrected rank sums — no sampling, no sort of the
+    // corpus: scores are grouped (distinct score values are few), the
+    // cumulative rank arithmetic runs on the bounded distinct-score
+    // frame, and ties contribute their exact average rank via the
+    // integer identity 2*avg_rank = 2*r_min + n_tie - 1. The reference
+    // label is the q233 gold rule. Products go DECIMAL(38)/HUGEINT (the
+    // rank sum is O(n^2) in the corpus size). AUC is also the
+    // Mann-Whitney test statistic, so this doubles as the screen's
+    // nonparametric significance audit. On THIS synthetic corpus the
+    // audit reports AUC ~ 0.04 — the score ANTI-ranks the gold rule,
+    // because the 31-token vocabulary makes the lexical-diversity term
+    // collapse for long documents while gold is essentially a length
+    // rule. That inversion is the point of the audit: a threshold
+    // comparison (q233's kappa) shows "weak agreement"; AUC shows the
+    // DIRECTION and magnitude of the disagreement.
+    "q344_quality_auc" -> QueryDef(
+      (s, dir) => {
+        val docs = tableParallel(s, dir, "documents")
+        val scored = qualityScored(docs)
+          .select(col("doc_id"), col("score"))
+        val gold = docs
+          .select(col("doc_id"), lower(trim(col("text"))).as("lt"))
+          .filter(length(col("lt")) > 0)
+          .withColumn("gold", when(
+            expr("length(regexp_replace(lt, '[^a-z]', '')) * 10000" +
+              " DIV length(lt)") >= 7000L && length(col("lt")) >= 200,
+            1L).otherwise(0L))
+          .select("doc_id", "gold")
+        val grouped = Materialize(scored.join(gold, "doc_id")
+          .groupBy("score")
+          .agg(count(lit(1)).as("n_tie"),
+            sum("gold").as("n_pos_tie")))
+        val w = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = grouped
+          .withColumn("cum", sum("n_tie").over(w))
+          .withColumn("r_min", col("cum") - col("n_tie") + 1)
+          // positives at this score contribute n_pos_tie * 2*avg_rank
+          .withColumn("contrib2", expr(
+            "CAST(n_pos_tie AS DECIMAL(38,0)) * " +
+              "(2 * r_min + n_tie - 1)"))
+        ranked.agg(
+            sum("contrib2").as("r1_x2"),
+            sum("n_pos_tie").as("n_pos"),
+            sum(expr("n_tie - n_pos_tie")).as("n_neg"))
+          .select(col("n_pos"), col("n_neg"),
+            col("r1_x2").cast("long").as("r1_x2"),
+            expr("CAST((r1_x2 - CAST(n_pos AS DECIMAL(38,0)) " +
+              "* (n_pos + 1)) * 1000000 " +
+              "DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+              "AS BIGINT)").as("auc_micro"))
+          .withColumn("gini_micro", expr("2 * auc_micro - 1000000"))
+      },
+      Some(s"""WITH $duckQualityCtes,
+              |gold AS (SELECT doc_id, CASE WHEN
+              |    length(regexp_replace(lower(trim(text)), '[^a-z]', '',
+              |      'g')) * 10000 // length(lower(trim(text))) >= 7000
+              |    AND length(lower(trim(text))) >= 200
+              |    THEN 1 ELSE 0 END AS gold
+              |  FROM documents WHERE length(lower(trim(text))) > 0),
+              |j AS (SELECT q.score, g.gold
+              |  FROM qsc q JOIN gold g ON q.doc_id = g.doc_id),
+              |grp AS (SELECT score, CAST(count(*) AS BIGINT) AS n_tie,
+              |    CAST(sum(gold) AS BIGINT) AS n_pos_tie
+              |  FROM j GROUP BY 1),
+              |rk AS (SELECT *,
+              |    sum(n_tie) OVER (ORDER BY score
+              |      ROWS UNBOUNDED PRECEDING) - n_tie + 1 AS r_min
+              |  FROM grp),
+              |ag AS (SELECT
+              |    sum(CAST(n_pos_tie AS HUGEINT)
+              |      * (2 * r_min + n_tie - 1)) AS r1_x2,
+              |    CAST(sum(n_pos_tie) AS BIGINT) AS n_pos,
+              |    CAST(sum(n_tie - n_pos_tie) AS BIGINT) AS n_neg
+              |  FROM rk)
+              |SELECT n_pos, n_neg, CAST(r1_x2 AS BIGINT) AS r1_x2,
+              |  CAST((r1_x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+              |    * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+              |    AS BIGINT) AS auc_micro,
+              |  CAST(2 * ((r1_x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+              |    * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg))
+              |    - 1000000 AS BIGINT) AS gini_micro
+              |FROM ag""".stripMargin)),
+
 
 
     // ---- training-chunk windowing accounting -----------------------------------

@@ -245,4 +245,89 @@ class PipelineAuditSpec extends AnyFunSuite {
     assert(ls01.count(_ > 500) > 3, "vector collapsed to a near-one-hot")
     assert(ls01.distinct.length > 5, "vector is degenerate-flat")
   }
+
+  test("q343: both split schemes replay from a Scala union-find, " +
+      "cluster-level leaks zero, doc-level leaks something real") {
+    val row = run("q343_cluster_split_audit").collect()
+    assert(row.length === 1)
+    val r = row(0)
+    assert(r.getAs[Long]("leak_cluster_split") === 0L)
+    // replay the component labeling over the REPORTED edge universe:
+    // recompute verified near-dup edges from shingle sets, union-find,
+    // min-label, then both split assignments
+    val sets = docs.map(d => d._1 -> shingleHashes(toks(d._3)))
+      .filter(_._2.nonEmpty).toMap
+    val ids = sets.keys.toSeq
+    val cand = for {
+      i <- ids; j <- ids if i < j
+      a = sets(i); b = sets(j)
+      inter = (a & b).size.toLong
+      if inter > 0 && inter * 10000 / (a.size + b.size - inter) >= 8000
+    } yield (i, j)
+    // the query's edges are the LSH-candidate subset of this full set;
+    // at >= 80% Jaccard the band recall is ~1 on this fixture, so the
+    // full set should match the reported edge count
+    assert(r.getAs[Long]("n_dup_edges") === cand.size.toLong,
+      "LSH missed a >=80% pair the full scan finds (or found extra)")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val rr = find(p); parent(x) = rr; rr }
+    }
+    cand.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val members = cand.flatMap(e => Seq(e._1, e._2)).distinct
+    val label = members.map(m => m -> find(m)).toMap
+    assert(r.getAs[Long]("n_docs_clustered") === members.size.toLong)
+    assert(r.getAs[Long]("n_clusters") ===
+      label.values.toSet.size.toLong)
+    def ev(x: Long) = hash32(s"sp|$x") % 10 >= 8
+    val leakDoc = cand.count { case (a, b) => ev(a) != ev(b) }
+    assert(r.getAs[Long]("leak_doc_split") === leakDoc.toLong)
+    assert(leakDoc > 0, "fixture has no doc-level leakage to witness")
+  }
+
+  test("q344: exact tie-corrected AUC replays from a Scala rank fold") {
+    val row = run("q344_quality_auc").collect()
+    assert(row.length === 1)
+    // replay via the O(n log n) definition: sort by score, average
+    // ranks over ties, U statistic; (score, gold) rebuilt directly from
+    // the production scorer to stay independent of the query's
+    // grouping arithmetic
+    val sg = graft.queries.TextQueries
+      .qualityScored(table(spark, sf, "documents"))
+      .selectExpr("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gold = docs.flatMap { case (id, _, text) =>
+      val lt = text.toLowerCase.trim
+      if (lt.isEmpty) None
+      else Some(id -> (lt.count(c => c >= 'a' && c <= 'z').toLong *
+        10000 / lt.length >= 7000 && lt.length >= 200))
+    }.toMap
+    val xs = sg.toSeq.filter(x => gold.contains(x._1))
+      .map { case (id, sc) => (sc, gold(id)) }
+    val sorted = xs.sortBy(_._1)
+    val n = sorted.size
+    // average ranks per tie group
+    var i = 0; var r1x2 = BigInt(0)
+    while (i < n) {
+      var j = i
+      while (j < n && sorted(j)._1 == sorted(i)._1) j += 1
+      val twiceAvg = BigInt(i + 1 + j) // 2*avg of ranks i+1..j
+      (i until j).foreach(k => if (sorted(k)._2) r1x2 += twiceAvg)
+      i = j
+    }
+    val nPos = xs.count(_._2).toLong
+    val nNeg = n - nPos
+    assert(row(0).getAs[Long]("n_pos") === nPos)
+    assert(row(0).getAs[Long]("n_neg") === nNeg.toLong)
+    assert(BigInt(row(0).getAs[Long]("r1_x2")) === r1x2)
+    val auc = (r1x2 - BigInt(nPos) * (nPos + 1)) * 1000000 /
+      (2 * BigInt(nPos) * nNeg)
+    assert(BigInt(row(0).getAs[Long]("auc_micro")) === auc)
+    // teeth: the audit detects a real (anti-)ranking, not AUC ~ 0.5
+    assert(math.abs(row(0).getAs[Long]("auc_micro") - 500000L) > 100000L)
+  }
 }
