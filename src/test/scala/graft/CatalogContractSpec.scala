@@ -36,23 +36,26 @@ class CatalogContractSpec extends AnyFunSuite {
 
   // The Σ df² tripwire: a shingle self-join over an UNCUT, UNBOUNDED
   // corpus-wide shingle table is quadratic in the hottest shingle's
-  // document frequency — the one shape that cannot survive 100 TB. Only
-  // the exact-semantics demos may build it: q43 (exact Jaccard is the
-  // point), q48/q166 (the CC twins must share q43's pair set verbatim),
-  // q73 (keeps hot keys deliberately and bounds fan-out by salting
-  // instead). Every other catalog query must either engage the
-  // stop-shingle df cut or push a bounding slice predicate below the
-  // join. Source-level so it catches the regression at `sbt test` time,
-  // before any plan is built.
-  test("no catalog query outside the whitelist builds an uncut corpus-wide shingle self-join") {
-    val whitelist = Set("q43_dedup_ngram_jaccard", "q48_dedup_clusters",
-      "q166_dedup_clusters_contraction", "q73_dedup_jaccard_salted")
+  // document frequency — the one shape that cannot survive 100 TB.
+  // Since the round-12 staging, the exact-semantics consumers
+  // (q43/q48/q73/q166) read the shared pair-mirror artifact instead of
+  // re-running the join, so the ONLY permitted uncut build site is the
+  // mirror build itself (`shPairsBase`, the `none` variant) — which
+  // bounds per-key fan-out by running through SkewTools.saltedJoin.
+  // Every catalog query that still calls jaccardPairs inline must
+  // either engage the stop-shingle df cut or push a bounding slice
+  // predicate below the join. Source-level so it catches the
+  // regression at `sbt test` time, before any plan is built.
+  test("no catalog query builds an uncut corpus-wide shingle self-join inline") {
     val queryFiles = new java.io.File("src/main/scala/graft/queries")
       .listFiles().filter(_.getName.endsWith(".scala"))
     val marker = """"(q\d+_[a-z0-9_]+)"\s*->\s*QueryDef\(""".r
-    val offenders = queryFiles.flatMap { f =>
+    def read(f: java.io.File): String = {
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      val text = try src.mkString finally src.close()
+      try src.mkString finally src.close()
+    }
+    val offenders = queryFiles.flatMap { f =>
+      val text = read(f)
       val starts = marker.findAllMatchIn(text).toVector
       starts.zipWithIndex.flatMap { case (m, i) =>
         val end = if (i + 1 < starts.size) starts(i + 1).start else text.length
@@ -63,14 +66,30 @@ class CatalogContractSpec extends AnyFunSuite {
         if (joinsShingles && !cutEngaged && !bounded) Some(m.group(1)) else None
       }
     }.toSet
-    val violations = offenders -- whitelist
-    assert(violations.isEmpty,
-      s"uncut corpus-wide shingle self-join outside the whitelist: $violations " +
-        "— thread stopShingleDf = Some(CorpusPipeline.DefaultStopShingleDf) " +
+    assert(offenders.isEmpty,
+      s"uncut corpus-wide shingle self-join outside the mirror build: $offenders " +
+        "— consume shPairsMirror, thread a stop-shingle df cut, " +
         "or bound the slice with filter(col(\"doc_id\") < K)")
-    // the whitelist itself must stay honest: every member still builds the
-    // uncut join (a member that no longer does should be removed)
-    assert(whitelist.subsetOf(offenders),
-      s"stale whitelist entries (no longer uncut): ${whitelist -- offenders}")
+    // the mirror build must stay honest: the uncut `none` variant exists
+    // exactly once and runs through the salted (skew-bounded) join
+    val textQueries = read(new java.io.File(
+      "src/main/scala/graft/queries/TextQueries.scala"))
+    assert(textQueries.contains("val salt = if (cut.isEmpty) Some(8) else None"),
+      "shPairsBase no longer salts the uncut mirror build — the Σ df² " +
+        "fan-out bound is gone")
+    // and the exact-semantics consumers still share the none-variant set
+    Seq("q43_dedup_ngram_jaccard", "q48_dedup_clusters",
+        "q166_dedup_clusters_contraction", "q73_dedup_jaccard_salted")
+      .foreach { q =>
+        val block = {
+          val m = marker.findAllMatchIn(textQueries).toVector
+          val idx = m.indexWhere(_.group(1) == q)
+          val end = if (idx + 1 < m.size) m(idx + 1).start
+                    else textQueries.length
+          textQueries.substring(m(idx).start, end)
+        }
+        assert(block.contains("shPairsMirror(s, dir, None"),
+          s"$q no longer consumes the shared uncut pair mirror")
+      }
   }
 }
