@@ -58,9 +58,21 @@ object CorpusPipeline {
     */
   val DefaultStopShingleDf = 1000L
 
-  /** Run the pipeline; returns (prepared corpus, stage → surviving docs). */
+  /** Run the pipeline; returns (prepared corpus, stage → surviving docs).
+    *
+    * @param shingleSource optional pre-staged exploded shingle table
+    *   (doc_id, sh) covering at least the input corpus — e.g. the text
+    *   family's shared hashed-shingle mirror. Shingles are a pure
+    *   per-document function of the text, so semi-joining the staged
+    *   table to the surviving doc_ids yields exactly the rows the
+    *   inline tokenize+shingle+explode would produce — one corpus text
+    *   scan is shared with the rest of the dedup family instead of
+    *   re-run inside the pipeline. None = derive inline (stand-alone
+    *   library use).
+    */
   def prepare(spark: SparkSession, docs: DataFrame,
-              cfg: PipelineConfig = PipelineConfig())
+              cfg: PipelineConfig = PipelineConfig(),
+              shingleSource: Option[DataFrame] = None)
       : (DataFrame, Seq[(String, Long)]) = {
     ShingleHashes.register(spark)
     val funnel = Seq.newBuilder[(String, Long)]
@@ -115,8 +127,13 @@ object CorpusPipeline {
 
     // 3. near-dup: shingle → jaccard pairs → components → keep min doc
     val sh = {
-      val base = exact.select(col("doc_id"),
-        explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+      val base = shingleSource match {
+        case Some(src) => src
+          .join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("sh"))
+        case None => exact.select(col("doc_id"),
+          explode(ShingleHashes.of(tokens(col("text")))).as("sh"))
+      }
       // materialize BEFORE the cut so the shingle explode runs once even
       // though the df aggregation and anti-join both consume it
       cfg.stopShingleDf match {

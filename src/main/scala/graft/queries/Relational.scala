@@ -2349,10 +2349,15 @@ object Relational {
         // each round's frame is lineage-cut; the score frames are
         // O(|V|)-bounded, so the eager checkpoint is cheap
         def normalized(df: DataFrame, c: String): DataFrame = {
-          val mx = df.agg(max(col(c)).as("mx"))
-          graft.operators.Materialize.checkpointed(
-            df.crossJoin(broadcast(mx))
-              .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx"))
+          // checkpoint the RAW scores first, then aggregate the max over
+          // the checkpointed rows: the old order (max over the lazy df,
+          // then an eager checkpoint of the same df) executed each
+          // round's join+aggregation TWICE — once for the max job, once
+          // for the checkpoint
+          val m = graft.operators.Materialize.checkpointed(df)
+          val mx = m.agg(max(col(c)).as("mx"))
+          m.crossJoin(broadcast(mx))
+            .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx")
         }
         val h0 = edges.select("cust").distinct()
           .withColumn("h", lit(1000000L))

@@ -2719,11 +2719,15 @@ object SimilarityQueries {
           val sN = cent.join(broadcast(w), "i")
             .groupBy("vec_id")
             .agg(expr(sd("sum(c * w)", "1000")).as("s"))
-          val y = cent.join(sN, "vec_id")
-            .groupBy("i").agg(sum(expr("c * s")).as("y"))
+          // checkpoint the 64-row y FIRST: the old order (max over the
+          // lazy y, then an eager checkpoint of y) ran the round's two
+          // corpus joins twice — once for the max job, once for the
+          // checkpoint
+          val y = Materialize.checkpointed(cent.join(sN, "vec_id")
+            .groupBy("i").agg(sum(expr("c * s")).as("y")))
           val m = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("m"))
-          Materialize.checkpointed(y.crossJoin(broadcast(m))
-            .select(col("i"), expr(sd("y * 1000", "m")).as("w")))
+          y.crossJoin(broadcast(m))
+            .select(col("i"), expr(sd("y * 1000", "m")).as("w"))
         }
         val sF = cent.join(broadcast(wT), "i")
           .groupBy("vec_id")
@@ -3962,22 +3966,28 @@ object SimilarityQueries {
     // — dropping them silently understates hubness, the classic bug.
     "q322_hubness_audit" -> QueryDef(
       (s, dir) => {
-        val comps = Materialize(tableParallel(s, dir, "embeddings")
+        // array-form pairwise (round-12): keep each probe vector as ONE
+        // quantized array row and evaluate d² with the native
+        // LongVectorL2 loop per candidate pair. Replaces the exploded
+        // per-dimension self-join (200·199·64 joined rows shuffled into
+        // a 2-exchange groupBy) with a broadcast nested-loop over the
+        // bounded slice producing the 200·199 pair rows directly —
+        // integer sums are order-free, so d2 is bit-identical.
+        graft.functions.LongVectorL2.register(s)
+        val vecs = Materialize(tableParallel(s, dir, "embeddings")
           .filter(col("vec_id") < 200)
-          .select(col("vec_id"), posexplode(col("embedding"))
-            .as(Seq("i", "x")))
-          .withColumn("xv",
-            (floor((col("x").cast("double") + lit(1.0)) * 1000) * 1000)
-              .cast("long"))
-          .select("vec_id", "i", "xv"))
-        val pd = Materialize(comps.as("a").join(comps.as("b"),
-            col("a.i") === col("b.i") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-          .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x =>
+              (floor((x.cast("double") + lit(1.0)) * 1000) * 1000)
+                .cast("long")).as("xv")))
+        val pd = Materialize(vecs.as("a").join(broadcast(vecs.as("b")),
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            graft.functions.LongVectorL2.l2(col("a.xv"), col("b.xv"))
+              .as("d2"))
           .withColumn("r", row_number().over(Window.partitionBy("va")
             .orderBy(col("d2"), col("vb")))))
-        val ids = comps.select(col("vec_id").as("vb")).distinct()
+        val ids = vecs.select(col("vec_id").as("vb")).distinct()
         val perK = Seq(3, 5, 10).map { k =>
           val nk = ids.join(
             pd.filter(col("r") <= k).groupBy("vb")
@@ -4080,18 +4090,22 @@ object SimilarityQueries {
     "q323_mutual_knn_margin" -> QueryDef(
       (s, dir) => {
         val k = 4
-        val comps = Materialize(tableParallel(s, dir, "embeddings")
+        // array-form pairwise (round-12, the q322 treatment): one
+        // quantized array row per vector, native LongVectorDot per
+        // cross-set pair — replaces the exploded per-dimension join +
+        // 2-exchange groupBy; integer dot is order-free so `d` is
+        // bit-identical to the old sum(a.xv * b.xv)
+        graft.functions.LongVectorDot.register(s)
+        val vecs = Materialize(tableParallel(s, dir, "embeddings")
           .filter(col("vec_id") < 200)
           .select(col("vec_id"), (col("label") % 2).as("side"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .withColumn("xv",
-            floor(col("x").cast("double") * 1000).cast("long"))
-          .select("vec_id", "side", "i", "xv"))
-        val pd = Materialize(comps.filter(col("side") === 0).as("a")
-          .join(comps.filter(col("side") === 1).as("b"),
-            col("a.i") === col("b.i"))
-          .groupBy(col("a.vec_id").as("xa"), col("b.vec_id").as("yb"))
-          .agg(sum(expr("a.xv * b.xv")).as("d"))
+            transform(col("embedding"), x =>
+              floor(x.cast("double") * 1000).cast("long")).as("xv")))
+        val pd = Materialize(vecs.filter(col("side") === 0).as("a")
+          .crossJoin(broadcast(vecs.filter(col("side") === 1).as("b")))
+          .select(col("a.vec_id").as("xa"), col("b.vec_id").as("yb"),
+            graft.functions.LongVectorDot.dot(col("a.xv"), col("b.xv"))
+              .as("d"))
           .withColumn("rb", row_number().over(Window.partitionBy("xa")
             .orderBy(col("d").desc, col("yb"))))
           .withColumn("ra", row_number().over(Window.partitionBy("yb")

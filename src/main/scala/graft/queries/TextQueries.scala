@@ -133,6 +133,13 @@ object TextQueries {
   private[graft] def candMirror(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${lshMirrorBase(s, dir)}/cand")
 
+  /** (doc_id, sh) — the exploded hashed-shingle table, derived from the
+    * LSH mirror's per-doc sets: the per-doc explode of a compact parquet
+    * read instead of a raw-text re-shingling scan.
+    */
+  private[graft] def hsExploded(s: SparkSession, dir: String): DataFrame =
+    hsMirror(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
+
   /** Per-process parquet mirrors of the exact-Jaccard pair sets — the
     * THIRD shared-artifact family (after the co-purchase and LSH
     * mirrors): the shingle self-join + intersection counting that
@@ -4683,10 +4690,12 @@ object TextQueries {
     // idf = ln(1 + (N−df+0.5)/(df+0.5)) — Lucene's non-negative form.
     "q267_bm25_topk" -> QueryDef(
       (s, dir) => {
-        val toks = Materialize(tableParallel(s, dir, "documents")
+        // postings is the only consumer of the token explode — caching
+        // the exploded table bought nothing and cost a full extra pass
+        val postings = Materialize(tableParallel(s, dir, "documents")
           .select(col("doc_id"),
-            explode(tokens(col("text"))).as("term")))
-        val postings = Materialize(toks.groupBy("doc_id", "term")
+            explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term")
           .agg(count(lit(1)).as("tf")))
         val dl = postings.groupBy("doc_id")
           .agg(sum("tf").as("dl"))
@@ -6202,15 +6211,18 @@ object TextQueries {
         val toks = Materialize(tableParallel(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("ws"))
           .filter(size(col("ws")) > 0))
-        val uni = toks.select(explode(col("ws")).as("t"))
-          .groupBy("t").agg(count(lit(1)).as("c"))
+        // uni feeds the total and BOTH unigram joins, bi feeds the
+        // total and the support-cut chain — uncached, each explode+
+        // groupBy re-ran per consumer
+        val uni = Materialize(toks.select(explode(col("ws")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c")))
         val nt = uni.agg(sum("c").as("nt"))
-        val bi = toks.select(explode(expr(
+        val bi = Materialize(toks.select(explode(expr(
             """transform(sequence(1, size(ws) - 1), i ->
               |  named_struct('x', ws[i - 1], 'y', ws[i]))"""
               .stripMargin)).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
-          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy")))
         val nb = bi.agg(sum("c_xy").as("nb"))
         bi.filter(col("c_xy") >= 5)
           .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
@@ -6521,12 +6533,15 @@ object TextQueries {
         val uni = Materialize(toks.select(explode(col("ws")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("c")))
         val nt = uni.agg(sum("c").as("nt"))
-        val bi = toks.select(explode(expr(
+        // cached: consumed three times (the nb total and BOTH sides
+        // of the symmetrizing union) — uncached, the bigram explode+
+        // shuffle ran three times
+        val bi = Materialize(toks.select(explode(expr(
             """transform(sequence(1, size(ws) - 1), i ->
               |  named_struct('x', ws[i - 1], 'y', ws[i]))"""
               .stripMargin)).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
-          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy")))
         val nb = bi.agg(sum("c_xy").as("nb"))
         // symmetrize, then shift-clamp the exact-integer lift; the
         // cm >= 5 support cut removes PMI's rare-pair pathology (an

@@ -902,10 +902,15 @@ object TrainingQueries {
     "q104_corpus_pipeline_funnel" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // the near-dup stage consumes the staged hashed-shingle mirror
+        // (per-doc-deterministic, so the semi-join to survivors yields
+        // exactly the rows the inline re-shingling produced)
         val (_, funnel) = graft.operators.CorpusPipeline.prepare(
           s, table(s, dir, "documents"),
           graft.operators.PipelineConfig(minTokens = 5,
-            maxPunctRatio = 0.3, jaccard = 0.8, sampleBp = 8000))
+            maxPunctRatio = 0.3, jaccard = 0.8, sampleBp = 8000),
+          shingleSource =
+            Some(graft.queries.TextQueries.hsExploded(s, dir)))
         funnel.toDF("stage", "n_docs").orderBy("stage")
       },
       Some(s"""WITH RECURSIVE
