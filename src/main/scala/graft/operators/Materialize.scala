@@ -49,4 +49,17 @@ object Materialize {
     */
   def checkpointed(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** LAZY serialized localCheckpoint: same lineage truncation as
+    * [[checkpointed]] but with NO driver action of its own — the first
+    * consumer's job materializes the blocks, later consumers reuse them.
+    * The right round-boundary for iterative loops whose rounds are only
+    * consumed downstream (broadcast builds, the next round's join): an
+    * eager checkpoint would pay one driver action per round; no
+    * checkpoint at all would re-execute the whole prefix chain once per
+    * consumer (broadcast builds are separate executions, so an
+    * unmaterialized T-round chain costs O(T²) work).
+    */
+  def lazyCheckpointed(df: DataFrame): DataFrame =
+    df.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
 }

@@ -130,8 +130,9 @@ object PageRank {
   }
 
   /** Distributed rank table; one equi-join + one dst-aggregation per
-    * iteration. The per-iteration rank table is local-checkpointed so the
-    * loop's lineage stays flat and each round is one job.
+    * iteration. The per-iteration rank table is LAZILY local-checkpointed
+    * so the loop's lineage stays flat while the whole trajectory still
+    * executes as one job at the final action.
     */
   private[graft] def rankJoin(edges: DataFrame, iters: Int): DataFrame = {
     val cached = Materialize(edges)
@@ -155,9 +156,14 @@ object PageRank {
     // whose map-side partials are O(|V|) per partition, not O(|E|)
     val edgeDeg = Materialize(cached.join(deg, "src")
       .repartition(col("src")))
+    // LAZY checkpoints throughout the loop: each round's rank table is
+    // consumed exactly once (the next round's join), so the plan stays
+    // flat with the lineage cut at materialization time and the whole
+    // trajectory executes as ONE job at the final action — the eager
+    // variant paid one driver action per round for no added safety
     var ranks = deg
       .select(col("src").as("node"), lit(1000000L).as("r"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     for (_ <- 1 to iters) {
       // DIV (integral divide) throughout — a float Divide would round
       // where the driver path truncates, and past 2^53 would drift. BOTH
@@ -176,7 +182,7 @@ object PageRank {
           " sum(CAST(r DIV deg AS DECIMAL(38,0)))) DIV 1000000" +
           " AS BIGINT)").as("r"))
         .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     }
     edgeDeg.unpersist(false)
     ranks.select(col("node").as("pk"), col("r").as("rank_scaled"))

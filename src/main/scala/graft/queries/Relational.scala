@@ -2348,17 +2348,20 @@ object Relational {
         // chain a1→h1→a2→h2 grows the analyzed plan O(2^rounds) unless
         // each round's frame is lineage-cut; the score frames are
         // O(|V|)-bounded, so the eager checkpoint is cheap
-        def normalized(df: DataFrame, c: String): DataFrame = {
-          // checkpoint the RAW scores first, then aggregate the max over
-          // the checkpointed rows: the old order (max over the lazy df,
-          // then an eager checkpoint of the same df) executed each
-          // round's join+aggregation TWICE — once for the max job, once
-          // for the checkpoint
-          val m = graft.operators.Materialize.checkpointed(df)
-          val mx = m.agg(max(col(c)).as("mx"))
-          m.crossJoin(broadcast(mx))
-            .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx")
-        }
+        // per-round max-normalization as a single-partition window over
+        // the |V|-bounded score frame (the q342 spelling) — the old
+        // agg + crossJoin(broadcast) + eager checkpoint shape cost 2
+        // driver actions per round and executed each round's
+        // join+aggregation twice. The LAZY checkpoint cuts lineage with
+        // no action of its own: a2/h2 are each consumed twice (next
+        // half-step + the final top-10), so an unmaterialized chain
+        // would re-execute its whole prefix per consumer
+        def normalized(df: DataFrame, c: String): DataFrame =
+          graft.operators.Materialize.lazyCheckpointed(
+            df.withColumn("mx",
+                max(col(c)).over(
+                  org.apache.spark.sql.expressions.Window.partitionBy()))
+              .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx"))
         val h0 = edges.select("cust").distinct()
           .withColumn("h", lit(1000000L))
         val a1 = normalized(edges.join(h0, "cust")

@@ -206,6 +206,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // sample pass + corpus pass + bounded query slice
       "q46_ann_ivf" -> 3, "q162_pq_ann_adc" -> 3,
       "q170_ivfpq_residual_ann" -> 3,
+      // staged-index probe (1 pushed query-slice scan inside topm) +
+      // bounded query-vector slice + ONE exact-embedding fetch pass
+      "q179_retrieval_mmr_rerank" -> 3,
       // sample pass + two disjoint pushed assignment slices (base/delta)
       "q196_ivf_incremental_assign" -> 3,
       // set-op / gapfill branches are semantically distinct scans
