@@ -191,9 +191,15 @@ object Bench {
         .find(d => new java.io.File(d, "build.sbt").isFile)
         .getOrElse(new java.io.File("."))
     }
+    // baseline files are keyed by CPU COUNT (round-12 lesson: the
+    // driver's 8-core scaling probe is a clean run too, and at sf0.1 its
+    // minima are FASTER than 32-core times — an un-keyed baseline left
+    // the 32-core tripwire diffing against 8-core minima, guaranteeing
+    // false regressions). Each core count now trips only against itself.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       new java.io.File(repoRoot,
-        s"bench_baseline_${new java.io.File(sfDir).getName}.json").getPath)
+        s"bench_baseline_${new java.io.File(sfDir).getName}_c$cpus.json")
+        .getPath)
     val priorTimes: Map[String, Double] = {
       val f = new java.io.File(baselinePath)
       if (!f.isFile) Map.empty
@@ -324,12 +330,21 @@ object Bench {
     val qsNorm = best.map { case (k, v) =>
       "\"" + k + "\":" + fmt(if (v >= 0) v / ambient else v)
     }.mkString("{", ",", "}")
+    // staged-artifact (mirror) build cost, made visible (round-12 verdict
+    // #2): the builds run during the discarded warm-up passes, so no
+    // timed pass ever pays them — sum_of_best keeps its meaning, and the
+    // real one-time derivation cost is now REPORTED per family instead
+    // of hidden. Keys carry the SF they were built at (the sf0.001
+    // warm-up builds its own tiny mirrors before the full-SF ones).
+    val mirrorSec = graft.operators.StagedArtifacts.buildSeconds.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"queries_normalized":$qsNorm,"families":$fams,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","ambient_ratio":${fmt(ambient)},"errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
-    println(jsonLine)
+      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"queries_normalized":$qsNorm,"families":$fams,"mirror_build_sec":$mirrorSec,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","ambient_ratio":${fmt(ambient)},"errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
     if (only.isDefined) {
       // subset run: report only — no artifact may record a partial map
       spark.stop()
+      println(jsonLine)
       if (failed.nonEmpty || partial.nonEmpty || regressions.nonEmpty)
         sys.exit(1)
       return
@@ -360,8 +375,12 @@ object Bench {
       .flatMap("""BENCH_r(\d+)\.json""".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
     val round = explicitRound.getOrElse(inferredRound)
+    // non-32-core probes (the driver's scaling run) archive under their
+    // own cpu-suffixed name: the r12 8-core probe squatted the canonical
+    // r13 slot with 8-core data, which this keying makes impossible
+    val cpuSuffix = if (cpus == "32") "" else s"_c$cpus"
     val archive = new java.io.File(repoRoot, f"bench_full_r$round%02d_" +
-      s"${new java.io.File(sfDir).getName}.json")
+      s"${new java.io.File(sfDir).getName}$cpuSuffix.json")
     val clean = failed.isEmpty && partial.isEmpty && regressions.isEmpty
     // write-once per round, with one escape hatch: a CLEAN full run may
     // supersede an archive left by an earlier errored or smaller-catalog
@@ -409,7 +428,12 @@ object Bench {
       System.err.println("[bench] flagged-but-complete run: baseline " +
         "minima refreshed for improved queries only")
     }
+    // the one-line JSON is printed LAST, after every artifact write, all
+    // stderr chatter, and spark.stop() (round-12 verdict #1: the driver
+    // parses the tail of captured output, and an archive-refusal line
+    // landing after the JSON broke its parse three rounds running)
     spark.stop()
+    println(jsonLine)
     if (!clean) sys.exit(1)
   }
 }

@@ -71,11 +71,12 @@ object Relational {
   private def coMirrorBase(s: SparkSession, dir: String,
                            capped: Boolean): String = {
     val key = s"$dir|${if (capped) "lt800" else "full"}"
-    coMirror.computeIfAbsent(key, _ => {
+    coMirror.computeIfAbsent(key, _ => graft.operators.StagedArtifacts.timed(
+      s"copairs@${new java.io.File(dir).getName}:" +
+        s"${if (capped) "lt800" else "full"}") {
       val base = table(s, dir, "lineitem")
       val li = if (capped) base.filter(col("l_partkey") < 800) else base
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-copairs-").toString
+      val out = graft.operators.StagedArtifacts.tempDir("graft-copairs-")
       val sets = graft.operators.Materialize(coSets(li))
       // pair-count files are read by every graph query's FIRST join;
       // 8 files keeps local scan setup cheap while staying parallel

@@ -290,7 +290,8 @@ object SimilarityQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ivfPqIndexBase(s: SparkSession, dir: String): String =
-    ivfPqMirror.computeIfAbsent(dir, _ => {
+    ivfPqMirror.computeIfAbsent(dir, _ => graft.operators.StagedArtifacts.timed(
+      s"ivfpq@${new java.io.File(dir).getName}") {
       import graft.functions.DoubleVectorDot
       DoubleVectorDot.register(s)
       def ddot(a: Column, b: Column): Column = DoubleVectorDot.dot(a, b)
@@ -302,8 +303,7 @@ object SimilarityQueries {
       def residual(v: Column, c: Column): Column =
         zip_with(v, c, (x, y) => x.cast("double") - y.cast("double"))
 
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-").toString
+      val out = graft.operators.StagedArtifacts.tempDir("graft-ivfpq-")
       val e = tableParallel(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       // coarse centroids (IvfNlist rows) and the corpus assignment are

@@ -95,11 +95,11 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def lshMirrorBase(s: SparkSession, dir: String): String =
-    lshMirror.computeIfAbsent(dir, _ => {
+    lshMirror.computeIfAbsent(dir, _ => graft.operators.StagedArtifacts.timed(
+      s"lsh@${new java.io.File(dir).getName}") {
       ShingleHashes.register(s)
       MinhashBandKeys.register(s)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-lsh-").toString
+      val out = graft.operators.StagedArtifacts.tempDir("graft-lsh-")
       val hs = Materialize(tableParallel(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           ShingleHashes.of(tokens(col("text"))).as("hs"))
@@ -178,9 +178,10 @@ object TextQueries {
   private def shPairsBase(s: SparkSession, dir: String,
                           cut: Option[Long]): String = {
     val key = s"$dir|${cut.fold("none")(d => s"df$d")}"
-    shPairs.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-shpairs-").toString
+    shPairs.computeIfAbsent(key, _ => graft.operators.StagedArtifacts.timed(
+      s"shpairs@${new java.io.File(dir).getName}:" +
+        cut.fold("none")(d => s"df$d")) {
+      val out = graft.operators.StagedArtifacts.tempDir("graft-shpairs-")
       val base = Materialize(hsMirror(s, dir)
         .select(col("doc_id"), explode(col("hs")).as("sh")))
       val sh = cut.fold(base)(t =>
@@ -565,9 +566,10 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def charBigramScores(s: SparkSession, dir: String): DataFrame = {
-    val base = bgScores.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-bgscores-").toString
+    val base = bgScores.computeIfAbsent(dir,
+      _ => graft.operators.StagedArtifacts.timed(
+        s"bgscores@${new java.io.File(dir).getName}") {
+      val out = graft.operators.StagedArtifacts.tempDir("graft-bgscores-")
       charBigramScoresInline(s, dir)
         .coalesce(4).write.mode("overwrite").parquet(s"$out/scored")
       out

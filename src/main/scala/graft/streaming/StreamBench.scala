@@ -42,7 +42,7 @@ object StreamBench {
   private def cdcFeedDir(spark: SparkSession, sfDir: String): String =
     prepared.computeIfAbsent(s"cdc|$sfDir", _ => {
       import graft.operators.SnapshotDiff
-      val out = Files.createTempDirectory("graft-sbench-cdc-").toString
+      val out = graft.operators.StagedArtifacts.tempDir("graft-sbench-cdc-")
       val base = Tables.table(spark, sfDir, "orders")
         .select(col("o_orderkey").as("key"),
           col("o_orderstatus").as("status"),
@@ -66,7 +66,7 @@ object StreamBench {
 
   private def sessionFeedDir(spark: SparkSession, sfDir: String): String =
     prepared.computeIfAbsent(s"sess|$sfDir", _ => {
-      val out = Files.createTempDirectory("graft-sbench-sess-").toString
+      val out = graft.operators.StagedArtifacts.tempDir("graft-sbench-sess-")
       Tables.table(spark, sfDir, "events")
         .select(col("user_id"), col("ts"), col("value"))
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -82,7 +82,8 @@ object StreamBench {
     import spark.implicits._
     import StreamSessionize.CdcEvent
     val dir = cdcFeedDir(spark, sfDir)
-    val ckpt = Files.createTempDirectory("graft-sbench-cdc-ck-").toString
+    val ckpt =
+      graft.operators.StagedArtifacts.tempDir("graft-sbench-cdc-ck-")
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1)
@@ -99,7 +100,8 @@ object StreamBench {
     import spark.implicits._
     import StreamSessionize.Event
     val dir = sessionFeedDir(spark, sfDir)
-    val ckpt = Files.createTempDirectory("graft-sbench-sess-ck-").toString
+    val ckpt =
+      graft.operators.StagedArtifacts.tempDir("graft-sbench-sess-ck-")
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1)
