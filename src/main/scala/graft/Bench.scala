@@ -340,7 +340,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"queries_normalized":$qsNorm,"families":$fams,"mirror_build_sec":$mirrorSec,"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","ambient_ratio":${fmt(ambient)},"errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
+      s"""{"metric":"total","value":${fmt(sumOfBest)},"unit":"sec","queries":$qs,"queries_normalized":$qsNorm,"families":$fams,"mirror_build_sec":$mirrorSec,"stream_batch_metrics":${graft.streaming.StreamMetrics.json},"runs":$runTotals,"min_total":${fmt(minTotal)},"sum_of_best":${fmt(sumOfBest)},"n_queries":${names.size},"sf":"$sfDir","ambient_ratio":${fmt(ambient)},"errors":$errs,"partial_failures":$partials,"regressions":$regs}"""
     if (only.isDefined) {
       // subset run: report only — no artifact may record a partial map
       spark.stop()

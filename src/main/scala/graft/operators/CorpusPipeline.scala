@@ -78,8 +78,11 @@ object CorpusPipeline {
     val funnel = Seq.newBuilder[(String, Long)]
     funnel += "input" -> docs.count()
 
-    // 1. quality: cheap codegen'd per-row predicates, no shuffle
-    val quality = Materialize(docs
+    // 1. quality: cheap codegen'd per-row predicates, no shuffle.
+    // Stage counts ride on the Materialize's own eager count
+    // (Materialize.counted) — the old spelling paid each stage's count
+    // job twice, once to materialize and once for the funnel.
+    val (quality, nQuality) = Materialize.counted(docs
       .withColumn("__tok", size(tokens(col("text"))))
       .withColumn("__punct",
         length(regexp_replace(col("text"), "[^.,;:!?]", "")) * 1.0 /
@@ -87,7 +90,7 @@ object CorpusPipeline {
       .filter(col("__tok") >= cfg.minTokens &&
         col("__punct") <= cfg.maxPunctRatio)
       .drop("__tok", "__punct"))
-    funnel += "quality" -> quality.count()
+    funnel += "quality" -> nQuality
 
     // 1b. optional length-outlier cut (Tukey bounds over the surviving
     // corpus): one percentile aggregate broadcast back — two linear passes
@@ -98,22 +101,23 @@ object CorpusPipeline {
           expr("percentile(length(text), 0.25)").as("__q1"),
           expr("percentile(length(text), 0.75)").as("__q3"))
         val iqr = col("__q3") - col("__q1")
-        Materialize(quality.crossJoin(broadcast(b))
-          .filter(length(col("text")) >= col("__q1") - lit(k) * iqr &&
-            length(col("text")) <= col("__q3") + lit(k) * iqr)
-          .drop("__q1", "__q3"))
+        val (t, nTrimmed) = Materialize.counted(
+          quality.crossJoin(broadcast(b))
+            .filter(length(col("text")) >= col("__q1") - lit(k) * iqr &&
+              length(col("text")) <= col("__q3") + lit(k) * iqr)
+            .drop("__q1", "__q3"))
+        funnel += "length_outliers" -> nTrimmed
+        t
     }
-    if (cfg.iqrOutlierK.isDefined)
-      funnel += "length_outliers" -> trimmed.count()
 
     // 2. exact dedup: keep the smallest doc_id per content fingerprint
-    val exact = Materialize {
+    val (exact, nExact) = Materialize.counted {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       trimmed.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
-    funnel += "exact_dedup" -> exact.count()
+    funnel += "exact_dedup" -> nExact
     // each Materialize is eager, so once a successor stage is cached its
     // inputs are DEAD — drop them immediately. At full heap this is free
     // (the blocks would just idle); under memory pressure it is the
@@ -155,8 +159,9 @@ object CorpusPipeline {
     val drop = ConnectedComponents.minLabel(pairs)
       .filter(col("doc") =!= col("label"))   // keep each cluster's min doc
       .select(col("doc").as("doc_id"))
-    val near = Materialize(exact.join(drop, Seq("doc_id"), "left_anti"))
-    funnel += "near_dedup" -> near.count()
+    val (near, nNear) = Materialize.counted(
+      exact.join(drop, Seq("doc_id"), "left_anti"))
+    funnel += "near_dedup" -> nNear
     pairs.unpersist(false)
     exact.unpersist(false)
 

@@ -31,6 +31,15 @@ object Materialize {
     p
   }
 
+  /** Like [[apply]] but returns the materializing count too — for
+    * callers that need the row count anyway (stage funnels), so the
+    * eager count is not paid twice.
+    */
+  def counted(df: DataFrame): (DataFrame, Long) = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    (p, p.count())
+  }
+
   /** Eager serialized localCheckpoint: materializes like [[apply]] but
     * also TRUNCATES the logical lineage — the returned frame's plan is a
     * flat scan of the checkpointed blocks.

@@ -156,15 +156,21 @@ object PageRank {
     // whose map-side partials are O(|V|) per partition, not O(|E|)
     val edgeDeg = Materialize(cached.join(deg, "src")
       .repartition(col("src")))
-    // LAZY checkpoints throughout the loop: each round's rank table is
-    // consumed exactly once (the next round's join), so the plan stays
-    // flat with the lineage cut at materialization time and the whole
-    // trajectory executes as ONE job at the final action — the eager
-    // variant paid one driver action per round for no added safety
+    // LAZY checkpoints for every round but the LAST: each round's rank
+    // table is consumed exactly once (the next round's join), so the
+    // plan stays flat with the lineage cut at materialization time and
+    // the whole trajectory executes as ONE job — the old eager variant
+    // paid one driver action per round for no added safety. The FINAL
+    // round's checkpoint is EAGER: it is the one action that runs the
+    // trajectory, and it must run BEFORE the edgeDeg/caller caches are
+    // dropped below — with a fully-lazy chain the caller's eventual
+    // action found the caches already unpersisted and recomputed the
+    // edge derivation once per iteration (the round-12 regression this
+    // ordering fixes).
     var ranks = deg
       .select(col("src").as("node"), lit(1000000L).as("r"))
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // DIV (integral divide) throughout — a float Divide would round
       // where the driver path truncates, and past 2^53 would drift. BOTH
       // the inner sum and the damping multiply run in DECIMAL(38,0): each
@@ -182,7 +188,7 @@ object PageRank {
           " sum(CAST(r DIV deg AS DECIMAL(38,0)))) DIV 1000000" +
           " AS BIGINT)").as("r"))
         .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(it == iters, StorageLevel.MEMORY_AND_DISK_SER)
     }
     edgeDeg.unpersist(false)
     ranks.select(col("node").as("pk"), col("r").as("rank_scaled"))

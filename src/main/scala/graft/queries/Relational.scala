@@ -2347,22 +2347,23 @@ object Relational {
             .distinct())
         // each half-step consumes its input twice (max + join), so the
         // chain a1→h1→a2→h2 grows the analyzed plan O(2^rounds) unless
-        // each round's frame is lineage-cut; the score frames are
-        // O(|V|)-bounded, so the eager checkpoint is cheap
-        // per-round max-normalization as a single-partition window over
-        // the |V|-bounded score frame (the q342 spelling) — the old
-        // agg + crossJoin(broadcast) + eager checkpoint shape cost 2
-        // driver actions per round and executed each round's
-        // join+aggregation twice. The LAZY checkpoint cuts lineage with
-        // no action of its own: a2/h2 are each consumed twice (next
-        // half-step + the final top-10), so an unmaterialized chain
-        // would re-execute its whole prefix per consumer
-        def normalized(df: DataFrame, c: String): DataFrame =
-          graft.operators.Materialize.lazyCheckpointed(
-            df.withColumn("mx",
-                max(col(c)).over(
-                  org.apache.spark.sql.expressions.Window.partitionBy()))
-              .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx"))
+        // each round's frame is lineage-cut. Round boundary: the RAW
+        // score frame is LAZILY checkpointed first (no driver action —
+        // the max-side broadcast build materializes it, the normalizing
+        // projection reuses the blocks, so each round's join+aggregation
+        // executes ONCE), then the per-round max is a parallel
+        // partial aggregation + one-row broadcast crossJoin. The score
+        // frame is O(|V|) — it GROWS with the data — so a
+        // single-partition max window here would shuffle every node's
+        // score to one task per half-step at 100 TB (the round-12
+        // spelling this replaces); agg(max) computes the same max with
+        // map-side partials. q247/q342 keep the window spelling because
+        // their frames are constant-bounded (64 rows / bigram vocab).
+        def normalized(df: DataFrame, c: String): DataFrame = {
+          val raw = graft.operators.Materialize.lazyCheckpointed(df)
+          raw.crossJoin(broadcast(raw.agg(max(col(c)).as("mx"))))
+            .withColumn(c, expr(s"$c * 1000000 DIV mx")).drop("mx")
+        }
         val h0 = edges.select("cust").distinct()
           .withColumn("h", lit(1000000L))
         val a1 = normalized(edges.join(h0, "cust")
@@ -3718,14 +3719,20 @@ object Relational {
         // and the file spans all run on cells — rows sharing a cell are
         // interchangeable for zone stats, so file boundaries landing
         // inside a cell are handled exactly by the span arithmetic below
-        val cells = graft.operators.Materialize(
+        // round-13: cells has exactly ONE consumer (the curve-key fold),
+        // so its eager Materialize paid a full corpus scan + count for
+        // nothing (the q267 precedent); curved is consumed by the three
+        // audit subtrees but from the ≤256² bounded cell frame — a LAZY
+        // lineage cut materializes it inside the first audit's job with
+        // no driver action of its own
+        val cells =
           li.crossJoin(broadcast(rng))
             .withColumn("x", expr(
               "(pk - mnp) * 255 DIV greatest(mxp - mnp, 1)"))
             .withColumn("y", expr(
               "(sk - mns) * 255 DIV greatest(mxs - mns, 1)"))
-            .groupBy("x", "y").agg(count(lit(1)).as("f")))
-        val curved = graft.operators.Materialize(
+            .groupBy("x", "y").agg(count(lit(1)).as("f"))
+        val curved = graft.operators.Materialize.lazyCheckpointed(
           (0 until 8).foldLeft(cells
             .withColumn("zd", expr(zOrderExpr("x", "y", "DIV")))
             .withColumn("hx", col("x")).withColumn("hy", col("y"))

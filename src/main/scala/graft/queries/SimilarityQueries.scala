@@ -309,8 +309,9 @@ object SimilarityQueries {
       // coarse centroids (IvfNlist rows) and the corpus assignment are
       // each consumed by TWO downstream paths (assign, and the
       // codebook+encode chains) — cached, the corpus is assigned ONCE
-      val coarse = broadcast(Materialize(hashSample(e, IvfNlist)
-        .select(col("vec_id").as("ccid"), col("v").as("cv"))))
+      val coarseM = Materialize(hashSample(e, IvfNlist)
+        .select(col("vec_id").as("ccid"), col("v").as("cv")))
+      val coarse = broadcast(coarseM)
       coarse.coalesce(1).write.mode("overwrite").parquet(s"$out/coarse")
 
       // coarse assignment + residual, one pass over the corpus
@@ -332,10 +333,11 @@ object SimilarityQueries {
         .select(col("vec_id"), col("ccid"), col("j"),
           slice(col("rv"), col("j") * 8 + 1, lit(8)).as("rsub"))
       val bookIds = hashSample(e, PqCodebookSize).select(col("vec_id"))
-      val book = broadcast(Materialize(
+      val bookM = Materialize(
         sub.join(broadcast(bookIds), "vec_id")
           .select(col("vec_id").as("sid"), col("j"),
-            col("rsub").as("bsub"))))
+            col("rsub").as("bsub")))
+      val book = broadcast(bookM)
       book.coalesce(1).write.mode("overwrite").parquet(s"$out/book")
 
       // encode: per (vector, subspace), code = argmin over the codebook
@@ -348,6 +350,18 @@ object SimilarityQueries {
           col("m.sid").as("code"))
         .coalesce(2).write.mode("overwrite").parquet(s"$out/codes")
       assign.unpersist()
+      coarseM.unpersist()
+      bookM.unpersist()
+      // build-time cardinality gate: consumers re-assert the index
+      // bounds with .limit() at read, which would silently select an
+      // arbitrary subset of an OVERSIZED artifact — fail loudly here
+      // instead, once per JVM, while the build is on the stack
+      val nCoarse = s.read.parquet(s"$out/coarse").count()
+      require(nCoarse <= IvfNlist,
+        s"staged IVF-PQ coarse list has $nCoarse rows > nlist=$IvfNlist")
+      val nBook = s.read.parquet(s"$out/book").count()
+      require(nBook <= PqCodebookSize * 8,
+        s"staged PQ codebook has $nBook rows > ${PqCodebookSize * 8}")
       out
     })
 
@@ -1466,11 +1480,18 @@ object SimilarityQueries {
       (s, dir) => {
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        // the centroid table is joined by BOTH the corpus assignment and
-        // the query probe — cached, its corpus-wide TakeOrdered sample
-        // runs once (IvfNlist rows held)
-        val cent = broadcast(Materialize(hashSample(e, IvfNlist)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))))
+        // round-13: the coarse centroid table IS the staged IVF-PQ
+        // index's coarse list — the identical hashSample(e, IvfNlist)
+        // rows q170/q179 already stage (float arrays round-trip parquet
+        // bit-exactly), so the corpus-wide TakeOrdered sample is not
+        // re-derived here. The ASSIGNMENT stays inline: this query
+        // ranks centroids by the raw double d2 (the SemDeDup spelling)
+        // while the index's stored codes rank by the scaled-long
+        // floor(d2·1e6) — a different tie-break contract.
+        val cent = broadcast(
+          s.read.parquet(s"${ivfPqIndexBase(s, dir)}/coarse")
+            .limit(IvfNlist.toInt)
+            .select(col("ccid").as("cid"), col("cv")))
         def l2(a: String, b: String) =
           dot(s)(col(a), col(a)) - lit(2.0) * dot(s)(col(a), col(b)) +
             dot(s)(col(b), col(b))
@@ -2953,18 +2974,26 @@ object SimilarityQueries {
         def margins(w: DataFrame): DataFrame =
           comps.join(broadcast(w), "i")
             .groupBy("vec_id", "y").agg(sum(expr("w * xm")).as("m"))
+        // LAZY round boundaries (round-13): each epoch's margins frame
+        // is consumed twice (the update's misclassified mask + the
+        // stats row) and each weight frame three times (next epoch's
+        // broadcast, the next update's join, the stats row) — the
+        // lineage cut is required, but the old EAGER
+        // Materialize/checkpointed spelling paid one driver action per
+        // frame (4 per query) where the final action's own broadcast
+        // builds materialize the same bounded frames for free
         def update(w: DataFrame, mg: DataFrame): DataFrame = {
           val mis = mg.filter(expr("y * m <= 0")).select("vec_id")
           val dw = comps.join(mis, "vec_id")
             .groupBy("i").agg(sum(expr("y * xm")).as("dw"))
-          Materialize.checkpointed(w.join(dw, Seq("i"), "left")
+          Materialize.lazyCheckpointed(w.join(dw, Seq("i"), "left")
             .select(col("i"),
               (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
         }
         val w0 = s.range(64).toDF("i").withColumn("w", lit(0L))
-        val mg1 = Materialize(margins(w0))
+        val mg1 = Materialize.lazyCheckpointed(margins(w0))
         val w1 = update(w0, mg1)
-        val mg2 = Materialize(margins(w1))
+        val mg2 = Materialize.lazyCheckpointed(margins(w1))
         val w2 = update(w1, mg2)
         val mg3 = margins(w2)
         def statsRow(round: Int, mg: DataFrame, w: DataFrame)
@@ -3159,7 +3188,12 @@ object SimilarityQueries {
           .select("vec_id", "cx", "cy", "cell"))
         val cells = pts.groupBy("cell", "cx", "cy")
           .agg(count(lit(1)).as("cnt"))
-        val core = Materialize(cells.filter(col("cnt") >= 4))
+        // LAZY lineage cut (round-13): core is consumed by both edge
+        // sides and the noise anti-join, but all from cached pts — the
+        // first consumer's job materializes the few-hundred-row frame;
+        // the old eager Materialize paid a driver action per query
+        val core = Materialize.lazyCheckpointed(
+          cells.filter(col("cnt") >= 4))
         val edges = core
           .select(col("cell").as("src"), explode(expr(
             "array((cx-1)*1000+cy-1, (cx-1)*1000+cy, (cx-1)*1000+cy+1," +
@@ -3168,9 +3202,16 @@ object SimilarityQueries {
             .as("dst"))
           .join(core.select(col("cell").as("dst")), "dst")
           .select("src", "dst")
+        // LAZY round boundaries (round-13): lineage is still cut every
+        // doubling round (the loop rule), but no round pays its own
+        // driver action — the old EAGER checkpoints cost 7 jobs per
+        // query where the final action materializes the bounded
+        // few-hundred-row closure frames as it executes. The self-join
+        // reads each round's blocks twice within one job; block-level
+        // locking dedups the compute.
         val closure = (1 to 6).foldLeft(
-          Materialize.checkpointed(edges)) { (cl, _) =>
-          Materialize.checkpointed(
+          Materialize.lazyCheckpointed(edges)) { (cl, _) =>
+          Materialize.lazyCheckpointed(
             cl.as("a").join(cl.as("b"),
                 col("a.dst") === col("b.src"))
               .select(col("a.src").as("src"), col("b.dst").as("dst"))
@@ -3523,11 +3564,16 @@ object SimilarityQueries {
           .collect().map(r => r.getAs[Int]("i") ->
             sdl(r.getAs[Long]("sx"), r.getAs[Long]("n"))).toMap
         val mean = Array.tabulate(64)(compsAgg(_))
-        val carr = Materialize(tableParallel(s, dir, "embeddings")
-          .select(expr(
-            s"""zip_with(embedding, ${arrLit(mean)}, (x, m) ->
-               | CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) - m)"""
-              .stripMargin).as("c")))
+        // LAZY cache (round-13): the centered frame is consumed by 6
+        // strictly SEQUENTIAL mult jobs plus the fused Rayleigh job —
+        // the first mult materializes the blocks; the old eager
+        // Materialize added a driver action that bought nothing
+        val carr = Materialize.lazyCheckpointed(
+          tableParallel(s, dir, "embeddings")
+            .select(expr(
+              s"""zip_with(embedding, ${arrLit(mean)}, (x, m) ->
+                 | CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) - m)"""
+                .stripMargin).as("c")))
         def sCol(w: Array[Long]): String = {
           val dot = s"aggregate(zip_with(c, ${arrLit(w)}, " +
             "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -3570,13 +3616,14 @@ object SimilarityQueries {
             c.toLong
           })
         }
-        def rayleigh(u: Array[Long]): (Long, Long) = {
-          val num = carr.select(expr(sCol(u)).as("s"))
-            .agg(sum(expr("s * s")).as("n")).collect()(0).getLong(0)
-          (num, u.map(x => x * x).sum)
-        }
-        val (r1n, r1d) = rayleigh(w)
-        val (r2n, r2d) = rayleigh(v)
+        // both Rayleigh numerators in ONE pass over the cached frame
+        // (round-13: the two separate jobs each scanned carr fully)
+        val rayRow = carr
+          .select(expr(sCol(w)).as("sw"), expr(sCol(v)).as("sv"))
+          .agg(sum(expr("sw * sw")).as("nw"), sum(expr("sv * sv")).as("nv"))
+          .collect()(0)
+        val (r1n, r1d) = (rayRow.getLong(0), w.map(x => x * x).sum)
+        val (r2n, r2d) = (rayRow.getLong(1), v.map(x => x * x).sum)
         // with a close spectrum and 3 bounded rounds either direction
         // may carry the larger Rayleigh quotient — label major/minor by
         // the exact cross-multiplied comparison (observed here: the
@@ -3713,24 +3760,28 @@ object SimilarityQueries {
     // query with deterministic tie-break; self-matches excluded.
     "q305_maxsim_late_interaction" -> QueryDef(
       (s, dir) => {
-        val comps = Materialize(tableParallel(s, dir, "embeddings")
+        // array-form pairwise (the round-12 q322/q323 treatment): one
+        // quantized array row per vector, the native MaxSimMilli slice
+        // loop per (query, doc) pair — replaces the exploded
+        // per-component equi-join on k = i % 8 (a 40× row fan-out into
+        // a three-level shuffled aggregation) with a 5-row broadcast
+        // nested loop producing scores directly. Integer slice dots are
+        // order-free and max/Σ deterministic, so maxsim_milli2 is
+        // bit-identical (MaxSimSpec pins native ≡ exploded). The size
+        // guard mirrors the exploded form's drop of empty embeddings.
+        graft.functions.MaxSimMilli.register(s)
+        val vecs = tableParallel(s, dir, "embeddings")
+          .filter(size(col("embedding")) > 0)
           .select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .withColumn("xv",
-            floor(col("x").cast("double") * 1000).cast("long"))
-          .select(col("vec_id"), expr("i DIV 8").as("sl"),
-            expr("i % 8").as("k"), col("xv")))
-        val qc = comps.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("sl").as("qsl"),
-            col("k"), col("xv").as("qv"))
-        val dots = comps.join(broadcast(qc), "k")
-          .groupBy("qid", "qsl", "vec_id", "sl")
-          .agg(sum(expr("xv * qv")).as("dot"))
-        val maxd = dots.groupBy("qid", "qsl", "vec_id")
-          .agg(max("dot").as("mx"))
-        val scores = maxd.groupBy("qid", "vec_id")
-          .agg(sum("mx").as("maxsim_milli2"))
+            transform(col("embedding"), x =>
+              floor(x.cast("double") * 1000).cast("long")).as("xv"))
+        val q = broadcast(vecs.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("xv").as("qv")))
+        val scores = vecs.crossJoin(q)
           .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            graft.functions.MaxSimMilli.of(col("qv"), col("xv"))
+              .as("maxsim_milli2"))
         scores
           .withColumn("rnk", row_number().over(
             Window.partitionBy("qid").orderBy(
@@ -4029,8 +4080,12 @@ object SimilarityQueries {
         // bounded slice producing the 200·199 pair rows directly —
         // integer sums are order-free, so d2 is bit-identical.
         graft.functions.LongVectorL2.register(s)
+        // size guard (round-12 advice): the old exploded per-dimension
+        // join emitted NO pair rows for an empty/null embedding, while
+        // the array crossJoin would emit d2 = 0 pairs — unreachable with
+        // fixed 64-dim data, but the equivalence must not rest on that
         val vecs = Materialize(tableParallel(s, dir, "embeddings")
-          .filter(col("vec_id") < 200)
+          .filter(col("vec_id") < 200 && size(col("embedding")) > 0)
           .select(col("vec_id"),
             transform(col("embedding"), x =>
               (floor((x.cast("double") + lit(1.0)) * 1000) * 1000)
@@ -4151,8 +4206,10 @@ object SimilarityQueries {
         // 2-exchange groupBy; integer dot is order-free so `d` is
         // bit-identical to the old sum(a.xv * b.xv)
         graft.functions.LongVectorDot.register(s)
+        // size guard: see q322 — empty embeddings must drop out like the
+        // old exploded form, not score d = 0
         val vecs = Materialize(tableParallel(s, dir, "embeddings")
-          .filter(col("vec_id") < 200)
+          .filter(col("vec_id") < 200 && size(col("embedding")) > 0)
           .select(col("vec_id"), (col("label") % 2).as("side"),
             transform(col("embedding"), x =>
               floor(x.cast("double") * 1000).cast("long")).as("xv")))

@@ -531,8 +531,13 @@ object TextQueries {
     * explode is materialized because the model build and the scoring
     * pass both consume it.
     */
+  /** Returns (scored frame, the Materialize'd bigram-explode handle) —
+    * the explode is the largest frame in the family, and the caller must
+    * unpersist it once the scored frame has been consumed (the mirror
+    * build holds it only until the parquet write finishes).
+    */
   private def charBigramScoresInline(s: SparkSession,
-                                     dir: String): DataFrame = {
+                                     dir: String): (DataFrame, DataFrame) = {
     val bg = Materialize(
       tableParallel(s, dir, "documents")
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
@@ -549,9 +554,9 @@ object TextQueries {
         .select(col("bg"),
           floor(log(col("c") * 1.0 / col("n")) * 1e6).cast("long")
             .as("lp")))
-    bg.join(model, "bg")
+    (bg.join(model, "bg")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lps"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lps")), bg)
   }
 
   /** Per-process parquet mirror of the per-doc char-bigram LM scores
@@ -570,8 +575,9 @@ object TextQueries {
       _ => graft.operators.StagedArtifacts.timed(
         s"bgscores@${new java.io.File(dir).getName}") {
       val out = graft.operators.StagedArtifacts.tempDir("graft-bgscores-")
-      charBigramScoresInline(s, dir)
-        .coalesce(4).write.mode("overwrite").parquet(s"$out/scored")
+      val (scored, bg) = charBigramScoresInline(s, dir)
+      scored.coalesce(4).write.mode("overwrite").parquet(s"$out/scored")
+      bg.unpersist()
       out
     })
     s.read.parquet(s"$base/scored")
@@ -5012,15 +5018,19 @@ object TextQueries {
         val comp = Materialize(docs.groupBy("source", "n_chars")
           .agg(count(lit(1)).as("f")))
         val ns = comp.groupBy("source").agg(sum("f").as("n"))
-        // exact lower median from the compressed CDF (no row window)
-        val med = comp
+        // exact lower median from the compressed CDF (no row window).
+        // LAZY lineage cut (round-13): med is consumed by mad's
+        // broadcast AND the l0 join — uncut, the window pipeline
+        // re-executed once per consumer; no driver action is added
+        // (the first consumer's job materializes the |sources|-row frame)
+        val med = graft.operators.Materialize.lazyCheckpointed(comp
           .withColumn("cum", sum("f").over(
             Window.partitionBy("source").orderBy("n_chars")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .join(ns, "source")
           .filter(col("cum") - col("f") < expr("(n + 1) DIV 2") &&
             col("cum") >= expr("(n + 1) DIV 2"))
-          .select(col("source"), col("n_chars").as("m0"), col("n"))
+          .select(col("source"), col("n_chars").as("m0"), col("n")))
         val mad = comp.join(broadcast(med), "source")
           .withColumn("d", abs(col("n_chars") - col("m0")))
           .groupBy("source", "d").agg(sum("f").as("df"))
@@ -5045,11 +5055,15 @@ object TextQueries {
             .withColumn(out, expr("swx DIV sw"))
             .select(col("source"), col("k"), col(out), col("n_down"))
         // med/mad chain is referenced by both IRLS rounds and the final
-        // select — materialize once or the window pipeline re-executes
-        // per consumer
-        val l0 = Materialize(med.join(mad, "source")
-          .select(col("source"), col("m0"), col("k"), col("n")))
-        val r1 = round(l0, "m0", "m1")
+        // select, and r1 by round 2's broadcast AND the final join —
+        // LAZY checkpoints cut the lineage with no per-frame driver
+        // action (the old eager Materialize(l0) paid one extra job;
+        // broadcast builds materialize the |sources|-row frames)
+        val l0 = graft.operators.Materialize.lazyCheckpointed(
+          med.join(mad, "source")
+            .select(col("source"), col("m0"), col("k"), col("n")))
+        val r1 = graft.operators.Materialize.lazyCheckpointed(
+          round(l0, "m0", "m1"))
         val r2 = round(r1.select(col("source"), col("k"), col("m1")),
           "m1", "m2")
         l0.join(r1.select(col("source"), col("m1")), "source")
@@ -5569,11 +5583,19 @@ object TextQueries {
         ShingleHashes.register(s)
         // no distinct here: ShingleHashes dedups per doc, so the exploded
         // (doc_id, source, sh) rows are unique by construction — the old
-        // .distinct() was a provable no-op costing a corpus-wide exchange
-        val docs = Materialize(tableParallel(s, dir, "documents")
-          .filter(col("lang") === "en")
+        // .distinct() was a provable no-op costing a corpus-wide exchange.
+        // round-13: the per-doc shingle sets come from the staged hs
+        // mirror (shingles are a pure per-doc function, so the explode
+        // of the mirror rows semi-joined to the English ids is exactly
+        // what the inline tokenize+shingle scan produced) — the corpus
+        // text re-shingling drops; only a narrow (doc_id, lang) scan
+        // remains on the raw table
+        val enIds = tableParallel(s, dir, "documents")
+          .filter(col("lang") === "en").select("doc_id")
+        val docs = Materialize(hsMirror(s, dir)
+          .join(enIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("source"),
-            explode(ShingleHashes.of(tokens(col("text")))).as("sh")))
+            explode(col("hs")).as("sh")))
         val universe = docs.filter(col("source") === "src0")
           .select("sh").distinct()
           .collect().map(_.getLong(0)).toSet
@@ -5600,17 +5622,24 @@ object TextQueries {
         var r = 1
         var exhausted = false
         while (r <= 6 && !exhausted) {
+          // ONE driver action per round (round-13): the winner's id,
+          // gain, and its not-yet-covered shingles come back in a single
+          // collect (the argmax rides in as a 1-row broadcast) — the old
+          // spelling paid a second collect to fetch the winner's
+          // shingles. Adding only the UNCOVERED shingles to the set is
+          // identical to adding all of them (set union dedups).
           val covDf = broadcast(covered.toSeq.toDF("sh"))
-          val pick = candU.join(covDf, Seq("sh"), "left_anti")
-            .groupBy("doc_id").agg(count(lit(1)).as("gain"))
-            .orderBy(col("gain").desc, col("doc_id"))
-            .limit(1).collect()
-          if (pick.isEmpty) exhausted = true
+          val remain = candU.join(covDf, Seq("sh"), "left_anti")
+          val pick1 = remain.groupBy("doc_id")
+            .agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          val rows = remain.join(broadcast(pick1), Seq("doc_id"))
+            .select("doc_id", "gain", "sh").collect()
+          if (rows.isEmpty) exhausted = true
           else {
-            val doc = pick(0).getLong(0)
-            val gain = pick(0).getLong(1)
-            candU.filter(col("doc_id") === doc).select("sh")
-              .collect().foreach(row => covered += row.getLong(0))
+            val doc = rows(0).getLong(0)
+            val gain = rows(0).getLong(1)
+            rows.foreach(row => covered += row.getLong(2))
             outRows += ((r.toLong, doc, gain, covered.size.toLong,
               uSize, covered.size.toLong * 10000 / math.max(uSize, 1L)))
             r += 1

@@ -74,9 +74,13 @@ object StreamBench {
       out
     })
 
-  private def runToEnd(q: org.apache.spark.sql.streaming.StreamingQuery)
+  private def runToEnd(name: String,
+                       q: org.apache.spark.sql.streaming.StreamingQuery)
       : Unit =
-    try q.awaitTermination() finally q.stop()
+    try {
+      q.awaitTermination()
+      StreamMetrics.record(name, q)
+    } finally q.stop()
 
   def runCdcUpsert(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
@@ -89,11 +93,12 @@ object StreamBench {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
       .as[CdcEvent]
-    runToEnd(StreamSessionize.cdcUpsertStream(stream)
-      .writeStream.format("noop").outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start())
+    runToEnd("qs01_stream_cdc_upsert",
+      StreamSessionize.cdcUpsertStream(stream)
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start())
   }
 
   def runSessionize(spark: SparkSession, sfDir: String): Unit = {
@@ -107,10 +112,11 @@ object StreamBench {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
       .as[Event]
-    runToEnd(StreamSessionize.statefulSessionize(stream)
-      .writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start())
+    runToEnd("qs02_stream_sessionize",
+      StreamSessionize.statefulSessionize(stream)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start())
   }
 }
