@@ -2276,17 +2276,24 @@ object Relational {
         val sym = graft.operators.Materialize(
           strong.select(col("u").as("src"), col("v").as("dst"))
             .unionAll(strong.select(col("v").as("src"), col("u").as("dst"))))
-        var labels = sym.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
+        // LAZY round boundaries (round-13 loop rule): the final labels
+        // frame is consumed TWICE (sizes + the output join) — uncut, the
+        // entire events→pairs→3-round chain re-executed once per
+        // consumer (measured: the whole chain ran twice). Each round's
+        // cut also keeps the statically-unrolled plan flat; no round
+        // pays a driver action of its own.
+        var labels = graft.operators.Materialize.lazyCheckpointed(
+          sym.select(col("src").as("node")).distinct()
+            .withColumn("label", col("node")))
         val w = Window.partitionBy("src").orderBy(desc("c"), asc("label"))
         for (_ <- 1 to 3) {
-          labels = sym.as("e")
+          labels = graft.operators.Materialize.lazyCheckpointed(sym.as("e")
             .join(labels.as("l"), col("e.dst") === col("l.node"))
             .groupBy(col("e.src").as("src"), col("l.label").as("label"))
             .agg(count(lit(1)).as("c"))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("src").as("node"), col("label"))
+            .select(col("src").as("node"), col("label")))
         }
         val sizes = labels.groupBy("label")
           .agg(count(lit(1)).as("community_size"))

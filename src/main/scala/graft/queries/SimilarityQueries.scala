@@ -2389,14 +2389,17 @@ object SimilarityQueries {
               explode(expr("array(bkey, bkey ^ 1, bkey ^ 2, bkey ^ 4, " +
                 "bkey ^ 8)")).as("bkey"))
             else idx
-          val cand = probes.as("a")
+          // LAZY lineage cut (round-13): cand is consumed twice (the
+          // nCand broadcast agg + the verify join) — uncut, the
+          // band-collision join + distinct executed twice per strategy
+          val cand = Materialize.lazyCheckpointed(probes.as("a")
             .join(idx.as("b"),
               col("a.band_id") === col("b.band_id") &&
                 col("a.bkey") === col("b.bkey") &&
                 col("a.vec_id") < col("b.vec_id"))
             .select(col("a.vec_id").as("vec_a"),
               col("b.vec_id").as("vec_b"))
-            .distinct()
+            .distinct())
           val ver = cand
             .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
               col("nrm").as("na")), Seq("vec_a"))
@@ -3846,7 +3849,9 @@ object SimilarityQueries {
           .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
           .agg(sum(expr("(a.xv - b.xv) * (a.xv - b.xv)")).as("d2")))
         val np = pairs.agg(count(lit(1)).as("np"))
-        val radii = Materialize(pairs
+        // round-13: radii has ONE consumer (the edges broadcast) — lazy
+        // cut instead of an eager Materialize action
+        val radii = Materialize.lazyCheckpointed(pairs
           .withColumn("rn", row_number().over(
             Window.orderBy(col("d2").asc, col("va").asc,
               col("vb").asc)))
@@ -3858,6 +3863,8 @@ object SimilarityQueries {
           .filter(col("pct").isNotNull)
           .select(col("pct").cast("long").as("pct"),
             col("d2").as("r2")))
+        // (radii above: single-partition window over the BOUNDED ≤200²/2
+        // pair slice — the q247 category, constant at any corpus size)
         val edges = Materialize(pairs.crossJoin(broadcast(radii))
           .filter(col("d2") <= col("r2"))
           .select("pct", "r2", "va", "vb"))
@@ -4099,10 +4106,13 @@ object SimilarityQueries {
             .orderBy(col("d2"), col("vb")))))
         val ids = vecs.select(col("vec_id").as("vb")).distinct()
         val perK = Seq(3, 5, 10).map { k =>
-          val nk = ids.join(
+          // LAZY lineage cut (round-13): nk is consumed twice per k (the
+          // hub-top-10 broadcast + the moment aggregation) — uncut, the
+          // kNN-count join executed twice per k (6 subtree runs per query)
+          val nk = Materialize.lazyCheckpointed(ids.join(
             pd.filter(col("r") <= k).groupBy("vb")
               .agg(count(lit(1)).as("nk")), Seq("vb"), "left")
-            .select(col("vb"), coalesce(col("nk"), lit(0L)).as("nk"))
+            .select(col("vb"), coalesce(col("nk"), lit(0L)).as("nk")))
           val hub = nk.orderBy(col("nk").desc, col("vb")).limit(10)
             .agg(sum("nk").as("hub10"))
           nk.agg(

@@ -2857,9 +2857,13 @@ object TrainingQueries {
             expr("""CASE WHEN day_idx > d1 - 5 THEN n_raw * 5
                    | ELSE n_raw END""".stripMargin).as("y")))
         val m = daily.agg(count(lit(1)).as("n_days"))
-        val slopes = daily.as("a").join(daily.as("b"),
-            col("a.x") < col("b.x"))
-          .select(expr("(b.y - a.y) * 1000 DIV (b.x - a.x)").as("sl"))
+        // LAZY lineage cuts (round-13): slopes and resid are each
+        // consumed twice (median window path + count broadcast) — uncut,
+        // the calendar² pairwise-slope join executed twice per query
+        val slopes = Materialize.lazyCheckpointed(
+          daily.as("a").join(daily.as("b"),
+              col("a.x") < col("b.x"))
+            .select(expr("(b.y - a.y) * 1000 DIV (b.x - a.x)").as("sl")))
         val wS = Window.orderBy("sl")
         val ts = slopes
           .withColumn("rn", row_number().over(wS))
@@ -2872,8 +2876,9 @@ object TrainingQueries {
           expr("""(count(1) * sum(x * y) - sum(x) * sum(y)) * 1000
                  | DIV (count(1) * sum(x * x) - sum(x) * sum(x))"""
             .stripMargin).as("ols_slope_milli"))
-        val resid = daily.crossJoin(broadcast(ts))
-          .select(expr("y * 1000 - ts_slope_milli * x").as("r"))
+        val resid = Materialize.lazyCheckpointed(
+          daily.crossJoin(broadcast(ts))
+            .select(expr("y * 1000 - ts_slope_milli * x").as("r")))
         val wR = Window.orderBy("r")
         val icpt = resid
           .withColumn("rn", row_number().over(wR))
@@ -4104,7 +4109,11 @@ object TrainingQueries {
         val bit = "CASE gid WHEN 0 THEN 1 WHEN 1 THEN 2 " +
           "WHEN 2 THEN 4 ELSE 8 END"
         val toks = tokens(col("text"))
-        val srcm = Materialize(tableParallel(s, dir, "documents")
+        // round-13: srcm has ONE consumer (gm's chain) — its eager
+        // Materialize paid a driver action + cache write that bought no
+        // reuse (the q267 single-consumer precedent); gm's own
+        // materialization computes the corpus moment pass exactly once
+        val srcm = (tableParallel(s, dir, "documents")
           .select(col("source"), col("n_chars").cast("long").as("x1"),
             size(toks).cast("long").as("x2"),
             size(array_distinct(toks)).cast("long").as("y"))
