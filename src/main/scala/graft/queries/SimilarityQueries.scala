@@ -1847,7 +1847,7 @@ object SimilarityQueries {
     // excluded, a property the oracle shares by construction.
     "q180_knn_label_noise_sweep" -> QueryDef(
       (s, dir) => {
-        import graft.operators.SkewTools
+        import graft.operators.{Materialize, SkewTools}
         val k = 5
         val e = tableParallel(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"), col("label"),
@@ -1865,14 +1865,22 @@ object SimilarityQueries {
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), col("label"), col("vv"),
             col("ccid"))
-        val once = SkewTools
+        // the directed union below references this frame TWICE (once per
+        // direction) and union branches do not share subtrees — without a
+        // lineage cut the assignment + blocked pair join executed twice
+        // per run (the W10/q281 shape). Lazy cut: no extra driver action;
+        // the one output job computes the pair set once (block-level
+        // locking dedupes the two branches' reads) and both directions
+        // scan the same blocks. Rows identical — the cut only stops the
+        // re-execution.
+        val once = Materialize.lazyCheckpointed(SkewTools
           .blockedSelfPairs(assign, "ccid", "vec_id", SemDedupBlock)
           .withColumn("d2s",
             floor((col("a.vv") - lit(2.0) * dot(s)(col("a.v"), col("b.v"))
               + col("b.vv")) * lit(1000000)).cast("long"))
           .select(col("a.vec_id").as("aid"), col("a.label").as("albl"),
             col("b.vec_id").as("bid"), col("b.label").as("blbl"),
-            col("d2s"))
+            col("d2s")))
         val directed = once.unionByName(once.select(
           col("bid").as("aid"), col("blbl").as("albl"),
           col("aid").as("bid"), col("albl").as("blbl"), col("d2s")))

@@ -4728,8 +4728,12 @@ object TextQueries {
             explode(tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term")
           .agg(count(lit(1)).as("tf")))
-        val dl = postings.groupBy("doc_id")
-          .agg(sum("tf").as("dl"))
+        // dl has TWO consumers (the stats aggregate and the per-doc join)
+        // — each re-ran the groupBy over the postings cache. Lazy cut:
+        // the first consumer's job aggregates once, the second scans the
+        // checkpointed per-doc blocks. Values identical (long sums).
+        val dl = Materialize.lazyCheckpointed(postings.groupBy("doc_id")
+          .agg(sum("tf").as("dl")))
         val stats = dl.agg(count(lit(1)).as("n_docs"),
           (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
         val df = postings.groupBy("term")
